@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's DuckDB correctness gate.
+
+Usage: oracle_check.py <sfDir> <verifyOutDir>
+Reads each <verifyOutDir>/<name> parquet (Spark result) and runs the
+matching SQL from oracle_sql.json in DuckDB over <sfDir>'s tables;
+compares after sorting columns by name and rows by all columns.
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    # canonicalize dtypes for compare
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith(("int", "uint", "Int")):
+            df[c] = df[c].astype("float64") if df[c].isna().any() else df[c].astype("int64")
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+def main():
+    sf, out = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        files = glob.glob(f"{out}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_bad += 1; continue
+        try:
+            got = norm(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
+            exp = norm(con.execute(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_bad += 1; continue
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: cols spark={list(got.columns)} duck={list(exp.columns)}")
+            n_bad += 1; continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows spark={len(got)} duck={len(exp)}"); n_bad += 1; continue
+        diff_cols = []
+        for c in got.columns:
+            a, b = got[c], exp[c]
+            if str(a.dtype).startswith("float") or str(b.dtype).startswith("float"):
+                eq = ((a.isna() & b.isna()) | (a == b)).all()
+            else:
+                eq = a.equals(b)
+            if not eq:
+                diff_cols.append(c)
+        if diff_cols:
+            print(f"FAIL {name}: value mismatch in {diff_cols}")
+            for c in diff_cols[:2]:
+                m = ~(((got[c].isna()) & (exp[c].isna())) | (got[c] == exp[c]))
+                idx = m[m].index[:3]
+                for i in idx:
+                    print(f"   row {i} col {c}: spark={got[c][i]!r} duck={exp[c][i]!r}")
+            n_bad += 1
+        else:
+            print(f"OK   {name} ({len(got)} rows)"); n_ok += 1
+    # queries with no oracle entry
+    print(f"\n{n_ok} ok, {n_bad} bad, {len(oracle)} total with oracle")
+    sys.exit(1 if n_bad else 0)
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,373 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Document/text workloads: the reference's text apps re-expressed over
+  * the `documents` table, plus the LLM-training-pipeline tier (dedup,
+  * text analysis, fingerprinting).
+  *
+  * Reference analogs:
+  *  - word count:      /root/reference/mr-main/mrapps/wc.go:21-42
+  *  - inverted index:  /root/reference/mr-main/mrapps/indexer.go:21-40
+  *  - metadata agg:    /root/reference/mr-main/mrapps/crash.go:36-57
+  *
+  * Scale notes: every query here is a single scan + shuffle-on-key —
+  * no driver-side collects, no cross joins except LSH-bucketed
+  * candidate generation (bounded by band-bucket size, not n²).
+  */
+object Documents {
+
+  /** Tokenize on runs of non-letters — the reference tokenizer
+    * (unicode.IsLetter complement ≈ \p{L}, wc.go:23-26), case-sensitive. */
+  private def tokens(c: Column): Column =
+    filter(split(c, "[^\\p{L}]+"), t => length(t) > 0)
+
+  private val tokensSql =
+    "(SELECT UNNEST(string_split_regex(text, '[^a-zA-Z]+')) AS word FROM documents)"
+
+  // ------------------------------------------------------------ wc
+  /** Word count: flatMap-tokenize -> groupBy(word).count.
+    * The canonical MapReduce job (wc.go) as one Catalyst-optimized agg. */
+  def wordCount(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("word"))
+
+  val wordCountSql: String =
+    s"""SELECT word, COUNT(*) AS n FROM $tokensSql t
+       |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin
+
+  // ------------------------------------------------- inverted index
+  /** Inverted index: distinct (word, doc) -> per-word doc count + sorted
+    * comma-joined doc list (indexer.go:37-40 output shape). */
+  def invertedIndex(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .distinct()
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n_docs"),
+        concat_ws(",",
+          transform(sort_array(collect_set(col("doc_id"))), _.cast("string")))
+          .as("docs"))
+      .orderBy(col("word"))
+
+  val invertedIndexSql: String =
+    """SELECT word, COUNT(*) AS n_docs,
+      |  STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS docs
+      |FROM (SELECT DISTINCT doc_id,
+      |        UNNEST(string_split_regex(text, '[^a-zA-Z]+')) AS word
+      |      FROM documents) t
+      |WHERE word <> ''
+      |GROUP BY word ORDER BY word""".stripMargin
+
+  // ------------------------------------------- filter + group count
+  /** The credit.go query shape (filter on two predicates, group, count)
+    * over the docs table: long docs per language/source. */
+  def filterGroupCount(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .filter(col("lang") === "en" && col("n_chars") > 200)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("source"))
+
+  val filterGroupCountSql: String =
+    """SELECT source, COUNT(*) AS n FROM documents
+      |WHERE lang = 'en' AND n_chars > 200
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------------------------- metadata agg
+  /** crash.go/nocrash.go shape: per-group sorted space-joined value agg. */
+  def metadataAgg(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        concat_ws(" ",
+          transform(sort_array(collect_list(col("doc_id"))), _.cast("string")))
+          .as("doc_ids"))
+      .orderBy(col("lang"))
+
+  val metadataAggSql: String =
+    """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+      |  STRING_AGG(CAST(doc_id AS VARCHAR), ' ' ORDER BY doc_id) AS doc_ids
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------- dedup: exact
+  /** Exact dedup via content hash: one representative per distinct text,
+    * plus the duplicate count. At 100 TB this is the standard
+    * hash-groupBy pass (shuffle on md5, no driver state). */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+
+  val dedupExactSql: String =
+    """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id,
+      |  COUNT(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+
+  // ------------------------------------------------ dedup: minhash
+  /** MinHash signature per doc, portable across engines: hash_j(w) =
+    * md5(j||'|'||w) (hex string); minhash_j = MIN over distinct tokens.
+    * Lexicographic min over md5 hex is a uniform random permutation min,
+    * so P(minhash_a == minhash_b) = Jaccard(a, b) per standard MinHash
+    * (Broder '97). 4 signatures here; LSH banding in dedupLshPairs. */
+  private val NSIG = 4
+  def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .distinct()
+    val aggs = (0 until NSIG).map(j =>
+      min(md5(concat(lit(j.toString), lit("|"), col("word")))).as(s"mh$j"))
+    tok.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  val minhashSignaturesSql: String = {
+    val aggs = (0 until NSIG)
+      .map(j => s"MIN(md5('$j' || '|' || word)) AS mh$j").mkString(",\n  ")
+    s"""SELECT doc_id, $aggs
+       |FROM (SELECT DISTINCT doc_id,
+       |        UNNEST(string_split_regex(text, '[^a-zA-Z]+')) AS word
+       |      FROM documents) t
+       |WHERE word <> ''
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** LSH candidate pairs: docs sharing any minhash band (2 sigs/band).
+    * Self-join is band-bucketed — cost is sum of bucket² per band, not
+    * n²; at scale the band column is the shuffle key. */
+  def dedupLshPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = minhashSignatures(s, d)
+    val banded = sig.select(col("doc_id"),
+      explode(array(
+        concat_ws("_", lit("b0"), col("mh0"), col("mh1")),
+        concat_ws("_", lit("b1"), col("mh2"), col("mh3")))).as("band"))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupLshPairsSql: String = {
+    val sig = minhashSignaturesSql.replace("ORDER BY doc_id", "")
+    s"""WITH sig AS ($sig),
+       |banded AS (
+       |  SELECT doc_id, 'b0_' || mh0 || '_' || mh1 AS band FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 'b1_' || mh2 || '_' || mh3 AS band FROM sig)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // -------------------------------------- dedup: n-gram Jaccard
+  /** Exact Jaccard over word 3-gram shingles for same-source pairs
+    * (bucketed, so the pair space is bounded per bucket — at scale the
+    * bucket key would be an LSH band). */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    val shingled = docs.select(col("doc_id"), col("source"),
+      explode(shingles3(col("text"))).as("sh")).distinct()
+    val a = shingled.as("a"); val b = shingled.as("b")
+    val inter = a.join(b, col("a.sh") === col("b.sh") &&
+        col("a.source") === col("b.source") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val sizes = shingled.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") /
+          (col("sa.n_sh") + col("sb.n_sh") - col("n_inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Word 3-gram shingle set of a text column (array of strings). */
+  private def shingles3(text: Column): Column = {
+    val ws = tokens(text)
+    val n = size(ws)
+    // sequence is empty when n < 3 -> no shingles, matching SQL side
+    transform(
+      when(n >= 3, sequence(lit(0), n - lit(3))).otherwise(array()),
+      i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2),
+        element_at(ws, i + 3)))
+  }
+
+  val ngramJaccardSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split_regex(text, '[^a-zA-Z]+'),
+      |                w -> w <> '') AS ws
+      |  FROM documents),
+      |shingled AS (
+      |  SELECT DISTINCT doc_id, source,
+      |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+      |  FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      |  FROM shingled a JOIN shingled b
+      |    ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT doc_a, doc_b,
+      |  CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON doc_a = sa.doc_id
+      |JOIN sizes sb ON doc_b = sb.doc_id
+      |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------- text analysis
+  /** Quality scoring: token count, mean token length, stopword ratio,
+    * uppercase/punct ratios — the standard pre-training quality gates. */
+  def textQuality(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val stop = filter(toks, t => t.isin("the", "a", "of", "and", "to"))
+    documents(s, d).select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      (length(regexp_replace(col("text"), "[^\\p{L}]+", "")).cast("double") /
+        nTok).as("avg_token_len"),
+      (size(stop).cast("double") / nTok).as("stopword_ratio"),
+      (length(regexp_replace(col("text"), "[^ ]", "")).cast("double") /
+        length(col("text"))).as("space_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textQualitySql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split_regex(text, '[^a-zA-Z]+'),
+      |                w -> w <> '') AS ws
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(ws) AS INT) AS n_tokens,
+      |  CAST(LENGTH(regexp_replace(text, '[^a-zA-Z]+', '', 'g')) AS DOUBLE)
+      |    / len(ws) AS avg_token_len,
+      |  CAST(len(list_filter(ws,
+      |    w -> w IN ('the','a','of','and','to'))) AS DOUBLE)
+      |    / len(ws) AS stopword_ratio,
+      |  CAST(LENGTH(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
+      |    / LENGTH(text) AS space_ratio
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------- language ID
+  /** Stopword-marker language heuristic: per-language marker-word hit
+    * counts; predicted = argmax with deterministic en>es>de>fr tiebreak. */
+  def langIdSimple(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    def hits(ws: String*) = size(filter(toks, t => t.isin(ws: _*)))
+    documents(s, d).select(
+      col("doc_id"),
+      col("lang").as("actual_lang"),
+      hits("the", "and", "of").as("en_hits"),
+      hits("el", "la", "de").as("es_hits"),
+      hits("der", "die", "und").as("de_hits"),
+      hits("le", "la", "et").as("fr_hits"))
+      .withColumn("pred_lang",
+        when(col("en_hits") >= greatest(col("es_hits"), col("de_hits"), col("fr_hits")), "en")
+          .when(col("es_hits") >= greatest(col("de_hits"), col("fr_hits")), "es")
+          .when(col("de_hits") >= col("fr_hits"), "de")
+          .otherwise("fr"))
+      .orderBy(col("doc_id"))
+  }
+
+  val langIdSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split_regex(text, '[^a-zA-Z]+'),
+      |                w -> w <> '') AS ws
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id, lang AS actual_lang,
+      |    CAST(len(list_filter(ws, w -> w IN ('the','and','of'))) AS INT) AS en_hits,
+      |    CAST(len(list_filter(ws, w -> w IN ('el','la','de'))) AS INT) AS es_hits,
+      |    CAST(len(list_filter(ws, w -> w IN ('der','die','und'))) AS INT) AS de_hits,
+      |    CAST(len(list_filter(ws, w -> w IN ('le','la','et'))) AS INT) AS fr_hits
+      |  FROM t)
+      |SELECT doc_id, actual_lang, en_hits, es_hits, de_hits, fr_hits,
+      |  CASE WHEN en_hits >= GREATEST(es_hits, de_hits, fr_hits) THEN 'en'
+      |       WHEN es_hits >= GREATEST(de_hits, fr_hits) THEN 'es'
+      |       WHEN de_hits >= fr_hits THEN 'de'
+      |       ELSE 'fr' END AS pred_lang
+      |FROM h ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- token counting
+  /** Token counts per source: whitespace tokens + BPE-ish subword
+    * estimate (chars/4 heuristic used by tokenizer-cost planners). */
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(col("source"))
+      .agg(
+        sum(size(tokens(col("text")))).as("word_tokens"),
+        sum(ceil(length(col("text")) / lit(4.0))).as("bpe_est_tokens"),
+        sum(length(col("text"))).as("total_chars"))
+      .orderBy(col("source"))
+
+  val tokenCountSql: String =
+    """SELECT source,
+      |  SUM(len(list_filter(string_split_regex(text, '[^a-zA-Z]+'),
+      |      w -> w <> ''))) AS word_tokens,
+      |  SUM(CAST(CEIL(LENGTH(text)/4.0) AS BIGINT)) AS bpe_est_tokens,
+      |  SUM(LENGTH(text)) AS total_chars
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------- fingerprinting
+  /** Document fingerprint: md5 of the normalized (lowercased,
+    * space-collapsed) text — stable content address for dedup joins. */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        md5(regexp_replace(lower(col("text")), "[^\\p{L}]+", " ")).as("fp"),
+        substring(md5(col("text")), 1, 8).as("short_fp"))
+      .orderBy(col("doc_id"))
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(LOWER(text), '[^a-zA-Z]+', ' ', 'g')) AS fp,
+      |  SUBSTRING(md5(text), 1, 8) AS short_fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_wordcount" -> wordCount,
+    "doc_inverted_index" -> invertedIndex,
+    "doc_filter_group_count" -> filterGroupCount,
+    "doc_metadata_agg" -> metadataAgg,
+    "dedup_exact" -> dedupExact,
+    "dedup_minhash_sig" -> minhashSignatures,
+    "dedup_lsh_pairs" -> dedupLshPairs,
+    "dedup_ngram_jaccard" -> ngramJaccard,
+    "text_quality" -> textQuality,
+    "text_lang_id" -> langIdSimple,
+    "text_token_count" -> tokenCount,
+    "text_fingerprint" -> fingerprint)
+
+  val oracle: Map[String, String] = Map(
+    "doc_wordcount" -> wordCountSql,
+    "doc_inverted_index" -> invertedIndexSql,
+    "doc_filter_group_count" -> filterGroupCountSql,
+    "doc_metadata_agg" -> metadataAggSql,
+    "dedup_exact" -> dedupExactSql,
+    "dedup_minhash_sig" -> minhashSignaturesSql,
+    "dedup_lsh_pairs" -> dedupLshPairsSql,
+    "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "text_quality" -> textQualitySql,
+    "text_lang_id" -> langIdSql,
+    "text_token_count" -> tokenCountSql,
+    "text_fingerprint" -> fingerprintSql)
+}
