@@ -1,0 +1,142 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for a training-data pipeline: media as
+  * opaque `binary` payloads + typed metadata, processed in batched
+  * per-partition passes (the Scala analog of mapInPandas: one iterator
+  * per partition, library calls amortized across a batch, no
+  * per-row JVM↔native churn).
+  *
+  * The container has no image/audio codecs, so the decode kernel is a
+  * clearly-marked deterministic STUB (parses our synthetic header); the
+  * Spark-side contract — schema, partitioning, batch iteration, null
+  * handling — is real and tested. Swapping `StubCodec` for a JNI/FFI
+  * codec changes no plan shape.
+  */
+object Multimodal {
+
+  case class Media(media_id: Long, kind: String, payload: Array[Byte])
+  case class MediaMeta(media_id: Long, kind: String, width: Int, height: Int,
+      n_frames: Int, bytes: Long)
+  case class Frame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Deterministic synthetic media derived from the documents table:
+    * payload = 16-byte header (kind, w, h, frames) + content bytes.
+    * Stands in for a real binary column read from parquet/object store. */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[Media] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .map { case (id, text, nChars) =>
+        val kind = (id % 3) match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        }
+        Media(id, kind, StubCodec.encode(kind, id, text, nChars))
+      }
+  }
+
+  /** Batched "decode": extract typed metadata from each payload.
+    * mapPartitions so a real codec would init once per partition. */
+  def decodeMeta(spark: SparkSession, media: Dataset[Media]): Dataset[MediaMeta] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // per-partition codec init would go here (expensive handle reuse)
+      val codec = StubCodec
+      it.map { m =>
+        val (w, h, f) = codec.decodeHeader(m.payload)
+        MediaMeta(m.media_id, m.kind, w, h, f, m.payload.length.toLong)
+      }
+    }
+  }
+
+  /** Batched frame sampling: videos → every k-th "frame" (stub slices
+    * payload); images pass through as frame 0; audio yields none. */
+  def sampleFrames(spark: SparkSession, media: Dataset[Media], everyK: Int): Dataset[Frame] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val codec = StubCodec
+      it.flatMap { m =>
+        m.kind match {
+          case "image" => Iterator.single(Frame(m.media_id, 0, codec.body(m.payload)))
+          case "video" =>
+            val (_, _, frames) = codec.decodeHeader(m.payload)
+            (0 until frames by everyK).iterator.map(i =>
+              Frame(m.media_id, i, codec.frameSlice(m.payload, i)))
+          case _ => Iterator.empty
+        }
+      }
+    }
+  }
+
+  /** "Feature extraction" over frames: fixed-width feature vector per
+    * frame (stub: byte histogram folded to 8 dims). The plan shape —
+    * binary in, Array[Float] out, batched — is the real contract. */
+  def frameFeatures(spark: SparkSession, frames: Dataset[Frame]): DataFrame = {
+    import spark.implicits._
+    frames.mapPartitions { it =>
+      it.map(f => (f.media_id, f.frame_idx, StubCodec.features(f.frame)))
+    }.toDF("media_id", "frame_idx", "features")
+  }
+
+  /** Pipeline summary metadata aggregate, fully columnar after decode. */
+  def mediaStats(spark: SparkSession, dir: String): DataFrame = {
+    val meta = decodeMeta(spark, mediaTable(spark, dir))
+    meta.groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("bytes")).as("total_bytes"),
+        avg(col("width")).as("avg_width"),
+        max(col("n_frames")).as("max_frames"))
+      .orderBy(col("kind"))
+  }
+}
+
+/** STUB codec — deterministic fake in place of image/audio libraries
+  * (not present in this container). Header layout (16 bytes):
+  * [0] kind, [1..4] width, [5..8] height, [9..12] n_frames, [13..15] pad. */
+object StubCodec extends Serializable {
+  private def putInt(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v >> 24).toByte; b(off + 1) = (v >> 16).toByte
+    b(off + 2) = (v >> 8).toByte; b(off + 3) = v.toByte
+  }
+  private def getInt(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  def encode(kind: String, id: Long, text: String, nChars: Long): Array[Byte] = {
+    val body = text.getBytes("UTF-8")
+    val out = new Array[Byte](16 + body.length)
+    out(0) = kind.head.toByte
+    putInt(out, 1, 64 + (id % 16).toInt * 32)       // width
+    putInt(out, 5, 64 + (nChars % 16).toInt * 32)   // height
+    putInt(out, 9, if (kind == "video") 8 + (id % 24).toInt else 1)
+    System.arraycopy(body, 0, out, 16, body.length)
+    out
+  }
+
+  def decodeHeader(payload: Array[Byte]): (Int, Int, Int) =
+    (getInt(payload, 1), getInt(payload, 5), getInt(payload, 9))
+
+  def body(payload: Array[Byte]): Array[Byte] =
+    java.util.Arrays.copyOfRange(payload, 16, payload.length)
+
+  def frameSlice(payload: Array[Byte], idx: Int): Array[Byte] = {
+    val b = body(payload)
+    if (b.isEmpty) b
+    else {
+      val chunk = math.max(b.length / math.max(getInt(payload, 9), 1), 1)
+      val start = math.min(idx * chunk, b.length - 1)
+      java.util.Arrays.copyOfRange(b, start, math.min(start + chunk, b.length))
+    }
+  }
+
+  /** 8-dim folded byte histogram, L1-normalized — stand-in embedding. */
+  def features(frame: Array[Byte]): Array[Float] = {
+    val h = new Array[Float](8)
+    frame.foreach(b => h((b & 0xff) % 8) += 1f)
+    val s = math.max(h.sum, 1f)
+    h.map(_ / s)
+  }
+}

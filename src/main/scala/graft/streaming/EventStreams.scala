@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.queries.Relational.cents
+
+/** Structured Streaming surface over the events table: the batch
+  * queries in graft.queries.Events re-expressed as streams (readStream
+  * → event-time windows + watermark → sink). The reference engine is
+  * batch-only (SURVEY.md §2.3 "Streaming: none"), so semantics here are
+  * defined by replayed-batch equivalence: stream output after
+  * processAllAvailable == the batch query over the same data
+  * (StreamingSpec pins this).
+  *
+  * Scale notes: state store is keyed by (window, type) / (session,
+  * user) / event_id — all shuffle-partitioned, no driver state; the
+  * watermark bounds state growth for append-mode sinks.
+  */
+object EventStreams {
+
+  /** File-source stream over an events parquet path (ns timestamps
+    * read as long, truncated to µs — same convention as Tables.events).
+    * maxFilesPerTrigger=1 gives deterministic micro-batch replay. */
+  def readEventStream(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(path).schema
+    // FileStreamSource requires a directory; stage a bare file into one
+    // (real deployments point at a landing directory of parquet files).
+    val f = new java.io.File(path)
+    val dir =
+      if (f.isFile) {
+        val d = java.nio.file.Files.createTempDirectory("evstream")
+        java.nio.file.Files.copy(f.toPath, d.resolve(f.getName))
+        d.toString
+      } else path
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour event-time window with a 1-hour watermark. */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(cents(col("value"))) / lit(100.0)).as("total_value"))
+      .select(col("window.start").cast("long").as("hour_sec"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Sliding windows: 2-hour window sliding by 1 hour. */
+  def slidingTwoHour(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("win_start_sec"),
+        col("event_type"), col("n"))
+
+  /** Session windows with a 30-minute gap (built-in session_window;
+    * batch twin is Events.sessionize's lag+cumsum formulation). */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").cast("long").as("session_start_sec"),
+        col("user_id"), col("n_events"))
+
+  /** Stateful exactly-once-per-key dedup on event_id within the
+    * watermark horizon (late duplicates beyond 1 hour age out of state). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+
+  /** Custom state via mapGroupsWithState: running per-user event count
+    * and running max value — the KeyValueGroupedDataset state surface
+    * (update-mode output, one row per user per micro-batch). */
+  case class UserState(n: Long, maxValue: Double)
+  case class UserUpdate(user_id: Long, n_events: Long, max_value: Double)
+
+  def runningUserStats(spark: SparkSession, events: DataFrame): Dataset[UserUpdate] = {
+    import spark.implicits._
+    events.select(col("user_id").as[Long], col("value").as[Double])
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserState, UserUpdate](GroupStateTimeout.NoTimeout) {
+        (user, rows, state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, Double.MinValue))
+          var n = prev.n
+          var mx = prev.maxValue
+          rows.foreach { case (_, v) => n += 1; if (v > mx) mx = v }
+          state.update(UserState(n, mx))
+          UserUpdate(user, n, mx)
+      }
+  }
+
+  /** Run any of the above to an in-memory sink until the source is
+    * drained; returns the sink table name. Test/demo harness. */
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+      mode: OutputMode): Unit = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

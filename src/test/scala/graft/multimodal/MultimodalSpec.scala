@@ -1,0 +1,62 @@
+package graft.multimodal
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class MultimodalSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("media table: binary payload schema and determinism") {
+    val m = Multimodal.mediaTable(spark, dir)
+    assert(m.schema("payload").dataType == BinaryType)
+    val a = m.collect().map(x => (x.media_id, x.payload.toSeq)).sortBy(_._1)
+    val b = Multimodal.mediaTable(spark, dir).collect()
+      .map(x => (x.media_id, x.payload.toSeq)).sortBy(_._1)
+    assert(a.toSeq == b.toSeq, "payload synthesis must be deterministic")
+  }
+
+  test("decodeMeta: typed metadata for every media row, batched") {
+    val media = Multimodal.mediaTable(spark, dir)
+    val meta = Multimodal.decodeMeta(spark, media)
+    assert(meta.count() == media.count())
+    val row = meta.filter(_.kind == "video").head()
+    assert(row.n_frames >= 8 && row.width >= 64 && row.bytes > 16)
+  }
+
+  test("sampleFrames: image->1 frame, audio->0, video->ceil(frames/k)") {
+    import spark.implicits._
+    val media = Multimodal.mediaTable(spark, dir).cache()
+    val frames = Multimodal.sampleFrames(spark, media, everyK = 4)
+      .groupByKey(_.media_id).count().collect().toMap
+    val metas = Multimodal.decodeMeta(spark, media).collect()
+    metas.foreach { m =>
+      val expected = m.kind match {
+        case "image" => 1L
+        case "audio" => 0L
+        case "video" => ((m.n_frames + 3) / 4).toLong
+      }
+      assert(frames.getOrElse(m.media_id, 0L) == expected,
+        s"media ${m.media_id} kind ${m.kind} frames ${m.n_frames}")
+    }
+  }
+
+  test("frameFeatures: fixed 8-dim normalized vectors") {
+    val media = Multimodal.mediaTable(spark, dir)
+    val feats = Multimodal.frameFeatures(spark,
+      Multimodal.sampleFrames(spark, media, 4))
+    assert(feats.schema("features").dataType ==
+      ArrayType(FloatType, containsNull = false))
+    val vs = feats.limit(20).collect().map(_.getSeq[Float](2))
+    assert(vs.forall(_.length == 8))
+    assert(vs.forall(v => math.abs(v.sum - 1f) < 1e-3))
+  }
+
+  test("mediaStats: per-kind aggregate over decoded metadata") {
+    val stats = Multimodal.mediaStats(spark, dir).collect()
+    assert(stats.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
+    assert(stats.map(_.getLong(1)).sum == 500L)
+  }
+}
