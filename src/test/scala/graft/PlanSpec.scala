@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape pins: the properties that make these queries scale —
+  * predicate pushdown to the parquet scan, column pruning, broadcast
+  * joins for dims, map-side partial aggregation, TakeOrdered for
+  * top-k — asserted against explain output so a regression (e.g. a
+  * UDF blocking pushdown) fails loudly. */
+class PlanSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val d = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, d)
+      .queryExecution.explainString(FormattedMode)
+
+  test("q1: shipdate predicate reaches the parquet scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+  }
+
+  test("q1: column pruning — scan reads only needed columns") {
+    val p = plan("q1_pricing_summary")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_orderkey"), "unneeded key column read")
+    assert(!readSchema.contains("l_partkey"))
+  }
+
+  test("q1: map-side partial aggregation before the shuffle") {
+    assert(plan("q1_pricing_summary").contains("partial_sum"))
+  }
+
+  test("q3: dimension joins are broadcast") {
+    assert(plan("q3_shipping_priority").contains("BroadcastHashJoin"))
+  }
+
+  test("q5: six-way join broadcasts all dims, no cartesian") {
+    val p = plan("q5_local_supplier_volume")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q6: all three predicates pushed") {
+    val p = plan("q6_revenue_forecast")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"))
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)"))
+    assert(p.contains("LessThan(l_quantity,24.0)"))
+  }
+
+  test("top-k uses TakeOrderedAndProject, not a global sort") {
+    assert(plan("sort_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("semi/anti joins plan as join, not subquery re-scan") {
+    assert(plan("join_semi").contains("LeftSemi"))
+    assert(plan("join_anti").contains("LeftAnti"))
+  }
+
+  test("wordcount aggregates partially before shuffle") {
+    assert(plan("doc_wordcount").contains("partial_count"))
+  }
+}
