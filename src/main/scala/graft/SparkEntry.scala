@@ -10,12 +10,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Documents.queries ++ Events.queries ++
-      Embeddings.queries
+    Relational.queries ++ Relational2.queries ++ Documents.queries ++
+      Events.queries ++ Embeddings.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ Documents.oracle ++ Events.oracle ++
-      Embeddings.oracle
+    Relational.oracle ++ Relational2.oracle ++ Documents.oracle ++
+      Events.oracle ++ Embeddings.oracle
 }
