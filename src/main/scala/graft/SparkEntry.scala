@@ -11,7 +11,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Relational2.queries ++ Documents.queries ++
-      Events.queries ++ Embeddings.queries
+      Events.queries ++ Embeddings.queries ++ SimHashDedup.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 64-bit SimHash (Charikar 2002) of a text column, as a native
+  * Catalyst expression: `doGenCode` emits a static call so the whole
+  * stage stays in generated code (no UDF serialization, no
+  * InternalRow boxing). The scalar kernel lives in SimHashImpl so the
+  * interpreted and codegen paths share one implementation.
+  *
+  * Beyond-reference operator (SURVEY.md §7 slice 5): the reference's
+  * only hash is the FNV-1a shuffle partitioner
+  * (/root/reference/mr/worker.go:25-29); SimHash is the near-dup
+  * fingerprint a training-data pipeline needs at 100 TB — one pass,
+  * 8 bytes per doc, hamming distance ≈ cosine distance on token sets.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  protected override def nullSafeEval(input: Any): Any =
+    SimHashImpl.simhash64(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SimHashImpl.simhash64($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHashImpl {
+  /** FNV-1a 64-bit — same family the reference used for partitioning,
+    * here as the per-token hash feeding the simhash bit votes. */
+  def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Token = maximal run of Unicode letters (reference tokenizer). */
+  def simhash64(text: String): Long = {
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && !Character.isLetter(text.charAt(i))) i += 1
+      val start = i
+      while (i < n && Character.isLetter(text.charAt(i))) i += 1
+      if (i > start) {
+        val h = fnv1a64(text.substring(start, i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
+object GraftFunctions {
+  /** Column API: simhash64($"text") — resolved through the function
+    * registry (Spark 4 keeps Column↔Expression construction internal),
+    * so call registerAll(spark) once per session first. */
+  def simhash64(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("simhash64", c)
+
+  /** SQL + Column registration: SELECT simhash64(text) FROM ... */
+  def registerAll(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "built-in")
+}

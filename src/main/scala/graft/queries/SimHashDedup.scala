@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.GraftFunctions
+
+/** SimHash near-dup detection over documents: one 64-bit fingerprint
+  * per doc (native codegen'd expression), banded into 4×16-bit chunks
+  * for LSH candidate generation. With hamming threshold 3 and 4 bands,
+  * the pigeonhole principle guarantees every qualifying pair shares at
+  * least one untouched band — candidate generation is COMPLETE, so the
+  * banded plan equals brute force exactly (pinned by SimHashSpec).
+  *
+  * Scale shape: fingerprint pass is a projection (no shuffle); the
+  * band self-join shuffles 4 rows/doc on 18-bit keys; no O(n²) stage.
+  * No SQL oracle: simhash internals are engine-specific.
+  */
+object SimHashDedup {
+  val HammingThreshold = 3
+
+  def signatures(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.registerAll(s)
+    documents(s, d).select(col("doc_id"),
+      GraftFunctions.simhash64(col("text")).as("sh"))
+  }
+
+  /** Candidate pairs sharing a 16-bit band, filtered to hamming <= 3. */
+  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val sig = signatures(s, d)
+    val banded = sig.select(col("doc_id"), col("sh"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))
+            .as("chunk"))): _*)).as("bc"))
+      .select(col("doc_id"), col("sh"),
+        col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.chunk") === col("b.chunk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= HammingThreshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Brute-force reference: all pairs, same threshold (test oracle;
+    * O(n²) — never the scale path). */
+  def bruteForce(s: SparkSession, d: String): DataFrame = {
+    val sig = signatures(s, d)
+    val a = sig.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+    val b = sig.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sha").bitwiseXOR(col("shb"))).as("hamming"))
+      .filter(col("hamming") <= HammingThreshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_simhash" -> dedupSimhash)
+}

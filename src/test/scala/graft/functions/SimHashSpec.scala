@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class SimHashSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("expression agrees with the scalar kernel (codegen path)") {
+    import spark.implicits._
+    GraftFunctions.registerAll(spark)
+    val texts = Seq("the quick brown fox", "the quick brown fox!",
+      "completely different words here", "", "123 456", "Älter Über")
+    val got = texts.toDF("t")
+      .select(GraftFunctions.simhash64(col("t"))).as[Long].collect()
+    val exp = texts.map(SimHashImpl.simhash64)
+    assert(got.toSeq == exp)
+  }
+
+  test("SQL surface: simhash64 callable from spark.sql") {
+    GraftFunctions.registerAll(spark)
+    val r = spark.sql("SELECT simhash64('hello world') AS h").head.getLong(0)
+    assert(r == SimHashImpl.simhash64("hello world"))
+  }
+
+  test("near-identical texts land within the hamming threshold") {
+    val a = SimHashImpl.simhash64("the quick brown fox jumps over the lazy dog " * 20)
+    val b = SimHashImpl.simhash64(("the quick brown fox jumps over the lazy dog " * 20) + "extra")
+    assert(java.lang.Long.bitCount(a ^ b) <= 3)
+    val c = SimHashImpl.simhash64("entirely unrelated content about spark plans")
+    assert(java.lang.Long.bitCount(a ^ c) > 3)
+  }
+
+  test("banded LSH candidates == brute force (completeness guarantee)") {
+    val d = "/root/testdata/sf0.001"
+    val banded = graft.queries.SimHashDedup.dedupSimhash(spark, d).collect().toSeq
+    val brute = graft.queries.SimHashDedup.bruteForce(spark, d).collect().toSeq
+    assert(banded.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))) ==
+      brute.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))))
+  }
+}
