@@ -146,10 +146,12 @@ object Documents {
     * n²; at scale the band column is the shuffle key. */
   def dedupLshPairs(s: SparkSession, d: String): DataFrame = {
     val sig = minhashSignatures(s, d)
+    // join key is a 64-bit hash of the band (8 bytes shuffled instead
+    // of a 68-char string; same pairs modulo 2^-64 collisions)
     val banded = sig.select(col("doc_id"),
       explode(array(
-        concat_ws("_", lit("b0"), col("mh0"), col("mh1")),
-        concat_ws("_", lit("b1"), col("mh2"), col("mh3")))).as("band"))
+        xxhash64(lit("b0"), col("mh0"), col("mh1")),
+        xxhash64(lit("b1"), col("mh2"), col("mh3")))).as("band"))
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -177,8 +179,12 @@ object Documents {
     * bucket key would be an LSH band). */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    // shuffle/join on the 64-bit shingle hash, not the string (same
+    // counts modulo 2^-64 collisions; oracle compares final pairs)
     val shingled = docs.select(col("doc_id"), col("source"),
-      explode(shingles3(col("text"))).as("sh")).distinct()
+      explode(shingles3(col("text"))).as("sh0"))
+      .select(col("doc_id"), col("source"), xxhash64(col("sh0")).as("sh"))
+      .distinct()
     val a = shingled.as("a"); val b = shingled.as("b")
     val inter = a.join(b, col("a.sh") === col("b.sh") &&
         col("a.source") === col("b.source") &&
