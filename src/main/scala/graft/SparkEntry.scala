@@ -11,11 +11,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Relational2.queries ++ Documents.queries ++
-      Events.queries ++ Embeddings.queries ++ SimHashDedup.queries
+      Events.queries ++ Embeddings.queries ++ SimHashDedup.queries ++
+      TextPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Relational2.oracle ++ Documents.oracle ++
-      Events.oracle ++ Embeddings.oracle
+      Events.oracle ++ Embeddings.oracle ++ TextPipeline.oracle
 }

@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Training-corpus preparation queries: PII scrubbing and the composed
+  * clean-corpus pipeline (quality gate + language gate + exact dedup
+  * keep-one). Each stage is a pure column transform or a hash-groupBy
+  * — one scan, one shuffle, no driver state.
+  */
+object TextPipeline {
+
+  /** PII scrub: redact email-like and long-digit-run tokens, report
+    * per-doc redaction counts. (The synthetic corpus has none — the
+    * zero counts are themselves oracle-checked; regexes are the real
+    * operator.) */
+  def piiScrub(s: SparkSession, d: String): DataFrame = {
+    val email = "[A-Za-z0-9.]+@[A-Za-z0-9.]+"
+    val digits = "[0-9]{6,}"
+    documents(s, d).select(
+      col("doc_id"),
+      regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+        digits, "<NUM>").as("clean_text"),
+      (size(split(col("text"), email, -1)) - 1).as("n_emails"),
+      (size(split(col("text"), digits, -1)) - 1).as("n_numbers"))
+      .select(col("doc_id"), md5(col("clean_text")).as("clean_hash"),
+        col("n_emails"), col("n_numbers"))
+      .orderBy(col("doc_id"))
+  }
+
+  val piiScrubSql: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(regexp_replace(text,
+      |    '[A-Za-z0-9.]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+      |    '[0-9]{6,}', '<NUM>', 'g')) AS clean_hash,
+      |  CAST(len(string_split_regex(text, '[A-Za-z0-9.]+@[A-Za-z0-9.]+')) - 1 AS INT) AS n_emails,
+      |  CAST(len(string_split_regex(text, '[0-9]{6,}')) - 1 AS INT) AS n_numbers
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Clean-corpus pipeline: tokens>=40 AND stopword-bearing ('the'
+    * present) AND keep only min-doc_id per exact content hash; output
+    * the surviving corpus stats per (lang, source) cell. */
+  def cleanCorpus(s: SparkSession, d: String): DataFrame = {
+    val toks = filter(split(col("text"), "[^\\p{L}]+"), t => length(t) > 0)
+    val scored = documents(s, d)
+      .withColumn("n_tokens", size(toks))
+      .withColumn("has_stop", array_contains(toks, "the"))
+      .filter(col("n_tokens") >= 40 && col("has_stop"))
+    val withH = scored.withColumn("h", md5(col("text")))
+    val keepIds = withH.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+    val kept = withH.join(keepIds,
+      withH("h") === keepIds("h") && withH("doc_id") === keepIds("keep_id"))
+    kept.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val cleanCorpusSql: String =
+    """WITH scored AS (
+      |  SELECT doc_id, lang, source, text, md5(text) AS h,
+      |    len(list_filter(string_split_regex(text, '[^a-zA-Z]+'),
+      |        w -> w <> '')) AS n_tokens,
+      |    list_contains(list_filter(string_split_regex(text, '[^a-zA-Z]+'),
+      |        w -> w <> ''), 'the') AS has_stop
+      |  FROM documents),
+      |filtered AS (SELECT * FROM scored WHERE n_tokens >= 40 AND has_stop),
+      |kept AS (
+      |  SELECT f.* FROM filtered f
+      |  JOIN (SELECT h, MIN(doc_id) AS doc_id FROM filtered GROUP BY h) m
+      |    ON f.h = m.h AND f.doc_id = m.doc_id)
+      |SELECT lang, source, COUNT(*) AS n_docs,
+      |  SUM(n_tokens) AS total_tokens
+      |FROM kept GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pii_scrub" -> piiScrub,
+    "text_clean_corpus" -> cleanCorpus,
+    "topk_per_key_agg" -> ((s, d) =>
+      graft.operators.TopK.topOrdersPerCustomer(s, d)))
+
+  val oracle: Map[String, String] = Map(
+    "text_pii_scrub" -> piiScrubSql,
+    "text_clean_corpus" -> cleanCorpusSql,
+    // same oracle as the window formulation — different physical plan,
+    // identical rows
+    "topk_per_key_agg" -> Relational.windowTopPerKeySql)
+}

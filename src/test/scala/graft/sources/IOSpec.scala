@@ -1,0 +1,76 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class IOSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val d = "/root/testdata/sf0.001"
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).toSeq.sorted
+
+  test("csv and jsonl round-trip the documents table") {
+    val docs = graft.Tables.documents(spark, d)
+    val c = tmp("csv"); val j = tmp("json")
+    IO.writeCsv(docs, c); IO.writeJsonl(docs, j)
+    val schema = "doc_id long, text string, lang string, source string, n_chars long"
+    assert(sortedRows(IO.readCsv(spark, c, schema).select(docs.columns.map(col): _*))
+      == sortedRows(docs))
+    assert(sortedRows(IO.readJsonl(spark, j, schema).select(docs.columns.map(col): _*))
+      == sortedRows(docs))
+  }
+
+  test("partitioned write prunes partitions on read") {
+    val docs = graft.Tables.documents(spark, d)
+    val p = tmp("part")
+    IO.writePartitioned(docs, p, "lang")
+    val dirs = new java.io.File(p).listFiles().map(_.getName).filter(_.startsWith("lang="))
+    assert(dirs.sorted.toSeq == Seq("lang=de", "lang=en", "lang=es", "lang=fr", "lang=zh"))
+    val en = IO.readParquet(spark, p).filter(col("lang") === "en")
+    val plan = en.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan.take(500))
+    assert(en.count() == docs.filter(col("lang") === "en").count())
+  }
+
+  test("co-bucketed tables join without a shuffle on the join key") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // the in-memory catalog forgets tables across JVMs but the
+    // warehouse dirs persist; clear them or saveAsTable refuses
+    for (t <- Seq("b_orders", "b_lineitem")) {
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(dir).deleteRecursively()
+      }
+    }
+    IO.writeBucketed(graft.Tables.orders(spark, d), "b_orders", "o_orderkey", 4)
+    IO.writeBucketed(
+      graft.Tables.lineitem(spark, d)
+        .withColumnRenamed("l_orderkey", "o_orderkey"),
+      "b_lineitem", "o_orderkey", 4)
+    // force the sort-merge path (tiny test tables would broadcast and
+    // bypass buckets); the scale-relevant property is no shuffle
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        "bucketed equi-join must not shuffle:\n" + plan.take(800))
+      assert(plan.contains("Bucketed: true"), plan.take(800))
+      assert(joined.count() == graft.Tables.lineitem(spark, d).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("whole-text source mirrors the reference's (filename, contents) scan") {
+    val df = IO.readWholeText(spark, s"$booksDir/*.txt")
+    assert(df.count() == 8)
+    assert(df.columns.toSeq == Seq("path", "contents"))
+  }
+}
