@@ -76,14 +76,37 @@ object SimHashImpl {
 }
 
 object GraftFunctions {
-  /** Column API: simhash64($"text") — resolved through the function
-    * registry (Spark 4 keeps Column↔Expression construction internal),
-    * so call registerAll(spark) once per session first. */
+  /** Column API — resolved through the function registry (Spark 4
+    * keeps Column↔Expression construction internal), so call
+    * registerAll(spark) once per session first. */
   def simhash64(c: Column): Column =
     org.apache.spark.sql.functions.call_function("simhash64", c)
 
+  def cosineSim(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("cosine_sim_f", a, b)
+
   /** SQL + Column registration: SELECT simhash64(text) FROM ... */
-  def registerAll(spark: SparkSession): Unit =
+  def registerAll(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim_f", exprs => CosineSimF(exprs(0), exprs(1)), "built-in")
+  }
+}
+
+/** SparkSessionExtensions entry point: inject the graft functions at
+  * session build time —
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    e.injectFunction((FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    e.injectFunction((FunctionIdentifier("cosine_sim_f"),
+      new ExpressionInfo(classOf[CosineSimF].getName, "cosine_sim_f"),
+      (exprs: Seq[Expression]) => CosineSimF(exprs(0), exprs(1))))
+  }
 }

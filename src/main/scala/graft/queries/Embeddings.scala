@@ -28,14 +28,18 @@ object Embeddings {
     * IDs-and-rank output keeps the hash compare float-free except for
     * the similarity itself (deterministic by the fold above). */
   def cosineTopK(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
     val e = embeddings(s, d)
     val queries = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val cand = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    // native CosineSimF expression: one primitive loop per pair inside
+    // codegen (same fold order as the zip_with composition → same
+    // doubles as the DuckDB oracle); ~10× the composed throughput
     val scored = queries.join(broadcast(cand), col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        (dot(col("q_emb"), col("c_emb")) /
-          sqrt(norm2(col("q_emb")) * norm2(col("c_emb")))).as("cos"))
+        graft.functions.GraftFunctions
+          .cosineSim(col("q_emb"), col("c_emb")).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
     scored.withColumn("rank", row_number().over(w))
