@@ -108,5 +108,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("cosine_sim_f"),
       new ExpressionInfo(classOf[CosineSimF].getName, "cosine_sim_f"),
       (exprs: Seq[Expression]) => CosineSimF(exprs(0), exprs(1))))
+    e.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
   }
 }

@@ -1,0 +1,144 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftShims, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Native as-of join: for every left row, the latest right row with the
+  * same key and time <= the left row's time (ASOF LEFT JOIN).
+  *
+  * The full custom-operator tier (SURVEY.md §7.2 / guide tier c):
+  * logical node → planner strategy → physical exec, registered through
+  * SparkSessionExtensions (graft.functions.GraftExtensions). The
+  * physical plan declares hash distribution on the key and (key, time)
+  * ordering, so Catalyst plans exactly one shuffle + sort per side and
+  * the join itself is a streaming two-pointer merge per partition —
+  * no window state, no per-row buffering beyond one build row.
+  *
+  * Keys and times must evaluate to Long (covers the id/epoch shapes;
+  * the composed window formulation in Relational2 stays the generic
+  * fallback). Left and right must not share attribute ids (alias the
+  * right side of a self-join).
+  */
+case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfStrategy extends SparkStrategy {
+  def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) ::
+      ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lk = BindReferences.bindReference(leftKey, left.output)
+    val lt = BindReferences.bindReference(leftTime, left.output)
+    val rk = BindReferences.bindReference(rightKey, right.output)
+    val rt = BindReferences.bindReference(rightTime, right.output)
+    val rightWidth = right.output.size
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      new Iterator[InternalRow] {
+        private val joined = new JoinedRow
+        private val nullRight = new GenericInternalRow(rightWidth)
+        // NOTE declaration order: the key/time fields must initialize
+        // BEFORE rNext, whose initializer (advanceRight) assigns them —
+        // later field initializers would overwrite the captured values
+        private var rNextKey: Long = 0L
+        private var rNextTime: Long = 0L
+        // latest right row at-or-before the probe cursor, per key
+        private var matchRow: InternalRow = _
+        private var matchKey: Long = 0L
+        // one-row lookahead on the build side
+        private var rNext: InternalRow = advanceRight()
+
+        private def advanceRight(): InternalRow = {
+          while (rIter.hasNext) {
+            val r = rIter.next()
+            val k = rk.eval(r); val t = rt.eval(r)
+            if (k != null && t != null) {
+              rNextKey = k.asInstanceOf[Long]
+              rNextTime = t.asInstanceOf[Long]
+              return r
+            }
+          }
+          null
+        }
+
+        def hasNext: Boolean = lIter.hasNext
+
+        def next(): InternalRow = {
+          val l = lIter.next()
+          val kAny = lk.eval(l)
+          if (kAny == null) return joined(l, nullRight)
+          val k = kAny.asInstanceOf[Long]
+          val t = lt.eval(l).asInstanceOf[Long]
+          // consume build rows up to (k, t]
+          while (rNext != null &&
+              (rNextKey < k || (rNextKey == k && rNextTime <= t))) {
+            matchRow = rNext.copy() // buffer outlives the iterator's row reuse
+            matchKey = rNextKey
+            rNext = advanceRight()
+          }
+          if (matchRow != null && matchKey == k) joined(l, matchRow)
+          else joined(l, nullRight)
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOf {
+  /** ASOF LEFT JOIN left/right on key columns with time columns; all
+    * four must be Long-typed (ids / epoch seconds). */
+  def join(leftDf: DataFrame, rightDf: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String): DataFrame = {
+    val lp = GraftShims.analyzed(leftDf)
+    val rp = GraftShims.analyzed(rightDf)
+    def a(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"column '$n' not in [${p.output.map(_.name).mkString(", ")}]"))
+    require(lp.outputSet.intersect(rp.outputSet).isEmpty,
+      "as-of join sides must not share attributes — alias the right side")
+    GraftShims.ofRows(leftDf.sparkSession,
+      AsOfJoin(lp, rp, a(lp, leftKey), a(rp, rightKey),
+        a(lp, leftTime), a(rp, rightTime)))
+  }
+}

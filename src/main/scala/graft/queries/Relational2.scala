@@ -50,6 +50,22 @@ object Relational2 {
       |  ON e.user_id = p.user_id AND e.ts >= p.ts
       |ORDER BY e.event_id""".stripMargin
 
+  /** Same query through the NATIVE AsOfJoinExec (graft.plans): one
+    * shuffle + sort per side, streaming merge, no window state. Same
+    * oracle SQL as the composed variant pins both. */
+  def asofNative(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("us"), col("ts").cast("long").as("sec"))
+    val purchases = events(s, d).filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        unix_micros(col("ts")).as("p_us"), col("ts").cast("long").as("p_sec"))
+    graft.plans.AsOf.join(ev, purchases, "user_id", "p_user", "us", "p_us")
+      .select(col("event_id"), col("user_id"),
+        col("p_id").as("last_purchase_id"),
+        (col("sec") - col("p_sec")).as("gap_sec"))
+      .orderBy(col("event_id"))
+  }
+
   // ------------------------------------------------------ range join
   /** Events within 10 minutes after each purchase by the same user,
     * as an equi-join on (user, minute-bucket): the build side maps to
@@ -225,6 +241,7 @@ object Relational2 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_last_purchase" -> asofLastPurchase,
+    "asof_native" -> asofNative,
     "range_join_followers" -> rangeJoinFollowers,
     "q2_min_per_group" -> q2MinPerGroup,
     "q10_returned_items" -> q10ReturnedItems,
@@ -235,6 +252,8 @@ object Relational2 {
 
   val oracle: Map[String, String] = Map(
     "asof_last_purchase" -> asofLastPurchaseSql,
+    "asof_native" -> asofLastPurchaseSql, // same semantics, native exec
+
     "range_join_followers" -> rangeJoinFollowersSql,
     "q2_min_per_group" -> q2MinPerGroupSql,
     "q10_returned_items" -> q10ReturnedItemsSql,

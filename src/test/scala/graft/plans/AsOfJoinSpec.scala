@@ -1,0 +1,56 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class AsOfJoinSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("native as-of equals the window composition on real data") {
+    val d = "/root/testdata/sf0.001"
+    val native = graft.queries.Relational2.asofNative(spark, d).collect().toSeq
+    val composed = graft.queries.Relational2.asofLastPurchase(spark, d)
+      .collect().toSeq
+    assert(native.length == composed.length)
+    assert(native == composed)
+  }
+
+  test("left rows before any build row get nulls; exact boundary matches") {
+    val probe = Seq((1L, 10L, 5L), (2L, 10L, 15L), (3L, 10L, 20L),
+      (4L, 99L, 50L)).toDF("id", "key", "t")
+    val build = Seq((100L, 10L, 15L), (101L, 10L, 18L))
+      .toDF("b_id", "b_key", "b_t")
+    val got = AsOf.join(probe, build, "key", "b_key", "t", "b_t")
+      .select("id", "b_id").orderBy("id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(got.toSeq == Seq((1L, -1L), (2L, 100L), (3L, 101L), (4L, -1L)))
+  }
+
+  test("plan contains the custom exec and exactly one shuffle per side") {
+    val probe = Seq((1L, 10L, 5L)).toDF("id", "key", "t")
+    val build = Seq((100L, 10L, 1L)).toDF("b_id", "b_key", "b_t")
+    val plan = AsOf.join(probe, build, "key", "b_key", "t", "b_t")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("shared-attribute self-join is rejected with a clear error") {
+    val df = Seq((1L, 2L, 3L)).toDF("a", "b", "c")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.join(df, df, "a", "a", "b", "b")
+    }
+    assert(e.getMessage.contains("alias the right side"))
+  }
+
+  test("missing column names the available columns") {
+    val df = Seq((1L, 2L)).toDF("x", "y")
+    val other = Seq((1L, 2L)).toDF("p", "q")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.join(df, other, "nope", "p", "y", "q")
+    }
+    assert(e.getMessage.contains("'nope'") && e.getMessage.contains("x, y"))
+  }
+}
