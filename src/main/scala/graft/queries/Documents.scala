@@ -316,22 +316,29 @@ object Documents {
   // ------------------------------------------------- token counting
   /** Token counts per source: whitespace tokens + BPE-ish subword
     * estimate (chars/4 heuristic used by tokenizer-cost planners). */
+  /** GPT-2-style pre-tokenizer pattern (word / number / punct runs with
+    * optional leading space) — the BPE front-end; identical in Java
+    * regex and RE2. */
+  private val BpePat = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
   def tokenCount(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .groupBy(col("source"))
       .agg(
         sum(size(tokens(col("text")))).as("word_tokens"),
+        sum(regexp_count(col("text"), lit(BpePat))).as("bpe_regex_tokens"),
         sum(ceil(length(col("text")) / lit(4.0))).as("bpe_est_tokens"),
         sum(length(col("text"))).as("total_chars"))
       .orderBy(col("source"))
 
   val tokenCountSql: String =
-    """SELECT source,
-      |  SUM(len(list_filter(string_split_regex(text, '[^a-zA-Z]+'),
-      |      w -> w <> ''))) AS word_tokens,
-      |  SUM(CAST(CEIL(LENGTH(text)/4.0) AS BIGINT)) AS bpe_est_tokens,
-      |  SUM(LENGTH(text)) AS total_chars
-      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+    s"""SELECT source,
+       |  SUM(len(list_filter(string_split_regex(text, '[^a-zA-Z]+'),
+       |      w -> w <> ''))) AS word_tokens,
+       |  SUM(len(regexp_extract_all(text, '$BpePat'))) AS bpe_regex_tokens,
+       |  SUM(CAST(CEIL(LENGTH(text)/4.0) AS BIGINT)) AS bpe_est_tokens,
+       |  SUM(LENGTH(text)) AS total_chars
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------- fingerprinting
   /** Document fingerprint: md5 of the normalized (lowercased,

@@ -132,13 +132,55 @@ object Embeddings {
        |FROM sig GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
+  /** Embedding-cosine near-dup: all pairs with cosine >= 0.99 —
+    * exact (brute) for oracle parity at test scale; the LSH-bucket
+    * variant (annLshBuckets) is the candidate-generation scale path
+    * (bucketed pairs ⊂ brute pairs; at 100 TB run buckets + verify). */
+  def dedupEmbeddingCosine(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    val e = embeddings(s, d)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+      col("label").as("label_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+      col("label").as("label_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("label_a"), col("label_b"),
+        graft.functions.GraftFunctions.cosineSim(col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") >= 0.99)
+      .select(col("id_a"), col("id_b"),
+        (col("label_a") === col("label_b")).as("same_label"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val dedupEmbeddingCosineSql: String =
+    """WITH p AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    a.label AS label_a, b.label AS label_b,
+      |    list_reduce(list_transform(range(1, len(a.embedding)+1),
+      |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+      |      (x, y) -> x + y)
+      |    / SQRT(
+      |      list_reduce(list_transform(range(1, len(a.embedding)+1),
+      |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)),
+      |        (x, y) -> x + y)
+      |      *
+      |      list_reduce(list_transform(range(1, len(b.embedding)+1),
+      |          i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+      |        (x, y) -> x + y)) AS cos
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, label_a = label_b AS same_label
+      |FROM p WHERE cos >= 0.99
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_cosine_topk" -> cosineTopK,
     "emb_label_norms" -> labelCentroidNorm,
-    "emb_ann_lsh_buckets" -> annLshBuckets)
+    "emb_ann_lsh_buckets" -> annLshBuckets,
+    "dedup_embedding_cosine" -> dedupEmbeddingCosine)
 
   val oracle: Map[String, String] = Map(
     "emb_cosine_topk" -> cosineTopKSql,
     "emb_label_norms" -> labelCentroidNormSql,
-    "emb_ann_lsh_buckets" -> annLshBucketsSql)
+    "emb_ann_lsh_buckets" -> annLshBucketsSql,
+    "dedup_embedding_cosine" -> dedupEmbeddingCosineSql)
 }
