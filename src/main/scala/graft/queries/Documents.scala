@@ -202,15 +202,20 @@ object Documents {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Word 3-gram shingle set of a text column (array of strings). */
+  /** Word 3-gram shingle set of a text column (array of strings).
+    * Built from three slices zipped together rather than per-index
+    * element_at: Catalyst re-evaluates the captured tokenizer split
+    * inside a lambda per ELEMENT, so the element_at formulation cost
+    * ~180 regex splits per row (measured 11 s of 13 at sf0.1); the
+    * slice form costs 3 per row. */
   private def shingles3(text: Column): Column = {
     val ws = tokens(text)
-    val n = size(ws)
-    // sequence is empty when n < 3 -> no shingles, matching SQL side
-    transform(
-      when(n >= 3, sequence(lit(0), n - lit(3))).otherwise(array()),
-      i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2),
-        element_at(ws, i + 3)))
+    val len = greatest(size(ws) - 2, lit(0))
+    zip_with(
+      zip_with(slice(ws, lit(1), len), slice(ws, lit(2), len),
+        (x, y) => concat(x, lit(" "), y)),
+      slice(ws, lit(3), len),
+      (xy, z) => concat(xy, lit(" "), z))
   }
 
   val ngramJaccardSql: String =
