@@ -10,13 +10,15 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Relational2.queries ++ Documents.queries ++
+    Relational.queries ++ Relational2.queries ++ Relational3.queries ++
+      Documents.queries ++
       Events.queries ++ Embeddings.queries ++ SimHashDedup.queries ++
       TextPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ Relational2.oracle ++ Documents.oracle ++
+    Relational.oracle ++ Relational2.oracle ++ Relational3.oracle ++
+      Documents.oracle ++
       Events.oracle ++ Embeddings.oracle ++ TextPipeline.oracle
 }

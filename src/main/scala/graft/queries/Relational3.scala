@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.queries.Relational.{cents, centsSql, moneySum, moneySumSql}
+
+/** Third relational pack: the remaining famous TPC-H shapes — two-
+  * nation trade volume (q7), profit rollup (q9), correlated avg
+  * subquery (q17), and the anti-join + scalar-subquery customer scan
+  * (q22). */
+object Relational3 {
+
+  // ------------------------------------------------------------- q7
+  /** Trade volume between two nations by year and direction: the
+    * both-directions join filter, grouped by (supp nation, cust
+    * nation, year). */
+  def q7NationVolume(s: SparkSession, d: String): DataFrame = {
+    val n1 = broadcast(nation(s, d)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(nation(s, d)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(n1, col("s_nationkey") === col("s_nk"))
+      .join(n2, col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val q7NationVolumeSql: String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |  CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+       |  ${moneySumSql("l_extendedprice*(1-l_discount)")} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+       |GROUP BY 1, 2, 3
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  // ------------------------------------------------------------- q9
+  /** Product-type profit by supplier nation and year (5-way join with
+    * a LIKE filter on part names, profit = revenue − cost proxy). */
+  def q9ProfitRollup(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(part(s, d).filter(col("p_name").contains("o")),
+        col("l_partkey") === col("p_partkey"))
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        col("p_retailprice") * col("l_quantity") * lit(0.01)).as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+
+  val q9ProfitRollupSql: String =
+    s"""SELECT n_name AS nation,
+       |  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       |  ${moneySumSql("l_extendedprice*(1-l_discount) - p_retailprice*l_quantity*0.01")} AS profit
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |WHERE p_name LIKE '%o%'
+       |GROUP BY 1, 2
+       |ORDER BY nation, o_year DESC""".stripMargin
+
+  // ------------------------------------------------------------ q17
+  /** Small-quantity-order revenue: lineitems below 50% of their part's
+    * average quantity (correlated avg subquery → decorrelated join). */
+  def q17SmallQuantity(s: SparkSession, d: String): DataFrame = {
+    val avgQty = lineitem(s, d)
+      .groupBy(col("l_partkey").as("ap"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    lineitem(s, d)
+      .join(broadcast(avgQty), col("l_partkey") === col("ap"))
+      .filter(col("l_quantity") < col("avg_qty") * 0.5)
+      .agg((sum(cents(col("l_extendedprice"))) / lit(700.0)).as("avg_yearly"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  val q17SmallQuantitySql: String =
+    s"""SELECT SUM(${centsSql("l_extendedprice")})/700.0 AS avg_yearly,
+       |  COUNT(*) AS n_rows
+       |FROM lineitem l
+       |WHERE l_quantity < (SELECT 0.5*AVG(l_quantity) FROM lineitem
+       |                    WHERE l_partkey = l.l_partkey)""".stripMargin
+
+  // ------------------------------------------------------------ q22
+  /** Global-sales-opportunity: customers with above-average balance
+    * and no orders, grouped by "country code" (acctbal scalar subquery
+    * + anti join + substring grouping). */
+  def q22GlobalSales(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val avgBal = c.filter(col("c_acctbal") > 0.0)
+      .agg(avg(cents(col("c_acctbal")) / lit(100.0)).as("ab"))
+    c.withColumn("cntrycode", (col("c_nationkey") % 10).cast("int"))
+      .join(broadcast(avgBal))
+      .filter(cents(col("c_acctbal")) / lit(100.0) > col("ab"))
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("cntrycode"))
+      .agg(count(lit(1)).as("numcust"), moneySum(col("c_acctbal")).as("totacctbal"))
+      .orderBy(col("cntrycode"))
+  }
+
+  val q22GlobalSalesSql: String =
+    s"""SELECT CAST(c_nationkey % 10 AS INT) AS cntrycode,
+       |  COUNT(*) AS numcust, ${moneySumSql("c_acctbal")} AS totacctbal
+       |FROM customer c
+       |WHERE ${centsSql("c_acctbal")}/100.0 >
+       |  (SELECT AVG(${centsSql("c_acctbal")}/100.0) FROM customer
+       |   WHERE c_acctbal > 0.0)
+       |AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+       |GROUP BY 1 ORDER BY cntrycode""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q7_nation_volume" -> q7NationVolume,
+    "q9_profit_rollup" -> q9ProfitRollup,
+    "q17_small_quantity" -> q17SmallQuantity,
+    "q22_global_sales" -> q22GlobalSales)
+
+  val oracle: Map[String, String] = Map(
+    "q7_nation_volume" -> q7NationVolumeSql,
+    "q9_profit_rollup" -> q9ProfitRollupSql,
+    "q17_small_quantity" -> q17SmallQuantitySql,
+    "q22_global_sales" -> q22GlobalSalesSql)
+}
