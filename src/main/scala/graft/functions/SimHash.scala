@@ -109,5 +109,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[CosineSimF].getName, "cosine_sim_f"),
       (exprs: Seq[Expression]) => CosineSimF(exprs(0), exprs(1))))
     e.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
+    e.injectOptimizerRule(_ => graft.plans.PruneAsOfJoinColumns)
   }
 }

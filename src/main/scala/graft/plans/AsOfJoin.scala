@@ -34,6 +34,31 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
     copy(left = newLeft, right = newRight)
 }
 
+/** Column pruning through the custom node: Catalyst's ColumnPruning
+  * doesn't know AsOfJoin, so without this rule a Project above it
+  * still scans every column of both sides. Pushes per-side Projects
+  * keeping only referenced attributes + the key/time columns —
+  * CollapseProject then folds them into the scans (ReadSchema
+  * shrinks, which is the whole game on a wide 100 TB fact table). */
+object PruneAsOfJoinColumns
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(projectList,
+        aj @ AsOfJoin(l, r, lk, rk, lt, rt)) =>
+      val used = AttributeSet(projectList.flatMap(_.references)) ++
+        AttributeSet(Seq(lk, rk, lt, rt).flatMap(_.references))
+      val keepL = l.output.filter(used.contains)
+      val keepR = r.output.filter(used.contains)
+      if (keepL.length < l.output.length || keepR.length < r.output.length)
+        Project(projectList,
+          aj.copy(left = Project(keepL, l), right = Project(keepR, r)))
+      else p
+  }
+}
+
 object AsOfStrategy extends SparkStrategy {
   def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoin(l, r, lk, rk, lt, rt) =>

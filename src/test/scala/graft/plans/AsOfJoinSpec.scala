@@ -37,6 +37,21 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(plan.contains("Exchange hashpartitioning"), plan)
   }
 
+  test("optimizer rule prunes unused columns through AsOfJoin") {
+    val probe = Seq((1L, 10L, 5L, "wide-col-a")).toDF("id", "key", "t", "junk_a")
+    val build = Seq((100L, 10L, 1L, "wide-col-b")).toDF("b_id", "b_key", "b_t", "junk_b")
+    val slim = AsOf.join(probe, build, "key", "b_key", "t", "b_t")
+      .select("id", "b_id")
+    val optimized = slim.queryExecution.optimizedPlan
+    val asof = optimized.collect { case a: AsOfJoin => a }.head
+    val names = (asof.left.output ++ asof.right.output).map(_.name)
+    assert(!names.contains("junk_a") && !names.contains("junk_b"),
+      s"unused columns survived pruning: $names")
+    // rows unaffected
+    assert(slim.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 100L)))
+  }
+
   test("shared-attribute self-join is rejected with a clear error") {
     val df = Seq((1L, 2L, 3L)).toDF("a", "b", "c")
     val e = intercept[IllegalArgumentException] {
