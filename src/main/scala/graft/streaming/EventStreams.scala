@@ -77,6 +77,27 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id")
 
+  /** Stream-stream inner join: each purchase joined to the same user's
+    * clicks within the preceding 10 minutes. Both sides watermarked so
+    * the join state is bounded (clicks older than the watermark +
+    * range are evicted — the production-shape correlated-events join). */
+  def purchaseClickJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") < col("p_ts"))
+      .select(col("p_id"), col("c_id"), col("p_user").as("user_id"),
+        (col("p_ts").cast("long") - col("c_ts").cast("long")).as("lead_sec"))
+  }
+
   /** Custom state via mapGroupsWithState: running per-user event count
     * and running max value — the KeyValueGroupedDataset state surface
     * (update-mode output, one row per user per micro-batch). */

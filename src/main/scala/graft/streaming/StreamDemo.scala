@@ -33,12 +33,14 @@ object StreamDemo {
             case "sliding" => EventStreams.slidingTwoHour _
             case "sessions" => EventStreams.sessionWindows _
             case "dedup" => EventStreams.dedupStream _
+            case "ssjoin" => EventStreams.purchaseClickJoin _
             case other => throw new IllegalArgumentException(
               s"unknown mode '$other' — one of tumbling, sliding, sessions, dedup, userstats, media")
           }
           val df = transform(EventStreams.readEventStream(spark, args(1)))
           val mode =
-            if (name == "dedup") OutputMode.Append() else OutputMode.Complete()
+            if (name == "dedup" || name == "ssjoin") OutputMode.Append()
+            else OutputMode.Complete()
           EventStreams.runToMemory(spark, df, "out", mode)
           println(s"rows=${spark.table("out").count()}")
           spark.table("out").show(10, false)
