@@ -119,6 +119,58 @@ object EventStreams {
       }
   }
 
+  /** Custom sessionizer on flatMapGroupsWithState: 30-min-gap sessions
+    * maintained in explicit per-user state with an event-time timeout —
+    * emits one row per CLOSED session (plus the final open one at
+    * timeout). The hand-rolled twin of session_window for when session
+    * semantics need custom logic (e.g. cap length, carry payloads). */
+  case class SessionState(startSec: Long, lastSec: Long, n: Long)
+  case class SessionOut(user_id: Long, session_start_sec: Long,
+      session_end_sec: Long, n_events: Long)
+
+  def customSessions(spark: SparkSession, events: DataFrame): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gap = 1800L
+    // keep the watermarked timestamp column itself through the
+    // grouping (a cast would strip the watermark tag and fail the
+    // event-time-timeout check); seconds are derived in the function
+    events
+      .withWatermark("ts", "30 minutes")
+      .select(col("user_id").as[Long], col("ts").as[java.sql.Timestamp])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user, rows, state: GroupState[List[SessionState]]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.getOrElse(Nil)
+              .map(s => SessionOut(user, s.startSec, s.lastSec, s.n))
+            state.remove()
+            out.iterator
+          } else {
+            // micro-batch rows are unordered: sort, then fold into
+            // (closed sessions, open session)
+            val secs = rows.map(_._2.getTime / 1000).toSeq.sorted
+            var open = state.getOption.getOrElse(Nil).headOption
+            val closed = List.newBuilder[SessionOut]
+            secs.foreach { t =>
+              open match {
+                case Some(s) if t - s.lastSec <= gap =>
+                  open = Some(s.copy(lastSec = t, n = s.n + 1))
+                case Some(s) =>
+                  closed += SessionOut(user, s.startSec, s.lastSec, s.n)
+                  open = Some(SessionState(t, t, 1))
+                case None =>
+                  open = Some(SessionState(t, t, 1))
+              }
+            }
+            state.update(open.toList)
+            open.foreach(s =>
+              state.setTimeoutTimestamp((s.lastSec + gap) * 1000 + 1))
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Run any of the above to an in-memory sink until the source is
     * drained; returns the sink table name. Test/demo harness. */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,

@@ -86,6 +86,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == exp)
   }
 
+  test("flatMapGroupsWithState custom sessions == batch sessions that closed") {
+    val stream = EventStreams.readEventStream(spark, eventsPath)
+    val q = EventStreams.customSessions(spark, stream)
+      .writeStream.format("memory").queryName("customsess")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("customsess")
+      .orderBy("user_id", "session_start_sec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // sessions closed by a gap are emitted in batch 1; a user's FINAL
+    // session is emitted by the event-time timeout in the trailing
+    // no-data batch only if it ended before watermark - gap
+    // (watermark = global max ts - 30 min, gap = 30 min)
+    val all = graft.queries.Events.sessionize(spark, "/root/testdata/sf0.001")
+    val wmCutoff = batchEvents.agg(max(col("ts").cast("long"))).head.getLong(0) - 3600
+    val lastPerUser = all.groupBy("user_id")
+      .agg(max("session_id").as("session_id"))
+      .withColumn("is_last", lit(true))
+    val exp = all.join(lastPerUser, Seq("user_id", "session_id"), "left_outer")
+      .filter(col("is_last").isNull || col("session_end_sec") < wmCutoff)
+      .select("user_id", "session_start_sec", "session_end_sec", "n_events")
+      .orderBy("user_id", "session_start_sec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty && got.sorted.toSeq == exp.sorted.toSeq)
+  }
+
   test("mapGroupsWithState running stats converge to batch group-by") {
     val stream = EventStreams.readEventStream(spark, eventsPath)
     val updates = EventStreams.runningUserStats(spark, stream)
