@@ -145,19 +145,26 @@ object Documents {
     * Self-join is band-bucketed — cost is sum of bucket² per band, not
     * n²; at scale the band column is the shuffle key. */
   def dedupLshPairs(s: SparkSession, d: String): DataFrame = {
-    val sig = minhashSignatures(s, d)
-    // join key is a 64-bit hash of the band (8 bytes shuffled instead
-    // of a 68-char string; same pairs modulo 2^-64 collisions)
-    val banded = sig.select(col("doc_id"),
-      explode(array(
-        xxhash64(lit("b0"), col("mh0"), col("mh1")),
-        xxhash64(lit("b1"), col("mh2"), col("mh3")))).as("band"))
-    val a = banded.as("a"); val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") &&
+    // band keys as 64-bit hashes (8 bytes shuffled instead of a
+    // 68-char string; same pairs modulo 2^-64 collisions). Two
+    // disjoint joins — band-0 matches, then band-1-only matches
+    // (band-0 differs) — produce each pair exactly once, so no
+    // 10 M-row distinct shuffle (was ~5 s of the query at sf0.1).
+    // persist the (tiny: one row per doc, 3 longs) signature table so
+    // the two joins × two sides don't re-run the tokenize+minhash agg
+    val sig2 = minhashSignatures(s, d).select(col("doc_id"),
+      xxhash64(lit("b0"), col("mh0"), col("mh1")).as("b0"),
+      xxhash64(lit("b1"), col("mh2"), col("mh3")).as("b1"))
+      .persist()
+    val a = sig2.as("a"); val b = sig2.as("b")
+    val onB0 = a.join(b, col("a.b0") === col("b.b0") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
+    val onB1Only = a.join(b, col("a.b1") === col("b.b1") &&
+        col("a.b0") =!= col("b.b0") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    onB0.union(onB1Only).orderBy(col("doc_a"), col("doc_b"))
   }
 
   val dedupLshPairsSql: String = {

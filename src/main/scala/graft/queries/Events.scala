@@ -28,6 +28,31 @@ object Events {
        |  COUNT(*) AS n, ${moneySumSql("value")} AS total_value
        |FROM events GROUP BY 1, 2 ORDER BY hour_sec, event_type""".stripMargin
 
+  /** Sliding windows, batch form: every event lands in the two 2-hour
+    * windows (hour-aligned, sliding 1 h) that contain it — explode the
+    * window starts, then aggregate. Streaming twin: slidingTwoHour. */
+  def slidingTwoHourBatch(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"),
+        explode(array(
+          date_trunc("hour", col("ts")).cast("long") - lit(3600L),
+          date_trunc("hour", col("ts")).cast("long"))).as("win_start_sec"))
+      .groupBy(col("win_start_sec"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("win_start_sec"), col("event_type"))
+
+  val slidingTwoHourBatchSql: String =
+    """SELECT win_start_sec, event_type, COUNT(*) AS n
+      |FROM (
+      |  SELECT event_type,
+      |    CAST(FLOOR(EPOCH(DATE_TRUNC('hour', ts))) AS BIGINT) - 3600 AS win_start_sec
+      |  FROM events
+      |  UNION ALL
+      |  SELECT event_type,
+      |    CAST(FLOOR(EPOCH(DATE_TRUNC('hour', ts))) AS BIGINT) AS win_start_sec
+      |  FROM events) t
+      |GROUP BY 1, 2 ORDER BY win_start_sec, event_type""".stripMargin
+
   // ------------------------------------------------ daily user stats
   /** Daily per-user activity rollup (the funnel-building block). */
   def dailyUserStats(s: SparkSession, d: String): DataFrame =
@@ -113,12 +138,14 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_tumbling_hourly" -> tumblingHourly,
+    "ev_sliding_2h" -> slidingTwoHourBatch,
     "ev_daily_user_stats" -> dailyUserStats,
     "ev_sessionize" -> sessionize,
     "ev_json_extract" -> jsonExtract)
 
   val oracle: Map[String, String] = Map(
     "ev_tumbling_hourly" -> tumblingHourlySql,
+    "ev_sliding_2h" -> slidingTwoHourBatchSql,
     "ev_daily_user_stats" -> dailyUserStatsSql,
     "ev_sessionize" -> sessionizeSql,
     "ev_json_extract" -> jsonExtractSql)
