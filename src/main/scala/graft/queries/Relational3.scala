@@ -125,13 +125,92 @@ object Relational3 {
        |AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
        |GROUP BY 1 ORDER BY cntrycode""".stripMargin
 
+  // ------------------------------------------------------------ q15
+  /** Top-revenue supplier(s): an aggregate "view" joined against its
+    * own max — the classic q15 view + scalar-subquery shape. */
+  def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    val revenue = lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_revenue"))
+    val maxRev = revenue.agg(max(col("total_revenue")).as("mr"))
+    supplier(s, d)
+      .join(revenue, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(maxRev))
+      .filter(col("total_revenue") === col("mr"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q15TopSupplierSql: String = {
+    val rev = s"""SELECT l_suppkey,
+                 |    ${moneySumSql("l_extendedprice*(1-l_discount)")} AS total_revenue
+                 |  FROM lineitem
+                 |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                 |    AND l_shipdate < TIMESTAMP '1996-04-01'
+                 |  GROUP BY l_suppkey""".stripMargin
+    s"""WITH revenue AS ($rev)
+       |SELECT s_suppkey, s_name, total_revenue
+       |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+       |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+       |ORDER BY s_suppkey""".stripMargin
+  }
+
+  // ------------------------------------------------------------ q21
+  /** Suppliers who were the ONLY late supplier on a multi-supplier
+    * order (q21's exists + not-exists double correlation), shipdate
+    * after orderdate + 60 days standing in for receipt/commit dates. */
+  def q21WaitingSupplier(s: SparkSession, d: String): DataFrame = {
+    val l = lineitem(s, d)
+      .join(orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > expr("o_orderdate + INTERVAL 60 DAYS"))
+    val perOrderSupp = l.groupBy(col("l_orderkey").as("k"),
+        col("l_suppkey").as("sk"))
+      .agg(max(when(col("late"), 1).otherwise(0)).as("was_late"))
+    val perOrder = perOrderSupp.groupBy(col("k"))
+      .agg(countDistinct(col("sk")).as("n_supp"),
+        sum(col("was_late")).as("n_late_supp"))
+    perOrderSupp
+      .join(perOrder, "k")
+      .filter(col("was_late") === 1 && col("n_supp") > 1 && col("n_late_supp") === 1)
+      .join(supplier(s, d), col("sk") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+  }
+
+  val q21WaitingSupplierSql: String =
+    """WITH per_supp AS (
+      |  SELECT l_orderkey AS k, l_suppkey AS sk,
+      |    MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |             THEN 1 ELSE 0 END) AS was_late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2),
+      |per_order AS (
+      |  SELECT k, COUNT(DISTINCT sk) AS n_supp, SUM(was_late) AS n_late_supp
+      |  FROM per_supp GROUP BY k)
+      |SELECT s_suppkey, s_name, COUNT(*) AS numwait
+      |FROM per_supp
+      |JOIN per_order USING (k)
+      |JOIN supplier ON sk = s_suppkey
+      |WHERE was_late = 1 AND n_supp > 1 AND n_late_supp = 1
+      |GROUP BY s_suppkey, s_name
+      |ORDER BY numwait DESC, s_suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q15_top_supplier" -> q15TopSupplier,
+    "q21_waiting_supplier" -> q21WaitingSupplier,
     "q7_nation_volume" -> q7NationVolume,
     "q9_profit_rollup" -> q9ProfitRollup,
     "q17_small_quantity" -> q17SmallQuantity,
     "q22_global_sales" -> q22GlobalSales)
 
   val oracle: Map[String, String] = Map(
+    "q15_top_supplier" -> q15TopSupplierSql,
+    "q21_waiting_supplier" -> q21WaitingSupplierSql,
     "q7_nation_volume" -> q7NationVolumeSql,
     "q9_profit_rollup" -> q9ProfitRollupSql,
     "q17_small_quantity" -> q17SmallQuantitySql,
