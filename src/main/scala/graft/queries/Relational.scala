@@ -326,6 +326,62 @@ object Relational {
        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
        |ORDER BY status, priority""".stripMargin
 
+  /** CUBE over two keys: all four grouping combinations. */
+  def aggCube(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"))
+      .orderBy(col("status"), col("priority"))
+
+  val aggCubeSql: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COUNT(*) AS n
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  /** Array functions over the lineitems of each order: collect, sort,
+    * dedupe, slice, and re-aggregate — the nested-type surface. */
+  def scalarArrayFunctions(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(collect_list(col("l_linenumber")).as("lines"),
+        collect_list(col("l_quantity")).as("qtys"))
+      .select(
+        col("l_orderkey"),
+        // arrays rendered as canonical strings: array hashing/display
+        // differs between engines, string join does not
+        concat_ws(",", transform(sort_array(col("lines")), _.cast("string")))
+          .as("lines_sorted"),
+        size(col("lines")).as("n_lines"),
+        concat_ws(",", transform(sort_array(array_distinct(col("qtys"))),
+          _.cast("int").cast("string"))).as("distinct_qtys"),
+        concat_ws(",", transform(slice(sort_array(col("lines")), 1, 2),
+          _.cast("string"))).as("first_two"),
+        aggregate(col("qtys"), lit(0.0d), (acc, x) => acc + x).as("qty_sum"))
+      .orderBy(col("l_orderkey"))
+
+  val scalarArrayFunctionsSql: String =
+    """SELECT l_orderkey,
+      |  array_to_string(lines_sorted, ',') AS lines_sorted,
+      |  CAST(len(lines_sorted) AS INT) AS n_lines,
+      |  array_to_string(list_transform(list_sort(list_distinct(qtys)),
+      |    x -> CAST(CAST(x AS INT) AS VARCHAR)), ',') AS distinct_qtys,
+      |  array_to_string(lines_sorted[1:2], ',') AS first_two,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), qtys),
+      |              (a, b) -> a + b) AS qty_sum
+      |FROM (
+      |  SELECT l_orderkey,
+      |    list_sort(list(l_linenumber)) AS lines_sorted,
+      |    list(l_quantity) AS qtys
+      |  FROM lineitem GROUP BY l_orderkey)
+      |ORDER BY l_orderkey""".stripMargin
+
   /** Distinct aggregates: count(distinct) + sum(distinct) side by side. */
   def aggDistinct(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
@@ -502,6 +558,8 @@ object Relational {
     "set_intersect" -> setIntersect,
     "set_except" -> setExcept,
     "agg_rollup" -> aggRollup,
+    "agg_cube" -> aggCube,
+    "scalar_array_functions" -> scalarArrayFunctions,
     "agg_distinct" -> aggDistinct,
     "agg_having" -> aggHaving,
     "agg_pivot" -> aggPivot,
@@ -527,6 +585,8 @@ object Relational {
     "set_intersect" -> setIntersectSql,
     "set_except" -> setExceptSql,
     "agg_rollup" -> aggRollupSql,
+    "agg_cube" -> aggCubeSql,
+    "scalar_array_functions" -> scalarArrayFunctionsSql,
     "agg_distinct" -> aggDistinctSql,
     "agg_having" -> aggHavingSql,
     "agg_pivot" -> aggPivotSql,

@@ -35,6 +35,11 @@ object IO {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  def readOrc(s: SparkSession, path: String): DataFrame = s.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** Hive-style partitioned layout: one directory per partition value;
     * a reader filtering on the partition column scans only those dirs
     * (partition pruning — the 100 TB table layout). */

@@ -25,6 +25,19 @@ class IOSpec extends AnyFunSuite {
       == sortedRows(docs))
   }
 
+  test("orc round-trips lineitem with predicate pushdown") {
+    val li = graft.Tables.lineitem(spark, d)
+    val o = tmp("orc")
+    IO.writeOrc(li, o)
+    val back = IO.readOrc(spark, o)
+    assert(back.count() == li.count())
+    val filtered = back.filter(col("l_quantity") > 45.0)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"),
+      plan.take(600))
+    assert(filtered.count() == li.filter(col("l_quantity") > 45.0).count())
+  }
+
   test("partitioned write prunes partitions on read") {
     val docs = graft.Tables.documents(spark, d)
     val p = tmp("part")
