@@ -116,6 +116,86 @@ object Events {
       |FROM sess GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  // ----------------------------------------------------- funnel
+  /** Ordered conversion funnel per user: signup → later click → later
+    * purchase (strictly increasing event times); count users reaching
+    * each stage. Three conditional-min passes, no per-user loops. */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts").cast("long").as("sec"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("sec")).as("signup_sec"))
+    val s2 = ev.filter(col("event_type") === "click").as("c")
+      .join(s1, "user_id")
+      .filter(col("sec") > col("signup_sec"))
+      .groupBy(col("user_id"), col("signup_sec"))
+      .agg(min(col("sec")).as("click_sec"))
+    val s3 = ev.filter(col("event_type") === "purchase").as("p")
+      .join(s2, "user_id")
+      .filter(col("sec") > col("click_sec"))
+      .groupBy(col("user_id"))
+      .agg(min(col("sec")).as("purchase_sec"))
+    s1.agg(count(lit(1)).as("n_users")).select(lit("1_signup").as("stage"), col("n_users"))
+      .union(s2.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_click_after").as("stage"), col("n_users")))
+      .union(s3.agg(count(lit(1)).as("n_users"))
+        .select(lit("3_purchase_after").as("stage"), col("n_users")))
+      .orderBy("stage")
+  }
+
+  val funnelSql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, MIN(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) AS signup_sec
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, MIN(CAST(FLOOR(EPOCH(e.ts)) AS BIGINT)) AS click_sec
+      |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click'
+      |    AND CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) > s1.signup_sec
+      |  GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id
+      |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase'
+      |    AND CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) > s2.click_sec
+      |  GROUP BY e.user_id)
+      |SELECT stage, n_users FROM (
+      |  SELECT '1_signup' AS stage, COUNT(*) AS n_users FROM s1
+      |  UNION ALL
+      |  SELECT '2_click_after', COUNT(*) FROM s2
+      |  UNION ALL
+      |  SELECT '3_purchase_after', COUNT(*) FROM s3) t
+      |ORDER BY stage""".stripMargin
+
+  // ------------------------------------------------ retention cohorts
+  /** Weekly retention cohorts: users grouped by first-seen week, counted
+    * as active in each subsequent week — the (cohort, week_offset) →
+    * distinct-users matrix every growth dashboard is built on. */
+  def retentionCohorts(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("user_id"), col("ts").cast("long").as("sec"))
+      .select(col("user_id"), expr("sec div 604800").as("week"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    ev.join(first, "user_id")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val retentionCohortsSql: String =
+    """WITH ev AS (
+      |  SELECT user_id,
+      |    CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 604800 AS week
+      |  FROM events),
+      |first AS (
+      |  SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id)
+      |SELECT cohort_week, week - cohort_week AS week_offset,
+      |  COUNT(DISTINCT ev.user_id) AS active_users
+      |FROM ev JOIN first ON ev.user_id = first.user_id
+      |GROUP BY 1, 2
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   // ---------------------------------------------- JSON extraction
   /** Semi-structured props column: extract a JSON field and aggregate. */
   def jsonExtract(s: SparkSession, d: String): DataFrame =
@@ -139,6 +219,8 @@ object Events {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_tumbling_hourly" -> tumblingHourly,
     "ev_sliding_2h" -> slidingTwoHourBatch,
+    "ev_funnel" -> funnel,
+    "ev_retention_cohorts" -> retentionCohorts,
     "ev_daily_user_stats" -> dailyUserStats,
     "ev_sessionize" -> sessionize,
     "ev_json_extract" -> jsonExtract)
@@ -146,6 +228,8 @@ object Events {
   val oracle: Map[String, String] = Map(
     "ev_tumbling_hourly" -> tumblingHourlySql,
     "ev_sliding_2h" -> slidingTwoHourBatchSql,
+    "ev_funnel" -> funnelSql,
+    "ev_retention_cohorts" -> retentionCohortsSql,
     "ev_daily_user_stats" -> dailyUserStatsSql,
     "ev_sessionize" -> sessionizeSql,
     "ev_json_extract" -> jsonExtractSql)
