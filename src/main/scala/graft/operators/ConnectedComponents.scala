@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components by iterative min-label
+  * propagation — the dedup-clustering step that turns candidate pairs
+  * into keep/drop decisions (every doc labeled with the min doc_id of
+  * its component).
+  *
+  * Per iteration: each node takes the min label among itself and its
+  * neighbors (one join + one aggregate, all shuffle-partitioned by
+  * node). Iterations ≈ graph diameter (near-clique dedup graphs: 2-3);
+  * the driver only ever sees one convergence scalar per iteration,
+  * never the data. This is the standard Pregel-style CC on DataFrames
+  * (GraphX does the same dance on RDDs).
+  */
+object ConnectedComponents {
+
+  /** @param nodes single-column df of node ids (long)
+    * @param edges (src, dst) pairs, undirected (symmetrized here)
+    * @return (id, component) with component = min id in the component */
+  def run(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val sym = edges.toDF("src", "dst")
+      .union(edges.toDF("dst", "src").select(col("src"), col("dst")))
+      .distinct()
+      .persist()
+    // localCheckpoint each iteration: without truncation the logical
+    // plan compounds per loop and analysis itself OOMs past ~20 rounds
+    var labels = nodes.toDF("id").select(col("id"), col("id").as("component"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // neighbor labels + own label, take min per node
+      val neighborLabels = sym
+        .join(labels, col("dst") === col("id"))
+        .select(col("src").as("id"), col("component"))
+      val next = labels.select(col("id"), col("component"))
+        .union(neighborLabels)
+        .groupBy(col("id"))
+        .agg(min(col("component")).as("component"))
+        .localCheckpoint(true)
+      // convergence: sum of labels is monotonically non-increasing and
+      // stable exactly at the fixpoint (single scalar to the driver)
+      val before = labels.agg(sum(col("component"))).head.getLong(0)
+      val after = next.agg(sum(col("component"))).head.getLong(0)
+      labels = next
+      converged = before == after
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+}

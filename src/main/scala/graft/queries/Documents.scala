@@ -180,6 +180,41 @@ object Documents {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Dedup clustering: connected components over the MinHash-LSH pair
+    * graph — every doc labeled with its component's min doc_id (the
+    * keep/drop decision). Spark side: iterative min-label propagation
+    * (operators.ConnectedComponents); oracle: recursive-CTE transitive
+    * closure + MIN. */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = dedupLshPairs(s, d).select(col("doc_a"), col("doc_b"))
+    val nodes = documents(s, d).select(col("doc_id"))
+    graft.operators.ConnectedComponents.run(s, nodes, pairs)
+      .toDF("doc_id", "cluster_rep")
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupClustersSql: String = {
+    val sig = minhashSignaturesSql.replace("ORDER BY doc_id", "")
+    s"""WITH RECURSIVE sig AS ($sig),
+       |banded AS (
+       |  SELECT doc_id, 'b0_' || mh0 || '_' || mh1 AS band FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 'b1_' || mh2 || '_' || mh3 AS band FROM sig),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.doc_id < b.doc_id),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+       |SELECT a AS doc_id, MIN(b) AS cluster_rep
+       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+  }
+
   // -------------------------------------- dedup: n-gram Jaccard
   /** Exact Jaccard over word 3-gram shingles for same-source pairs
     * (bucketed, so the pair space is bounded per bucket — at scale the
@@ -376,6 +411,7 @@ object Documents {
     "dedup_exact" -> dedupExact,
     "dedup_minhash_sig" -> minhashSignatures,
     "dedup_lsh_pairs" -> dedupLshPairs,
+    "dedup_clusters" -> dedupClusters,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "text_quality" -> textQuality,
     "text_lang_id" -> langIdSimple,
@@ -390,6 +426,7 @@ object Documents {
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash_sig" -> minhashSignaturesSql,
     "dedup_lsh_pairs" -> dedupLshPairsSql,
+    "dedup_clusters" -> dedupClustersSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "text_quality" -> textQualitySql,
     "text_lang_id" -> langIdSql,
