@@ -17,6 +17,30 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("random graphs: label propagation equals union-find (property)") {
+    for (seed <- 1 to 5) {
+      val rng = new scala.util.Random(seed)
+      val n = 40
+      val edgeList = (1 to 60).map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: driver-side union-find
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edgeList.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val got = ConnectedComponents.run(spark,
+        (0L until n.toLong).toDF("id"), edgeList.toDF("src", "dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // union-find roots may differ from min-label; compare partitions
+      def partition(m: Map[Long, Long]) =
+        m.groupBy(_._2).values.map(_.keys.toSet).toSet
+      assert(partition(got) == partition(expected), s"seed=$seed")
+    }
+  }
+
   test("long path converges within diameter iterations") {
     val n = 30
     val nodes = (1L to n.toLong).toDF("id")
