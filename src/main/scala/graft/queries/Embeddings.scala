@@ -172,8 +172,21 @@ object Embeddings {
       |FROM p WHERE cos >= 0.99
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** IVF ANN as a query: build the seeded k-means index, probe 3 of 8
+    * cells per query. No SQL oracle (k-means isn't expressible);
+    * recall and determinism are pinned in IvfIndexSpec. */
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val (index, centers) = graft.operators.IvfIndex.build(s, e, nLists = 8)
+    val queries = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    graft.operators.IvfIndex.search(s, index, centers, queries, k = 5, nProbe = 3)
+      .select(col("q_id"), col("c_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_cosine_topk" -> cosineTopK,
+    "emb_ann_ivf" -> annIvf,
     "emb_label_norms" -> labelCentroidNorm,
     "emb_ann_lsh_buckets" -> annLshBuckets,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine)
