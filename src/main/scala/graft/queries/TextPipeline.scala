@@ -74,13 +74,43 @@ object TextPipeline {
       |FROM kept GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
 
+  /** Deterministic train/val/test split by content hash: the first hex
+    * char of md5(doc_id) buckets 16 ways — 12/2/2 → 75/12.5/12.5%.
+    * Content-addressed splits survive re-runs, joins, and engine
+    * changes (no RNG state); the per-split stats are the check. */
+  def splitAssignment(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("h1", substring(md5(col("doc_id").cast("string")), 1, 1))
+      .withColumn("split",
+        when(col("h1").isin("c", "d"), "val")
+          .when(col("h1").isin("e", "f"), "test")
+          .otherwise("train"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("split"), col("lang"))
+
+  val splitAssignmentSql: String =
+    """SELECT split, lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+      |FROM (
+      |  SELECT lang, n_chars,
+      |    CASE WHEN SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d')
+      |           THEN 'val'
+      |         WHEN SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f')
+      |           THEN 'test'
+      |         ELSE 'train' END AS split
+      |  FROM documents) t
+      |GROUP BY split, lang
+      |ORDER BY split, lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_split_assignment" -> splitAssignment,
     "text_pii_scrub" -> piiScrub,
     "text_clean_corpus" -> cleanCorpus,
     "topk_per_key_agg" -> ((s, d) =>
       graft.operators.TopK.topOrdersPerCustomer(s, d)))
 
   val oracle: Map[String, String] = Map(
+    "doc_split_assignment" -> splitAssignmentSql,
     "text_pii_scrub" -> piiScrubSql,
     "text_clean_corpus" -> cleanCorpusSql,
     // same oracle as the window formulation — different physical plan,
