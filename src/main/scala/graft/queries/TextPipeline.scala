@@ -75,12 +75,13 @@ object TextPipeline {
       |ORDER BY lang, source""".stripMargin
 
   /** Deterministic train/val/test split by content hash: the first hex
-    * char of md5(doc_id) buckets 16 ways — 12/2/2 → 75/12.5/12.5%.
-    * Content-addressed splits survive re-runs, joins, and engine
-    * changes (no RNG state); the per-split stats are the check. */
+    * char of md5(text) buckets 16 ways — 12/2/2 → 75/12.5/12.5%.
+    * Hashing the TEXT (not the row id) keeps exact duplicates in
+    * the same split — no train/test leakage — and survives re-ingest
+    * id reassignment (no RNG state); the per-split stats are the check. */
   def splitAssignment(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .withColumn("h1", substring(md5(col("doc_id").cast("string")), 1, 1))
+      .withColumn("h1", substring(md5(col("text")), 1, 1))
       .withColumn("split",
         when(col("h1").isin("c", "d"), "val")
           .when(col("h1").isin("e", "f"), "test")
@@ -93,9 +94,9 @@ object TextPipeline {
     """SELECT split, lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
       |FROM (
       |  SELECT lang, n_chars,
-      |    CASE WHEN SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d')
+      |    CASE WHEN SUBSTRING(md5(text), 1, 1) IN ('c','d')
       |           THEN 'val'
-      |         WHEN SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f')
+      |         WHEN SUBSTRING(md5(text), 1, 1) IN ('e','f')
       |           THEN 'test'
       |         ELSE 'train' END AS split
       |  FROM documents) t
