@@ -42,12 +42,15 @@ object ConnectedComponents {
         .groupBy(col("id"))
         .agg(min(col("component")).as("component"))
         .localCheckpoint(true)
-      // convergence: sum of labels is monotonically non-increasing and
-      // stable exactly at the fixpoint (single scalar to the driver)
-      val before = labels.agg(sum(col("component"))).head.getLong(0)
-      val after = next.agg(sum(col("component"))).head.getLong(0)
+      // convergence: no node changed label. A changed-row count (not a
+      // label checksum) survives ANSI overflow on huge id spaces and
+      // empty inputs; one boolean reaches the driver per iteration.
+      converged = next.as("n")
+        .join(labels.as("p"), col("n.id") === col("p.id"))
+        .filter(col("n.component") =!= col("p.component"))
+        .isEmpty
+      labels.unpersist()
       labels = next
-      converged = before == after
       iter += 1
     }
     sym.unpersist()

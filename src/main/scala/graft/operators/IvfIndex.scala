@@ -33,9 +33,14 @@ object IvfIndex {
   }
 
   /** Top-k cosine neighbors for the query vectors, scanning only the
-    * nProbe cells nearest each query (by centroid cosine). */
+    * nProbe cells nearest each query (by centroid cosine).
+    * excludeSelf drops hits where c_id == q_id — only correct when the
+    * queries are drawn from the indexed vectors (same id space); leave
+    * it false for external query sets or colliding ids silently lose a
+    * neighbor. */
   def search(spark: SparkSession, index: DataFrame, centers: Array[Vector],
-      queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+      queries: DataFrame, k: Int, nProbe: Int,
+      excludeSelf: Boolean = false): DataFrame = {
     GraftFunctions.registerAll(spark)
     import spark.implicits._
     val centersDf = centers.zipWithIndex.toSeq
@@ -51,7 +56,7 @@ object IvfIndex {
       .select(col("q_id"), col("q_emb"), col("cell"))
     // scan only the probed cells
     probed.join(index, "cell")
-      .filter(col("q_id") =!= col("vec_id"))
+      .filter(if (excludeSelf) col("q_id") =!= col("vec_id") else lit(true))
       .withColumn("cos", GraftFunctions.cosineSim(col("q_emb"), col("embedding")))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window

@@ -126,9 +126,12 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         def next(): InternalRow = {
           val l = lIter.next()
           val kAny = lk.eval(l)
-          if (kAny == null) return joined(l, nullRight)
+          val tAny = lt.eval(l)
+          // null key or null time never matches (ASOF SQL semantics) —
+          // an unboxed null would otherwise read as 0 and match t<=0 rows
+          if (kAny == null || tAny == null) return joined(l, nullRight)
           val k = kAny.asInstanceOf[Long]
-          val t = lt.eval(l).asInstanceOf[Long]
+          val t = tAny.asInstanceOf[Long]
           // consume build rows up to (k, t]
           while (rNext != null &&
               (rNextKey < k || (rNextKey == k && rNextTime <= t))) {
@@ -156,10 +159,14 @@ object AsOf {
       leftTime: String, rightTime: String): DataFrame = {
     val lp = GraftShims.analyzed(leftDf)
     val rp = GraftShims.analyzed(rightDf)
-    def a(p: LogicalPlan, n: String): Attribute =
-      p.output.find(_.name == n).getOrElse(
+    def a(p: LogicalPlan, n: String): Attribute = {
+      val attr = p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(
           s"column '$n' not in [${p.output.map(_.name).mkString(", ")}]"))
+      require(attr.dataType == org.apache.spark.sql.types.LongType,
+        s"as-of join column '$n' must be LONG (ids/epoch), got ${attr.dataType}")
+      attr
+    }
     require(lp.outputSet.intersect(rp.outputSet).isEmpty,
       "as-of join sides must not share attributes — alias the right side")
     GraftShims.ofRows(leftDf.sparkSession,

@@ -180,7 +180,8 @@ object Embeddings {
     val (index, centers) = graft.operators.IvfIndex.build(s, e, nLists = 8)
     val queries = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    graft.operators.IvfIndex.search(s, index, centers, queries, k = 5, nProbe = 3)
+    graft.operators.IvfIndex.search(s, index, centers, queries, k = 5,
+      nProbe = 3, excludeSelf = true)
       .select(col("q_id"), col("c_id"), col("rank"))
   }
 

@@ -82,9 +82,12 @@ object Events {
       .orderBy(col("ts"), col("event_id"))
     events(s, d)
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      // µs precision, gap-EXCLUSIVE (an event exactly 30 min after the
+      // last starts a new session) — matches session_window so the
+      // streaming twins agree even on boundary data
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
-          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1)
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) >= 1800000000L, 1)
           .otherwise(0))
       .withColumn("session_id", sum(col("new_session")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -100,7 +103,7 @@ object Events {
     """WITH marked AS (
       |  SELECT user_id, event_id, ts,
       |    CASE WHEN LAG(ts) OVER w IS NULL
-      |           OR FLOOR(EPOCH(ts)) - FLOOR(EPOCH(LAG(ts) OVER w)) > 1800
+      |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
       |         THEN 1 ELSE 0 END AS new_session
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

@@ -70,12 +70,15 @@ object EventStreams {
       .select(col("session_window.start").cast("long").as("session_start_sec"),
         col("user_id"), col("n_events"))
 
-  /** Stateful exactly-once-per-key dedup on event_id within the
-    * watermark horizon (late duplicates beyond 1 hour age out of state). */
+  /** Stateful exactly-once-per-key dedup on event_id. Must be the
+    * WithinWatermark variant: plain dropDuplicates without the event-
+    * time column in the key never evicts state (unbounded growth on a
+    * long-running stream); this one ages ids out an hour behind the
+    * watermark. */
   def dedupStream(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Stream-stream inner join: each purchase joined to the same user's
     * clicks within the preceding 10 minutes. Both sides watermarked so
@@ -106,7 +109,10 @@ object EventStreams {
 
   def runningUserStats(spark: SparkSession, events: DataFrame): Dataset[UserUpdate] = {
     import spark.implicits._
-    events.select(col("user_id").as[Long], col("value").as[Double])
+    // value is a nullable column; a bare .as[Double] would throw on
+    // the first null row — nulls count as events but can't be the max
+    events.select(col("user_id").as[Long],
+        coalesce(col("value"), lit(Double.MinValue)).as[Double])
       .groupByKey(_._1)
       .mapGroupsWithState[UserState, UserUpdate](GroupStateTimeout.NoTimeout) {
         (user, rows, state: GroupState[UserState]) =>
@@ -123,49 +129,66 @@ object EventStreams {
     * maintained in explicit per-user state with an event-time timeout —
     * emits one row per CLOSED session (plus the final open one at
     * timeout). The hand-rolled twin of session_window for when session
-    * semantics need custom logic (e.g. cap length, carry payloads). */
-  case class SessionState(startSec: Long, lastSec: Long, n: Long)
+    * semantics need custom logic (e.g. cap length, carry payloads).
+    *
+    * Semantics match session_window exactly: microsecond precision,
+    * gap-exclusive (an event exactly gap after the last starts a new
+    * session). Out-of-order events still above the watermark merge by
+    * interval (start = min, last = max); an event more than gap BEFORE
+    * the open session is emitted as its own closed session (nothing
+    * later can merge with it). */
+  case class SessionState(startUs: Long, lastUs: Long, n: Long)
   case class SessionOut(user_id: Long, session_start_sec: Long,
       session_end_sec: Long, n_events: Long)
 
   def customSessions(spark: SparkSession, events: DataFrame): Dataset[SessionOut] = {
     import spark.implicits._
-    val gap = 1800L
+    val gapUs = 1800L * 1000000L
+    def out(user: Long, s: SessionState): SessionOut =
+      SessionOut(user, s.startUs / 1000000L, s.lastUs / 1000000L, s.n)
     // keep the watermarked timestamp column itself through the
     // grouping (a cast would strip the watermark tag and fail the
-    // event-time-timeout check); seconds are derived in the function
+    // event-time-timeout check); microseconds derived in the function
     events
       .withWatermark("ts", "30 minutes")
       .select(col("user_id").as[Long], col("ts").as[java.sql.Timestamp])
       .groupByKey(_._1)
-      .flatMapGroupsWithState[List[SessionState], SessionOut](
+      .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (user, rows, state: GroupState[List[SessionState]]) =>
+        (user, rows, state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
-            val out = state.getOption.getOrElse(Nil)
-              .map(s => SessionOut(user, s.startSec, s.lastSec, s.n))
+            val res = state.getOption.map(s => out(user, s)).iterator
             state.remove()
-            out.iterator
+            res
           } else {
-            // micro-batch rows are unordered: sort, then fold into
-            // (closed sessions, open session)
-            val secs = rows.map(_._2.getTime / 1000).toSeq.sorted
-            var open = state.getOption.getOrElse(Nil).headOption
+            // micro-batch rows are unordered: sort, then fold.
+            // epoch µs = whole seconds (getTime div 1000) + sub-second
+            // nanos div 1000 (getTime's ms component is nanos-derived)
+            val sorted = rows.map { case (_, t) =>
+              (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+            }.toSeq.sorted
+            var open = state.getOption
             val closed = List.newBuilder[SessionOut]
-            secs.foreach { t =>
+            sorted.foreach { t =>
               open match {
-                case Some(s) if t - s.lastSec <= gap =>
-                  open = Some(s.copy(lastSec = t, n = s.n + 1))
-                case Some(s) =>
-                  closed += SessionOut(user, s.startSec, s.lastSec, s.n)
+                case Some(s) if t >= s.lastUs + gapUs => // strictly after
+                  closed += out(user, s)
                   open = Some(SessionState(t, t, 1))
+                case Some(s) if t + gapUs <= s.startUs => // stray, far before
+                  closed += SessionOut(user, t / 1000000L, t / 1000000L, 1)
+                case Some(s) => // overlaps the open interval: merge
+                  open = Some(SessionState(math.min(s.startUs, t),
+                    math.max(s.lastUs, t), s.n + 1))
                 case None =>
                   open = Some(SessionState(t, t, 1))
               }
             }
-            state.update(open.toList)
-            open.foreach(s =>
-              state.setTimeoutTimestamp((s.lastSec + gap) * 1000 + 1))
+            open match {
+              case Some(s) =>
+                state.update(s)
+                state.setTimeoutTimestamp(s.lastUs / 1000L + gapUs / 1000L + 1)
+              case None => ()
+            }
             closed.result().iterator
           }
       }

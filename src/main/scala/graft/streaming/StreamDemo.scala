@@ -4,7 +4,7 @@ import org.apache.spark.sql.streaming.OutputMode
 
 /** CLI driver for the streaming + multimodal surfaces.
   *
-  * Usage: StreamDemo <tumbling|sliding|sessions|dedup|userstats|media> <eventsPathOrSfDir>
+  * Usage: StreamDemo <tumbling|sliding|sessions|ssjoin|dedup|userstats|media> <eventsPathOrSfDir>
   * Streams the parquet through the chosen transform to an in-memory
   * sink, then prints the drained result (media: runs the multimodal
   * batch pipeline and prints per-kind stats).
@@ -12,7 +12,7 @@ import org.apache.spark.sql.streaming.OutputMode
 object StreamDemo {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: StreamDemo <tumbling|sliding|sessions|dedup|userstats|media> <path>")
+      "usage: StreamDemo <tumbling|sliding|sessions|ssjoin|dedup|userstats|media> <path>")
     val spark = graft.Session.build(s"stream-${args(0)}")
     try {
       args(0) match {
@@ -35,7 +35,7 @@ object StreamDemo {
             case "dedup" => EventStreams.dedupStream _
             case "ssjoin" => EventStreams.purchaseClickJoin _
             case other => throw new IllegalArgumentException(
-              s"unknown mode '$other' — one of tumbling, sliding, sessions, dedup, userstats, media")
+              s"unknown mode '$other' — one of tumbling, sliding, sessions, ssjoin, dedup, userstats, media")
           }
           val df = transform(EventStreams.readEventStream(spark, args(1)))
           val mode =

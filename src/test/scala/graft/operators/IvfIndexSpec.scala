@@ -16,7 +16,7 @@ class IvfIndexSpec extends AnyFunSuite {
     val queries = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val k = 5
-    val approx = IvfIndex.search(spark, index, centers, queries, k, nProbe = 3)
+    val approx = IvfIndex.search(spark, index, centers, queries, k, nProbe = 3, excludeSelf = true)
       .select("q_id", "c_id").collect()
       .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
     // brute force ground truth (reuses the oracle-checked query)
