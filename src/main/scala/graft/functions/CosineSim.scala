@@ -1,9 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Cosine similarity of two float-array columns as a native binary
   * expression: one primitive loop over the vectors, no per-element
@@ -16,9 +16,13 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * composed version, so results are bit-identical to the DuckDB oracle.
   */
 case class CosineSimF(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim_f"
+  // analysis-time typing: float arrays required; array<double> input is
+  // coerced by the analyzer instead of being reinterpreted as garbage
+  // by UnsafeArrayData.toFloatArray at runtime
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
 
   protected override def nullSafeEval(a: Any, b: Any): Any =
     CosineSimImpl.cosine(
@@ -36,14 +40,19 @@ case class CosineSimF(left: Expression, right: Expression)
 
 object CosineSimImpl {
   def cosine(a: Array[Float], b: Array[Float]): Double = {
+    if (a.length != b.length)
+      throw new IllegalArgumentException(
+        s"cosine_sim_f: dimension mismatch ${a.length} vs ${b.length}")
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
-    val n = math.min(a.length, b.length)
+    val n = a.length
     while (i < n) {
       val x = a(i).toDouble; val y = b(i).toDouble
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / math.sqrt(na * nb)
+    // zero/empty vectors: similarity 0, not NaN (NaN sorts above every
+    // double desc and would corrupt top-k rankings)
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
   }
 }

@@ -85,12 +85,26 @@ object GraftFunctions {
   def cosineSim(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("cosine_sim_f", a, b)
 
+  private[functions] def arity(name: String, n: Int)(
+      exprs: Seq[Expression]): Seq[Expression] = {
+    if (exprs.length != n)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map("functionName" -> name,
+          "expectedNum" -> n.toString, "actualNum" -> exprs.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    exprs
+  }
+
   /** SQL + Column registration: SELECT simhash64(text) FROM ... */
   def registerAll(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs.head), "built-in")
+      "simhash64", exprs => SimHash64(arity("simhash64", 1)(exprs).head),
+      "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim_f", exprs => CosineSimF(exprs(0), exprs(1)), "built-in")
+      "cosine_sim_f", exprs => {
+        val e = arity("cosine_sim_f", 2)(exprs); CosineSimF(e(0), e(1))
+      }, "built-in")
   }
 }
 
@@ -104,10 +118,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
     e.injectFunction((FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+      (exprs: Seq[Expression]) =>
+        SimHash64(GraftFunctions.arity("simhash64", 1)(exprs).head)))
     e.injectFunction((FunctionIdentifier("cosine_sim_f"),
       new ExpressionInfo(classOf[CosineSimF].getName, "cosine_sim_f"),
-      (exprs: Seq[Expression]) => CosineSimF(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        val es = GraftFunctions.arity("cosine_sim_f", 2)(exprs)
+        CosineSimF(es(0), es(1))
+      }))
     e.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
     e.injectOptimizerRule(_ => graft.plans.PruneAsOfJoinColumns)
   }

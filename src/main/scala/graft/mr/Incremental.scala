@@ -39,8 +39,7 @@ object Incremental {
       def bufferEncoder: Encoder[B] = app.bufferEncoder
       def outputEncoder: Encoder[B] = app.bufferEncoder
     }
-    spark.sparkContext.wholeTextFiles(inputGlob).toDS()
-      .flatMap { case (f, c) => app.map(f.split('/').last, c) }
+    MRJob.mapped(spark, app, inputGlob)
       .groupByKey(_.key)
       .agg(agg.toColumn)
       .map { case (k, b) => s"$k ${app.finish(k, b)}" }

@@ -26,7 +26,9 @@ object MRJob {
     * ("key value" — format per /root/reference/mr/worker.go:156).
     * Output row order is an unordered bag, exactly like the reference
     * (comparisons must sort — /root/reference/mr-main/test-mr.sh:58). */
-  def result(spark: SparkSession, app: MRApp, inputGlob: String): Dataset[String] = {
+  /** Shared ingest stage: whole files → app.map KV pairs (filename
+    * derivation lives in exactly one place — Incremental reuses it). */
+  def mapped(spark: SparkSession, app: MRApp, inputGlob: String): Dataset[KV] = {
     import spark.implicits._
     spark.sparkContext
       .wholeTextFiles(inputGlob)
@@ -34,6 +36,11 @@ object MRJob {
       .flatMap { case (file, contents) =>
         app.map(file.split('/').last, contents)
       }
+  }
+
+  def result(spark: SparkSession, app: MRApp, inputGlob: String): Dataset[String] = {
+    import spark.implicits._
+    mapped(spark, app, inputGlob)
       .groupByKey(_.key)
       .mapGroups { (key, kvs) =>
         s"$key ${app.reduce(key, kvs.map(_.value).toSeq)}"

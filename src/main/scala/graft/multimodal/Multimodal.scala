@@ -55,6 +55,7 @@ object Multimodal {
   /** Batched frame sampling: videos → every k-th "frame" (stub slices
     * payload); images pass through as frame 0; audio yields none. */
   def sampleFrames(spark: SparkSession, media: Dataset[Media], everyK: Int): Dataset[Frame] = {
+    require(everyK >= 1, s"everyK must be >= 1, got $everyK")
     import spark.implicits._
     media.mapPartitions { it =>
       val codec = StubCodec

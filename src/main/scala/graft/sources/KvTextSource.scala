@@ -63,10 +63,15 @@ class KvTextScan(path: String, required: StructType) extends Scan with Batch {
 
   override def planInputPartitions(): Array[InputPartition] = {
     val f = new java.io.File(path)
+    if (!f.exists())
+      throw new IllegalArgumentException(s"kvtext: path does not exist: $path")
     val files =
-      if (f.isDirectory)
-        f.listFiles().filter(_.isFile).map(_.getPath).sorted
-      else Array(path)
+      if (f.isDirectory) {
+        val listed = f.listFiles() // null on IO/permission failure
+        if (listed == null)
+          throw new java.io.IOException(s"kvtext: cannot list directory $path")
+        listed.filter(_.isFile).map(_.getPath).sorted
+      } else Array(path)
     files.map(p => KvTextPartition(p): InputPartition)
   }
 
@@ -80,6 +85,8 @@ class KvTextReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[KvTextPartition].file
+    // projection resolved once, not per line: parts index per output field
+    val fieldIdx = fields.map { case "key" => 0; case "value" => 1 }
     new PartitionReader[InternalRow] {
       private val lines = scala.io.Source.fromFile(file, "UTF-8")
       private val it = lines.getLines()
@@ -89,10 +96,14 @@ class KvTextReaderFactory(fields: Array[String])
         while (it.hasNext) {
           val parts = it.next().split('|')
           if (parts.length == 2) { // malformed lines dropped (worker.go:129)
-            current = InternalRow.fromSeq(fields.toSeq.map {
-              case "key" => UTF8String.fromString(parts(0))
-              case "value" => UTF8String.fromString(parts(1))
-            })
+            val values = new Array[Any](fieldIdx.length)
+            var i = 0
+            while (i < fieldIdx.length) {
+              values(i) = UTF8String.fromString(parts(fieldIdx(i)))
+              i += 1
+            }
+            current = new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(values)
             return true
           }
         }
