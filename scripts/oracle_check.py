@@ -40,8 +40,27 @@ def main():
         if not files:
             print(f"FAIL {name}: no spark output"); n_bad += 1; continue
         try:
-            got = norm(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
-            exp = norm(con.execute(sql).df())
+            raw = pd.concat([pd.read_parquet(f) for f in sorted(files)])
+            rel = con.sql(sql)
+            # Driver-divergence lint: the driver's pandas-based checker
+            # materializes HUGEINT (bare integer SUM) as float64 -> hash
+            # mismatch vs Spark int64, and dies sorting list-typed
+            # columns. Both are local-green/driver-red classes (round 1)
+            # — make them hard failures here.
+            bad_types = [f"{c}:{t}" for c, t in zip(rel.columns, map(str, rel.types))
+                         if t in ("HUGEINT", "UHUGEINT") or "[]" in t or t.startswith("DECIMAL")]
+            if bad_types:
+                print(f"FAIL {name}: driver-unsafe oracle column types {bad_types} "
+                      f"(CAST sums to BIGINT / stringify arrays)")
+                n_bad += 1; continue
+            arr_cols = [c for c in raw.columns if len(raw) and
+                        type(raw[c].iloc[0]).__name__ in ("ndarray", "list")]
+            if arr_cols:
+                print(f"FAIL {name}: spark output has array-typed columns {arr_cols} "
+                      f"(driver checker cannot sort these)")
+                n_bad += 1; continue
+            got = norm(raw)
+            exp = norm(rel.df())
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_bad += 1; continue
         if list(got.columns) != list(exp.columns):

@@ -7,11 +7,39 @@ object PlanCheck {
     val d = "/root/testdata/sf0.01"
     val names = Seq("q1_pricing_summary", "q3_shipping_priority",
       "q5_local_supplier_volume", "q6_revenue_forecast", "doc_wordcount",
-      "emb_cosine_topk", "asof_native", "dedup_lsh_pairs", "sort_topk")
+      "emb_cosine_topk", "asof_native", "dedup_lsh_pairs", "sort_topk",
+      "q9_profit_rollup", "q21_waiting_supplier", "dedup_ngram_jaccard",
+      "dedup_embedding_lsh", "emb_ann_ivf")
     val out = new StringBuilder
     out ++= "# PLANS — formatted physical plans for headline queries\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanCheck PLANS.md\"` " +
       "(sf0.01; plan shapes are pinned by PlanSpec).\n"
+    out ++=
+      """
+        |## Order-determinism audit (VERDICT r1 #10)
+        |
+        |Every query whose OUTPUT depends on row order (top-k `LIMIT`,
+        |`row_number`/rank windows) was swept for float-only tie-breaks —
+        |the class where Spark and an oracle engine can legally disagree:
+        |
+        || query | ordering | tie-break after float |
+        ||---|---|---|
+        || q3_shipping_priority | revenue DESC | o_orderkey |
+        || q10_returned_items | revenue DESC | c_custkey |
+        || sort_topk | l_extendedprice DESC | l_orderkey, l_linenumber |
+        || sql_top_customers | total_spend DESC | c_custkey |
+        || window_top_per_key / topk_per_key_agg | o_totalprice DESC | o_orderkey |
+        || emb_cosine_topk | cos DESC | c_id |
+        || emb_ann_ivf | cos DESC | vec_id (c_id) |
+        || q15_top_supplier | MAX equality join | supplier key output |
+        |
+        |All ranked floats are themselves engine-identical (integer-cents
+        |money sums, or fixed left-to-right double folds for cosine), and
+        |every ranking carries an integer key tie-break, so rank/limit
+        |results are total-order deterministic in both engines. Queries
+        |without LIMIT/rank windows are order-insensitive: the driver
+        |sorts rows by all columns before hashing.
+        |""".stripMargin
     for (n <- names) {
       val p = SparkEntry.queries(n)(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)

@@ -13,13 +13,15 @@ object SparkEntry {
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++
       Documents.queries ++
       Events.queries ++ Embeddings.queries ++ SimHashDedup.queries ++
-      TextPipeline.queries ++ SqlSurface.queries
+      TextPipeline.queries ++ SqlSurface.queries ++
+      graft.multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Relational2.oracle ++ Relational3.oracle ++
       Documents.oracle ++
-      Events.oracle ++ Embeddings.oracle ++ TextPipeline.oracle ++
-      SqlSurface.oracle
+      Events.oracle ++ Embeddings.oracle ++ SimHashDedup.oracle ++
+      TextPipeline.oracle ++ SqlSurface.oracle ++
+      graft.multimodal.Multimodal.oracle
 }

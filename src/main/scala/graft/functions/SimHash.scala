@@ -34,30 +34,46 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 }
 
 object SimHashImpl {
-  /** FNV-1a 64-bit — same family the reference used for partitioning,
-    * here as the per-token hash feeding the simhash bit votes. */
-  def fnv1a64(s: String): Long = {
-    var h = 0xcbf29ce484222325L
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Per-token hash = first 8 bytes of md5(utf8(token)), big-endian.
+    * md5 (not FNV/xxhash) so the signature is engine-portable: any SQL
+    * engine with md5() reproduces these bit votes from the hex string
+    * (`dedup_simhash`'s oracle does exactly that nibble-by-nibble). */
+  def tokenHash64(s: String): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
     var i = 0
-    while (i < s.length) {
-      h ^= s.charAt(i)
-      h *= 0x100000001b3L
-      i += 1
-    }
+    while (i < 8) { h = (h << 8) | (bytes(i) & 0xFFL); i += 1 }
     h
   }
 
-  /** Token = maximal run of Unicode letters (reference tokenizer). */
+  /** Token = maximal run of Unicode letters (reference tokenizer),
+    * iterated by code point so supplementary-plane letters match the
+    * regex engines' \p{L} semantics. Every occurrence votes (simhash
+    * weights = term frequency, Charikar 2002 §3). */
   def simhash64(text: String): Long = {
     val votes = new Array[Int](64)
     var i = 0
     val n = text.length
     while (i < n) {
-      while (i < n && !Character.isLetter(text.charAt(i))) i += 1
+      var cp = text.codePointAt(i)
+      while (i < n && !Character.isLetter(cp)) {
+        i += Character.charCount(cp)
+        if (i < n) cp = text.codePointAt(i)
+      }
       val start = i
-      while (i < n && Character.isLetter(text.charAt(i))) i += 1
+      while (i < n && Character.isLetter(cp)) {
+        i += Character.charCount(cp)
+        if (i < n) cp = text.codePointAt(i)
+      }
       if (i > start) {
-        val h = fnv1a64(text.substring(start, i))
+        val h = tokenHash64(text.substring(start, i))
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1

@@ -92,6 +92,68 @@ object Multimodal {
         max(col("n_frames")).as("max_frames"))
       .orderBy(col("kind"))
   }
+
+  /** Frame-sampling rollup: run the real batched sampleFrames pass
+    * (every 4th frame), then count sampled frames per kind. Driver-
+    * checkable because the stub codec's header fields are pure
+    * arithmetic over documents columns. */
+  def frameSampleStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frames = sampleFrames(spark, mediaTable(spark, dir), everyK = 4)
+    frames.select(col("media_id"), col("frame_idx"))
+      .withColumn("kind",
+        when(col("media_id") % 3 === 0, "image").otherwise("video"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_frames_sampled"),
+        countDistinct(col("media_id")).as("n_media"))
+      .orderBy(col("kind"))
+  }
+
+  /** DuckDB oracles: the stub codec's header math re-expressed in SQL
+    * (kind = doc_id%3; width = 64 + (doc_id%16)*32; n_frames =
+    * video ? 8 + doc_id%24 : 1; payload = 16-byte header + utf8 text).
+    * The decode/sample plumbing itself runs only on the Spark side —
+    * the oracle checks its observable output. */
+  val mediaStatsSql: String =
+    """SELECT kind, COUNT(*) AS n,
+      |  CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+      |  AVG(width) AS avg_width,
+      |  MAX(n_frames) AS max_frames
+      |FROM (
+      |  SELECT
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio'
+      |         ELSE 'video' END AS kind,
+      |    16 + strlen(text) AS bytes,
+      |    CAST(64 + (doc_id % 16) * 32 AS INT) AS width,
+      |    CAST(CASE WHEN doc_id % 3 = 2 THEN 8 + doc_id % 24 ELSE 1 END AS INT)
+      |      AS n_frames
+      |  FROM documents) t
+      |GROUP BY kind ORDER BY kind""".stripMargin
+
+  val frameSampleStatsSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio'
+      |         ELSE 'video' END AS kind,
+      |    CASE WHEN doc_id % 3 = 2 THEN 8 + doc_id % 24 ELSE 1 END AS n_frames
+      |  FROM documents)
+      |SELECT kind,
+      |  CAST(SUM(CASE WHEN kind = 'video'
+      |                THEN CAST(CEIL(n_frames / 4.0) AS BIGINT)
+      |                ELSE 1 END) AS BIGINT) AS n_frames_sampled,
+      |  COUNT(*) AS n_media
+      |FROM m WHERE kind <> 'audio'
+      |GROUP BY kind ORDER BY kind""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_media_stats" -> mediaStats,
+    "mm_frame_sample" -> frameSampleStats)
+
+  val oracle: Map[String, String] = Map(
+    "mm_media_stats" -> mediaStatsSql,
+    "mm_frame_sample" -> frameSampleStatsSql)
 }
 
 /** STUB codec — deterministic fake in place of image/audio libraries

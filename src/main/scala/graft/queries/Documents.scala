@@ -25,7 +25,7 @@ object Documents {
     filter(split(c, "[^\\p{L}]+"), t => length(t) > 0)
 
   private val tokensSql =
-    "(SELECT UNNEST(string_split_regex(text, '[^a-zA-Z]+')) AS word FROM documents)"
+    "(SELECT UNNEST(string_split_regex(text, '[^\\p{L}]+')) AS word FROM documents)"
 
   // ------------------------------------------------------------ wc
   /** Word count: flatMap-tokenize -> groupBy(word).count.
@@ -59,7 +59,7 @@ object Documents {
     """SELECT word, COUNT(*) AS n_docs,
       |  STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS docs
       |FROM (SELECT DISTINCT doc_id,
-      |        UNNEST(string_split_regex(text, '[^a-zA-Z]+')) AS word
+      |        UNNEST(string_split_regex(text, '[^\p{L}]+')) AS word
       |      FROM documents) t
       |WHERE word <> ''
       |GROUP BY word ORDER BY word""".stripMargin
@@ -93,7 +93,7 @@ object Documents {
       .orderBy(col("lang"))
 
   val metadataAggSql: String =
-    """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+    """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
       |  STRING_AGG(CAST(doc_id AS VARCHAR), ' ' ORDER BY doc_id) AS doc_ids
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
@@ -135,7 +135,7 @@ object Documents {
       .map(j => s"MIN(md5('$j' || '|' || word)) AS mh$j").mkString(",\n  ")
     s"""SELECT doc_id, $aggs
        |FROM (SELECT DISTINCT doc_id,
-       |        UNNEST(string_split_regex(text, '[^a-zA-Z]+')) AS word
+       |        UNNEST(string_split_regex(text, '[^\\p{L}]+')) AS word
        |      FROM documents) t
        |WHERE word <> ''
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
@@ -278,7 +278,7 @@ object Documents {
   val ngramJaccardSql: String =
     """WITH toks AS (
       |  SELECT doc_id, source,
-      |    list_filter(string_split_regex(text, '[^a-zA-Z]+'),
+      |    list_filter(string_split_regex(text, '[^\p{L}]+'),
       |                w -> w <> '') AS ws
       |  FROM documents),
       |shingled AS (
@@ -320,12 +320,12 @@ object Documents {
   val textQualitySql: String =
     """WITH t AS (
       |  SELECT doc_id, text,
-      |    list_filter(string_split_regex(text, '[^a-zA-Z]+'),
+      |    list_filter(string_split_regex(text, '[^\p{L}]+'),
       |                w -> w <> '') AS ws
       |  FROM documents)
       |SELECT doc_id,
       |  CAST(len(ws) AS INT) AS n_tokens,
-      |  CAST(LENGTH(regexp_replace(text, '[^a-zA-Z]+', '', 'g')) AS DOUBLE)
+      |  CAST(LENGTH(regexp_replace(text, '[^\p{L}]+', '', 'g')) AS DOUBLE)
       |    / len(ws) AS avg_token_len,
       |  CAST(len(list_filter(ws,
       |    w -> w IN ('the','a','of','and','to'))) AS DOUBLE)
@@ -358,7 +358,7 @@ object Documents {
   val langIdSql: String =
     """WITH t AS (
       |  SELECT doc_id, lang,
-      |    list_filter(string_split_regex(text, '[^a-zA-Z]+'),
+      |    list_filter(string_split_regex(text, '[^\p{L}]+'),
       |                w -> w <> '') AS ws
       |  FROM documents),
       |h AS (
@@ -395,11 +395,11 @@ object Documents {
 
   val tokenCountSql: String =
     s"""SELECT source,
-       |  SUM(len(list_filter(string_split_regex(text, '[^a-zA-Z]+'),
-       |      w -> w <> ''))) AS word_tokens,
-       |  SUM(len(regexp_extract_all(text, '$BpePat'))) AS bpe_regex_tokens,
-       |  SUM(CAST(CEIL(LENGTH(text)/4.0) AS BIGINT)) AS bpe_est_tokens,
-       |  SUM(LENGTH(text)) AS total_chars
+       |  CAST(SUM(len(list_filter(string_split_regex(text, '[^\\p{L}]+'),
+       |      w -> w <> ''))) AS BIGINT) AS word_tokens,
+       |  CAST(SUM(len(regexp_extract_all(text, '$BpePat'))) AS BIGINT) AS bpe_regex_tokens,
+       |  CAST(SUM(CAST(CEIL(LENGTH(text)/4.0) AS BIGINT)) AS BIGINT) AS bpe_est_tokens,
+       |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------- fingerprinting
@@ -414,7 +414,7 @@ object Documents {
 
   val fingerprintSql: String =
     """SELECT doc_id,
-      |  md5(regexp_replace(LOWER(text), '[^a-zA-Z]+', ' ', 'g')) AS fp,
+      |  md5(regexp_replace(LOWER(text), '[^\p{L}]+', ' ', 'g')) AS fp,
       |  SUBSTRING(md5(text), 1, 8) AS short_fp
       |FROM documents ORDER BY doc_id""".stripMargin
 

@@ -101,17 +101,23 @@ object Embeddings {
     * hyperplanes (deterministic, seedless: plane p component i =
     * sin(p*1000 + i), identical in both engines), then candidates share
     * a bucket. The scale path: shuffle on bucket, no cross join. */
-  def annLshBuckets(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d)
-    def planeDot(emb: Column, p: Int): Column =
-      aggregate(
-        zip_with(emb, sequence(lit(0), lit(63)),
-          (x, i) => x.cast("double") * sin(lit(p * 1000).cast("double") + i.cast("double"))),
-        lit(0.0), (acc, x) => acc + x)
-    val sig = e.select(col("vec_id"), col("label"),
+  private def planeDot(emb: Column, p: Int): Column =
+    aggregate(
+      zip_with(emb, sequence(lit(0), lit(63)),
+        (x, i) => x.cast("double") * sin(lit(p * 1000).cast("double") + i.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** 8-bit sign signature per vector (shared by annLshBuckets and
+    * dedupEmbeddingLsh): vectors in the same bucket agree on all 8
+    * hyperplane sides — the LSH candidate key. */
+  private def signBuckets(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("label"), col("embedding"),
       concat((0 until 8).map(p =>
         when(planeDot(col("embedding"), p) >= 0, lit("1")).otherwise(lit("0"))): _*)
         .as("bucket"))
+
+  def annLshBuckets(s: SparkSession, d: String): DataFrame = {
+    val sig = signBuckets(embeddings(s, d)).select(col("vec_id"), col("label"), col("bucket"))
     sig.groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_vecs"),
         countDistinct(col("label")).as("n_labels"),
@@ -119,23 +125,38 @@ object Embeddings {
       .orderBy(col("bucket"))
   }
 
-  val annLshBucketsSql: String = {
-    val planes = (0 until 8).map { p =>
-      s"""CASE WHEN list_reduce(list_transform(range(1, len(embedding)+1),
-         |  i -> CAST(embedding[i] AS DOUBLE) * SIN(CAST(${p * 1000} AS DOUBLE) + (i-1))),
-         |  (a, b) -> a + b) >= 0 THEN '1' ELSE '0' END""".stripMargin
-    }.mkString(" || ")
+  /** The 8-plane sign signature in DuckDB SQL (mirror of signBuckets). */
+  private val planesSql: String = (0 until 8).map { p =>
+    s"""CASE WHEN list_reduce(list_transform(range(1, len(embedding)+1),
+       |  i -> CAST(embedding[i] AS DOUBLE) * SIN(CAST(${p * 1000} AS DOUBLE) + (i-1))),
+       |  (a, b) -> a + b) >= 0 THEN '1' ELSE '0' END""".stripMargin
+  }.mkString(" || ")
+
+  /** cosine(ae, be) as portable in-order folds (mirror of CosineSimF). */
+  private def cosFoldSql(ae: String, be: String): String =
+    s"""list_reduce(list_transform(range(1, len($ae)+1),
+       |      i -> CAST($ae[i] AS DOUBLE) * CAST($be[i] AS DOUBLE)),
+       |      (x, y) -> x + y)
+       |    / SQRT(
+       |      list_reduce(list_transform(range(1, len($ae)+1),
+       |          i -> CAST($ae[i] AS DOUBLE) * CAST($ae[i] AS DOUBLE)),
+       |        (x, y) -> x + y)
+       |      *
+       |      list_reduce(list_transform(range(1, len($be)+1),
+       |          i -> CAST($be[i] AS DOUBLE) * CAST($be[i] AS DOUBLE)),
+       |        (x, y) -> x + y))""".stripMargin
+
+  val annLshBucketsSql: String =
     s"""WITH sig AS (
-       |  SELECT vec_id, label, $planes AS bucket FROM embeddings)
+       |  SELECT vec_id, label, $planesSql AS bucket FROM embeddings)
        |SELECT bucket, COUNT(*) AS n_vecs,
        |  COUNT(DISTINCT label) AS n_labels, MIN(vec_id) AS min_id
        |FROM sig GROUP BY bucket ORDER BY bucket""".stripMargin
-  }
 
-  /** Embedding-cosine near-dup: all pairs with cosine >= 0.99 —
-    * exact (brute) for oracle parity at test scale; the LSH-bucket
-    * variant (annLshBuckets) is the candidate-generation scale path
-    * (bucketed pairs ⊂ brute pairs; at 100 TB run buckets + verify). */
+  /** Embedding-cosine near-dup, brute form: all pairs with cosine >=
+    * 0.99. NOT the declared query (an all-pairs broadcast join is a
+    * scale-killer) — kept only as the test oracle for
+    * dedupEmbeddingLsh below (SignAnnSpec). */
   def dedupEmbeddingCosine(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(s)
     val e = embeddings(s, d)
@@ -172,17 +193,97 @@ object Embeddings {
       |FROM p WHERE cos >= 0.99
       |ORDER BY id_a, id_b""".stripMargin
 
-  /** IVF ANN as a query: build the seeded k-means index, probe 3 of 8
-    * cells per query. No SQL oracle (k-means isn't expressible);
-    * recall and determinism are pinned in IvfIndexSpec. */
+  /** Embedding near-dup, scale path (the declared query): sign-bucket
+    * LSH candidates + exact cosine verify within buckets — shuffle on
+    * the 8-bit bucket key, pair cost is sum-of-bucket², never n².
+    * The all-pairs form above is the test oracle for it
+    * (DedupEmbeddingSpec) — at 100 TB only this one runs. */
+  def dedupEmbeddingLsh(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    val sig = signBuckets(embeddings(s, d))
+    val a = sig.as("a"); val b = sig.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        col("a.label").as("label_a"), col("b.label").as("label_b"),
+        graft.functions.GraftFunctions
+          .cosineSim(col("a.embedding"), col("b.embedding")).as("cos"))
+      .filter(col("cos") >= 0.99)
+      .select(col("id_a"), col("id_b"),
+        (col("label_a") === col("label_b")).as("same_label"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val dedupEmbeddingLshSql: String =
+    s"""WITH sig AS (
+       |  SELECT vec_id, label, embedding, $planesSql AS bucket
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    a.label AS label_a, b.label AS label_b,
+       |    ${cosFoldSql("a.embedding", "b.embedding")} AS cos
+       |  FROM sig a JOIN sig b
+       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, label_a = label_b AS same_label
+       |FROM p WHERE cos >= 0.99
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** IVF ANN as a query: deterministic sign-plane coarse quantizer
+    * (8 cells), multi-probe = own cell + 2 lowest-|margin| bit flips.
+    * Fully engine-portable, so it carries a DuckDB oracle; the
+    * k-means-quantizer variant of the same machinery stays recall-
+    * pinned in IvfIndexSpec. */
   def annIvf(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
     val e = embeddings(s, d)
-    val (index, centers) = graft.operators.IvfIndex.build(s, e, nLists = 8)
+    val index = graft.operators.IvfIndex.buildSign(e)
     val queries = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    graft.operators.IvfIndex.search(s, index, centers, queries, k = 5,
+    graft.operators.IvfIndex.searchSign(index, queries, k = 5,
       nProbe = 3, excludeSelf = true)
       .select(col("q_id"), col("c_id"), col("rank"))
+  }
+
+  val annIvfSql: String = {
+    def dotSql(p: Int): String =
+      s"""list_reduce(list_transform(range(1, len(embedding)+1),
+         |  i -> CAST(embedding[i] AS DOUBLE) * SIN(CAST(${p * 1000} AS DOUBLE) + (i-1))),
+         |  (a, b) -> a + b)""".stripMargin
+    s"""WITH cells AS (
+       |  SELECT vec_id, embedding, d0, d1, d2,
+       |    (CASE WHEN d0 >= 0 THEN 4 ELSE 0 END
+       |     + CASE WHEN d1 >= 0 THEN 2 ELSE 0 END
+       |     + CASE WHEN d2 >= 0 THEN 1 ELSE 0 END) AS cell
+       |  FROM (SELECT vec_id, embedding,
+       |          ${dotSql(0)} AS d0,
+       |          ${dotSql(1)} AS d1,
+       |          ${dotSql(2)} AS d2
+       |        FROM embeddings) t),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, cell, d0, d1, d2
+       |      FROM cells WHERE vec_id % 50 = 0),
+       |flip AS (
+       |  SELECT q_id, m FROM (
+       |    SELECT q_id, m, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY a, p) AS r
+       |    FROM (SELECT q_id, ABS(d0) AS a, 0 AS p, 4 AS m FROM q
+       |          UNION ALL SELECT q_id, ABS(d1), 1, 2 FROM q
+       |          UNION ALL SELECT q_id, ABS(d2), 2, 1 FROM q) u) rr
+       |  WHERE r <= 2),
+       |probes AS (
+       |  SELECT q_id, q_emb, cell FROM q
+       |  UNION ALL
+       |  SELECT q.q_id, q.q_emb, xor(q.cell, f.m) AS cell
+       |  FROM q JOIN flip f ON q.q_id = f.q_id),
+       |cand AS (
+       |  SELECT p.q_id, c.vec_id AS c_id,
+       |    ${cosFoldSql("p.q_emb", "c.embedding")} AS cos
+       |  FROM probes p JOIN cells c ON p.cell = c.cell
+       |  WHERE c.vec_id <> p.q_id),
+       |ranked AS (
+       |  SELECT q_id, c_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+       |  FROM cand)
+       |SELECT q_id, c_id, rank FROM ranked WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -190,11 +291,12 @@ object Embeddings {
     "emb_ann_ivf" -> annIvf,
     "emb_label_norms" -> labelCentroidNorm,
     "emb_ann_lsh_buckets" -> annLshBuckets,
-    "dedup_embedding_cosine" -> dedupEmbeddingCosine)
+    "dedup_embedding_lsh" -> dedupEmbeddingLsh)
 
   val oracle: Map[String, String] = Map(
     "emb_cosine_topk" -> cosineTopKSql,
     "emb_label_norms" -> labelCentroidNormSql,
     "emb_ann_lsh_buckets" -> annLshBucketsSql,
-    "dedup_embedding_cosine" -> dedupEmbeddingCosineSql)
+    "emb_ann_ivf" -> annIvfSql,
+    "dedup_embedding_lsh" -> dedupEmbeddingLshSql)
 }

@@ -70,7 +70,7 @@ object Events {
       |  user_id,
       |  COUNT(*) AS n_events,
       |  COUNT(DISTINCT event_type) AS n_types,
-      |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
       |FROM events GROUP BY 1, 2 ORDER BY day_sec, user_id""".stripMargin
 
   // ------------------------------------------------- sessionization
@@ -109,8 +109,8 @@ object Events {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |sess AS (
       |  SELECT user_id, ts,
-      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM marked)
       |SELECT user_id, session_id,
       |  CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS session_start_sec,
@@ -212,7 +212,7 @@ object Events {
 
   val jsonExtractSql: String =
     """SELECT event_type,
-      |  COUNT(k) AS n_with_k, SUM(k) AS sum_k,
+      |  COUNT(k) AS n_with_k, CAST(SUM(k) AS BIGINT) AS sum_k,
       |  MIN(k) AS min_k, MAX(k) AS max_k
       |FROM (SELECT event_type,
       |        CAST(json_extract_string(props, '$.k') AS INT) AS k

@@ -428,9 +428,9 @@ object Relational {
 
   val aggPivotSql: String =
     """SELECT o_orderpriority,
-      |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-      |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
-      |  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
       |FROM orders GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 

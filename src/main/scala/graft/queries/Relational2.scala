@@ -234,8 +234,10 @@ object Relational2 {
       .agg(
         approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
         approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-        expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)")
-          .as("price_quantiles"),
+        // scalar columns, not array<double> — array outputs break the
+        // external row-hash checker (and array hashing differs anyway)
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("price_p50"),
+        expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("price_p95"),
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 

@@ -59,6 +59,45 @@ object SimHashDedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** DuckDB oracle: recompute the exact md5-nibble simhash in SQL.
+    * Per token occurrence, per bit i: the vote is the i-th bit of the
+    * first-8-bytes-big-endian of md5(token) — hex char 16 - i/4,
+    * nibble bit i%4. Sign the 64 vote sums into a BIGINT and compare
+    * all pairs at hamming <= 3 (O(n²) is fine for the oracle; the
+    * Spark plan is the banded one, pigeonhole-equal per SimHashSpec). */
+  val dedupSimhashSql: String = {
+    val votes = (0 until 64).map { i =>
+      val ch = 16 - i / 4 // 1-indexed hex char holding bit i
+      val bit = 1 << (i % 4)
+      s"CAST(SUM(CASE WHEN ((strpos('0123456789abcdef', substring(m, $ch, 1)) - 1) & $bit) <> 0 THEN 1 ELSE -1 END) AS BIGINT) AS s$i"
+    }.mkString(",\n    ")
+    val sig = (0 until 63)
+      .map(i => s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END")
+      .mkString(" +\n      ") +
+      " +\n      CASE WHEN s63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END"
+    s"""WITH tok AS (
+       |  SELECT doc_id, md5(word) AS m
+       |  FROM (SELECT doc_id,
+       |          UNNEST(string_split_regex(text, '[^\\p{L}]+')) AS word
+       |        FROM documents) t
+       |  WHERE word <> ''),
+       |votes AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM tok GROUP BY doc_id),
+       |sig AS (
+       |  SELECT d.doc_id, CAST($sig AS BIGINT) AS sh
+       |  FROM documents d LEFT JOIN votes v ON d.doc_id = v.doc_id)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= $HammingThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_simhash" -> dedupSimhash)
+
+  val oracle: Map[String, String] = Map(
+    "dedup_simhash" -> dedupSimhashSql)
 }

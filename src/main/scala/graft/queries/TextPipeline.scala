@@ -59,9 +59,9 @@ object TextPipeline {
   val cleanCorpusSql: String =
     """WITH scored AS (
       |  SELECT doc_id, lang, source, text, md5(text) AS h,
-      |    len(list_filter(string_split_regex(text, '[^a-zA-Z]+'),
+      |    len(list_filter(string_split_regex(text, '[^\p{L}]+'),
       |        w -> w <> '')) AS n_tokens,
-      |    list_contains(list_filter(string_split_regex(text, '[^a-zA-Z]+'),
+      |    list_contains(list_filter(string_split_regex(text, '[^\p{L}]+'),
       |        w -> w <> ''), 'the') AS has_stop
       |  FROM documents),
       |filtered AS (SELECT * FROM scored WHERE n_tokens >= 40 AND has_stop),
@@ -70,7 +70,7 @@ object TextPipeline {
       |  JOIN (SELECT h, MIN(doc_id) AS doc_id FROM filtered GROUP BY h) m
       |    ON f.h = m.h AND f.doc_id = m.doc_id)
       |SELECT lang, source, COUNT(*) AS n_docs,
-      |  SUM(n_tokens) AS total_tokens
+      |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
       |FROM kept GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
 
@@ -91,7 +91,7 @@ object TextPipeline {
       .orderBy(col("split"), col("lang"))
 
   val splitAssignmentSql: String =
-    """SELECT split, lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    """SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
       |FROM (
       |  SELECT lang, n_chars,
       |    CASE WHEN SUBSTRING(md5(text), 1, 1) IN ('c','d')

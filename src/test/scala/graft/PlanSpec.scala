@@ -61,4 +61,40 @@ class PlanSpec extends AnyFunSuite {
   test("wordcount aggregates partially before shuffle") {
     assert(plan("doc_wordcount").contains("partial_count"))
   }
+
+  // The two most expensive bench queries + the profit rollup: pin the
+  // properties that keep them scalable (VERDICT r1 #9).
+  test("q21: no cartesian/broadcast-NLJ; two-phase aggregation") {
+    val p = plan("q21_waiting_supplier")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_"), "expected map-side partial agg")
+  }
+
+  test("q9: joins stay hash/broadcast, agg is two-phase") {
+    val p = plan("q9_profit_rollup")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin"), "dims should broadcast")
+    assert(p.contains("partial_"), "expected map-side partial agg")
+  }
+
+  test("ngram jaccard: bucketed self-join, never a cartesian") {
+    val p = plan("dedup_ngram_jaccard")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_"), "expected map-side partial agg")
+  }
+
+  test("embedding dedup (declared LSH form): no all-pairs join") {
+    val p = plan("dedup_embedding_lsh")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("sign-IVF probe: equi-join on cell, no cartesian") {
+    val p = plan("emb_ann_ivf")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
 }

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Pins for the sign-plane (portable) ANN tier:
+  *  - dedup_embedding_lsh's candidate set is a subset of brute-force
+  *    pairs and loses nothing at the 0.99 threshold on the fixture
+  *    (same-bucket ⊂ all-pairs; the oracle re-checks exact values);
+  *  - searchSign probes a strict subset of cells yet keeps recall.
+  */
+class SignAnnSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("LSH embedding dedup = brute-force pairs at threshold (fixture)") {
+    val lsh = graft.queries.Embeddings.dedupEmbeddingLsh(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = graft.queries.Embeddings.dedupEmbeddingCosine(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute), s"LSH found non-brute pairs: ${lsh -- brute}")
+    assert(lsh == brute,
+      s"bucketing dropped qualifying pairs on this fixture: ${brute -- lsh}")
+  }
+
+  test("sign-quantized IVF: 8 cells, multi-probe recall vs brute top-k") {
+    val e = graft.Tables.embeddings(spark, d)
+    val index = IvfIndex.buildSign(e)
+    assert(index.select("cell").distinct().count() <= 8)
+    val queries = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val approx = IvfIndex.searchSign(index, queries, k = 5, nProbe = 3,
+      excludeSelf = true)
+      .select("q_id", "c_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val exact = graft.queries.Embeddings.cosineTopK(spark, d)
+      .select("q_id", "c_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val recalls = exact.map { case (q, truth) =>
+      approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.5, f"mean recall@5 = $meanRecall%.2f")
+    assert(approx.keySet == exact.keySet)
+  }
+}
