@@ -24,6 +24,18 @@ class SimHashSpec extends AnyFunSuite {
     assert(r == SimHashImpl.simhash64("hello world"))
   }
 
+  test("cross-engine pin: non-ASCII text matches the DuckDB oracle formula") {
+    // expected values computed once with DuckDB 1.x from the exact
+    // dedup_simhash oracle SQL (md5-nibble bit votes) and the
+    // string_split_regex('[^\p{L}]+') tokenizer — pins both the md5
+    // token hash and the Unicode tokenizer against regressions.
+    val text = "héllo wörld füü42bar Ärger être naïve 中文字 test"
+    assert(SimHashImpl.simhash64(text) == 1590223735106831223L)
+    val sparkToks = text.split("[^\\p{L}]+").filter(_.nonEmpty).toSeq
+    assert(sparkToks == Seq("héllo", "wörld", "füü", "bar", "Ärger",
+      "être", "naïve", "中文字", "test"))
+  }
+
   test("near-identical texts land within the hamming threshold") {
     val a = SimHashImpl.simhash64("the quick brown fox jumps over the lazy dog " * 20)
     val b = SimHashImpl.simhash64(("the quick brown fox jumps over the lazy dog " * 20) + "extra")
