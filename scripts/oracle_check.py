@@ -53,8 +53,11 @@ def main():
                 print(f"FAIL {name}: driver-unsafe oracle column types {bad_types} "
                       f"(CAST sums to BIGINT / stringify arrays)")
                 n_bad += 1; continue
-            arr_cols = [c for c in raw.columns if len(raw) and
-                        type(raw[c].iloc[0]).__name__ in ("ndarray", "list")]
+            # schema-level check (not value-level: first row may be NULL
+            # and a 0-row local result can be >0 rows at driver scale)
+            import pyarrow.parquet as pq
+            arr_cols = [f.name for f in pq.read_schema(sorted(files)[0])
+                        if "list" in str(f.type) or "struct" in str(f.type)]
             if arr_cols:
                 print(f"FAIL {name}: spark output has array-typed columns {arr_cols} "
                       f"(driver checker cannot sort these)")

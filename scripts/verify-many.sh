@@ -13,6 +13,12 @@ if [ $# -lt 1 ]; then
     exit 1
 fi
 runs=$1
+case "$runs" in
+    ''|*[!0-9]*) echo "numTrials must be a positive integer, got '$runs'"; exit 1;;
+esac
+if [ "$runs" -lt 1 ]; then
+    echo "numTrials must be >= 1, got $runs"; exit 1
+fi
 sf=${2:-/root/testdata/sf0.01}
 cd "$(dirname "$0")/.."
 for i in $(seq 1 "$runs"); do

@@ -18,17 +18,9 @@ import graft.functions.GraftFunctions
 object IvfIndex {
 
   import org.apache.spark.sql.Column
+  import SignPlanes.planeDot
 
-  /** Fixed seedless hyperplane p: component i = sin(p*1000 + i) —
-    * identical arithmetic in any engine, so sign decisions (and the
-    * probe order below) are engine-portable. In-order double fold. */
-  private def planeDot(emb: Column, p: Int): Column =
-    aggregate(
-      zip_with(emb, sequence(lit(0), lit(63)),
-        (x, i) => x.cast("double") * sin(lit(p * 1000).cast("double") + i.cast("double"))),
-      lit(0.0), (acc, x) => acc + x)
-
-  private val SignPlanes = 3 // 2^3 = 8 cells
+  private val NPlanes = 3 // 2^3 = 8 cells
 
   /** Deterministic coarse quantizer: cell = 3 sign bits of the fixed
     * hyperplane dots (plane p -> bit 2-p). Same IVF shape as the
@@ -36,12 +28,12 @@ object IvfIndex {
     * — but SQL-expressible, so the declared query gets a DuckDB
     * oracle (VERDICT r1 #4). */
   def buildSign(embeddings: DataFrame): DataFrame = {
-    val withDots = (0 until SignPlanes).foldLeft(
+    val withDots = (0 until NPlanes).foldLeft(
       embeddings.select(col("vec_id"), col("embedding")))(
       (df, p) => df.withColumn(s"d$p", planeDot(col("embedding"), p)))
     withDots.withColumn("cell",
-      (0 until SignPlanes).map(p =>
-        when(col(s"d$p") >= 0, lit(1 << (SignPlanes - 1 - p))).otherwise(lit(0)))
+      (0 until NPlanes).map(p =>
+        when(col(s"d$p") >= 0, lit(1 << (NPlanes - 1 - p))).otherwise(lit(0)))
         .reduce(_ + _))
       .select(col("vec_id"), col("embedding"), col("cell"))
   }
@@ -54,18 +46,18 @@ object IvfIndex {
     * data, cell is the partition key at scale. */
   def searchSign(index: DataFrame, queries: DataFrame, k: Int,
       nProbe: Int = 3, excludeSelf: Boolean = false): DataFrame = {
-    require(nProbe >= 1 && nProbe <= SignPlanes + 1,
-      s"nProbe must be in [1, ${SignPlanes + 1}]: own cell + single-bit flips")
+    require(nProbe >= 1 && nProbe <= NPlanes + 1,
+      s"nProbe must be in [1, ${NPlanes + 1}]: own cell + single-bit flips")
     GraftFunctions.registerAll(index.sparkSession)
-    val withDots = (0 until SignPlanes).foldLeft(queries)(
+    val withDots = (0 until NPlanes).foldLeft(queries)(
       (df, p) => df.withColumn(s"d$p", planeDot(col("q_emb"), p)))
-    val flips = sort_array(array((0 until SignPlanes).map(p =>
+    val flips = sort_array(array((0 until NPlanes).map(p =>
       struct(abs(col(s"d$p")).as("a"), lit(p).as("p"),
-        lit(1 << (SignPlanes - 1 - p)).as("m"))): _*))
+        lit(1 << (NPlanes - 1 - p)).as("m"))): _*))
     val probed = withDots
       .withColumn("cell",
-        (0 until SignPlanes).map(p =>
-          when(col(s"d$p") >= 0, lit(1 << (SignPlanes - 1 - p))).otherwise(lit(0)))
+        (0 until NPlanes).map(p =>
+          when(col(s"d$p") >= 0, lit(1 << (NPlanes - 1 - p))).otherwise(lit(0)))
           .reduce(_ + _))
       .withColumn("probe_cell", explode(array(
         col("cell") +: (1 until nProbe).map(r =>

@@ -102,10 +102,7 @@ object Embeddings {
     * sin(p*1000 + i), identical in both engines), then candidates share
     * a bucket. The scale path: shuffle on bucket, no cross join. */
   private def planeDot(emb: Column, p: Int): Column =
-    aggregate(
-      zip_with(emb, sequence(lit(0), lit(63)),
-        (x, i) => x.cast("double") * sin(lit(p * 1000).cast("double") + i.cast("double"))),
-      lit(0.0), (acc, x) => acc + x)
+    graft.operators.SignPlanes.planeDot(emb, p)
 
   /** 8-bit sign signature per vector (shared by annLshBuckets and
     * dedupEmbeddingLsh): vectors in the same bucket agree on all 8
@@ -157,9 +154,11 @@ object Embeddings {
     * 0.99. NOT the declared query (an all-pairs broadcast join is a
     * scale-killer) — kept only as the test oracle for
     * dedupEmbeddingLsh below (SignAnnSpec). */
-  def dedupEmbeddingCosine(s: SparkSession, d: String): DataFrame = {
+  def dedupEmbeddingCosine(s: SparkSession, d: String): DataFrame =
+    dedupEmbeddingCosineOn(s, embeddings(s, d))
+
+  def dedupEmbeddingCosineOn(s: SparkSession, e: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.registerAll(s)
-    val e = embeddings(s, d)
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
       col("label").as("label_a"))
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
@@ -173,34 +172,22 @@ object Embeddings {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  val dedupEmbeddingCosineSql: String =
-    """WITH p AS (
-      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |    a.label AS label_a, b.label AS label_b,
-      |    list_reduce(list_transform(range(1, len(a.embedding)+1),
-      |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
-      |      (x, y) -> x + y)
-      |    / SQRT(
-      |      list_reduce(list_transform(range(1, len(a.embedding)+1),
-      |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)),
-      |        (x, y) -> x + y)
-      |      *
-      |      list_reduce(list_transform(range(1, len(b.embedding)+1),
-      |          i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
-      |        (x, y) -> x + y)) AS cos
-      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-      |SELECT id_a, id_b, label_a = label_b AS same_label
-      |FROM p WHERE cos >= 0.99
-      |ORDER BY id_a, id_b""".stripMargin
-
   /** Embedding near-dup, scale path (the declared query): sign-bucket
     * LSH candidates + exact cosine verify within buckets — shuffle on
     * the 8-bit bucket key, pair cost is sum-of-bucket², never n².
-    * The all-pairs form above is the test oracle for it
-    * (DedupEmbeddingSpec) — at 100 TB only this one runs. */
+    * The all-pairs form above is the test oracle for it (SignAnnSpec,
+    * incl. planted near-duplicates) — at 100 TB only this one runs. */
   def dedupEmbeddingLsh(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(s)
-    val sig = signBuckets(embeddings(s, d))
+    dedupEmbeddingLshOn(s, embeddings(s, d))
+  }
+
+  /** Core LSH dedup over any (vec_id, label, embedding) frame —
+    * separated so specs can plant near-duplicates (the synthetic
+    * table has none, and a 0-row pass proves little). */
+  def dedupEmbeddingLshOn(s: SparkSession, e: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    val sig = signBuckets(e)
     val a = sig.as("a"); val b = sig.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))

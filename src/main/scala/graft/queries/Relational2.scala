@@ -234,11 +234,17 @@ object Relational2 {
       .agg(
         approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
         approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-        // scalar columns, not array<double> — array outputs break the
-        // external row-hash checker (and array hashing differs anyway)
-        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("price_p50"),
-        expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("price_p95"),
+        // ONE quantile sketch per group (array form), projected to
+        // scalar columns after the agg — scalars because array outputs
+        // break the external row-hash checker (and array hashing
+        // differs across engines anyway)
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)")
+          .as("pq"),
         count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("approx_orders"), col("approx_parts"),
+        element_at(col("pq"), 1).as("price_p50"),
+        element_at(col("pq"), 2).as("price_p95"),
+        col("n_rows"))
       .orderBy(col("l_returnflag"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -25,6 +25,27 @@ class SignAnnSpec extends AnyFunSuite {
       s"bucketing dropped qualifying pairs on this fixture: ${brute -- lsh}")
   }
 
+  test("LSH embedding dedup finds planted near-duplicates") {
+    import SparkTestSession.spark.implicits._
+    // 30 random unit-ish vectors + 5 near-copies (1e-4 perturbation of
+    // ids 0..4, as ids 100..104): cosine(orig, copy) ≈ 1 >> 0.99, and
+    // the perturbation can't flip a sign-plane margin, so the LSH path
+    // must find exactly those 5 pairs — a non-vacuous positive check.
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0L until 30L).map(i => (i, s"l${i % 3}", vec()))
+    val dups = base.take(5).map { case (i, l, v) =>
+      (i + 100L, l, v.map(x => x + 1e-4f)) }
+    val e = (base ++ dups).toDF("vec_id", "label", "embedding")
+    val got = graft.queries.Embeddings.dedupEmbeddingLshOn(spark, e)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 5L).map(i => (i, i + 100L)).toSet
+    assert(got == expected, s"got $got")
+    val brute = graft.queries.Embeddings.dedupEmbeddingCosineOn(spark, e)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute)
+  }
+
   test("sign-quantized IVF: 8 cells, multi-probe recall vs brute top-k") {
     val e = graft.Tables.embeddings(spark, d)
     val index = IvfIndex.buildSign(e)
