@@ -252,6 +252,55 @@ object Relational {
       |FROM orders
       |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
 
+  /** Distribution windows: ntile quartile, percent_rank, cume_dist,
+    * dense_rank per customer over order price. The rank fractions are
+    * exact small-integer ratios, so doubles compare bit-identical
+    * across engines; ordering carries the o_orderkey tie-break. */
+  def windowRankStats(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("quartile"),
+        col("pct_rank"), col("cume"), col("drnk"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val windowRankStatsSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(NTILE(4) OVER w AS INT) AS quartile,
+      |  PERCENT_RANK() OVER w AS pct_rank,
+      |  CUME_DIST() OVER w AS cume,
+      |  CAST(DENSE_RANK() OVER w AS INT) AS drnk
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Unpivot (wide → long): melt the pivoted status counts back into
+    * (priority, status, n) rows — Spark's native `unpivot` operator;
+    * the oracle re-expresses it as the equivalent UNION ALL. */
+  def unpivotStatus(s: SparkSession, d: String): DataFrame =
+    aggPivot(s, d)
+      .unpivot(Array(col("o_orderpriority")),
+        Array(col("n_open"), col("n_filled"), col("n_pending")),
+        "status", "n")
+      .orderBy(col("o_orderpriority"), col("status"))
+
+  // lazy: aggPivotSql is declared further down the object body
+  lazy val unpivotStatusSql: String =
+    s"""WITH pivoted AS ($aggPivotSql)
+       |SELECT o_orderpriority, status, n FROM (
+       |  SELECT o_orderpriority, 'n_open' AS status, n_open AS n FROM pivoted
+       |  UNION ALL
+       |  SELECT o_orderpriority, 'n_filled', n_filled FROM pivoted
+       |  UNION ALL
+       |  SELECT o_orderpriority, 'n_pending', n_pending FROM pivoted) u
+       |ORDER BY o_orderpriority, status""".stripMargin
+
   // ----------------------------------------------------- sort / top-k
   /** Global top-k with total tiebreak: TakeOrderedAndProject, no full sort. */
   def sortTopK(s: SparkSession, d: String): DataFrame =
@@ -553,6 +602,8 @@ object Relational {
     "window_top_per_key" -> windowTopPerKey,
     "window_running_sum" -> windowRunningSum,
     "window_lag_lead" -> windowLagLead,
+    "window_rank_stats" -> windowRankStats,
+    "unpivot_status" -> unpivotStatus,
     "sort_topk" -> sortTopK,
     "set_union" -> setUnion,
     "set_intersect" -> setIntersect,
@@ -580,6 +631,8 @@ object Relational {
     "window_top_per_key" -> windowTopPerKeySql,
     "window_running_sum" -> windowRunningSumSql,
     "window_lag_lead" -> windowLagLeadSql,
+    "window_rank_stats" -> windowRankStatsSql,
+    "unpivot_status" -> unpivotStatusSql,
     "sort_topk" -> sortTopKSql,
     "set_union" -> setUnionSql,
     "set_intersect" -> setIntersectSql,
