@@ -27,6 +27,8 @@ object SimHashDedup {
 
   /** Candidate pairs sharing a 16-bit band, filtered to hamming <= 3. */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    // persist the banded signatures (4 rows × 3 longs per doc): both
+    // self-join sides would otherwise re-tokenize + re-md5 the corpus
     val sig = signatures(s, d)
     val banded = sig.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(b =>
@@ -35,14 +37,17 @@ object SimHashDedup {
             .as("chunk"))): _*)).as("bc"))
       .select(col("doc_id"), col("sh"),
         col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+      .persist()
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") &&
         col("a.chunk") === col("b.chunk") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
-      .distinct()
+      // filter BEFORE the dedup shuffle: hamming is per-row cheap and
+      // shrinks the distinct input to qualifying pairs only
       .filter(col("hamming") <= HammingThreshold)
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
