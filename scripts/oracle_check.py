@@ -34,8 +34,15 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
+    # ORACLE_SKIP=a,b,c — skip named queries. For big-SF local runs
+    # where an oracle formulation is intractable in DuckDB (e.g.
+    # dedup_clusters' recursive transitive closure is quadratic in
+    # component size); the driver's gate runs at sf0.01 where all pass.
+    skip = set(filter(None, os.environ.get("ORACLE_SKIP", "").split(",")))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
+        if name in skip:
+            print(f"SKIP {name} (ORACLE_SKIP)"); continue
         files = glob.glob(f"{out}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output"); n_bad += 1; continue
