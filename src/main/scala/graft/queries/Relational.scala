@@ -252,6 +252,36 @@ object Relational {
       |FROM orders
       |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
 
+  /** Time-RANGE window: trailing-30-day order count and spend per
+    * customer — RANGE BETWEEN over epoch seconds (not ROWS), so peers
+    * at the same timestamp aggregate together in both engines. */
+  def windowTrailing30d(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("ts_sec"))
+      .rangeBetween(-30L * 86400, 0)
+    orders(s, d)
+      // o_orderdate is TIMESTAMP_NTZ: hop through TIMESTAMP (session
+      // TZ is UTC) to get epoch seconds — matches DuckDB's EPOCH()
+      .withColumn("ts_sec", col("o_orderdate").cast("timestamp").cast("long"))
+      .withColumn("n_30d", count(lit(1)).over(w))
+      .withColumn("spend_30d", sum(cents(col("o_totalprice"))).over(w) / lit(100.0))
+      .select(col("o_custkey"), col("o_orderkey"), col("ts_sec"),
+        col("n_30d"), col("spend_30d"))
+      .orderBy(col("o_custkey"), col("ts_sec"), col("o_orderkey"))
+  }
+
+  val windowTrailing30dSql: String =
+    s"""SELECT o_custkey, o_orderkey, ts_sec,
+       |  COUNT(*) OVER w AS n_30d,
+       |  SUM(cents) OVER w / 100.0 AS spend_30d
+       |FROM (SELECT o_custkey, o_orderkey,
+       |        CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) AS ts_sec,
+       |        ${centsSql("o_totalprice")} AS cents
+       |      FROM orders) t
+       |WINDOW w AS (PARTITION BY o_custkey ORDER BY ts_sec
+       |  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+       |ORDER BY o_custkey, ts_sec, o_orderkey""".stripMargin
+
   /** Distribution windows: ntile quartile, percent_rank, cume_dist,
     * dense_rank per customer over order price. The rank fractions are
     * exact small-integer ratios, so doubles compare bit-identical
@@ -603,6 +633,7 @@ object Relational {
     "window_running_sum" -> windowRunningSum,
     "window_lag_lead" -> windowLagLead,
     "window_rank_stats" -> windowRankStats,
+    "window_trailing_30d" -> windowTrailing30d,
     "unpivot_status" -> unpivotStatus,
     "sort_topk" -> sortTopK,
     "set_union" -> setUnion,
@@ -632,6 +663,7 @@ object Relational {
     "window_running_sum" -> windowRunningSumSql,
     "window_lag_lead" -> windowLagLeadSql,
     "window_rank_stats" -> windowRankStatsSql,
+    "window_trailing_30d" -> windowTrailing30dSql,
     "unpivot_status" -> unpivotStatusSql,
     "sort_topk" -> sortTopKSql,
     "set_union" -> setUnionSql,

@@ -36,6 +36,24 @@ object SqlSurface {
       |ORDER BY total_spend DESC, c_custkey
       |LIMIT 25""".stripMargin
 
+  /** Explicit GROUPING SETS with GROUPING() null-vs-total markers —
+    * the generalization rollup/cube specialize; SQL-only surface in
+    * Spark (the DataFrame DSL exposes only rollup/cube). */
+  val groupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+      |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+      |  SUM(l_quantity) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |  (l_returnflag), (l_linestatus), ())
+      |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin
+
+  def sqlGroupingSets(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d); s.sql(groupingSetsSql)
+  }
+
   def sqlPricingSummary(s: SparkSession, d: String): DataFrame = {
     registerViews(s, d); s.sql(pricingSummarySql)
   }
@@ -46,9 +64,11 @@ object SqlSurface {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_pricing_summary" -> sqlPricingSummary,
-    "sql_top_customers" -> sqlTopCustomers)
+    "sql_top_customers" -> sqlTopCustomers,
+    "sql_grouping_sets" -> sqlGroupingSets)
 
   val oracle: Map[String, String] = Map(
     "sql_pricing_summary" -> pricingSummarySql,
-    "sql_top_customers" -> topCustomersSql)
+    "sql_top_customers" -> topCustomersSql,
+    "sql_grouping_sets" -> groupingSetsSql)
 }
