@@ -17,7 +17,11 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
-      }
+      } finally
+        // queries that persist() a multi-consumer intermediate must not
+        // hand the NEXT execution a warm cache: every timed pass is
+        // cold, so min-of-two stays comparable across all queries
+        spark.catalog.clearCache()
       (System.nanoTime() - t0) / 1e9
     }
     exec("q1_pricing_summary") // warm-up: JVM, codegen, file index

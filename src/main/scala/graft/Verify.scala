@@ -17,7 +17,11 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      } finally
+        // free any intermediate a query persist()ed: ~78 queries share
+        // this session and cached shingle/signature tables would
+        // otherwise pile up in storage memory for the whole run
+        spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
