@@ -152,6 +152,7 @@ object Documents {
     // 10 M-row distinct shuffle (was ~5 s of the query at sf0.1).
     // persist the (tiny: one row per doc, 3 longs) signature table so
     // the two joins × two sides don't re-run the tokenize+minhash agg
+    // (cold A/B at sf0.1: 2.3 s persisted vs 5.9 s not)
     val sig2 = minhashSignatures(s, d).select(col("doc_id"),
       xxhash64(lit("b0"), col("mh0"), col("mh1")).as("b0"),
       xxhash64(lit("b1"), col("mh2"), col("mh3")).as("b1"))
