@@ -37,6 +37,10 @@ object ConnectedComponents {
       val neighborLabels = sym
         .join(labels, col("dst") === col("id"))
         .select(col("src").as("id"), col("component"))
+      // (pointer-jumping compression was tried and reverted: the
+      // propagated-self-join trips Catalyst's Union constraint rewrite
+      // on LocalRelation inputs, and with star-contracted edges the
+      // diameter is already ~5, so O(log d) bought nothing measurable)
       val next = labels.select(col("id"), col("component"))
         .union(neighborLabels)
         .groupBy(col("id"))
@@ -53,6 +57,7 @@ object ConnectedComponents {
       labels = next
       iter += 1
     }
+    System.err.println(s"[cc] converged=$converged after $iter iterations")
     sym.unpersist()
     labels
   }
