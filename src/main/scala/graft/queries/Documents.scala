@@ -187,26 +187,42 @@ object Documents {
     * (operators.ConnectedComponents); oracle: recursive-CTE transitive
     * closure + MIN. */
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    // Contract the graph before CC: docs sharing a band value form a
-    // clique, and a clique has the same components as a star to its
-    // min member — so per band value emit star edges (O(n) edges)
-    // instead of the O(n²) pair materialization (38 s -> ~3 s at
-    // sf0.1 on this near-degenerate similarity graph).
+    // Contract the graph before CC, twice over:
+    // 1. docs sharing a band value form a clique ≡ a star to its min
+    //    member (the hub) — O(n) edges instead of O(n²) pairs
+    //    (38 s -> ~3 s at sf0.1 on this near-degenerate graph);
+    // 2. iterate CC over the HUB graph only (hubs h0—h1 linked when a
+    //    doc carries both): every component's min doc is provably a
+    //    hub (the min belongs to some band whose hub ≤ it and is in
+    //    the same component), so doc labels follow with one join:
+    //    component(doc) = min(comp(h0), comp(h1)). The iterative
+    //    working set shrinks from every doc to the distinct band
+    //    values (5× here; at 100 TB the ratio is the mean cluster
+    //    size). Cold A/B at sf0.1: 5.6 s vs 6.1 s, identical rows.
     val sig2 = minhashSignatures(s, d).select(col("doc_id"),
       xxhash64(lit("b0"), col("mh0"), col("mh1")).as("b0"),
       xxhash64(lit("b1"), col("mh2"), col("mh3")).as("b1")).persist()
-    def starEdges(band: String) = {
-      val hubs = sig2.groupBy(col(band)).agg(min(col("doc_id")).as("hub"))
-      sig2.join(hubs, band)
-        .filter(col("doc_id") =!= col("hub"))
-        .select(col("doc_id").as("src"), col("hub").as("dst"))
-    }
-    val edges = starEdges("b0").union(starEdges("b1"))
-    val nodes = documents(s, d).select(col("doc_id"))
-    val out = graft.operators.ConnectedComponents.run(s, nodes, edges)
-      .toDF("doc_id", "cluster_rep")
+    val h0 = sig2.groupBy(col("b0")).agg(min(col("doc_id")).as("h0"))
+    val h1 = sig2.groupBy(col("b1")).agg(min(col("doc_id")).as("h1"))
+    val withHubs = sig2.join(h0, "b0").join(h1, "b1").persist()
+    val hubNodes = withHubs.select(col("h0").as("id"))
+      .union(withHubs.select(col("h1").as("id"))).distinct()
+    val hubEdges = withHubs.filter(col("h0") =!= col("h1"))
+      .select(col("h0").as("src"), col("h1").as("dst")).distinct()
+    val hubCC = graft.operators.ConnectedComponents.run(s, hubNodes, hubEdges)
+      .toDF("hid", "comp")
+    val docComp = withHubs
+      .join(hubCC.select(col("hid").as("hid0"), col("comp").as("c0")),
+        col("h0") === col("hid0"))
+      .join(hubCC.select(col("hid").as("hid1"), col("comp").as("c1")),
+        col("h1") === col("hid1"))
+      .select(col("doc_id"), least(col("c0"), col("c1")).as("component"))
+    // docs with no tokens never enter sig2: they are their own cluster
+    documents(s, d).select(col("doc_id"))
+      .join(docComp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_rep"))
       .orderBy(col("doc_id"))
-    out
   }
 
   val dedupClustersSql: String = {
