@@ -39,10 +39,17 @@ def main():
     # dedup_clusters' recursive transitive closure is quadratic in
     # component size); the driver's gate runs at sf0.01 where all pass.
     skip = set(filter(None, os.environ.get("ORACLE_SKIP", "").split(",")))
-    n_ok = n_bad = 0
+    # ORACLE_STRICT=1 (set by verify-many.sh / CI-like wrappers): any
+    # skip is a failure — a stale exported ORACLE_SKIP must not be able
+    # to produce a silently-weakened green.
+    strict = os.environ.get("ORACLE_STRICT", "") not in ("", "0")
+    unknown = skip - set(oracle)
+    if unknown:
+        print(f"WARN ORACLE_SKIP names unknown queries: {sorted(unknown)}")
+    n_ok = n_bad = n_skip = 0
     for name, sql in sorted(oracle.items()):
         if name in skip:
-            print(f"SKIP {name} (ORACLE_SKIP)"); continue
+            print(f"SKIP {name} (ORACLE_SKIP)"); n_skip += 1; continue
         files = glob.glob(f"{out}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output"); n_bad += 1; continue
@@ -98,7 +105,12 @@ def main():
         else:
             print(f"OK   {name} ({len(got)} rows)"); n_ok += 1
     # queries with no oracle entry
-    print(f"\n{n_ok} ok, {n_bad} bad, {len(oracle)} total with oracle")
+    print(f"\n{n_ok} ok, {n_bad} bad, {n_skip} skipped, "
+          f"{len(oracle)} total with oracle")
+    if n_skip and strict:
+        print(f"FAIL strict mode: {n_skip} queries skipped via "
+              f"ORACLE_SKIP={os.environ.get('ORACLE_SKIP')}")
+        sys.exit(1)
     sys.exit(1 if n_bad else 0)
 
 if __name__ == "__main__":

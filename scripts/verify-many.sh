@@ -21,6 +21,19 @@ if [ "$runs" -lt 1 ]; then
 fi
 sf=${2:-/root/testdata/sf0.01}
 cd "$(dirname "$0")/.."
+# A stale exported ORACLE_SKIP must never weaken the gate silently.
+# Skipping is legitimate only when requested EXPLICITLY for this run
+# via ALLOW_ORACLE_SKIP=1 (e.g. dedup_clusters' quadratic closure
+# oracle at sf0.1); otherwise run strict: any skip fails the trial.
+if [ -n "${ORACLE_SKIP:-}" ]; then
+    if [ "${ALLOW_ORACLE_SKIP:-0}" = "1" ]; then
+        echo "*** WARNING: trials EXCLUDE skipped queries: ORACLE_SKIP=$ORACLE_SKIP"
+    else
+        echo "*** ORACLE_SKIP=$ORACLE_SKIP is set but ALLOW_ORACLE_SKIP=1 is not:"
+        echo "*** running STRICT (skips fail). Export ALLOW_ORACLE_SKIP=1 to allow."
+        export ORACLE_STRICT=1
+    fi
+fi
 for i in $(seq 1 "$runs"); do
     out=$(mktemp -d /tmp/graft-verify-XXXX)
     if ! timeout -k 10s 900s sbt -batch "runMain graft.Verify $sf $out" \

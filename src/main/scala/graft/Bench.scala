@@ -33,10 +33,24 @@ object Bench {
       val t2 = exec(n)
       n -> (if (t2 < 0 || pass1(n) < 0) -1.0 else math.min(pass1(n), t2))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // millisecond precision: full-double rendering made the line long
+    // enough that the driver's stdout tail truncated ~17 of 78 query
+    // timings out of the round artifact (ADVICE r3)
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // belt-and-braces: persist the full line where tail-truncation
+    // can't lose it (read by later rounds for perf comparisons)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_last.json"), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench_last.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

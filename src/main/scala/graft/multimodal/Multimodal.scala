@@ -20,7 +20,7 @@ object Multimodal {
   case class Media(media_id: Long, kind: String, payload: Array[Byte])
   case class MediaMeta(media_id: Long, kind: String, width: Int, height: Int,
       n_frames: Int, bytes: Long)
-  case class Frame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+  case class Frame(media_id: Long, kind: String, frame_idx: Int, frame: Array[Byte])
 
   /** Deterministic synthetic media derived from the documents table:
     * payload = 16-byte header (kind, w, h, frames) + content bytes.
@@ -61,11 +61,12 @@ object Multimodal {
       val codec = StubCodec
       it.flatMap { m =>
         m.kind match {
-          case "image" => Iterator.single(Frame(m.media_id, 0, codec.body(m.payload)))
+          case "image" =>
+            Iterator.single(Frame(m.media_id, m.kind, 0, codec.body(m.payload)))
           case "video" =>
             val (_, _, frames) = codec.decodeHeader(m.payload)
             (0 until frames by everyK).iterator.map(i =>
-              Frame(m.media_id, i, codec.frameSlice(m.payload, i)))
+              Frame(m.media_id, m.kind, i, codec.frameSlice(m.payload, i)))
           case _ => Iterator.empty
         }
       }
@@ -98,11 +99,11 @@ object Multimodal {
     * checkable because the stub codec's header fields are pure
     * arithmetic over documents columns. */
   def frameSampleStats(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val frames = sampleFrames(spark, mediaTable(spark, dir), everyK = 4)
-    frames.select(col("media_id"), col("frame_idx"))
-      .withColumn("kind",
-        when(col("media_id") % 3 === 0, "image").otherwise("video"))
+    // kind travels WITH each frame (carried through the Frame schema),
+    // not re-derived from id arithmetic — stays correct if the sampler
+    // ever emits frames for more kinds
+    frames.select(col("media_id"), col("kind"), col("frame_idx"))
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n_frames_sampled"),
         countDistinct(col("media_id")).as("n_media"))

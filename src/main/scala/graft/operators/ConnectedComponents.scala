@@ -57,8 +57,17 @@ object ConnectedComponents {
       labels = next
       iter += 1
     }
-    System.err.println(s"[cc] converged=$converged after $iter iterations")
     sym.unpersist()
+    // Non-convergence must be loud: returning partially-propagated
+    // labels would silently mislabel clusters (wrong-but-green dedup).
+    // maxIter ≈ hub-graph diameter bound; a pathological graph at
+    // 100× scale exceeding it is a config problem the caller must see.
+    if (!converged)
+      throw new IllegalStateException(
+        s"ConnectedComponents did not converge after $iter iterations " +
+          s"(maxIter=$maxIter) — labels would be partially propagated; " +
+          "raise maxIter or pre-contract the graph")
+    System.err.println(s"[cc] converged after $iter iterations")
     labels
   }
 }

@@ -150,13 +150,16 @@ object Documents {
     // disjoint joins — band-0 matches, then band-1-only matches
     // (band-0 differs) — produce each pair exactly once, so no
     // 10 M-row distinct shuffle (was ~5 s of the query at sf0.1).
-    // persist the (tiny: one row per doc, 3 longs) signature table so
-    // the two joins × two sides don't re-run the tokenize+minhash agg
-    // (cold A/B at sf0.1: 2.3 s persisted vs 5.9 s not)
+    // materialize the (tiny: one row per doc, 3 longs) signature table
+    // so the two joins × two sides don't re-run the tokenize+minhash
+    // agg (cold A/B at sf0.1: 2.3 s materialized vs 5.9 s not).
+    // localCheckpoint, NOT persist: eager blocks are reused the same
+    // way but never enter the CacheManager, so library callers don't
+    // leak a cached table past the query (freed on plan GC)
     val sig2 = minhashSignatures(s, d).select(col("doc_id"),
       xxhash64(lit("b0"), col("mh0"), col("mh1")).as("b0"),
       xxhash64(lit("b1"), col("mh2"), col("mh3")).as("b1"))
-      .persist()
+      .localCheckpoint(true)
     val a = sig2.as("a"); val b = sig2.as("b")
     val onB0 = a.join(b, col("a.b0") === col("b.b0") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -199,12 +202,15 @@ object Documents {
     //    working set shrinks from every doc to the distinct band
     //    values (5× here; at 100 TB the ratio is the mean cluster
     //    size). Cold A/B at sf0.1: 5.6 s vs 6.1 s, identical rows.
+    // localCheckpoint (not persist) for both multi-consumer tables:
+    // same block reuse, no CacheManager entry left behind for callers
     val sig2 = minhashSignatures(s, d).select(col("doc_id"),
       xxhash64(lit("b0"), col("mh0"), col("mh1")).as("b0"),
-      xxhash64(lit("b1"), col("mh2"), col("mh3")).as("b1")).persist()
+      xxhash64(lit("b1"), col("mh2"), col("mh3")).as("b1"))
+      .localCheckpoint(true)
     val h0 = sig2.groupBy(col("b0")).agg(min(col("doc_id")).as("h0"))
     val h1 = sig2.groupBy(col("b1")).agg(min(col("doc_id")).as("h1"))
-    val withHubs = sig2.join(h0, "b0").join(h1, "b1").persist()
+    val withHubs = sig2.join(h0, "b0").join(h1, "b1").localCheckpoint(true)
     val hubNodes = withHubs.select(col("h0").as("id"))
       .union(withHubs.select(col("h1").as("id"))).distinct()
     val hubEdges = withHubs.filter(col("h0") =!= col("h1"))

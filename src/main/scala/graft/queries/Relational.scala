@@ -431,16 +431,20 @@ object Relational {
       .groupBy(col("l_orderkey"))
       .agg(collect_list(col("l_linenumber")).as("lines"),
         collect_list(col("l_quantity")).as("qtys"))
+      // sort once: two downstream uses reference this column, and
+      // CollapseProject keeps non-cheap multi-referenced expressions
+      // in their own project, so the sort is not re-inlined twice
+      .withColumn("sorted_lines", sort_array(col("lines")))
       .select(
         col("l_orderkey"),
         // arrays rendered as canonical strings: array hashing/display
         // differs between engines, string join does not
-        concat_ws(",", transform(sort_array(col("lines")), _.cast("string")))
+        concat_ws(",", transform(col("sorted_lines"), _.cast("string")))
           .as("lines_sorted"),
         size(col("lines")).as("n_lines"),
         concat_ws(",", transform(sort_array(array_distinct(col("qtys"))),
           _.cast("int").cast("string"))).as("distinct_qtys"),
-        concat_ws(",", transform(slice(sort_array(col("lines")), 1, 2),
+        concat_ws(",", transform(slice(col("sorted_lines"), 1, 2),
           _.cast("string"))).as("first_two"),
         aggregate(col("qtys"), lit(0.0d), (acc, x) => acc + x).as("qty_sum"))
       .orderBy(col("l_orderkey"))

@@ -223,29 +223,62 @@ object Relational2 {
        |ORDER BY o_orderstatus""".stripMargin
   }
 
-  // ----------------------------------------- sketches (no SQL oracle)
-  /** HyperLogLog distinct + t-digest-style quantile sketch: the
-    * approximate tier for 100 TB interactive profiling. No DuckDB
-    * oracle (sketch internals differ) — sanity-pinned in SketchSpec
-    * against exact values instead. */
-  def sketchProfile(s: SparkSession, d: String): DataFrame =
+  // --------------------------------------------------------- sketches
+  /** HyperLogLog distinct + quantile sketch: the approximate tier for
+    * 100 TB interactive profiling. Sketch internals differ across
+    * engines, so raw approx values are not emitted; instead each
+    * sketch is checked IN the query against its exact companion and
+    * the output carries (a) the exact values — byte-comparable on any
+    * engine — and (b) error-bound booleans (HLL rsd 0.01 → 5% bound
+    * is 5σ; approx_percentile accuracy 10000 → rank error n/10000 →
+    * 2% value bound is generous). The DuckDB oracle computes the same
+    * exact companions and literal TRUE bounds, so rows+schema+hash
+    * all check while the sketches still run on the Spark side.
+    * Tight exact-value bounds stay pinned in SketchSpec. */
+  def sketchProfile(s: SparkSession, d: String): DataFrame = {
+    val centsPrice = "CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)"
     lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-        // ONE quantile sketch per group (array form), projected to
-        // scalar columns after the agg — scalars because array outputs
-        // break the external row-hash checker (and array hashing
-        // differs across engines anyway)
-        expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)")
-          .as("pq"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("ao"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        // ONE sketch / ONE exact pass per group (array form), projected
+        // to scalars after the agg — scalars because array outputs break
+        // the external row-hash checker (array hashing differs anyway)
+        expr(s"percentile($centsPrice, array(0.5, 0.95))").as("pe"),
+        expr(s"approx_percentile($centsPrice, array(0.5, 0.95), 10000)").as("pa"),
         count(lit(1)).as("n_rows"))
-      .select(col("l_returnflag"), col("approx_orders"), col("approx_parts"),
-        element_at(col("pq"), 1).as("price_p50"),
-        element_at(col("pq"), 2).as("price_p95"),
+      .select(col("l_returnflag"),
+        col("exact_orders"), col("exact_parts"),
+        (element_at(col("pe"), 1) / 100.0).as("price_p50"),
+        (element_at(col("pe"), 2) / 100.0).as("price_p95"),
+        (abs(col("ao") - col("exact_orders")) / col("exact_orders") < 0.05)
+          .as("hll_orders_ok"),
+        (abs(col("ap") - col("exact_parts")) / col("exact_parts") < 0.05)
+          .as("hll_parts_ok"),
+        (abs(element_at(col("pa"), 1) - element_at(col("pe"), 1))
+          / element_at(col("pe"), 1) < 0.02).as("pq_p50_ok"),
+        (abs(element_at(col("pa"), 2) - element_at(col("pe"), 2))
+          / element_at(col("pe"), 2) < 0.02).as("pq_p95_ok"),
         col("n_rows"))
       .orderBy(col("l_returnflag"))
+  }
+
+  val sketchProfileSql: String = {
+    val c = centsSql("l_extendedprice")
+    s"""SELECT l_returnflag,
+       |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+       |  COUNT(DISTINCT l_partkey) AS exact_parts,
+       |  quantile_cont($c, 0.5)/100.0 AS price_p50,
+       |  quantile_cont($c, 0.95)/100.0 AS price_p95,
+       |  TRUE AS hll_orders_ok, TRUE AS hll_parts_ok,
+       |  TRUE AS pq_p50_ok, TRUE AS pq_p95_ok,
+       |  COUNT(*) AS n_rows
+       |FROM lineitem GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_last_purchase" -> asofLastPurchase,
@@ -267,6 +300,6 @@ object Relational2 {
     "q10_returned_items" -> q10ReturnedItemsSql,
     "q19_disjunctive" -> q19DisjunctiveSql,
     "q4_priority_exists" -> q4PriorityExistsSql,
-    "quantiles_exact" -> quantilesExactSql)
-    // sketch_profile: intentionally no oracle (approximate)
+    "quantiles_exact" -> quantilesExactSql,
+    "sketch_profile" -> sketchProfileSql)
 }

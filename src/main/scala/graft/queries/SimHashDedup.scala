@@ -27,9 +27,11 @@ object SimHashDedup {
 
   /** Candidate pairs sharing a 16-bit band, filtered to hamming <= 3. */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
-    // persist the banded signatures (4 rows × 3 longs per doc): both
-    // self-join sides would otherwise re-tokenize + re-md5 the corpus.
-    // Kept by cold-cache A/B at sf0.1: 0.71 s persisted vs 1.12 s not
+    // materialize the banded signatures (4 rows × 3 longs per doc):
+    // both self-join sides would otherwise re-tokenize + re-md5 the
+    // corpus. Cold-cache A/B at sf0.1: 0.71 s materialized vs 1.12 s
+    // not. localCheckpoint, not persist: no CacheManager entry leaks
+    // to library callers (blocks freed on plan GC)
     val sig = signatures(s, d)
     val banded = sig.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(b =>
@@ -38,7 +40,7 @@ object SimHashDedup {
             .as("chunk"))): _*)).as("bc"))
       .select(col("doc_id"), col("sh"),
         col("bc.band").as("band"), col("bc.chunk").as("chunk"))
-      .persist()
+      .localCheckpoint(true)
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") &&
         col("a.chunk") === col("b.chunk") &&

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Plan-shape pins: the properties that make these queries scale —
@@ -77,6 +78,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
     assert(p.contains("BroadcastHashJoin"), "dims should broadcast")
     assert(p.contains("partial_"), "expected map-side partial agg")
+  }
+
+  test("q9/q21: AQE on with skew-join handling — the two largest " +
+      "shuffles at scale re-plan at runtime") {
+    // config pin: Session.build and the test session both set these;
+    // a regression (someone turning AQE off "for determinism") would
+    // remove runtime skew-split on exactly the joins that need it
+    assert(spark.conf.get("spark.sql.adaptive.enabled").toBoolean)
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled").toBoolean)
+    for (q <- Seq("q9_profit_rollup", "q21_waiting_supplier")) {
+      val exec = SparkEntry.queries(q)(spark, d).queryExecution.executedPlan
+      assert(exec.isInstanceOf[AdaptiveSparkPlanExec],
+        s"$q should be wrapped in AdaptiveSparkPlan")
+    }
   }
 
   test("ngram jaccard: bucketed self-join, never a cartesian") {

@@ -12,6 +12,10 @@ object SparkTestSession {
       .appName("graft-test")
       .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
+      // mirror Session.build's AQE posture so plan pins (PlanSpec's
+      // adaptive/skew-join assertions) test what the driver runs with
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

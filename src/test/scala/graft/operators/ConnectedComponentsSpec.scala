@@ -41,6 +41,17 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("non-convergence throws instead of returning partial labels") {
+    // a 30-node path has diameter 29: maxIter=2 cannot converge
+    val n = 30
+    val nodes = (1L to n.toLong).toDF("id")
+    val edges = (1L until n.toLong).map(i => (i, i + 1)).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      ConnectedComponents.run(spark, nodes, edges, maxIter = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("long path converges within diameter iterations") {
     val n = 30
     val nodes = (1L to n.toLong).toDF("id")
