@@ -155,10 +155,16 @@ object Documents {
     // agg (cold A/B at sf0.1: 2.3 s materialized vs 5.9 s not).
     // localCheckpoint, NOT persist: eager blocks are reused the same
     // way but never enter the CacheManager, so library callers don't
-    // leak a cached table past the query (freed on plan GC)
+    // leak a cached table past the query (freed on plan GC).
+    // The explicit repartition matters: AQE coalesces the materialized
+    // signature shuffle by its INPUT bytes (tiny) — but this join's
+    // OUTPUT is sum-of-bucket² pairs, so 2 coalesced partitions would
+    // serialize the expansion on 2 tasks (measured 4.4 s vs 1.9 s at
+    // sf0.1). Parallelism here must be sized to output work.
     val sig2 = minhashSignatures(s, d).select(col("doc_id"),
       xxhash64(lit("b0"), col("mh0"), col("mh1")).as("b0"),
       xxhash64(lit("b1"), col("mh2"), col("mh3")).as("b1"))
+      .repartition(s.sparkContext.defaultParallelism)
       .localCheckpoint(true)
     val a = sig2.as("a"); val b = sig2.as("b")
     val onB0 = a.join(b, col("a.b0") === col("b.b0") &&
