@@ -103,10 +103,97 @@ object TextPipeline {
       |GROUP BY split, lang
       |ORDER BY split, lang""".stripMargin
 
+  // ------------------------------------------- sequence packing
+  /** Greedy token-budget packing: documents → fixed-budget training
+    * sequences. The parallel unit is the SHARD (doc_id % NShards):
+    * packing is inherently sequential WITHIN a shard (each doc's
+    * sequence depends on everything before it), so the scale shape is
+    * flatMapSortedGroups — one sorted streaming pass per shard, O(1)
+    * state, shards packed in parallel. At 100 TB the only knob is
+    * NShards (≥ cluster cores); no driver state, no global sort. */
+  private val PackBudget = 256
+  private val NShards = 16L
+  def packSequences(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % NShards).as("shard"),
+        size(filter(split(col("text"), "[^\\p{L}]+"), t => length(t) > 0))
+          .as("n_tokens"))
+      .as[(Long, Long, Int)]
+      .groupByKey(_._2)
+      .flatMapSortedGroups($"doc_id".asc) { (shard, it) =>
+        var seq = 0L; var acc = 0L
+        it.map { case (id, _, t) =>
+          if (acc > 0 && acc + t > PackBudget) { seq += 1; acc = 0L }
+          acc += t
+          (id, shard, seq, t)
+        }
+      }
+      .toDF("doc_id", "shard", "seq_id", "n_tokens")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the same greedy fold as a recursive CTE — one recursion
+    * level per doc rank within a shard, all shards advanced together. */
+  val packSequencesSql: String =
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, doc_id % $NShards AS shard,
+       |    CAST(len(list_filter(string_split_regex(text, '[^\\p{L}]+'),
+       |        w -> w <> '')) AS INT) AS n_tokens,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id % $NShards
+       |                       ORDER BY doc_id) AS rn
+       |  FROM documents),
+       |rec AS (
+       |  SELECT shard, rn, doc_id, n_tokens,
+       |    CAST(0 AS BIGINT) AS seq_id, CAST(n_tokens AS BIGINT) AS acc
+       |  FROM toks WHERE rn = 1
+       |  UNION ALL
+       |  SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
+       |    CASE WHEN r.acc > 0 AND r.acc + t.n_tokens > $PackBudget
+       |         THEN r.seq_id + 1 ELSE r.seq_id END,
+       |    CASE WHEN r.acc > 0 AND r.acc + t.n_tokens > $PackBudget
+       |         THEN CAST(t.n_tokens AS BIGINT)
+       |         ELSE r.acc + t.n_tokens END
+       |  FROM rec r JOIN toks t ON t.shard = r.shard AND t.rn = r.rn + 1)
+       |SELECT doc_id, shard, seq_id, n_tokens FROM rec
+       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------- mixture sampling
+  /** Deterministic weighted mixture sampling — the "data recipe" step
+    * that up/down-samples sources into a training mix. Keep decision =
+    * md5('mix|' || text) compared lexicographically against a per-
+    * source hex threshold: uniform in [0,1), reproducible across runs
+    * and engines, no RNG state, and duplicate texts always sample the
+    * same way. Pure per-row expression + one agg — embarrassingly
+    * parallel at any scale. Even-numbered sources keep 75%, odd 25%. */
+  def mixtureSample(s: SparkSession, d: String): DataFrame = {
+    val threshold = when(
+      substring(col("source"), 4, 10).cast("int") % 2 === 0,
+      lit("c0000000000000000000000000000000"))
+      .otherwise(lit("40000000000000000000000000000000"))
+    documents(s, d)
+      .withColumn("kept", md5(concat(lit("mix|"), col("text"))) < threshold)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  val mixtureSampleSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN md5('mix|' || text) <
+      |    CASE WHEN CAST(SUBSTRING(source, 4) AS INT) % 2 = 0
+      |         THEN 'c0000000000000000000000000000000'
+      |         ELSE '40000000000000000000000000000000' END
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_split_assignment" -> splitAssignment,
     "text_pii_scrub" -> piiScrub,
     "text_clean_corpus" -> cleanCorpus,
+    "text_pack_sequences" -> packSequences,
+    "doc_mixture_sample" -> mixtureSample,
     "topk_per_key_agg" -> ((s, d) =>
       graft.operators.TopK.topOrdersPerCustomer(s, d)))
 
@@ -114,6 +201,8 @@ object TextPipeline {
     "doc_split_assignment" -> splitAssignmentSql,
     "text_pii_scrub" -> piiScrubSql,
     "text_clean_corpus" -> cleanCorpusSql,
+    "text_pack_sequences" -> packSequencesSql,
+    "doc_mixture_sample" -> mixtureSampleSql,
     // same oracle as the window formulation — different physical plan,
     // identical rows
     "topk_per_key_agg" -> Relational.windowTopPerKeySql)

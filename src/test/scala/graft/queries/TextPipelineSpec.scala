@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+/** Invariant pins for the packing/sampling operators (the DuckDB
+  * oracle checks exact rows; these check the PROPERTIES that make the
+  * answers right, so a future rewrite can't be accidentally-equal). */
+class TextPipelineSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val d = "/root/testdata/sf0.01"
+
+  test("pack_sequences: no sequence exceeds the budget unless it is " +
+      "a single oversized doc") {
+    val perSeq = TextPipeline.packSequences(spark, d)
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(sum(col("n_tokens")).as("seq_tokens"), count(lit(1)).as("n_docs"))
+      .filter(col("seq_tokens") > 256 && col("n_docs") > 1)
+    assert(perSeq.isEmpty, "a multi-doc sequence exceeded the token budget")
+  }
+
+  test("pack_sequences: greedy means no doc could have joined the " +
+      "previous sequence of its shard") {
+    import spark.implicits._
+    val rows = TextPipeline.packSequences(spark, d)
+      .select(col("shard"), col("seq_id"), col("doc_id"), col("n_tokens"))
+      .as[(Long, Long, Long, Int)].collect()
+      .groupBy(_._1)
+    rows.foreach { case (shard, docs) =>
+      val seqs = docs.sortBy(_._3).groupBy(_._2).toSeq.sortBy(_._1)
+      // sequence ids are contiguous from 0
+      assert(seqs.map(_._1) == (0L until seqs.size.toLong))
+      seqs.sliding(2).foreach {
+        case Seq((_, prev), (_, cur)) =>
+          val prevTotal = prev.map(_._4.toLong).sum
+          val firstNext = cur.minBy(_._3)._4
+          assert(prevTotal + firstNext > 256,
+            s"shard $shard: doc ${cur.minBy(_._3)._1} would have fit " +
+              s"in the previous sequence (greedy violated)")
+        case _ =>
+      }
+    }
+  }
+
+  test("pack_sequences: every document is packed exactly once") {
+    val n = graft.Tables.documents(spark, d).count()
+    val packed = TextPipeline.packSequences(spark, d)
+    assert(packed.count() == n)
+    assert(packed.select(col("doc_id")).distinct().count() == n)
+  }
+
+  test("mixture_sample: kept fraction tracks the per-source weight " +
+      "and is deterministic") {
+    import spark.implicits._
+    val stats = TextPipeline.mixtureSample(spark, d)
+      .select(col("source"), col("n_docs"), col("n_kept"))
+      .as[(String, Long, Long)].collect()
+    val (even, odd) = stats.partition(_._1.drop(3).toInt % 2 == 0)
+    def frac(xs: Array[(String, Long, Long)]) =
+      xs.map(_._3).sum.toDouble / xs.map(_._2).sum
+    assert(math.abs(frac(even) - 0.75) < 0.12, s"even sources: ${frac(even)}")
+    assert(math.abs(frac(odd) - 0.25) < 0.12, s"odd sources: ${frac(odd)}")
+    // deterministic: a second run returns byte-identical rows
+    val again = TextPipeline.mixtureSample(spark, d)
+      .select(col("source"), col("n_docs"), col("n_kept"))
+      .as[(String, Long, Long)].collect()
+    assert(stats.toSeq == again.toSeq)
+  }
+}
