@@ -28,6 +28,7 @@ cd "$(dirname "$0")/.."
 if [ -n "${ORACLE_SKIP:-}" ]; then
     if [ "${ALLOW_ORACLE_SKIP:-0}" = "1" ]; then
         echo "*** WARNING: trials EXCLUDE skipped queries: ORACLE_SKIP=$ORACLE_SKIP"
+        export ORACLE_STRICT=0  # a stale strict flag must not override the explicit allow
     else
         echo "*** ORACLE_SKIP=$ORACLE_SKIP is set but ALLOW_ORACLE_SKIP=1 is not:"
         echo "*** running STRICT (skips fail). Export ALLOW_ORACLE_SKIP=1 to allow."

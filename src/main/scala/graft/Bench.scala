@@ -37,7 +37,10 @@ object Bench {
     // enough that the driver's stdout tail truncated ~17 of 78 query
     // timings out of the round artifact (ADVICE r3)
     def fmt(v: Double): String =
-      if (v < 0) "-1" else f"$v%.3f"
+      if (v < 0) "-1"
+      // Locale.ROOT: a comma-decimal default locale would emit "1,234"
+      // and corrupt the JSON artifact this line exists to protect
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -19,6 +19,9 @@ object ConnectedComponents {
 
   /** @param nodes single-column df of node ids (long)
     * @param edges (src, dst) pairs, undirected (symmetrized here)
+    * @param maxIter change-detection convergence needs diameter+1
+    *        rounds (the last round confirms nothing moved), so size
+    *        this to at least the worst expected diameter + 1
     * @return (id, component) with component = min id in the component */
   def run(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 20): DataFrame = {
@@ -64,9 +67,10 @@ object ConnectedComponents {
     // 100× scale exceeding it is a config problem the caller must see.
     if (!converged)
       throw new IllegalStateException(
-        s"ConnectedComponents did not converge after $iter iterations " +
-          s"(maxIter=$maxIter) — labels would be partially propagated; " +
-          "raise maxIter or pre-contract the graph")
+        s"ConnectedComponents did not confirm convergence within $iter " +
+          s"iterations (maxIter=$maxIter) — labels may be partially " +
+          "propagated; raise maxIter (diameter+1 rounds are needed) " +
+          "or pre-contract the graph")
     System.err.println(s"[cc] converged after $iter iterations")
     labels
   }

@@ -40,6 +40,10 @@ object SimHashDedup {
             .as("chunk"))): _*)).as("bc"))
       .select(col("doc_id"), col("sh"),
         col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+      // same rule as dedup_lsh_pairs: repartition before checkpointing
+      // so AQE's input-byte coalescing can't freeze this self-join's
+      // probe side at 1-2 partitions (SCALING.md, round-4 landmine)
+      .repartition(s.sparkContext.defaultParallelism)
       .localCheckpoint(true)
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") &&

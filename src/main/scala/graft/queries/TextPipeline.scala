@@ -111,8 +111,8 @@ object TextPipeline {
     * flatMapSortedGroups — one sorted streaming pass per shard, O(1)
     * state, shards packed in parallel. At 100 TB the only knob is
     * NShards (≥ cluster cores); no driver state, no global sort. */
-  private val PackBudget = 256
-  private val NShards = 16L
+  private[queries] val PackBudget = 256
+  private[queries] val NShards = 16L
   def packSequences(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     documents(s, d)

@@ -49,7 +49,7 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val e = intercept[IllegalStateException] {
       ConnectedComponents.run(spark, nodes, edges, maxIter = 2)
     }
-    assert(e.getMessage.contains("did not converge"))
+    assert(e.getMessage.contains("did not confirm convergence"))
   }
 
   test("long path converges within diameter iterations") {

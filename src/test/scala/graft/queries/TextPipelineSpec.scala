@@ -11,13 +11,14 @@ class TextPipelineSpec extends AnyFunSuite {
   import SparkTestSession._
 
   private val d = "/root/testdata/sf0.01"
+  private val B = TextPipeline.PackBudget
 
   test("pack_sequences: no sequence exceeds the budget unless it is " +
       "a single oversized doc") {
     val perSeq = TextPipeline.packSequences(spark, d)
       .groupBy(col("shard"), col("seq_id"))
       .agg(sum(col("n_tokens")).as("seq_tokens"), count(lit(1)).as("n_docs"))
-      .filter(col("seq_tokens") > 256 && col("n_docs") > 1)
+      .filter(col("seq_tokens") > B && col("n_docs") > 1)
     assert(perSeq.isEmpty, "a multi-doc sequence exceeded the token budget")
   }
 
@@ -36,7 +37,7 @@ class TextPipelineSpec extends AnyFunSuite {
         case Seq((_, prev), (_, cur)) =>
           val prevTotal = prev.map(_._4.toLong).sum
           val firstNext = cur.minBy(_._3)._4
-          assert(prevTotal + firstNext > 256,
+          assert(prevTotal + firstNext > B,
             s"shard $shard: doc ${cur.minBy(_._3)._1} would have fit " +
               s"in the previous sequence (greedy violated)")
         case _ =>
