@@ -188,8 +188,38 @@ object TextPipeline {
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------------- global shuffle
+  /** Deterministic global shuffle: every doc gets a position 0..n-1 in
+    * md5-of-content order — the reproducible permutation a training
+    * run reads sequences in. Scale shape: range-partition + sort by
+    * the hash key (total order across partitions), then two-pass
+    * global indexing a la zipWithIndex — the driver sees only one
+    * count per partition, never data. A row_number() window would
+    * funnel the corpus through ONE partition; this never does. */
+  def globalShuffle(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val np = s.sparkContext.defaultParallelism
+    val sorted = documents(s, d)
+      .select(col("doc_id"),
+        md5(concat(lit("shuf|"), col("text"))).as("k"))
+      .repartitionByRange(np, col("k"), col("doc_id"))
+      .sortWithinPartitions(col("k"), col("doc_id"))
+      .select(col("doc_id")).as[Long]
+    sorted.rdd.zipWithIndex()
+      .map { case (id, pos) => (id, pos) }
+      .toDF("doc_id", "pos")
+      .orderBy(col("doc_id"))
+  }
+
+  val globalShuffleSql: String =
+    """SELECT doc_id,
+      |  ROW_NUMBER() OVER (ORDER BY md5('shuf|' || text), doc_id) - 1
+      |    AS pos
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_split_assignment" -> splitAssignment,
+    "doc_global_shuffle" -> globalShuffle,
     "text_pii_scrub" -> piiScrub,
     "text_clean_corpus" -> cleanCorpus,
     "text_pack_sequences" -> packSequences,
@@ -199,6 +229,7 @@ object TextPipeline {
 
   val oracle: Map[String, String] = Map(
     "doc_split_assignment" -> splitAssignmentSql,
+    "doc_global_shuffle" -> globalShuffleSql,
     "text_pii_scrub" -> piiScrubSql,
     "text_clean_corpus" -> cleanCorpusSql,
     "text_pack_sequences" -> packSequencesSql,

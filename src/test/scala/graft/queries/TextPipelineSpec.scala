@@ -52,6 +52,18 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(packed.select(col("doc_id")).distinct().count() == n)
   }
 
+  test("global_shuffle: positions are a permutation of 0..n-1 and " +
+      "deterministic across runs") {
+    import spark.implicits._
+    val a = TextPipeline.globalShuffle(spark, d)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val n = a.length
+    assert(a.map(_._2).sorted.toSeq == (0L until n.toLong))
+    val b = TextPipeline.globalShuffle(spark, d)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq, "shuffle order must be reproducible")
+  }
+
   test("mixture_sample: kept fraction tracks the per-source weight " +
       "and is deterministic") {
     import spark.implicits._
