@@ -36,28 +36,33 @@ object ConnectedComponents {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // neighbor labels + own label, take min per node
+      // neighbor labels + own label, take min per node. The own-label
+      // rows also CARRY the previous label through the aggregate
+      // (max(old) — exactly one self row per id), so convergence is a
+      // filter over the materialized checkpoint instead of a second
+      // join+shuffle against the previous labels: one aggregate and
+      // one block-scan per iteration, nothing else.
       val neighborLabels = sym
         .join(labels, col("dst") === col("id"))
-        .select(col("src").as("id"), col("component"))
+        .select(col("src").as("id"), col("component"),
+          lit(null).cast("long").as("old"))
       // (pointer-jumping compression was tried and reverted: the
       // propagated-self-join trips Catalyst's Union constraint rewrite
       // on LocalRelation inputs, and with star-contracted edges the
       // diameter is already ~5, so O(log d) bought nothing measurable)
-      val next = labels.select(col("id"), col("component"))
+      val next = labels
+        .select(col("id"), col("component"), col("component").as("old"))
         .union(neighborLabels)
         .groupBy(col("id"))
-        .agg(min(col("component")).as("component"))
+        .agg(min(col("component")).as("component"), max(col("old")).as("old"))
         .localCheckpoint(true)
-      // convergence: no node changed label. A changed-row count (not a
+      // convergence: no node changed label. A changed-row filter (not a
       // label checksum) survives ANSI overflow on huge id spaces and
       // empty inputs; one boolean reaches the driver per iteration.
-      converged = next.as("n")
-        .join(labels.as("p"), col("n.id") === col("p.id"))
-        .filter(col("n.component") =!= col("p.component"))
+      converged = next
+        .filter(col("component") =!= col("old"))
         .isEmpty
-      labels.unpersist()
-      labels = next
+      labels = next.select(col("id"), col("component"))
       iter += 1
     }
     sym.unpersist()
