@@ -158,6 +158,54 @@ object TextPipeline {
        |SELECT doc_id, shard, seq_id, n_tokens FROM rec
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- decontamination
+  /** Train/eval decontamination: flag TRAIN documents sharing any
+    * word 3-gram shingle with a VAL/TEST document (the benchmark-leak
+    * check every pre-training pipeline runs; production uses longer
+    * n-grams — same shape, one constant). Split rule is the same
+    * content-hash as doc_split_assignment, shingles the same
+    * slice+zip_with build as ngram-Jaccard; the join shuffles on the
+    * 64-bit shingle hash, so cost is Σ shingle-bucket², never
+    * train × eval. Exact duplicates can never cross splits (the split
+    * hashes the text), so hits are genuine partial overlaps. */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val h1 = substring(md5(col("text")), 1, 1)
+    val withSplit = documents(s, d).withColumn("split",
+      when(h1.isin("c", "d"), "val")
+        .when(h1.isin("e", "f"), "test")
+        .otherwise("train"))
+    val sh = withSplit.select(col("doc_id"), col("split"),
+        explode(Documents.shingles3(col("text"))).as("s0"))
+      .select(col("doc_id"), col("split"), xxhash64(col("s0")).as("sh"))
+      .distinct()
+    val evalSh = sh.filter(col("split") =!= "train")
+      .select(col("sh")).distinct()
+    sh.filter(col("split") === "train")
+      .join(evalSh, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN SUBSTRING(md5(text), 1, 1) IN ('c','d') THEN 'val'
+      |         WHEN SUBSTRING(md5(text), 1, 1) IN ('e','f') THEN 'test'
+      |         ELSE 'train' END AS split,
+      |    list_filter(string_split_regex(text, '[^\p{L}]+'),
+      |                w -> w <> '') AS ws
+      |  FROM documents),
+      |shingled AS (
+      |  SELECT DISTINCT doc_id, split,
+      |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+      |  FROM t, UNNEST(range(1, len(ws) - 1)) AS u(i)),
+      |eval_sh AS (SELECT DISTINCT sh FROM shingled WHERE split <> 'train')
+      |SELECT s.doc_id, COUNT(*) AS n_hits
+      |FROM shingled s JOIN eval_sh e ON s.sh = e.sh
+      |WHERE s.split = 'train'
+      |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------- mixture sampling
   /** Deterministic weighted mixture sampling — the "data recipe" step
     * that up/down-samples sources into a training mix. Keep decision =
@@ -224,6 +272,7 @@ object TextPipeline {
     "text_clean_corpus" -> cleanCorpus,
     "text_pack_sequences" -> packSequences,
     "doc_mixture_sample" -> mixtureSample,
+    "doc_decontaminate" -> decontaminate,
     "topk_per_key_agg" -> ((s, d) =>
       graft.operators.TopK.topOrdersPerCustomer(s, d)))
 
@@ -234,6 +283,7 @@ object TextPipeline {
     "text_clean_corpus" -> cleanCorpusSql,
     "text_pack_sequences" -> packSequencesSql,
     "doc_mixture_sample" -> mixtureSampleSql,
+    "doc_decontaminate" -> decontaminateSql,
     // same oracle as the window formulation — different physical plan,
     // identical rows
     "topk_per_key_agg" -> Relational.windowTopPerKeySql)

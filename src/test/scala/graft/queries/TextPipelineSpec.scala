@@ -64,6 +64,36 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq, "shuffle order must be reproducible")
   }
 
+  test("decontaminate: planted train/eval shingle overlap is flagged, " +
+      "clean train docs are not") {
+    import spark.implicits._
+    // craft texts whose md5 first hex char forces the split
+    def mine(base: String, wanted: Char => Boolean): String = {
+      Iterator.from(0).map(i => s"$base pad$i")
+        .find(t => wanted(org.apache.commons.codec.digest.DigestUtils.md5Hex(t).head))
+        .get
+    }
+    val train = (c: Char) => !"cdef".contains(c)
+    val eval_ = (c: Char) => c == 'e' || c == 'f'
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val trainDirty = mine(s"$shared one", train)
+    val testDoc = mine(s"$shared two", eval_)
+    val trainClean = mine("lorem ipsum dolor sit amet consectetur adipiscing", train)
+    val dir = java.nio.file.Files.createTempDirectory("decon").toString
+    Seq(
+      (1L, trainDirty, "en", "src0", trainDirty.length.toLong),
+      (2L, testDoc, "en", "src1", testDoc.length.toLong),
+      (3L, trainClean, "en", "src2", trainClean.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextPipeline.decontaminate(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(got.contains(1L), "overlapping train doc must be flagged")
+    assert(got(1L) >= 8L, "all shared-base shingles should hit")
+    assert(!got.contains(3L), "clean train doc must not be flagged")
+    assert(!got.contains(2L), "eval docs are never flagged")
+  }
+
   test("mixture_sample: kept fraction tracks the per-source weight " +
       "and is deterministic") {
     import spark.implicits._
