@@ -10,7 +10,8 @@ object PlanCheck {
       "emb_cosine_topk", "asof_native", "dedup_lsh_pairs", "sort_topk",
       "q9_profit_rollup", "q21_waiting_supplier", "dedup_ngram_jaccard",
       "dedup_embedding_lsh", "emb_ann_ivf", "window_trailing_30d",
-      "sql_grouping_sets", "unpivot_status")
+      "sql_grouping_sets", "unpivot_status", "doc_decontaminate",
+      "doc_mixture_sample", "text_pack_sequences")
     val out = new StringBuilder
     out ++= "# PLANS — formatted physical plans for headline queries\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanCheck PLANS.md\"` " +

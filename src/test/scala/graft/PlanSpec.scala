@@ -107,6 +107,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("decontaminate: shingle-hash equi-join, never train x eval") {
+    val p = plan("doc_decontaminate")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("sign-IVF probe: equi-join on cell, no cartesian") {
     val p = plan("emb_ann_ivf")
     assert(!p.contains("CartesianProduct"))

@@ -41,6 +41,12 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("empty graph converges immediately to an empty labeling") {
+    val nodes = Seq.empty[Long].toDF("id")
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(ConnectedComponents.run(spark, nodes, edges).count() == 0)
+  }
+
   test("non-convergence throws instead of returning partial labels") {
     // a 30-node path has diameter 29: maxIter=2 cannot converge
     val n = 30
