@@ -17,11 +17,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      } finally
-        // free any intermediate a query persist()ed: ~78 queries share
-        // this session and cached shingle/signature tables would
-        // otherwise pile up in storage memory for the whole run
+      } finally {
+        // free per-query residue: cached tables via clearCache, and a
+        // GC nudge so localCheckpoint blocks (not CacheManager-tracked)
+        // are dropped by the ContextCleaner — ~82 queries share this
+        // session and signature tables would otherwise pile up
         spark.catalog.clearCache()
+        System.gc()
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -29,9 +29,17 @@ object ConnectedComponents {
       .union(edges.toDF("dst", "src").select(col("src"), col("dst")))
       .distinct()
       .persist()
-    // localCheckpoint each iteration: without truncation the logical
-    // plan compounds per loop and analysis itself OOMs past ~20 rounds
-    var labels = nodes.toDF("id").select(col("id"), col("id").as("component"))
+    // Seed labels from nodes ∪ edge endpoints: an endpoint missing from
+    // `nodes` would otherwise enter via neighbor rows only (old=null),
+    // read as "unchanged" by the convergence filter, and converge
+    // prematurely with its own min-label never propagated. One distinct
+    // at init makes the operator total instead of precondition-bound.
+    // localCheckpoint: without truncation the logical plan compounds
+    // per loop and analysis itself OOMs past ~20 rounds
+    var labels = nodes.toDF("id")
+      .union(sym.select(col("src").as("id")))
+      .distinct()
+      .select(col("id"), col("id").as("component"))
       .localCheckpoint(true)
     var iter = 0
     var converged = false

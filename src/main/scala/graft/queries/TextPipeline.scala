@@ -78,30 +78,36 @@ object TextPipeline {
     * char of md5(text) buckets 16 ways — 12/2/2 → 75/12.5/12.5%.
     * Hashing the TEXT (not the row id) keeps exact duplicates in
     * the same split — no train/test leakage — and survives re-ingest
-    * id reassignment (no RNG state); the per-split stats are the check. */
+    * id reassignment (no RNG state); the per-split stats are the check.
+    * THE split rule of the corpus: splitAssignment reports it,
+    * decontaminate relies on it — one definition (Scala + SQL twins). */
+  private[queries] def splitCol: org.apache.spark.sql.Column = {
+    val h1 = substring(md5(col("text")), 1, 1)
+    when(h1.isin("c", "d"), "val")
+      .when(h1.isin("e", "f"), "test")
+      .otherwise("train")
+  }
+
+  private[queries] val splitCaseSql: String =
+    """CASE WHEN SUBSTRING(md5(text), 1, 1) IN ('c','d') THEN 'val'
+      |     WHEN SUBSTRING(md5(text), 1, 1) IN ('e','f') THEN 'test'
+      |     ELSE 'train' END""".stripMargin
+
   def splitAssignment(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .withColumn("h1", substring(md5(col("text")), 1, 1))
-      .withColumn("split",
-        when(col("h1").isin("c", "d"), "val")
-          .when(col("h1").isin("e", "f"), "test")
-          .otherwise("train"))
+      .withColumn("split", splitCol)
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
       .orderBy(col("split"), col("lang"))
 
   val splitAssignmentSql: String =
-    """SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
-      |FROM (
-      |  SELECT lang, n_chars,
-      |    CASE WHEN SUBSTRING(md5(text), 1, 1) IN ('c','d')
-      |           THEN 'val'
-      |         WHEN SUBSTRING(md5(text), 1, 1) IN ('e','f')
-      |           THEN 'test'
-      |         ELSE 'train' END AS split
-      |  FROM documents) t
-      |GROUP BY split, lang
-      |ORDER BY split, lang""".stripMargin
+    s"""SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       |FROM (
+       |  SELECT lang, n_chars,
+       |    $splitCaseSql AS split
+       |  FROM documents) t
+       |GROUP BY split, lang
+       |ORDER BY split, lang""".stripMargin
 
   // ------------------------------------------- sequence packing
   /** Greedy token-budget packing: documents → fixed-budget training
@@ -112,7 +118,9 @@ object TextPipeline {
     * state, shards packed in parallel. At 100 TB the only knob is
     * NShards (≥ cluster cores); no driver state, no global sort. */
   private[queries] val PackBudget = 256
-  private[queries] val NShards = 16L
+  // the packing parallel unit; sized ≥ the 32 local cores (at cluster
+  // scale this is the one knob — thousands, not tens)
+  private[queries] val NShards = 32L
   def packSequences(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     documents(s, d)
@@ -169,11 +177,7 @@ object TextPipeline {
     * train × eval. Exact duplicates can never cross splits (the split
     * hashes the text), so hits are genuine partial overlaps. */
   def decontaminate(s: SparkSession, d: String): DataFrame = {
-    val h1 = substring(md5(col("text")), 1, 1)
-    val withSplit = documents(s, d).withColumn("split",
-      when(h1.isin("c", "d"), "val")
-        .when(h1.isin("e", "f"), "test")
-        .otherwise("train"))
+    val withSplit = documents(s, d).withColumn("split", splitCol)
     val sh = withSplit.select(col("doc_id"), col("split"),
         explode(Documents.shingles3(col("text"))).as("s0"))
       .select(col("doc_id"), col("split"), xxhash64(col("s0")).as("sh"))
@@ -188,12 +192,10 @@ object TextPipeline {
   }
 
   val decontaminateSql: String =
-    """WITH t AS (
+    s"""WITH t AS (
       |  SELECT doc_id,
-      |    CASE WHEN SUBSTRING(md5(text), 1, 1) IN ('c','d') THEN 'val'
-      |         WHEN SUBSTRING(md5(text), 1, 1) IN ('e','f') THEN 'test'
-      |         ELSE 'train' END AS split,
-      |    list_filter(string_split_regex(text, '[^\p{L}]+'),
+      |    $splitCaseSql AS split,
+      |    list_filter(string_split_regex(text, '[^\\p{L}]+'),
       |                w -> w <> '') AS ws
       |  FROM documents),
       |shingled AS (
