@@ -41,6 +41,11 @@ object ConnectedComponents {
       .distinct()
       .select(col("id"), col("id").as("component"))
       .localCheckpoint(true)
+    // handle to the checkpoint backing `labels`: each iteration's
+    // snapshot is freed explicitly once its successor is materialized —
+    // otherwise up to maxIter label snapshots sit in executor storage
+    // until the JVM GC + ContextCleaner notice the dropped references
+    var ckpt = labels
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -71,6 +76,10 @@ object ConnectedComponents {
         .filter(col("component") =!= col("old"))
         .isEmpty
       labels = next.select(col("id"), col("component"))
+      // `next` is fully materialized (eager checkpoint + the filter
+      // above ran over it): the previous snapshot's blocks are dead now
+      Materialize.free(ckpt)
+      ckpt = next
       iter += 1
     }
     sym.unpersist()

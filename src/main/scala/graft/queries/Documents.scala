@@ -153,19 +153,19 @@ object Documents {
     // materialize the (tiny: one row per doc, 3 longs) signature table
     // so the two joins × two sides don't re-run the tokenize+minhash
     // agg (cold A/B at sf0.1: 2.3 s materialized vs 5.9 s not).
-    // localCheckpoint, NOT persist: eager blocks are reused the same
-    // way but never enter the CacheManager, so library callers don't
-    // leak a cached table past the query (freed on plan GC).
+    // Materialize.eager: block reuse without a CacheManager leak for
+    // library callers (policy + executor-loss trade-off documented in
+    // operators.Materialize).
     // The explicit repartition matters: AQE coalesces the materialized
     // signature shuffle by its INPUT bytes (tiny) — but this join's
     // OUTPUT is sum-of-bucket² pairs, so 2 coalesced partitions would
     // serialize the expansion on 2 tasks (measured 4.4 s vs 1.9 s at
     // sf0.1). Parallelism here must be sized to output work.
-    val sig2 = minhashSignatures(s, d).select(col("doc_id"),
-      xxhash64(lit("b0"), col("mh0"), col("mh1")).as("b0"),
-      xxhash64(lit("b1"), col("mh2"), col("mh3")).as("b1"))
-      .repartition(s.sparkContext.defaultParallelism)
-      .localCheckpoint(true)
+    val sig2 = graft.operators.Materialize.eager(
+      minhashSignatures(s, d).select(col("doc_id"),
+        xxhash64(lit("b0"), col("mh0"), col("mh1")).as("b0"),
+        xxhash64(lit("b1"), col("mh2"), col("mh3")).as("b1"))
+        .repartition(s.sparkContext.defaultParallelism))
     val a = sig2.as("a"); val b = sig2.as("b")
     val onB0 = a.join(b, col("a.b0") === col("b.b0") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -208,15 +208,17 @@ object Documents {
     //    working set shrinks from every doc to the distinct band
     //    values (5× here; at 100 TB the ratio is the mean cluster
     //    size). Cold A/B at sf0.1: 5.6 s vs 6.1 s, identical rows.
-    // localCheckpoint (not persist) for both multi-consumer tables:
-    // same block reuse, no CacheManager entry left behind for callers
-    val sig2 = minhashSignatures(s, d).select(col("doc_id"),
-      xxhash64(lit("b0"), col("mh0"), col("mh1")).as("b0"),
-      xxhash64(lit("b1"), col("mh2"), col("mh3")).as("b1"))
-      .localCheckpoint(true)
+    // Materialize.eager for both multi-consumer tables: block reuse
+    // with no CacheManager entry left behind for callers (policy +
+    // executor-loss trade-off documented in operators.Materialize)
+    val sig2 = graft.operators.Materialize.eager(
+      minhashSignatures(s, d).select(col("doc_id"),
+        xxhash64(lit("b0"), col("mh0"), col("mh1")).as("b0"),
+        xxhash64(lit("b1"), col("mh2"), col("mh3")).as("b1")))
     val h0 = sig2.groupBy(col("b0")).agg(min(col("doc_id")).as("h0"))
     val h1 = sig2.groupBy(col("b1")).agg(min(col("doc_id")).as("h1"))
-    val withHubs = sig2.join(h0, "b0").join(h1, "b1").localCheckpoint(true)
+    val withHubs = graft.operators.Materialize.eager(
+      sig2.join(h0, "b0").join(h1, "b1"))
     val hubNodes = withHubs.select(col("h0").as("id"))
       .union(withHubs.select(col("h1").as("id"))).distinct()
     val hubEdges = withHubs.filter(col("h0") =!= col("h1"))

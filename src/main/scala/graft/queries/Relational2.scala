@@ -201,23 +201,31 @@ object Relational2 {
 
   // --------------------------------------- exact quantiles (portable)
   /** Exact interpolated quantiles of order totals per status, on exact
-    * cents (Spark `percentile` ≡ DuckDB `quantile_cont`). */
+    * cents (Spark `percentile` ≡ DuckDB `quantile_cont`).
+    *
+    * The interpolated value is snapped to its nearest exact grid point
+    * before comparison: for q ∈ {0.5, 0.9, 0.99} the rank fraction is
+    * a multiple of 1/100, so cents×100 is mathematically integral and
+    * `FLOOR(x*100 + 0.5)` erases the ≤1-ulp difference between the two
+    * engines' linear-interpolation expressions (a bare double compare
+    * is a knife-edge whenever the fraction is nonzero). Both engines
+    * then divide the SAME integer by 10000.0 → bit-identical dollars. */
   def quantilesExact(s: SparkSession, d: String): DataFrame =
     orders(s, d)
       .groupBy(col("o_orderstatus"))
       .agg(
-        (expr("percentile(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT), 0.5)") / 100.0).as("p50"),
-        (expr("percentile(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT), 0.9)") / 100.0).as("p90"),
-        (expr("percentile(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT), 0.99)") / 100.0).as("p99"),
+        (floor(expr("percentile(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT), 0.5)") * 100 + lit(0.5)) / 10000.0).as("p50"),
+        (floor(expr("percentile(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT), 0.9)") * 100 + lit(0.5)) / 10000.0).as("p90"),
+        (floor(expr("percentile(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT), 0.99)") * 100 + lit(0.5)) / 10000.0).as("p99"),
         count(lit(1)).as("n"))
       .orderBy(col("o_orderstatus"))
 
   val quantilesExactSql: String = {
     val c = centsSql("o_totalprice")
     s"""SELECT o_orderstatus,
-       |  quantile_cont($c, 0.5)/100.0 AS p50,
-       |  quantile_cont($c, 0.9)/100.0 AS p90,
-       |  quantile_cont($c, 0.99)/100.0 AS p99,
+       |  FLOOR(quantile_cont($c, 0.5)*100 + 0.5)/10000.0 AS p50,
+       |  FLOOR(quantile_cont($c, 0.9)*100 + 0.5)/10000.0 AS p90,
+       |  FLOOR(quantile_cont($c, 0.99)*100 + 0.5)/10000.0 AS p99,
        |  COUNT(*) AS n
        |FROM orders GROUP BY o_orderstatus
        |ORDER BY o_orderstatus""".stripMargin
@@ -259,11 +267,20 @@ object Relational2 {
       .agg(
         countDistinct(col("l_orderkey")).as("exact_orders"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+    // Percentiles snapped to the exact grid before comparison: for
+    // q ∈ {0.5, 0.95} the rank fraction is a multiple of 1/20, so
+    // cents×20 is mathematically integral and FLOOR(x*20 + 0.5)
+    // erases the ≤1-ulp difference between the engines' interpolation
+    // expressions; both then divide the SAME integer by 2000.0.
+    // The *_ok bounds below are STATISTICAL, not deterministic: HLL
+    // rsd 0.01 vs a 5% bound is ~5σ, approx_percentile rank error
+    // n/10000 vs a 2% value bound is similarly generous — a false red
+    // needs a >5σ sketch outlier, accepted as effectively impossible.
     sketches.join(broadcast(exacts), Seq("l_returnflag"))
       .select(col("l_returnflag"),
         col("exact_orders"), col("exact_parts"),
-        (element_at(col("pe"), 1) / 100.0).as("price_p50"),
-        (element_at(col("pe"), 2) / 100.0).as("price_p95"),
+        (floor(element_at(col("pe"), 1) * 20 + lit(0.5)) / 2000.0).as("price_p50"),
+        (floor(element_at(col("pe"), 2) * 20 + lit(0.5)) / 2000.0).as("price_p95"),
         (abs(col("ao") - col("exact_orders")) / col("exact_orders") < 0.05)
           .as("hll_orders_ok"),
         (abs(col("ap") - col("exact_parts")) / col("exact_parts") < 0.05)
@@ -281,8 +298,8 @@ object Relational2 {
     s"""SELECT l_returnflag,
        |  COUNT(DISTINCT l_orderkey) AS exact_orders,
        |  COUNT(DISTINCT l_partkey) AS exact_parts,
-       |  quantile_cont($c, 0.5)/100.0 AS price_p50,
-       |  quantile_cont($c, 0.95)/100.0 AS price_p95,
+       |  FLOOR(quantile_cont($c, 0.5)*20 + 0.5)/2000.0 AS price_p50,
+       |  FLOOR(quantile_cont($c, 0.95)*20 + 0.5)/2000.0 AS price_p95,
        |  TRUE AS hll_orders_ok, TRUE AS hll_parts_ok,
        |  TRUE AS pq_p50_ok, TRUE AS pq_p95_ok,
        |  COUNT(*) AS n_rows

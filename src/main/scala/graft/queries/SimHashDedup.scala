@@ -30,8 +30,8 @@ object SimHashDedup {
     // materialize the banded signatures (4 rows × 3 longs per doc):
     // both self-join sides would otherwise re-tokenize + re-md5 the
     // corpus. Cold-cache A/B at sf0.1: 0.71 s materialized vs 1.12 s
-    // not. localCheckpoint, not persist: no CacheManager entry leaks
-    // to library callers (blocks freed on plan GC)
+    // not. Materialize.eager: no CacheManager entry leaks to library
+    // callers (policy + executor-loss trade-off in operators.Materialize)
     val sig = signatures(s, d)
     val banded = sig.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(b =>
@@ -40,12 +40,12 @@ object SimHashDedup {
             .as("chunk"))): _*)).as("bc"))
       .select(col("doc_id"), col("sh"),
         col("bc.band").as("band"), col("bc.chunk").as("chunk"))
-      // same rule as dedup_lsh_pairs: repartition before checkpointing
+      // same rule as dedup_lsh_pairs: repartition before materializing
       // so AQE's input-byte coalescing can't freeze this self-join's
       // probe side at 1-2 partitions (SCALING.md, round-4 landmine)
       .repartition(s.sparkContext.defaultParallelism)
-      .localCheckpoint(true)
-    val a = banded.as("a"); val b = banded.as("b")
+    val bandedM = graft.operators.Materialize.eager(banded)
+    val a = bandedM.as("a"); val b = bandedM.as("b")
     a.join(b, col("a.band") === col("b.band") &&
         col("a.chunk") === col("b.chunk") &&
         col("a.doc_id") < col("b.doc_id"))

@@ -173,14 +173,18 @@ object TextPipeline {
     * n-grams — same shape, one constant). Split rule is the same
     * content-hash as doc_split_assignment, shingles the same
     * slice+zip_with build as ngram-Jaccard; the join shuffles on the
-    * 64-bit shingle hash, so cost is Σ shingle-bucket², never
-    * train × eval. Exact duplicates can never cross splits (the split
-    * hashes the text), so hits are genuine partial overlaps. */
+    * shingle STRING itself — Spark hash-partitions it, so cost is
+    * still Σ shingle-bucket², never train × eval, and (unlike joining
+    * a 64-bit digest) a hash collision cannot silently add or drop a
+    * hit: at billions of shingles 64-bit collisions stop being
+    * negligible, and the string key shares collision behavior with
+    * the oracle by construction. Exact duplicates can never cross
+    * splits (the split hashes the text), so hits are genuine partial
+    * overlaps. */
   def decontaminate(s: SparkSession, d: String): DataFrame = {
     val withSplit = documents(s, d).withColumn("split", splitCol)
     val sh = withSplit.select(col("doc_id"), col("split"),
-        explode(Documents.shingles3(col("text"))).as("s0"))
-      .select(col("doc_id"), col("split"), xxhash64(col("s0")).as("sh"))
+        explode(Documents.shingles3(col("text"))).as("sh"))
       .distinct()
     val evalSh = sh.filter(col("split") =!= "train")
       .select(col("sh")).distinct()
@@ -215,10 +219,14 @@ object TextPipeline {
     * source hex threshold: uniform in [0,1), reproducible across runs
     * and engines, no RNG state, and duplicate texts always sample the
     * same way. Pure per-row expression + one agg — embarrassingly
-    * parallel at any scale. Even-numbered sources keep 75%, odd 25%. */
+    * parallel at any scale. Even-numbered sources keep 75%, odd 25%.
+    * The source number is parsed with try_cast over an unbounded
+    * substring — byte-identical to the oracle's expression, and a
+    * malformed source yields NULL (→ the 25% branch) on BOTH engines
+    * instead of an ANSI cast error on one of them. */
   def mixtureSample(s: SparkSession, d: String): DataFrame = {
     val threshold = when(
-      substring(col("source"), 4, 10).cast("int") % 2 === 0,
+      expr("try_cast(substring(source, 4) AS INT)") % 2 === 0,
       lit("c0000000000000000000000000000000"))
       .otherwise(lit("40000000000000000000000000000000"))
     documents(s, d)
@@ -232,7 +240,7 @@ object TextPipeline {
   val mixtureSampleSql: String =
     """SELECT source, COUNT(*) AS n_docs,
       |  CAST(SUM(CASE WHEN md5('mix|' || text) <
-      |    CASE WHEN CAST(SUBSTRING(source, 4) AS INT) % 2 = 0
+      |    CASE WHEN TRY_CAST(SUBSTRING(source, 4) AS INT) % 2 = 0
       |         THEN 'c0000000000000000000000000000000'
       |         ELSE '40000000000000000000000000000000' END
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept

@@ -32,7 +32,9 @@ class SketchSpec extends AnyFunSuite {
     val exact = Tables.lineitem(spark, d)
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_orderkey")).as("o"),
-        (expr("percentile(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT), 0.5)") / 100.0).as("p50"))
+        // same grid snap as the query (1/20-of-a-cent grid, see
+        // Relational2.sketchProfile) so the compare stays exact
+        (floor(expr("percentile(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT), 0.5)") * 20 + lit(0.5)) / 2000.0).as("p50"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(got.keySet == exact.keySet)
     exact.foreach { case (k, (eo, e50)) =>
