@@ -11,7 +11,9 @@ object PlanCheck {
       "q9_profit_rollup", "q21_waiting_supplier", "dedup_ngram_jaccard",
       "dedup_embedding_lsh", "emb_ann_ivf", "window_trailing_30d",
       "sql_grouping_sets", "unpivot_status", "doc_decontaminate",
-      "doc_mixture_sample", "text_pack_sequences")
+      "doc_mixture_sample", "text_pack_sequences",
+      "text_bm25_topk", "text_repetition_quality", "doc_chunk_windows",
+      "emb_kmeans_assign")
     val out = new StringBuilder
     out ++= "# PLANS — formatted physical plans for headline queries\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanCheck PLANS.md\"` " +
@@ -34,6 +36,8 @@ object PlanCheck {
         || emb_cosine_topk | cos DESC | c_id |
         || emb_ann_ivf | cos DESC | vec_id (c_id) |
         || q15_top_supplier | MAX equality join | supplier key output |
+        || text_bm25_topk | score_e6 DESC (integer-snapped) | doc_id |
+        || emb_kmeans_assign | d2 ASC (bit-deterministic fold) | cid |
         |
         |All ranked floats are themselves engine-identical (integer-cents
         |money sums, or fixed left-to-right double folds for cosine), and

@@ -13,7 +13,7 @@ object SparkEntry {
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++
       Documents.queries ++
       Events.queries ++ Embeddings.queries ++ SimHashDedup.queries ++
-      TextPipeline.queries ++ SqlSurface.queries ++
+      TextPipeline.queries ++ TextAnalysis.queries ++ SqlSurface.queries ++
       graft.multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -22,6 +22,6 @@ object SparkEntry {
     Relational.oracle ++ Relational2.oracle ++ Relational3.oracle ++
       Documents.oracle ++
       Events.oracle ++ Embeddings.oracle ++ SimHashDedup.oracle ++
-      TextPipeline.oracle ++ SqlSurface.oracle ++
+      TextPipeline.oracle ++ TextAnalysis.oracle ++ SqlSurface.oracle ++
       graft.multimodal.Multimodal.oracle
 }

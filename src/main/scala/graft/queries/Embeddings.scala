@@ -273,11 +273,59 @@ object Embeddings {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  // ------------------------------------------------- k-means buckets
+  /** K-means assignment (one Lloyd assign step with deterministic
+    * seed centers = every 64th vector): the semantic-bucketing pass
+    * that stratifies a corpus by content cluster. Output is the
+    * integer cluster histogram (count, id-sum, id-range per cluster) —
+    * id_sum makes the check sensitive to ANY reassignment, while
+    * keeping the compare float-free: distances are bit-deterministic
+    * (fixed fold, no transcendentals — see operators.KMeans) but
+    * integers remove even that dependence from the oracle hash.
+    * The iterative update/SSE path is pinned Spark-side in KMeansSpec
+    * (Lloyd's monotone-SSE invariant), not here: centroid MEANS are
+    * shuffle-order dependent in the last ulp. */
+  def kmeansAssign(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val centers = e.filter(col("vec_id") % 64 === 0 && col("vec_id") < 512)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val pts = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    graft.operators.KMeans.assign(pts, centers)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("id")).as("id_sum"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+      .orderBy(col("cid"))
+  }
+
+  val kmeansAssignSql: String = {
+    def sq(p: String, c: String) =
+      s"""list_reduce(list_transform(range(1, len($p)+1),
+         |      i -> (CAST($p[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))
+         |           * (CAST($p[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))),
+         |      (x, y) -> x + y)""".stripMargin
+    s"""WITH c AS (
+       |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+       |  WHERE vec_id % 64 = 0 AND vec_id < 512),
+       |a AS (
+       |  SELECT p.vec_id AS id, c.cid,
+       |    ${sq("p.embedding", "c.cvec")} AS d2
+       |  FROM embeddings p CROSS JOIN c),
+       |best AS (
+       |  SELECT id, cid FROM a
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) = 1)
+       |SELECT cid, COUNT(*) AS n_points, CAST(SUM(id) AS BIGINT) AS id_sum,
+       |  MIN(id) AS min_id, MAX(id) AS max_id
+       |FROM best GROUP BY cid ORDER BY cid""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_cosine_topk" -> cosineTopK,
     "emb_ann_ivf" -> annIvf,
     "emb_label_norms" -> labelCentroidNorm,
     "emb_ann_lsh_buckets" -> annLshBuckets,
+    "emb_kmeans_assign" -> kmeansAssign,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh)
 
   val oracle: Map[String, String] = Map(
@@ -285,5 +333,6 @@ object Embeddings {
     "emb_label_norms" -> labelCentroidNormSql,
     "emb_ann_lsh_buckets" -> annLshBucketsSql,
     "emb_ann_ivf" -> annIvfSql,
+    "emb_kmeans_assign" -> kmeansAssignSql,
     "dedup_embedding_lsh" -> dedupEmbeddingLshSql)
 }

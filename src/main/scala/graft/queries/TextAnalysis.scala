@@ -1,0 +1,256 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Retrieval scoring, repetition-quality rules and context-window
+  * chunking over the documents table — the curation stages between
+  * raw-corpus cleaning (TextPipeline) and sequence packing.
+  *
+  * Every query is scan + explode + hash-agg: per-doc work, shuffles
+  * keyed on doc_id or term, no driver state, no O(n²) stage — the
+  * shapes survive a 100× scale-up unchanged.
+  */
+object TextAnalysis {
+
+  /** Same tokenizer as the rest of the corpus tier (runs of letters). */
+  private def toks(c: Column): Column =
+    filter(split(c, "[^\\p{L}]+"), t => length(t) > 0)
+
+  private val toksSql =
+    """list_filter(string_split_regex(text, '[^\p{L}]+'), w -> w <> '')"""
+
+  // ---------------------------------------------------------- BM25
+  /** BM25 top-k retrieval for a fixed query-term set — the relevance
+    * ranking used to mine domain-targeted training subsets from a raw
+    * corpus.
+    *
+    * Scale shape: one scan builds per-(doc, term) tf for the query
+    * terms only (explode + filter + hash-agg keyed on doc_id); df and
+    * the corpus stats (N, avgdl) are a |Q|-row and a 1-row table —
+    * both broadcast. No join ever carries more than tf rows
+    * (≤ |Q| per doc), so the plan is linear in corpus size with any
+    * number of executors.
+    *
+    * Portability: the score needs ln(), whose last ulp is libm-
+    * dependent, so the output snaps score×1e6 to an integer grid
+    * before the cross-engine compare AND before ranking — rank and
+    * top-k cutoff are decided on the snapped integer + doc_id on both
+    * engines, never on a raw double. (Unlike the percentile snaps, a
+    * BM25 score is a generic real: the chance of the true value
+    * sitting within an ulp of a grid boundary is ~1e-10 per doc.) */
+  def bm25TopK(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("spark", "stream", "vector")
+    val TopK = 20 // BM25 constants k1=1.2, b=0.75 appear inline below
+    val docs = documents(s, d).select(col("doc_id"), toks(col("text")).as("ws"))
+      .withColumn("dl", size(col("ws")))
+    // corpus stats: one row, joined by broadcast — never a shuffle
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = docs.select(col("doc_id"), col("dl"), explode(col("ws")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // every constant below is written as the SAME decimal literal the
+    // oracle SQL uses (2.2, 1.2, 0.25, 0.75) — a Scala-computed
+    // K1 + 1.0 could land one ulp away from the SQL parser's 2.2
+    val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("s",
+        col("idf") * (col("tf") * 2.2) /
+          (col("tf") +
+            lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+    // per-term columns summed in a FIXED order (a groupBy-sum over
+    // doubles is shuffle-order-dependent; |Q| is a compile-time list)
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_matched"),
+        terms.map(t => sum(when(col("term") === t, col("s"))).as(s"s_$t")): _*)
+    val total = terms.map(t => coalesce(col(s"s_$t"), lit(0.0)))
+      .reduceLeft(_ + _)
+    val snapped = perDoc.withColumn("score_e6",
+      floor(total * 1e6 + lit(0.5)).cast("bigint"))
+    // global top-k as distributed TakeOrderedAndProject (per-partition
+    // heads merged on the driver side of the exchange — never a full
+    // sort), then rank the 20 survivors with a window that only ever
+    // sees 20 rows
+    val top = snapped.orderBy(col("score_e6").desc, col("doc_id")).limit(TopK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_e6").desc, col("doc_id"))
+    top.withColumn("rank", row_number().over(w))
+      .select(col("doc_id"), col("n_terms_matched"), col("score_e6"),
+        col("rank"))
+      .orderBy(col("rank"))
+  }
+
+  val bm25TopKSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, ws, len(ws) AS dl FROM (
+       |    SELECT doc_id, $toksSql AS ws FROM documents)),
+       |stats AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |    CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl FROM docs),
+       |tf AS (
+       |  SELECT doc_id, dl, term, COUNT(*) AS tf
+       |  FROM docs, UNNEST(ws) AS u(term)
+       |  WHERE term IN ('spark','stream','vector')
+       |  GROUP BY doc_id, dl, term),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    ln((s.n_docs - df.df + 0.5)/(df.df + 0.5) + 1.0)
+       |      * (tf.tf * 2.2)
+       |      / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)) AS sc
+       |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats s),
+       |per_doc AS (
+       |  SELECT doc_id, COUNT(*) AS n_terms_matched,
+       |    COALESCE(SUM(CASE WHEN term='spark' THEN sc END), 0.0)
+       |    + COALESCE(SUM(CASE WHEN term='stream' THEN sc END), 0.0)
+       |    + COALESCE(SUM(CASE WHEN term='vector' THEN sc END), 0.0) AS sc
+       |  FROM scored GROUP BY doc_id),
+       |snapped AS (
+       |  SELECT doc_id, n_terms_matched,
+       |    CAST(FLOOR(sc*1e6 + 0.5) AS BIGINT) AS score_e6
+       |  FROM per_doc)
+       |SELECT doc_id, n_terms_matched, score_e6,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id) AS INT)
+       |    AS rank
+       |FROM snapped
+       |ORDER BY score_e6 DESC, doc_id LIMIT 20""".stripMargin
+
+  // ------------------------------------- repetition quality (Gopher)
+  /** Repetition-based quality rules (the Gopher-rules family): the
+    * fraction of tokens taken by the most frequent word, the fraction
+    * of word bigrams taken by the most frequent bigram, and mean word
+    * length; docs failing any threshold are flagged for removal.
+    * Boilerplate and template spam score high on exactly these ratios.
+    *
+    * All metrics are integer-over-integer ratios (one IEEE division,
+    * bit-identical on any engine) — no transcendental, no snap needed.
+    * Shape: two (doc, gram) hash-aggs + one per-doc agg; linear. */
+  def repetitionQuality(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), toks(col("text")).as("ws"))
+      .withColumn("n_words", size(col("ws")))
+      .filter(col("n_words") >= 2)
+    val topWord = base.select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_word_c"))
+    val len2 = greatest(size(col("ws")) - 1, lit(0))
+    val bigrams = zip_with(
+      slice(col("ws"), lit(1), len2), slice(col("ws"), lit(2), len2),
+      (x, y) => concat(x, lit(" "), y))
+    val topBigram = base.select(col("doc_id"), explode(bigrams).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_bigram_c"))
+    val wordLen = base.select(col("doc_id"),
+      aggregate(col("ws"), lit(0L), (acc, x) => acc + length(x))
+        .as("total_word_len"))
+    base.select(col("doc_id"), col("n_words"))
+      .join(topWord, "doc_id").join(topBigram, "doc_id").join(wordLen, "doc_id")
+      .select(col("doc_id"), col("n_words"),
+        (col("top_word_c").cast("double") / col("n_words"))
+          .as("top_word_ratio"),
+        (col("top_bigram_c").cast("double") / (col("n_words") - 1))
+          .as("top_bigram_ratio"),
+        (col("total_word_len").cast("double") / col("n_words"))
+          .as("mean_word_len"))
+      .withColumn("keep",
+        col("top_word_ratio") <= 0.20 && col("top_bigram_ratio") <= 0.18 &&
+          col("mean_word_len") >= 2.0 && col("mean_word_len") <= 10.0)
+      .orderBy(col("doc_id"))
+  }
+
+  val repetitionQualitySql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, $toksSql AS ws FROM documents),
+       |sized AS (
+       |  SELECT doc_id, ws, len(ws) AS n_words FROM base WHERE len(ws) >= 2),
+       |tw AS (
+       |  SELECT doc_id, MAX(c) AS top_word_c FROM (
+       |    SELECT doc_id, w, COUNT(*) AS c
+       |    FROM sized, UNNEST(ws) AS u(w) GROUP BY doc_id, w)
+       |  GROUP BY doc_id),
+       |tb AS (
+       |  SELECT doc_id, MAX(c) AS top_bigram_c FROM (
+       |    SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b, COUNT(*) AS c
+       |    FROM sized, UNNEST(range(1, len(ws))) AS u(i)
+       |    GROUP BY doc_id, b)
+       |  GROUP BY doc_id),
+       |wl AS (
+       |  SELECT doc_id, SUM(len(w)) AS total_word_len
+       |  FROM sized, UNNEST(ws) AS u(w) GROUP BY doc_id),
+       |m AS (
+       |  SELECT s.doc_id, s.n_words,
+       |    CAST(tw.top_word_c AS DOUBLE)/s.n_words AS top_word_ratio,
+       |    CAST(tb.top_bigram_c AS DOUBLE)/(s.n_words - 1) AS top_bigram_ratio,
+       |    CAST(wl.total_word_len AS DOUBLE)/s.n_words AS mean_word_len
+       |  FROM sized s JOIN tw ON s.doc_id = tw.doc_id
+       |    JOIN tb ON s.doc_id = tb.doc_id
+       |    JOIN wl ON s.doc_id = wl.doc_id)
+       |SELECT doc_id, CAST(n_words AS INT) AS n_words, top_word_ratio,
+       |  top_bigram_ratio, mean_word_len,
+       |  (top_word_ratio <= 0.20 AND top_bigram_ratio <= 0.18
+       |   AND mean_word_len >= 2.0 AND mean_word_len <= 10.0) AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------- context-window chunking
+  /** Split each document's token stream into model-context windows of
+    * [[ChunkW]] tokens with stride [[ChunkS]] (overlap = W−S carries
+    * boundary context into the next window) — how long documents
+    * become fixed-length training samples before packing. Each chunk
+    * carries the md5 of its text so the oracle checks CONTENT, not
+    * just offsets. Pure per-row explode over a computed range: no
+    * shuffle at all until the output sort; linear at any scale. */
+  private[queries] val ChunkW = 64
+  private[queries] val ChunkS = 48
+
+  def chunkWindows(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), toks(col("text")).as("ws"))
+      .withColumn("n", size(col("ws"))).filter(col("n") > 0)
+    val nch = (lit(1) +
+      floor((greatest(col("n") - ChunkW, lit(0)) + (ChunkS - 1))
+        / ChunkS.toDouble)).cast("int")
+    base.withColumn("nch", nch)
+      .select(col("doc_id"), col("ws"), col("n"),
+        explode(sequence(lit(0), col("nch") - 1)).as("chunk_id"))
+      .withColumn("start_tok", col("chunk_id") * ChunkS)
+      .withColumn("chunk_len",
+        least(lit(ChunkW), col("n") - col("start_tok")))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        col("chunk_len"),
+        md5(array_join(
+          slice(col("ws"), col("start_tok") + 1, col("chunk_len")), " "))
+          .as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val chunkWindowsSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, $toksSql AS ws FROM documents),
+       |sized AS (
+       |  SELECT doc_id, ws, len(ws) AS n FROM base WHERE len(ws) > 0),
+       |chunked AS (
+       |  SELECT doc_id, ws, n, CAST(i AS INT) AS chunk_id,
+       |    CAST(i * $ChunkS AS INT) AS start_tok
+       |  FROM sized, UNNEST(range(0,
+       |    1 + CAST(FLOOR((GREATEST(n - $ChunkW, 0) + ${ChunkS - 1})
+       |              / ${ChunkS.toDouble}) AS BIGINT))) AS u(i))
+       |SELECT doc_id, chunk_id, start_tok,
+       |  CAST(LEAST($ChunkW, n - start_tok) AS INT) AS chunk_len,
+       |  md5(array_to_string(
+       |    ws[start_tok + 1 : start_tok + LEAST($ChunkW, n - start_tok)],
+       |    ' ')) AS chunk_md5
+       |FROM chunked ORDER BY doc_id, chunk_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25_topk" -> bm25TopK,
+    "text_repetition_quality" -> repetitionQuality,
+    "doc_chunk_windows" -> chunkWindows)
+
+  val oracle: Map[String, String] = Map(
+    "text_bm25_topk" -> bm25TopKSql,
+    "text_repetition_quality" -> repetitionQualitySql,
+    "doc_chunk_windows" -> chunkWindowsSql)
+}

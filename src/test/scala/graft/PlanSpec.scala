@@ -118,4 +118,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("bm25: stats and df broadcast, top-k is TakeOrdered, no cartesian") {
+    val p = plan("text_bm25_topk")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"),
+      "global top-k must be the distributed heap form, not a full sort")
+    assert(p.contains("partial_count"), "tf must partial-aggregate map-side")
+  }
+
+  test("kmeans assign: the ONLY non-equi join is the broadcast of k centers") {
+    val p = plan("emb_kmeans_assign")
+    assert(!p.contains("CartesianProduct"),
+      "centers must be broadcast (BNLJ), never a shuffled cartesian")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("repetition quality: per-doc aggs partial-aggregate map-side") {
+    val p = plan("text_repetition_quality")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_"))
+  }
+
+  test("chunk windows: pure per-row explode — no join, no agg shuffle") {
+    val p = plan("doc_chunk_windows")
+    assert(!p.contains("Join"), "chunking must not introduce any join")
+    assert(p.contains("Generate"), "expected the explode generator")
+  }
 }

@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Behavioral pins for the retrieval/quality/chunking tier — the
+  * DuckDB oracle already checks values; these pin the SEMANTICS on
+  * crafted inputs (term-stuffed docs rank first, repetitive docs are
+  * dropped, chunks tile the token stream with the configured
+  * overlap). */
+class TextAnalysisSpec extends AnyFunSuite {
+  import graft.SparkTestSession._
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.01"
+
+  private def writeDocs(rows: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("ta").toString
+    rows.map { case (id, t) => (id, t, "en", s"src$id", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("bm25: a term-stuffed doc outranks a single-mention doc, " +
+      "which outranks a no-mention doc") {
+    val filler = "alpha beta gamma delta " * 10
+    val dir = writeDocs(Seq(
+      (1L, s"spark stream vector spark stream vector spark $filler"),
+      (2L, s"spark $filler"),
+      (3L, s"$filler epsilon zeta")))
+    val rows = TextAnalysis.bm25TopK(spark, dir)
+      .select(col("doc_id"), col("rank"), col("n_terms_matched"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byDoc = rows.map(r => r._1 -> r._2).toMap
+    assert(byDoc(1L) == 1, "stuffed doc must rank first")
+    assert(byDoc(2L) == 2, "single-mention doc must rank second")
+    assert(!byDoc.contains(3L), "zero-score docs never enter the top-k")
+    assert(rows.find(_._1 == 1L).get._3 == 3L)
+    assert(rows.find(_._1 == 2L).get._3 == 1L)
+  }
+
+  test("bm25: ranks are contiguous from 1 and scores non-increasing") {
+    val rows = TextAnalysis.bm25TopK(spark, d)
+      .select(col("rank"), col("score_e6")).as[(Int, Long)].collect()
+    assert(rows.map(_._1).toSeq == (1 to rows.length))
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sortBy(-_).toSeq)
+  }
+
+  test("repetition: a one-word loop is dropped, varied text is kept") {
+    val dir = writeDocs(Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "the quick brown fox jumps over a lazy dog near the river bank")))
+    val got = TextAnalysis.repetitionQuality(spark, dir)
+      .select(col("doc_id"), col("keep"), col("top_word_ratio"))
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getDouble(2)))
+      .toMap
+    assert(!got(1L)._1, "pure repetition must be flagged")
+    assert(got(1L)._2 == 1.0)
+    assert(got(2L)._1, "varied prose must pass")
+  }
+
+  test("chunks: windows tile every token with stride overlap, content checks") {
+    val n = 150 // 3 windows at W=64/S=48: [0,64) [48,112) [96,150)
+    // letter-only words: the tokenizer splits on non-letter runs, so
+    // digit suffixes would collapse every word to "w"
+    val words = (0 until n).map(i =>
+      s"w${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+    val dir = writeDocs(Seq((7L, words.mkString(" "))))
+    val rows = TextAnalysis.chunkWindows(spark, dir)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    assert(rows.map(_._1).toSeq == Seq(0, 1, 2))
+    assert(rows.map(_._2).toSeq == Seq(0, 48, 96))
+    assert(rows.map(_._3).toSeq == Seq(64, 64, 54))
+    // every token index is inside at least one window (no gaps)
+    val covered = rows.flatMap(r => r._2 until (r._2 + r._3)).toSet
+    assert(covered == (0 until n).toSet)
+    // content: md5 of the exact token slice, not just offsets
+    val expect = org.apache.commons.codec.digest.DigestUtils
+      .md5Hex(words.slice(96, 150).mkString(" "))
+    assert(rows.last._4 == expect)
+  }
+
+  test("chunks: a short doc yields exactly one window of its full length") {
+    val dir = writeDocs(Seq((1L, "a b c"), (2L, ("x " * 64).trim)))
+    val rows = TextAnalysis.chunkWindows(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(3)))
+    assert(rows.toSeq == Seq((1L, 0, 3), (2L, 0, 64)))
+  }
+}
