@@ -12,8 +12,8 @@ object PlanCheck {
       "dedup_embedding_lsh", "emb_ann_ivf", "window_trailing_30d",
       "sql_grouping_sets", "unpivot_status", "doc_decontaminate",
       "doc_mixture_sample", "text_pack_sequences",
-      "text_bm25_topk", "text_repetition_quality", "doc_chunk_windows",
-      "emb_kmeans_assign")
+      "text_bm25_topk", "text_tfidf_top_terms", "text_repetition_quality",
+      "doc_chunk_windows", "emb_kmeans_assign")
     val out = new StringBuilder
     out ++= "# PLANS — formatted physical plans for headline queries\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanCheck PLANS.md\"` " +

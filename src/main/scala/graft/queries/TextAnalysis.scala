@@ -120,6 +120,64 @@ object TextAnalysis {
        |FROM snapped
        |ORDER BY score_e6 DESC, doc_id LIMIT 20""".stripMargin
 
+  // ------------------------------------------- TF-IDF keyword terms
+  /** Top-3 TF-IDF terms per document (smooth idf = ln((1+N)/(1+df))+1)
+    * — the keyword-extraction pass behind topic tagging and
+    * per-document metadata in a curation pipeline.
+    *
+    * Scale shape: per-(doc, term) tf is one hash-agg off the token
+    * explode; df is an agg over tf keyed by term, joined back on term
+    * (an equi-join that shuffles by term — at web scale the vocab is
+    * itself large, so no broadcast is assumed); corpus size N is a
+    * 1-row broadcast. The final top-3 window partitions BY DOC — the
+    * window key is the parallel unit, so no global sort anywhere.
+    *
+    * Each row's score is a single tf × idf product (no cross-row FP
+    * summation → no shuffle-order sensitivity); ln()'s last ulp is
+    * libm-dependent, so like BM25 the score is snapped to an integer
+    * 1e-6 grid before ranking and comparison, and ties break on the
+    * term string. */
+  def tfidfTopTerms(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), toks(col("text")).as("ws"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs.select(col("doc_id"), explode(col("ws")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("score_e6",
+        floor(col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0)
+          * 1e6 + lit(0.5)).cast("bigint"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score_e6").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("score_e6"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val tfidfTopTermsSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, $toksSql AS ws FROM documents),
+       |n AS (SELECT COUNT(*) AS n_docs FROM docs),
+       |tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf
+       |  FROM docs, UNNEST(ws) AS u(term)
+       |  GROUP BY doc_id, term),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    CAST(FLOOR(tf.tf * (ln((n.n_docs + 1.0)/(df.df + 1.0)) + 1.0)
+       |         * 1e6 + 0.5) AS BIGINT) AS score_e6
+       |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+       |SELECT doc_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+       |       ORDER BY score_e6 DESC, term) AS INT) AS rank,
+       |  term, score_e6
+       |FROM scored
+       |QUALIFY rank <= 3
+       |ORDER BY doc_id, rank""".stripMargin
+
   // ------------------------------------- repetition quality (Gopher)
   /** Repetition-based quality rules (the Gopher-rules family): the
     * fraction of tokens taken by the most frequent word, the fraction
@@ -246,11 +304,13 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25_topk" -> bm25TopK,
+    "text_tfidf_top_terms" -> tfidfTopTerms,
     "text_repetition_quality" -> repetitionQuality,
     "doc_chunk_windows" -> chunkWindows)
 
   val oracle: Map[String, String] = Map(
     "text_bm25_topk" -> bm25TopKSql,
+    "text_tfidf_top_terms" -> tfidfTopTermsSql,
     "text_repetition_quality" -> repetitionQualitySql,
     "doc_chunk_windows" -> chunkWindowsSql)
 }

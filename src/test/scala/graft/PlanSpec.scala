@@ -134,6 +134,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("tfidf: top-3 window partitions by doc_id — no global sort") {
+    val p = plan("text_tfidf_top_terms")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_count"), "tf must partial-aggregate map-side")
+    // the rank window must carry the per-doc partitioning, not a
+    // single-partition ORDER BY over the whole term table
+    assert(p.contains("windowspecdefinition(doc_id"),
+      "row_number window must be partitioned by doc_id")
+  }
+
   test("repetition quality: per-doc aggs partial-aggregate map-side") {
     val p = plan("text_repetition_quality")
     assert(!p.contains("CartesianProduct"))

@@ -47,6 +47,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows.map(_._2).toSeq == rows.map(_._2).sortBy(-_).toSeq)
   }
 
+  test("tfidf: a document's unique rare term outranks corpus-wide words") {
+    val shared = "common words shared by every document here"
+    val dir = writeDocs(Seq(
+      (1L, s"$shared zyzzyva zyzzyva"),
+      (2L, shared), (3L, shared), (4L, shared)))
+    val got = TextAnalysis.tfidfTopTerms(spark, dir)
+      .filter(col("doc_id") === 1L && col("rank") === 1)
+      .select(col("term")).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("zyzzyva"),
+      "the term appearing only in doc 1 must be its top keyword")
+  }
+
+  test("tfidf: exactly (up to) 3 terms per doc, ranks contiguous") {
+    val rows = TextAnalysis.tfidfTopTerms(spark, d)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), collect_list(col("rank")).as("rs"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) <= 3)
+      assert(r.getSeq[Int](2).sorted == (1 to r.getLong(1).toInt))
+    }
+  }
+
   test("repetition: a one-word loop is dropped, varied text is kept") {
     val dir = writeDocs(Seq(
       (1L, "spam spam spam spam spam spam spam spam spam spam"),
