@@ -18,12 +18,14 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       } finally {
-        // free per-query residue: cached tables via clearCache, and a
-        // GC nudge so localCheckpoint blocks (not CacheManager-tracked)
-        // are dropped by the ContextCleaner — ~82 queries share this
-        // session and signature tables would otherwise pile up
+        // free per-query residue: cached tables via clearCache, and
+        // every Materialize-tracked block synchronously (localCheckpoint
+        // blocks never enter the CacheManager) — ~87 queries share this
+        // session and signature tables would otherwise pile up. The
+        // old System.gc() nudge was both slower and nondeterministic
+        // (async ContextCleaner work spilling into later queries).
         spark.catalog.clearCache()
-        System.gc()
+        graft.operators.Materialize.freeAll(spark)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

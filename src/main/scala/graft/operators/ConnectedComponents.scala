@@ -36,11 +36,10 @@ object ConnectedComponents {
     // at init makes the operator total instead of precondition-bound.
     // localCheckpoint: without truncation the logical plan compounds
     // per loop and analysis itself OOMs past ~20 rounds
-    var labels = nodes.toDF("id")
+    var labels = Materialize.eagerCheckpoint(nodes.toDF("id")
       .union(sym.select(col("src").as("id")))
       .distinct()
-      .select(col("id"), col("id").as("component"))
-      .localCheckpoint(true)
+      .select(col("id"), col("id").as("component")))
     // handle to the checkpoint backing `labels`: each iteration's
     // snapshot is freed explicitly once its successor is materialized —
     // otherwise up to maxIter label snapshots sit in executor storage
@@ -63,12 +62,11 @@ object ConnectedComponents {
       // propagated-self-join trips Catalyst's Union constraint rewrite
       // on LocalRelation inputs, and with star-contracted edges the
       // diameter is already ~5, so O(log d) bought nothing measurable)
-      val next = labels
+      val next = Materialize.eagerCheckpoint(labels
         .select(col("id"), col("component"), col("component").as("old"))
         .union(neighborLabels)
         .groupBy(col("id"))
-        .agg(min(col("component")).as("component"), max(col("old")).as("old"))
-        .localCheckpoint(true)
+        .agg(min(col("component")).as("component"), max(col("old")).as("old")))
       // convergence: no node changed label. A changed-row filter (not a
       // label checksum) survives ANSI overflow on huge id spaces and
       // empty inputs; one boolean reaches the driver per iteration.

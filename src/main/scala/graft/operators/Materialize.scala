@@ -29,6 +29,29 @@ import org.apache.spark.sql.execution.LogicalRDD
 object Materialize {
   val ConfKey = "spark.graft.materialize"
 
+  // Weak registry of every checkpoint RDD this helper materialized:
+  // [[freeAll]] lets a harness (Verify/Bench) drop all surviving
+  // blocks deterministically between queries instead of waiting on
+  // the JVM GC + async ContextCleaner (whose cleanup otherwise lands
+  // inside the NEXT query's timed window). The key is the underlying
+  // RDD, not the Dataset wrapper: consumers hold the RDD through
+  // their LogicalRDD plan nodes long after the wrapper frame is
+  // garbage, and weak keys keep the default contract for library
+  // callers — once every consumer drops the plan, normal GC +
+  // ContextCleaner free the blocks, registry or not.
+  private val tracked =
+    new java.util.WeakHashMap[org.apache.spark.rdd.RDD[_], AnyRef]()
+
+  private def leafRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectLeaves().collect {
+      case l: LogicalRDD => l.rdd
+    }
+
+  private def track(df: DataFrame): DataFrame = {
+    tracked.synchronized { leafRdds(df).foreach(tracked.put(_, None)) }
+    df
+  }
+
   /** Materialize `df` now and return a frame whose consumers reuse the
     * stored blocks instead of recomputing the plan. */
   def eager(df: DataFrame): DataFrame =
@@ -36,9 +59,34 @@ object Materialize {
       case "persist" =>
         val p = df.persist()
         p.count() // materialize now: consumers must never race the fill
-        p
-      case _ => df.localCheckpoint(true)
+        track(p)
+      case _ => track(df.localCheckpoint(true))
     }
+
+  /** Always-localCheckpoint variant for iterative loops whose plans
+    * MUST truncate lineage regardless of the [[ConfKey]] policy
+    * (compounding analysis plans OOM past ~20 rounds). */
+  def eagerCheckpoint(df: DataFrame): DataFrame =
+    track(df.localCheckpoint(true))
+
+  /** Free every tracked checkpoint of `spark`'s context that is still
+    * strongly reachable — for harnesses running many queries in one
+    * session; call only between queries (after the action completed).
+    * Persist-policy frames live in the CacheManager instead — a
+    * harness clears those with `spark.catalog.clearCache()`. */
+  def freeAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val live = tracked.synchronized {
+      val buf = scala.collection.mutable
+        .ArrayBuffer[org.apache.spark.rdd.RDD[_]]()
+      val it = new java.util.ArrayList(tracked.keySet()).iterator()
+      while (it.hasNext) { val r = it.next(); if (r != null) buf += r }
+      buf.toSeq
+    }
+    live.filter(_.sparkContext eq spark.sparkContext).foreach { r =>
+      r.unpersist(false)
+      tracked.synchronized { tracked.remove(r) }
+    }
+  }
 
   /** Drop the stored blocks behind an [[eager]]-materialized frame
     * once no live consumer remains. Safe on any frame: non-materialized
@@ -46,9 +94,9 @@ object Materialize {
     * is NOT recomputable — only call when the result (or a downstream
     * materialization of it) is no longer needed. */
   def free(df: DataFrame): Unit = {
-    df.queryExecution.analyzed.collectLeaves().foreach {
-      case l: LogicalRDD => l.rdd.unpersist(false)
-      case _ => ()
+    leafRdds(df).foreach { r =>
+      r.unpersist(false)
+      tracked.synchronized { tracked.remove(r) }
     }
     df.unpersist(false) // persist-policy frames: drop the cache entry too
   }

@@ -59,5 +59,9 @@ class MaterializeSpec extends AnyFunSuite {
     assert(residue <= 4,
       s"unexpected RDD residue ($residue new): " +
         spark.sparkContext.getPersistentRDDs.keys.toSeq.sorted)
+    // the harness hook drops even that bounded residue synchronously
+    Materialize.freeAll(spark)
+    assert(spark.sparkContext.getPersistentRDDs.size <= baseline,
+      "freeAll must release every tracked materialization")
   }
 }
