@@ -33,10 +33,9 @@ object KMeans {
           (x.cast("double") - y.cast("double"))),
       lit(0.0), (acc, v) => acc + v)
 
-  /** Nearest-center assignment: one row per point with its center id
-    * and squared distance. `points`: (id, vec); `centers`: (cid, cvec),
-    * k rows — always broadcast. */
-  def assign(points: DataFrame, centers: DataFrame): DataFrame = {
+  /** Shared nearest-center pipeline, keeping the point vector on the
+    * row so [[update]] never re-joins the full points table. */
+  private def assignFull(points: DataFrame, centers: DataFrame): DataFrame = {
     val p = points.toDF("id", "vec")
     val c = centers.toDF("cid", "cvec")
     val w = org.apache.spark.sql.expressions.Window
@@ -45,15 +44,20 @@ object KMeans {
       .withColumn("d2", sqDist(col("vec"), col("cvec")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("id"), col("cid"), col("d2"))
+      .select(col("id"), col("vec"), col("cid"), col("d2"))
   }
+
+  /** Nearest-center assignment: one row per point with its center id
+    * and squared distance. `points`: (id, vec); `centers`: (cid, cvec),
+    * k rows — always broadcast. */
+  def assign(points: DataFrame, centers: DataFrame): DataFrame =
+    assignFull(points, centers).select(col("id"), col("cid"), col("d2"))
 
   /** One Lloyd update: per-cluster per-dimension mean of the assigned
     * points. Empty clusters keep their previous center (standard
     * Lloyd's — no resampling, stays deterministic). */
   def update(points: DataFrame, centers: DataFrame): DataFrame = {
-    val assigned = assign(points, centers)
-      .join(points.toDF("id", "vec"), "id")
+    val assigned = assignFull(points, centers)
     val means = assigned
       .select(col("cid"), posexplode(col("vec")).as(Seq("dim", "v")))
       .groupBy(col("cid"), col("dim"))
@@ -72,5 +76,7 @@ object KMeans {
     * Lloyd's guarantees this is non-increasing across [[update]]s
     * (the property KMeansSpec pins). */
   def sse(points: DataFrame, centers: DataFrame): Double =
-    assign(points, centers).agg(sum(col("d2"))).head().getDouble(0)
+    assign(points, centers)
+      .agg(coalesce(sum(col("d2")), lit(0.0))) // empty input → 0, not NULL
+      .head().getDouble(0)
 }

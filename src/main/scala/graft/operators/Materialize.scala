@@ -83,7 +83,10 @@ object Materialize {
       buf.toSeq
     }
     live.filter(_.sparkContext eq spark.sparkContext).foreach { r =>
-      r.unpersist(false)
+      // blocking: the whole point is that removal completes BEFORE the
+      // caller's next timed window starts — unpersist(false) merely
+      // dispatches the removal to block-manager threads
+      r.unpersist(blocking = true)
       tracked.synchronized { tracked.remove(r) }
     }
   }
@@ -95,9 +98,9 @@ object Materialize {
     * materialization of it) is no longer needed. */
   def free(df: DataFrame): Unit = {
     leafRdds(df).foreach { r =>
-      r.unpersist(false)
+      r.unpersist(blocking = true)
       tracked.synchronized { tracked.remove(r) }
     }
-    df.unpersist(false) // persist-policy frames: drop the cache entry too
+    df.unpersist(true) // persist-policy frames: drop the cache entry too
   }
 }

@@ -20,8 +20,11 @@ import graft.Tables._
 object Documents {
 
   /** Tokenize on runs of non-letters — the reference tokenizer
-    * (unicode.IsLetter complement ≈ \p{L}, wc.go:23-26), case-sensitive. */
-  private def tokens(c: Column): Column =
+    * (unicode.IsLetter complement ≈ \p{L}, wc.go:23-26), case-sensitive.
+    * THE tokenizer of the corpus tier: shared by every query that
+    * splits text (shingles, BM25/TF-IDF, repetition, chunking) so a
+    * definition tweak can never fork the surface. */
+  private[queries] def tokens(c: Column): Column =
     filter(split(c, "[^\\p{L}]+"), t => length(t) > 0)
 
   private val tokensSql =

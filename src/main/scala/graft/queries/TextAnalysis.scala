@@ -14,10 +14,10 @@ import graft.Tables._
   */
 object TextAnalysis {
 
-  /** Same tokenizer as the rest of the corpus tier (runs of letters). */
-  private def toks(c: Column): Column =
-    filter(split(c, "[^\\p{L}]+"), t => length(t) > 0)
+  /** THE corpus tokenizer (single definition: Documents.tokens). */
+  private def toks(c: Column): Column = Documents.tokens(c)
 
+  /** Its DuckDB twin, list-valued (the oracle SQL strings inline it). */
   private val toksSql =
     """list_filter(string_split_regex(text, '[^\p{L}]+'), w -> w <> '')"""
 
@@ -187,14 +187,19 @@ object TextAnalysis {
     *
     * All metrics are integer-over-integer ratios (one IEEE division,
     * bit-identical on any engine) — no transcendental, no snap needed.
-    * Shape: two (doc, gram) hash-aggs + one per-doc agg; linear. */
+    * Shape: TWO tokenize passes total — the word explode serves
+    * n_words, top-word count AND total word length from one (doc,
+    * word) agg (Σ c·len(w) over groups ≡ Σ len over occurrences), the
+    * bigram explode serves the bigram ratio; one per-doc join; linear. */
   def repetitionQuality(s: SparkSession, d: String): DataFrame = {
     val base = documents(s, d).select(col("doc_id"), toks(col("text")).as("ws"))
-      .withColumn("n_words", size(col("ws")))
-      .filter(col("n_words") >= 2)
-    val topWord = base.select(col("doc_id"), explode(col("ws")).as("w"))
+    val wordStats = base.select(col("doc_id"), explode(col("ws")).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("top_word_c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"),
+        max(col("c")).as("top_word_c"),
+        sum(col("c") * length(col("w"))).as("total_word_len"))
+      .filter(col("n_words") >= 2)
     val len2 = greatest(size(col("ws")) - 1, lit(0))
     val bigrams = zip_with(
       slice(col("ws"), lit(1), len2), slice(col("ws"), lit(2), len2),
@@ -202,12 +207,8 @@ object TextAnalysis {
     val topBigram = base.select(col("doc_id"), explode(bigrams).as("b"))
       .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id")).agg(max(col("c")).as("top_bigram_c"))
-    val wordLen = base.select(col("doc_id"),
-      aggregate(col("ws"), lit(0L), (acc, x) => acc + length(x))
-        .as("total_word_len"))
-    base.select(col("doc_id"), col("n_words"))
-      .join(topWord, "doc_id").join(topBigram, "doc_id").join(wordLen, "doc_id")
-      .select(col("doc_id"), col("n_words"),
+    wordStats.join(topBigram, "doc_id")
+      .select(col("doc_id"), col("n_words").cast("int").as("n_words"),
         (col("top_word_c").cast("double") / col("n_words"))
           .as("top_word_ratio"),
         (col("top_bigram_c").cast("double") / (col("n_words") - 1))
