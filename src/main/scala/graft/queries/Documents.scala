@@ -264,6 +264,66 @@ object Documents {
        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
   }
 
+  // -------------------------------------- dedup: incremental batch
+  /** Incremental dedup — the daily-ingestion shape: a NEW batch (here
+    * every 5th doc by id) is checked against the EXISTING corpus via
+    * an asymmetric MinHash-LSH band join. Output: each new doc with
+    * the min matching corpus doc and its candidate count.
+    *
+    * Why this exists next to dedup_lsh_pairs: at 100 TB you never
+    * re-run dedup over the full corpus per ingest. The asymmetric
+    * join's cost is Σ |new∩bucket| × |corpus∩bucket| — proportional
+    * to the BATCH size for stable band distributions — and the corpus
+    * side is exactly the signature table a production pipeline keeps
+    * materialized between ingests (here rebuilt from the same source
+    * so the oracle can check it end to end). The disjoint-band union
+    * (band-1 term requires band-0 differs) counts each (new, corpus)
+    * pair exactly once with NO distinct over the pair space.
+    *
+    * Band keys are the md5-concat STRINGS (shared collision behavior
+    * with the oracle — the n_candidates count could silently drift
+    * under a 64-bit digest key at corpus scale, the same reasoning
+    * that moved decontaminate off xxhash64). */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val sig2 = graft.operators.Materialize.eager(
+      minhashSignatures(s, d).select(col("doc_id"),
+        concat(lit("b0_"), col("mh0"), lit("_"), col("mh1")).as("b0"),
+        concat(lit("b1_"), col("mh2"), lit("_"), col("mh3")).as("b1"))
+        .repartition(s.sparkContext.defaultParallelism))
+    val corpus = sig2.filter(col("doc_id") % 5 =!= 4)
+      .select(col("doc_id").as("old_id"), col("b0").as("ob0"), col("b1").as("ob1"))
+    val batch = sig2.filter(col("doc_id") % 5 === 4)
+    val onB0 = batch.join(corpus, col("b0") === col("ob0"))
+    val onB1Only = batch.join(corpus,
+      col("b1") === col("ob1") && col("b0") =!= col("ob0"))
+    onB0.union(onB1Only)
+      .groupBy(col("doc_id"))
+      .agg(min(col("old_id")).as("dup_of"),
+        count(lit(1)).as("n_candidates"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupIncrementalSql: String = {
+    val sig = minhashSignaturesSql.replace("ORDER BY doc_id", "")
+    s"""WITH sig AS ($sig),
+       |banded AS (
+       |  SELECT doc_id, doc_id % 5 = 4 AS is_new,
+       |    'b0_' || mh0 || '_' || mh1 AS band0,
+       |    'b1_' || mh2 || '_' || mh3 AS band1
+       |  FROM sig),
+       |hits AS (
+       |  SELECT n.doc_id, o.doc_id AS old_id
+       |  FROM banded n JOIN banded o
+       |    ON n.is_new AND NOT o.is_new AND n.band0 = o.band0
+       |  UNION ALL
+       |  SELECT n.doc_id, o.doc_id AS old_id
+       |  FROM banded n JOIN banded o
+       |    ON n.is_new AND NOT o.is_new AND n.band1 = o.band1
+       |       AND n.band0 <> o.band0)
+       |SELECT doc_id, MIN(old_id) AS dup_of, COUNT(*) AS n_candidates
+       |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // -------------------------------------- dedup: n-gram Jaccard
   /** Exact Jaccard over word 3-gram shingles for same-source pairs
     * (bucketed, so the pair space is bounded per bucket — at scale the
@@ -465,6 +525,7 @@ object Documents {
     "dedup_minhash_sig" -> minhashSignatures,
     "dedup_lsh_pairs" -> dedupLshPairs,
     "dedup_clusters" -> dedupClusters,
+    "dedup_incremental" -> dedupIncremental,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "text_quality" -> textQuality,
     "text_lang_id" -> langIdSimple,
@@ -480,6 +541,7 @@ object Documents {
     "dedup_minhash_sig" -> minhashSignaturesSql,
     "dedup_lsh_pairs" -> dedupLshPairsSql,
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_incremental" -> dedupIncrementalSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "text_quality" -> textQualitySql,
     "text_lang_id" -> langIdSql,

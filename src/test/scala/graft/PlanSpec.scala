@@ -119,6 +119,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("incremental dedup: band equi-join only — never batch × corpus") {
+    val p = plan("dedup_incremental")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("bm25: stats and df broadcast, top-k is TakeOrdered, no cartesian") {
     val p = plan("text_bm25_topk")
     assert(!p.contains("CartesianProduct"))
