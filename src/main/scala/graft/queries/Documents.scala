@@ -123,9 +123,19 @@ object Documents {
     * (Broder '97). 4 signatures here; LSH banding in dedupLshPairs. */
   private val NSIG = 4
   def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+    // A MIN over tokens needs NO distinct (duplicates cannot change a
+    // min), so the agg partial-combines map-side and the shuffle
+    // carries ONE row per doc — O(docs), never O(tokens). The naive
+    // explode→distinct→groupBy form shuffled the whole token table;
+    // the other extreme (array_min over transform, a true zero-shuffle
+    // projection) was cold-A/B'd SLOWER here (1.1→1.6 s at sf0.1):
+    // higher-order functions are codegen-fallback, so per-element
+    // interpreted eval loses to codegen'd explode+agg — that
+    // projection form lives on in streaming.DocStreams, where
+    // statelessness (not CPU) is the requirement and values are
+    // identical by construction.
     val tok = documents(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
-      .distinct()
     val aggs = (0 until NSIG).map(j =>
       min(md5(concat(lit(j.toString), lit("|"), col("word")))).as(s"mh$j"))
     tok.groupBy(col("doc_id"))

@@ -246,6 +246,41 @@ object TextPipeline {
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------------- stratified sample
+  /** Deterministic stratified sampling: exactly min(k, |cell|) docs
+    * per (lang, source) cell, chosen by md5 order — the quota-based
+    * companion to rate-based [[mixtureSample]] (eval-set carving,
+    * per-domain caps). Same RNG-free reproducibility story: the hash
+    * IS the random order, so re-runs and re-ingests pick identical
+    * rows, and duplicate texts tie-break on doc_id.
+    *
+    * Scale shape: one window partitioned BY CELL — the cell is the
+    * parallel unit. For pathological single-cell skew the bounded
+    * top-k Aggregator (`operators.TopK`) is the same query with O(k)
+    * state per cell instead of a per-cell sort. */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val k = 5
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("source"))
+      .orderBy(col("hk"), col("doc_id"))
+    documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        md5(concat(lit("strat|"), col("text"))).as("hk"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("lang"), col("source"), col("rn"), col("doc_id"))
+      .orderBy(col("lang"), col("source"), col("rn"))
+  }
+
+  val stratifiedSampleSql: String =
+    """SELECT lang, source,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY lang, source
+      |       ORDER BY md5('strat|' || text), doc_id) AS INT) AS rn,
+      |  doc_id
+      |FROM documents
+      |QUALIFY rn <= 5
+      |ORDER BY lang, source, rn""".stripMargin
+
   // ------------------------------------------- global shuffle
   /** Deterministic global shuffle: every doc gets a position 0..n-1 in
     * md5-of-content order — the reproducible permutation a training
@@ -282,6 +317,7 @@ object TextPipeline {
     "text_clean_corpus" -> cleanCorpus,
     "text_pack_sequences" -> packSequences,
     "doc_mixture_sample" -> mixtureSample,
+    "doc_stratified_sample" -> stratifiedSample,
     "doc_decontaminate" -> decontaminate,
     "topk_per_key_agg" -> ((s, d) =>
       graft.operators.TopK.topOrdersPerCustomer(s, d)))
@@ -293,6 +329,7 @@ object TextPipeline {
     "text_clean_corpus" -> cleanCorpusSql,
     "text_pack_sequences" -> packSequencesSql,
     "doc_mixture_sample" -> mixtureSampleSql,
+    "doc_stratified_sample" -> stratifiedSampleSql,
     "doc_decontaminate" -> decontaminateSql,
     // same oracle as the window formulation — different physical plan,
     // identical rows

@@ -64,6 +64,28 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq, "shuffle order must be reproducible")
   }
 
+  test("stratified_sample: per-cell quota, contiguous ranks, deterministic") {
+    import spark.implicits._
+    val rows = TextPipeline.stratifiedSample(spark, d)
+      .as[(String, String, Int, Long)].collect()
+    val byCell = rows.groupBy(r => (r._1, r._2))
+    byCell.foreach { case (cell, rs) =>
+      assert(rs.length <= 5, s"$cell overflows the quota")
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length), s"$cell ranks")
+    }
+    // cells with fewer docs than the quota keep everything
+    val cellSizes = graft.Tables.documents(spark, d)
+      .groupBy(col("lang"), col("source")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    byCell.foreach { case (cell, rs) =>
+      assert(rs.length == math.min(5L, cellSizes(cell)), s"$cell quota")
+    }
+    val again = TextPipeline.stratifiedSample(spark, d)
+      .as[(String, String, Int, Long)].collect()
+    assert(rows.toSeq == again.toSeq, "sample must be reproducible")
+  }
+
   test("decontaminate: planted train/eval shingle overlap is flagged, " +
       "clean train docs are not") {
     import spark.implicits._

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Stream-static join: arriving documents dedup-checked against a
+  * static corpus signature table, micro-batch by micro-batch, with
+  * zero streaming state — results must match the batch incremental
+  * dedup semantics on the same data. */
+class DocStreamsSpec extends AnyFunSuite {
+  import graft.SparkTestSession._
+  import spark.implicits._
+
+  private val shared = "alpha beta gamma delta epsilon zeta eta theta " * 5
+  private val other = "lorem ipsum dolor sit amet consectetur adipiscing " * 5
+
+  private def docsDf(rows: Seq[(Long, String)]) =
+    rows.map { case (id, t) => (id, t, "en", s"src$id", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("arriving duplicates are flagged against the static corpus, " +
+      "across multiple micro-batches") {
+    val corpus = docsDf(Seq((0L, shared), (1L, shared), (2L, other)))
+    // two parquet files → two micro-batches (maxFilesPerTrigger=1)
+    val dir = java.nio.file.Files.createTempDirectory("docstream").toString
+    docsDf(Seq((4L, shared), (9L, "nothing here matches anything at all")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/b0")
+    docsDf(Seq((14L, other)))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/b1")
+    val staged = java.nio.file.Files.createTempDirectory("docstream-in")
+    Seq("b0", "b1").foreach { b =>
+      val part = new java.io.File(s"$dir/$b").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, staged.resolve(s"$b.parquet"))
+    }
+    val pairs = DocStreams.incrementalDedupStream(
+      DocStreams.readDocStream(spark, staged.toString), corpus)
+    EventStreams.runToMemory(spark, pairs, "inc_dedup_stream",
+      OutputMode.Append())
+    val got = spark.table("inc_dedup_stream")
+      .groupBy(col("doc_id"))
+      .agg(min(col("old_id")).as("dup_of"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == Set(4L, 14L),
+      s"only duplicated arrivals may be flagged: ${got.keySet}")
+    assert(got(4L) == (0L, 2L), s"doc 4 must match corpus docs 0 and 1: ${got(4L)}")
+    assert(got(14L) == (2L, 1L))
+  }
+
+  test("streaming pairs equal the batch asymmetric-join pairs on the same data") {
+    val corpus = docsDf(Seq((0L, shared), (2L, other)))
+    val arrivals = docsDf(Seq((4L, shared), (14L, other)))
+    val dir = java.nio.file.Files.createTempDirectory("docstream2")
+    arrivals.coalesce(1).write.mode("overwrite").parquet(dir.toString + "/in")
+    val batch = DocStreams.incrementalDedupStream(
+      spark.read.parquet(dir.toString + "/in"), corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val stream = DocStreams.incrementalDedupStream(
+      DocStreams.readDocStream(spark, dir.toString + "/in"), corpus)
+    EventStreams.runToMemory(spark, stream, "inc_dedup_stream2",
+      OutputMode.Append())
+    val got = spark.table("inc_dedup_stream2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq == batch.toSeq,
+      "stream-static and batch joins must produce identical pairs")
+  }
+}
