@@ -37,7 +37,9 @@ object PlanCheck {
         || emb_ann_ivf | cos DESC | vec_id (c_id) |
         || q15_top_supplier | MAX equality join | supplier key output |
         || text_bm25_topk | score_e6 DESC (integer-snapped) | doc_id |
+        || text_tfidf_top_terms | score_e6 DESC (integer-snapped) | term |
         || emb_kmeans_assign | d2 ASC (bit-deterministic fold) | cid |
+        || doc_stratified_sample | md5 hash ASC (string, engine-identical) | doc_id |
         |
         |All ranked floats are themselves engine-identical (integer-cents
         |money sums, or fixed left-to-right double folds for cosine), and

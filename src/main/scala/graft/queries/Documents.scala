@@ -121,7 +121,30 @@ object Documents {
     * Lexicographic min over md5 hex is a uniform random permutation min,
     * so P(minhash_a == minhash_b) = Jaccard(a, b) per standard MinHash
     * (Broder '97). 4 signatures here; LSH banding in dedupLshPairs. */
-  private val NSIG = 4
+  private[graft] val NSIG = 4
+
+  /** The signature+banding computation as a PURE PROJECTION over a
+    * documents frame (array_min over transform — no explode, no agg,
+    * no shuffle): (doc_id, b0, b1) with the same md5-minhash values
+    * and md5-concat band keys as the batch signature path, by shared
+    * construction. Interpreted (higher-order fns are codegen-fallback),
+    * so batch queries prefer [[minhashSignatures]]' codegen'd
+    * explode+partial-agg — but a STREAM needs statelessness, and this
+    * form is what streaming.DocStreams bands arriving docs with.
+    * DocStreamsSpec pins the two forms equal on the same input. */
+  private[graft] def bandedSignatureProjection(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sigs = (0 until NSIG).map(j =>
+      array_min(transform(col("ws"),
+        w => md5(concat(lit(j.toString), lit("|"), w)))).as(s"mh$j"))
+    docs
+      .withColumn("ws", array_distinct(tokens(col("text"))))
+      .filter(size(col("ws")) > 0) // token-less docs have no signature
+      .select(col("doc_id") +: sigs: _*)
+      .select(col("doc_id"),
+        concat(lit("b0_"), col("mh0"), lit("_"), col("mh1")).as("b0"),
+        concat(lit("b1_"), col("mh2"), lit("_"), col("mh3")).as("b1"))
+  }
   def minhashSignatures(s: SparkSession, d: String): DataFrame = {
     // A MIN over tokens needs NO distinct (duplicates cannot change a
     // min), so the agg partial-combines map-side and the shuffle

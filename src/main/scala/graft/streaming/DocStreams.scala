@@ -11,63 +11,40 @@ import org.apache.spark.sql.functions._
   * it per micro-batch, so a periodically-refreshed corpus snapshot
   * works unchanged).
   *
-  * This is only possible because MinHash signatures are a per-row
-  * PROJECTION (queries.Documents.minhashSignatures' zero-shuffle
-  * form): no explode/groupBy means no streaming aggregation, no
-  * watermark bookkeeping, and append output mode — each arriving doc
-  * emits its duplicate verdict exactly once, in its own micro-batch. */
+  * This is only possible because MinHash signatures are computable as
+  * a per-row PROJECTION (queries.Documents.bandedSignatureProjection
+  * — ONE shared definition with the batch tier, so the tokenizer or
+  * band convention can never fork between batch and stream): no
+  * explode/groupBy means no streaming aggregation, no watermark
+  * bookkeeping, and append output mode — each arriving doc's
+  * candidate pairs are emitted exactly once, in its own micro-batch. */
 object DocStreams {
 
-  /** File-source stream over a documents parquet path (staged into a
-    * directory when pointed at a bare file; maxFilesPerTrigger=1 for
-    * deterministic micro-batch replay — same conventions as
-    * EventStreams.readEventStream). */
-  def readDocStream(spark: SparkSession, path: String): DataFrame = {
-    val schema = spark.read.parquet(path).schema
-    val f = new java.io.File(path)
-    val dir =
-      if (f.isFile) {
-        val d = java.nio.file.Files.createTempDirectory("docstream")
-        java.nio.file.Files.copy(f.toPath, d.resolve(f.getName))
-        d.toString
-      } else path
-    spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
-  }
-
-  /** Banded signature projection shared by both sides of the
-    * stream-static join (band keys = md5-concat strings, exactly the
-    * batch dedup_incremental convention). A pure select — safe on a
-    * stream. */
-  private[streaming] def bandedSignatures(docs: DataFrame): DataFrame = {
-    val sigs = (0 until 4).map(j =>
-      array_min(transform(col("ws"),
-        w => md5(concat(lit(j.toString), lit("|"), w)))).as(s"mh$j"))
-    docs
-      .withColumn("ws", array_distinct(
-        filter(split(col("text"), "[^\\p{L}]+"), t => length(t) > 0)))
-      .filter(size(col("ws")) > 0)
-      .select(col("doc_id") +: sigs: _*)
-      .select(col("doc_id"),
-        concat(lit("b0_"), col("mh0"), lit("_"), col("mh1")).as("b0"),
-        concat(lit("b1_"), col("mh2"), lit("_"), col("mh3")).as("b1"))
-  }
+  /** File-source stream over a documents parquet path (shared
+    * staging/trigger conventions: EventStreams.readParquetStream). */
+  def readDocStream(spark: SparkSession, path: String): DataFrame =
+    EventStreams.readParquetStream(spark, path)
 
   /** Stream-static incremental dedup: arriving docs (stream) banded
-    * and joined against the corpus signature table (static). Emits
-    * (doc_id, dup_of, n_candidates) per arriving doc that collides
-    * with the corpus — the disjoint-band union counts each
-    * (new, corpus) pair exactly once, and the per-doc aggregate is
-    * WITHIN one arriving doc's rows only, so it stays a stateless
-    * append pipeline when grouped per micro-batch via foreachBatch
-    * (the spec drives it that way); a globally-grouped variant would
-    * be a streaming agg needing a watermark column this table lacks. */
+    * and joined against the corpus signature table (static). Returns
+    * the raw candidate PAIRS — one row (doc_id, old_id) per arriving
+    * doc × colliding corpus doc, each counted exactly once by the
+    * disjoint-band union (the band-1 term requires band-0 to differ).
+    * Callers wanting per-doc verdicts (dup_of = min old_id, candidate
+    * counts) aggregate these pairs per micro-batch in foreachBatch or
+    * post-hoc over the sink table (DocStreamsSpec does the latter);
+    * a global streaming groupBy would need a watermark column this
+    * table does not carry.
+    *
+    * The static side is banded ONCE and materialized
+    * (Materialize.eager): without that, Spark re-runs the full-corpus
+    * tokenize+minhash projection for EVERY join arm of EVERY
+    * micro-batch — 2F corpus passes for F arriving files. */
   def incrementalDedupStream(streamDocs: DataFrame, corpus: DataFrame)
       : DataFrame = {
-    val neu = bandedSignatures(streamDocs)
-    val old = bandedSignatures(corpus)
+    val neu = graft.queries.Documents.bandedSignatureProjection(streamDocs)
+    val old = graft.operators.Materialize.eager(
+      graft.queries.Documents.bandedSignatureProjection(corpus))
       .select(col("doc_id").as("old_id"),
         col("b0").as("ob0"), col("b1").as("ob1"))
     val onB0 = neu.join(old, col("b0") === col("ob0"))

@@ -19,18 +19,17 @@ import graft.queries.Relational.cents
   */
 object EventStreams {
 
-  /** File-source stream over an events parquet path (ns timestamps
-    * read as long, truncated to µs — same convention as Tables.events).
-    * maxFilesPerTrigger=1 gives deterministic micro-batch replay. */
-  def readEventStream(spark: SparkSession, path: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** Shared file-source plumbing: schema from a batch read, bare files
+    * staged into a directory (FileStreamSource requires one; real
+    * deployments point at a landing directory), maxFilesPerTrigger=1
+    * for deterministic micro-batch replay. */
+  private[streaming] def readParquetStream(spark: SparkSession,
+      path: String): DataFrame = {
     val schema = spark.read.parquet(path).schema
-    // FileStreamSource requires a directory; stage a bare file into one
-    // (real deployments point at a landing directory of parquet files).
     val f = new java.io.File(path)
     val dir =
       if (f.isFile) {
-        val d = java.nio.file.Files.createTempDirectory("evstream")
+        val d = java.nio.file.Files.createTempDirectory("stagedstream")
         java.nio.file.Files.copy(f.toPath, d.resolve(f.getName))
         d.toString
       } else path
@@ -38,6 +37,13 @@ object EventStreams {
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
+  }
+
+  /** File-source stream over an events parquet path (ns timestamps
+    * read as long, truncated to µs — same convention as Tables.events). */
+  def readEventStream(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    readParquetStream(spark, path)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 

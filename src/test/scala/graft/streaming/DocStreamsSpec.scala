@@ -48,6 +48,27 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(got(14L) == (2L, 1L))
   }
 
+  test("projection-form bands equal the batch signature-table bands") {
+    // one tokenizer, one band convention: the stream's projection form
+    // must be byte-equal to what the batch tier computes via
+    // explode+partial-agg, or streaming dedup verdicts silently fork
+    // from the materialized corpus signature table
+    val dir = java.nio.file.Files.createTempDirectory("bandpin").toString
+    docsDf(Seq((0L, shared), (1L, other), (2L, ""), (3L, shared + " tail")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val batch = graft.queries.Documents.minhashSignatures(spark, dir)
+      .select(col("doc_id"),
+        concat(lit("b0_"), col("mh0"), lit("_"), col("mh1")).as("b0"),
+        concat(lit("b1_"), col("mh2"), lit("_"), col("mh3")).as("b1"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val proj = graft.queries.Documents.bandedSignatureProjection(
+      graft.Tables.documents(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(batch.nonEmpty && batch.toSeq == proj.toSeq)
+  }
+
   test("streaming pairs equal the batch asymmetric-join pairs on the same data") {
     val corpus = docsDf(Seq((0L, shared), (2L, other)))
     val arrivals = docsDf(Seq((4L, shared), (14L, other)))
