@@ -14,7 +14,7 @@ object SparkEntry {
       Documents.queries ++
       Events.queries ++ Embeddings.queries ++ SimHashDedup.queries ++
       TextPipeline.queries ++ TextAnalysis.queries ++ SqlSurface.queries ++
-      graft.multimodal.Multimodal.queries
+      GraphRank.queries ++ graft.multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -23,5 +23,5 @@ object SparkEntry {
       Documents.oracle ++
       Events.oracle ++ Embeddings.oracle ++ SimHashDedup.oracle ++
       TextPipeline.oracle ++ TextAnalysis.oracle ++ SqlSurface.oracle ++
-      graft.multimodal.Multimodal.oracle
+      GraphRank.oracle ++ graft.multimodal.Multimodal.oracle
 }

@@ -5,14 +5,18 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional args(2): comma-separated query-name filter for local
+    // single-query iteration (the driver always runs the full surface)
+    val only: String => Boolean =
+      if (args.length > 2) args(2).split(",").toSet else (_ => true)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Session.build wires GraftExtensions (custom expressions + the
     // AsOfJoin planner strategy) — queries depend on them
     val spark = Session.build("graft-verify", s"local[$cpus]")
     spark.conf.set("spark.sql.shuffle.partitions", cpus)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => only(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -40,7 +44,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => only(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

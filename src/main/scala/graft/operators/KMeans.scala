@@ -34,7 +34,12 @@ object KMeans {
       lit(0.0), (acc, v) => acc + v)
 
   /** Shared nearest-center pipeline, keeping the point vector on the
-    * row so [[update]] never re-joins the full points table. */
+    * row so [[update]] (and within-cluster consumers like
+    * SemDeDup-style pruning) never re-join the full points table.
+    * Output: (id, vec, cid, d2). */
+  def assignWithVec(points: DataFrame, centers: DataFrame): DataFrame =
+    assignFull(points, centers)
+
   private def assignFull(points: DataFrame, centers: DataFrame): DataFrame = {
     val p = points.toDF("id", "vec")
     val c = centers.toDF("cid", "cvec")
