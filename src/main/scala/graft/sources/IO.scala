@@ -53,4 +53,55 @@ object IO {
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
       .format("parquet").saveAsTable(table)
+
+  /** Tolerant JSONL ingest with corrupt-row quarantine. At 100 TB some
+    * lines WILL be malformed; FAILFAST kills a 6-hour job on one bad
+    * byte and DROPMALFORMED silently loses data — this returns
+    * (parsed, quarantine): every input line lands in exactly one of
+    * the two, so `count(parsed) + count(quarantine) = lines` is an
+    * auditable invariant.
+    *
+    * Built as text-source + `from_json` rather than the json reader's
+    * `_corrupt_record` column: the reader's internal corrupt column
+    * can't be referenced without caching the whole parse (Spark
+    * disallows corrupt-column-only queries since 2.3), and caching a
+    * 100 TB read is not a plan. from_json with an explicit corrupt
+    * slot in its schema is a plain projection — both outputs stream.
+    * STRICT good: a line whose fields merely fail to cast (PERMISSIVE
+    * partial parse) also quarantines — partial rows are how silent
+    * nulls leak into a corpus. */
+  def readJsonlQuarantine(s: SparkSession, path: String, schema: String)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions._
+    val corrupt = "_corrupt_record"
+    val parsed = s.read.text(path)
+      // blank lines (null/empty value) are ingestion noise, not data
+      .filter(length(trim(col("value"))) > 0)
+      .withColumn("j", from_json(col("value"), s"$schema, $corrupt string",
+        Map("columnNameOfCorruptRecord" -> corrupt)))
+    val good = parsed.filter(col(s"j.$corrupt").isNull)
+      .select(col("j.*")).drop(corrupt)
+    val quarantine = parsed.filter(col(s"j.$corrupt").isNotNull)
+      .select(col("value").as("corrupt_line"))
+    (good, quarantine)
+  }
+
+  /** Clustered, size-bounded file layout — the compaction pass that
+    * keeps a 100 TB table scannable: `repartitionByRange` on the
+    * cluster key gives globally range-partitioned files (parquet
+    * min/max footer stats then prune row groups for key-range
+    * predicates, the poor-man's z-order for a single key), the
+    * in-partition sort tightens those stats, and `maxRecordsPerFile`
+    * caps file size so no task or downstream reader ever faces a
+    * multi-GB straggler file. `nFiles` sizes the layout: target
+    * ~128–512 MB per file at real scale. */
+  def writeClustered(df: DataFrame, path: String, clusterCol: String,
+      nFiles: Int, maxRecordsPerFile: Long): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(nFiles, col(clusterCol))
+      .sortWithinPartitions(col(clusterCol))
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+  }
 }

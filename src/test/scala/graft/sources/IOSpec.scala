@@ -86,4 +86,49 @@ class IOSpec extends AnyFunSuite {
     assert(df.count() == 8)
     assert(df.columns.toSeq == Seq("path", "contents"))
   }
+
+  test("jsonl quarantine: every line lands in exactly one of good/quarantine") {
+    val p = tmp("quar")
+    val lines = Seq(
+      """{"doc_id": 1, "text": "ok one"}""",
+      """{"doc_id": 2, "text": "ok two"}""",
+      """{"doc_id": 3 "text": "missing comma"}""", // malformed
+      """not json at all""",
+      "", // blank: ingestion noise, in neither output
+      """{"doc_id": "not-a-number", "text": "type mismatch"}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(p, "in.jsonl"),
+      String.join("\n", lines: _*).getBytes)
+    val (good, bad) = IO.readJsonlQuarantine(spark, p, "doc_id long, text string")
+    assert(good.columns.toSeq == Seq("doc_id", "text"))
+    // strict good: the type-mismatch line quarantines along with the
+    // syntactically broken ones — no silent partial rows
+    assert(good.count() == 2)
+    assert(sortedRows(bad) == Seq("""not json at all""",
+      """{"doc_id": "not-a-number", "text": "type mismatch"}""",
+      """{"doc_id": 3 "text": "missing comma"}"""))
+    assert(good.count() + bad.count() == 5) // = non-blank input lines
+  }
+
+  test("clustered write bounds file sizes and yields pruning-tight ranges") {
+    val docs = graft.Tables.documents(spark, d)
+    val p = tmp("clus")
+    IO.writeClustered(docs, p, "doc_id", nFiles = 4, maxRecordsPerFile = 60L)
+    val files = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    // 500 docs / 4 range partitions = ~125 rows each, recapped at 60
+    // → every file obeys the cap and there are more than 4 files
+    assert(files.length > 4)
+    val perFile = files.map(f => spark.read.parquet(f.getPath)
+      .agg(count(lit(1)), min(col("doc_id")), max(col("doc_id")))
+      .collect().head).map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(perFile.forall(_._1 <= 60L))
+    // range clustering: file [min,max] doc_id intervals never overlap,
+    // so a doc_id range predicate prunes to a few files by footer stats
+    val spans = perFile.map(t => (t._2, t._3)).sortBy(_._1).toSeq
+    assert(spans.sliding(2).forall {
+      case Seq((_, hi), (lo2, _)) => hi < lo2
+      case _ => true
+    })
+    assert(perFile.map(_._1).sum == 500L)
+  }
 }
