@@ -13,7 +13,8 @@ object PlanCheck {
       "sql_grouping_sets", "unpivot_status", "doc_decontaminate",
       "doc_mixture_sample", "text_pack_sequences",
       "text_bm25_topk", "text_tfidf_top_terms", "text_repetition_quality",
-      "doc_chunk_windows", "emb_kmeans_assign")
+      "doc_chunk_windows", "emb_kmeans_assign",
+      "emb_semantic_dedup", "graph_pagerank_dups", "dedup_bloom_incremental")
     val out = new StringBuilder
     out ++= "# PLANS — formatted physical plans for headline queries\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanCheck PLANS.md\"` " +

@@ -357,6 +357,38 @@ object Documents {
        |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // -------------------------------------- dedup: bloom prefilter
+  /** Exact-dup detection of a new batch against the corpus through a
+    * bloom-sketch pre-filter (operators.BloomPrefilter): the corpus's
+    * content hashes are compacted into a broadcast bloom, the batch
+    * discards everything the sketch rules out BEFORE any shuffle, and
+    * an exact semi-join over the survivors removes the sketch's false
+    * positives — deterministic output, probabilistic fast path. This
+    * is the membership-check twin of dedup_incremental: that one finds
+    * NEAR-dups via band joins; this one answers "have we ingested
+    * exactly this content before" without moving the corpus.
+    * Oracle: the bloom is invisible to semantics, so the SQL twin is a
+    * plain semi join. */
+  def dedupBloomIncremental(s: SparkSession, d: String): DataFrame = {
+    val hashed = documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("text_hash"))
+    val corpus = hashed.filter(col("doc_id") % 5 =!= 4)
+    val batch = hashed.filter(col("doc_id") % 5 === 4)
+    graft.operators.BloomPrefilter.semiJoin(
+      batch, col("text_hash"),
+      corpus, col("text_hash"),
+      expectedItems = 100000L, fpp = 0.01)
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupBloomIncrementalSql: String =
+    """SELECT doc_id, md5(text) AS text_hash
+      |FROM documents b
+      |WHERE doc_id % 5 = 4 AND EXISTS (
+      |  SELECT 1 FROM documents c
+      |  WHERE c.doc_id % 5 <> 4 AND md5(c.text) = md5(b.text))
+      |ORDER BY doc_id""".stripMargin
+
   // -------------------------------------- dedup: n-gram Jaccard
   /** Exact Jaccard over word 3-gram shingles for same-source pairs
     * (bucketed, so the pair space is bounded per bucket — at scale the
@@ -559,6 +591,7 @@ object Documents {
     "dedup_lsh_pairs" -> dedupLshPairs,
     "dedup_clusters" -> dedupClusters,
     "dedup_incremental" -> dedupIncremental,
+    "dedup_bloom_incremental" -> dedupBloomIncremental,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "text_quality" -> textQuality,
     "text_lang_id" -> langIdSimple,
@@ -575,6 +608,7 @@ object Documents {
     "dedup_lsh_pairs" -> dedupLshPairsSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_incremental" -> dedupIncrementalSql,
+    "dedup_bloom_incremental" -> dedupBloomIncrementalSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "text_quality" -> textQualitySql,
     "text_lang_id" -> langIdSql,

@@ -14,8 +14,9 @@ class QueriesSmokeSpec extends AnyFunSuite {
 
   // queries that can legitimately return zero rows on tiny data
   private val mayBeEmpty = Set("dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_embedding_lsh", "join_anti", "agg_having", "q3_shipping_priority",
-    "q7_nation_volume", "q22_global_sales")
+    "dedup_embedding_lsh", "dedup_bloom_incremental", "join_anti",
+    "agg_having", "q3_shipping_priority", "q7_nation_volume",
+    "q22_global_sales")
 
   test("every registered query materializes at sf0.001") {
     val failures = scala.collection.mutable.ListBuffer[String]()
