@@ -320,6 +320,53 @@ object Embeddings {
        |FROM best GROUP BY cid ORDER BY cid""".stripMargin
   }
 
+  // ---------------------------------------------- outlier detection
+  /** Per-cluster outlier candidates: the 3 points FARTHEST from their
+    * assigned center — the quality-filter pass that surfaces likely
+    * noise/garbage embeddings for review before training. Rank order
+    * is (d2 DESC, vec_id): d2 is the bit-deterministic fixed fold
+    * from operators.KMeans, so the ranking is engine-exact, and the
+    * output carries only integers (cell, rank, vec_id) — the float
+    * never leaves the plan. Scale shape: one broadcast-centers assign
+    * (O(n·k)) + one rank window partitioned by cell. */
+  def outliersPerCell(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val centers = e.filter(col("vec_id") % 64 === 0 && col("vec_id") < 512)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val pts = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid")).orderBy(col("d2").desc, col("id"))
+    graft.operators.KMeans.assign(pts, centers)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("cid").as("cell"), col("rank"), col("id").as("vec_id"))
+      .orderBy(col("cell"), col("rank"))
+  }
+
+  val outliersPerCellSql: String = {
+    def sq(p: String, c: String) =
+      s"""list_reduce(list_transform(range(1, len($p)+1),
+         |      i -> (CAST($p[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))
+         |           * (CAST($p[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))),
+         |      (x, y) -> x + y)""".stripMargin
+    s"""WITH c AS (
+       |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+       |  WHERE vec_id % 64 = 0 AND vec_id < 512),
+       |a AS (
+       |  SELECT p.vec_id AS id, c.cid,
+       |    ${sq("p.embedding", "c.cvec")} AS d2
+       |  FROM embeddings p CROSS JOIN c),
+       |best AS (
+       |  SELECT id, cid, d2 FROM a
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) = 1),
+       |ranked AS (
+       |  SELECT cid, id,
+       |    ROW_NUMBER() OVER (PARTITION BY cid ORDER BY d2 DESC, id) AS rank
+       |  FROM best)
+       |SELECT cid AS cell, rank, id AS vec_id FROM ranked
+       |WHERE rank <= 3 ORDER BY cell, rank""".stripMargin
+  }
+
   // ------------------------------------------------- semantic dedup
   /** SemDeDup-style semantic pruning (Abbas et al. 2023, arXiv
     * 2303.09540): cluster the corpus, then within each cluster drop
@@ -403,6 +450,7 @@ object Embeddings {
     "emb_ann_lsh_buckets" -> annLshBuckets,
     "emb_kmeans_assign" -> kmeansAssign,
     "emb_semantic_dedup" -> semanticDedup,
+    "emb_outliers_per_cell" -> outliersPerCell,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh)
 
   val oracle: Map[String, String] = Map(
@@ -412,5 +460,6 @@ object Embeddings {
     "emb_ann_ivf" -> annIvfSql,
     "emb_kmeans_assign" -> kmeansAssignSql,
     "emb_semantic_dedup" -> semanticDedupSql,
+    "emb_outliers_per_cell" -> outliersPerCellSql,
     "dedup_embedding_lsh" -> dedupEmbeddingLshSql)
 }

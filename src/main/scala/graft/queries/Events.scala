@@ -219,6 +219,65 @@ object Events {
       |      FROM events) t
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------- anomaly detection
+  /** Per-type 3-sigma outlier events — the anomaly-flagging pass over
+    * a metric stream, in EXACT integer algebra: with v the value in
+    * cents and per-type totals n, S = Σv, S2 = Σv², the z-test
+    * |v − μ| > 3σ is equivalent to (n·v − S)² > 9·(n·S2 − S²) —
+    * population σ, multiplied through by n² so no division, no doubles,
+    * no shuffle-order drift; both engines compare the same integers
+    * (decimal(38) / HUGEINT intermediates keep the squares exact at
+    * any corpus size). Scale shape: one partial-agg pass for the
+    * per-type stats (5 rows), broadcast back, one filter+agg — the
+    * stats side never shuffles the event table twice. */
+  def anomaly3Sigma(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_id"), col("event_type"),
+      cents(col("value")).as("v"))
+    val st = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("v")).as("sv"),
+      sum(col("v").cast("decimal(38,0)") * col("v")).as("sv2"))
+    val dN = col("n").cast("decimal(38,0)")
+    val dV = col("v").cast("decimal(38,0)")
+    val dS = col("sv").cast("decimal(38,0)")
+    val dev = dN * dV - dS
+    val anomalies = ev.join(broadcast(st), "event_type")
+      .filter(dev * dev > lit(9).cast("decimal(38,0)") *
+        (dN * col("sv2") - dS * dS))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_anomalies"),
+        min(col("event_id")).as("min_anom_id"),
+        max(col("event_id")).as("max_anom_id"))
+    st.select(col("event_type"), col("n").as("n_events"))
+      .join(anomalies, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_events"),
+        coalesce(col("n_anomalies"), lit(0L)).as("n_anomalies"),
+        col("min_anom_id"), col("max_anom_id"))
+      .orderBy(col("event_type"))
+  }
+
+  val anomaly3SigmaSql: String =
+    s"""WITH c AS (
+       |  SELECT event_id, event_type, ${centsSql("value")} AS v FROM events),
+       |st AS (
+       |  SELECT event_type, COUNT(*) AS n, SUM(v) AS sv,
+       |    SUM(CAST(v AS HUGEINT) * v) AS sv2
+       |  FROM c GROUP BY event_type),
+       |an AS (
+       |  SELECT c.event_type, COUNT(*) AS n_anomalies,
+       |    MIN(c.event_id) AS min_anom_id, MAX(c.event_id) AS max_anom_id
+       |  FROM c JOIN st USING (event_type)
+       |  WHERE (CAST(st.n AS HUGEINT) * c.v - st.sv)
+       |      * (CAST(st.n AS HUGEINT) * c.v - st.sv)
+       |    > 9 * (CAST(st.n AS HUGEINT) * st.sv2
+       |      - CAST(st.sv AS HUGEINT) * st.sv)
+       |  GROUP BY c.event_type)
+       |SELECT st.event_type, CAST(st.n AS BIGINT) AS n_events,
+       |  CAST(COALESCE(an.n_anomalies, 0) AS BIGINT) AS n_anomalies,
+       |  an.min_anom_id, an.max_anom_id
+       |FROM st LEFT JOIN an USING (event_type)
+       |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_tumbling_hourly" -> tumblingHourly,
     "ev_sliding_2h" -> slidingTwoHourBatch,
@@ -226,6 +285,7 @@ object Events {
     "ev_retention_cohorts" -> retentionCohorts,
     "ev_daily_user_stats" -> dailyUserStats,
     "ev_sessionize" -> sessionize,
+    "ev_anomaly_3sigma" -> anomaly3Sigma,
     "ev_json_extract" -> jsonExtract)
 
   val oracle: Map[String, String] = Map(
@@ -235,5 +295,6 @@ object Events {
     "ev_retention_cohorts" -> retentionCohortsSql,
     "ev_daily_user_stats" -> dailyUserStatsSql,
     "ev_sessionize" -> sessionizeSql,
+    "ev_anomaly_3sigma" -> anomaly3SigmaSql,
     "ev_json_extract" -> jsonExtractSql)
 }
