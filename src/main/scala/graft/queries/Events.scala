@@ -230,20 +230,34 @@ object Events {
     * any corpus size). Scale shape: one partial-agg pass for the
     * per-type stats (5 rows), broadcast back, one filter+agg — the
     * stats side never shuffles the event table twice. */
-  def anomaly3Sigma(s: SparkSession, d: String): DataFrame = {
-    val ev = events(s, d).select(col("event_id"), col("event_type"),
-      cents(col("value")).as("v"))
-    val st = ev.groupBy(col("event_type")).agg(
+  /** (event_id, event_type, v=cents) — ONE shared projection for the
+    * batch query and the stream-static twin (streaming.EventStreams
+    * .anomalyFlagStream), so the cents convention cannot fork. */
+  private[graft] def anomalyCents(ev: DataFrame): DataFrame =
+    ev.select(col("event_id"), col("event_type"), cents(col("value")).as("v"))
+
+  /** Per-type (n, Σv, Σv²) — the static stats snapshot the stream twin
+    * broadcasts; sv2 in decimal(38) so the square stays exact. */
+  private[graft] def anomalyStats(evc: DataFrame): DataFrame =
+    evc.groupBy(col("event_type")).agg(
       count(lit(1)).as("n"),
       sum(col("v")).as("sv"),
       sum(col("v").cast("decimal(38,0)") * col("v")).as("sv2"))
+
+  /** The integer z-test over a frame carrying (v, n, sv, sv2). */
+  private[graft] def anomalyPredicate: org.apache.spark.sql.Column = {
     val dN = col("n").cast("decimal(38,0)")
     val dV = col("v").cast("decimal(38,0)")
     val dS = col("sv").cast("decimal(38,0)")
     val dev = dN * dV - dS
+    dev * dev > lit(9).cast("decimal(38,0)") * (dN * col("sv2") - dS * dS)
+  }
+
+  def anomaly3Sigma(s: SparkSession, d: String): DataFrame = {
+    val ev = anomalyCents(events(s, d))
+    val st = anomalyStats(ev)
     val anomalies = ev.join(broadcast(st), "event_type")
-      .filter(dev * dev > lit(9).cast("decimal(38,0)") *
-        (dN * col("sv2") - dS * dS))
+      .filter(anomalyPredicate)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_anomalies"),
         min(col("event_id")).as("min_anom_id"),

@@ -200,6 +200,23 @@ object EventStreams {
       }
   }
 
+  /** Stream-static anomaly flagging: arriving events z-tested against
+    * a STATIC per-type stats snapshot (n, Σv, Σv² from
+    * queries.Events.anomalyStats over the historical corpus) with the
+    * same exact-integer predicate as the batch ev_anomaly_3sigma —
+    * shared cents projection + shared predicate, so the stream verdict
+    * can never fork from the batch one on the same stats. Stateless:
+    * a projection + broadcast join per micro-batch, append mode, no
+    * watermark bookkeeping — the production shape, since a global σ
+    * over an unbounded stream is undefined; pipelines re-snapshot the
+    * stats table periodically and the static side re-plans per batch.
+    * Emits one row per anomalous arrival: (event_id, event_type, v). */
+  def anomalyFlagStream(events: DataFrame, staticStats: DataFrame): DataFrame =
+    graft.queries.Events.anomalyCents(events)
+      .join(org.apache.spark.sql.functions.broadcast(staticStats), "event_type")
+      .filter(graft.queries.Events.anomalyPredicate)
+      .select(col("event_id"), col("event_type"), col("v"))
+
   /** Run any of the above to an in-memory sink until the source is
     * drained; returns the sink table name. Test/demo harness. */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,

@@ -128,4 +128,19 @@ class StreamingSpec extends AnyFunSuite {
       .orderBy("user_id").collect().toSeq
     assert(got == exp)
   }
+
+  test("stream-static anomaly flagging == batch z-test on the same stats") {
+    val evc = graft.queries.Events.anomalyCents(batchEvents)
+    val stats = graft.queries.Events.anomalyStats(evc)
+    val stream = EventStreams.readEventStream(spark, eventsPath)
+    EventStreams.runToMemory(spark,
+      EventStreams.anomalyFlagStream(stream, stats), "anomalies",
+      OutputMode.Append())
+    val got = spark.table("anomalies").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val exp = evc.join(broadcast(stats), "event_type")
+      .filter(graft.queries.Events.anomalyPredicate)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == exp && got.nonEmpty)
+  }
 }
