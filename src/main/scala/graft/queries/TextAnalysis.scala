@@ -303,15 +303,63 @@ object TextAnalysis {
        |    ' ')) AS chunk_md5
        |FROM chunked ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ------------------------------------------------ vocab coverage
+  /** Test-scale vocab cutoff (production: the tokenizer's vocab size;
+    * the synthetic corpus has ~40 distinct words, so 20 exercises
+    * both the in-vocab and OOV paths). */
+  private[graft] val VocabK = 20
+
+  /** Vocabulary coverage / OOV-rate profile: build the top-[[VocabK]]
+    * token vocabulary by corpus frequency, then score every document's
+    * out-of-vocabulary rate — the tokenizer-coverage check run before
+    * committing a vocab, and a quality filter (high-OOV docs are
+    * boilerplate/garbled). Scale shape: token counts partial-agg
+    * map-side; the vocab is a TakeOrdered over the count table
+    * (K rows to the driver-side limit, then broadcast back); the
+    * per-doc pass is one hash-agg keyed on doc_id. Rates are exact
+    * integer permille (1000·n_oov DIV n_tokens) — no doubles.
+    * Vocab boundary ties break on the token string, so the cutoff is
+    * engine-deterministic. */
+  def vocabOov(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("word"))
+    val vocab = tok.groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("word")).limit(VocabK)
+      .select(col("word"), lit(1).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_permille", expr("(1000 * n_oov) DIV n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val vocabOovSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, UNNEST($toksSql) AS word FROM documents),
+       |counts AS (SELECT word, COUNT(*) AS c FROM tok GROUP BY word),
+       |vocab AS (
+       |  SELECT word FROM counts
+       |  QUALIFY ROW_NUMBER() OVER (ORDER BY c DESC, word) <= $VocabK)
+       |SELECT t.doc_id, COUNT(*) AS n_tokens,
+       |  CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_oov,
+       |  (1000 * CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT)) // COUNT(*) AS oov_permille
+       |FROM tok t LEFT JOIN vocab v ON t.word = v.word
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25_topk" -> bm25TopK,
     "text_tfidf_top_terms" -> tfidfTopTerms,
     "text_repetition_quality" -> repetitionQuality,
+    "text_vocab_oov" -> vocabOov,
     "doc_chunk_windows" -> chunkWindows)
 
   val oracle: Map[String, String] = Map(
     "text_bm25_topk" -> bm25TopKSql,
     "text_tfidf_top_terms" -> tfidfTopTermsSql,
     "text_repetition_quality" -> repetitionQualitySql,
+    "text_vocab_oov" -> vocabOovSql,
     "doc_chunk_windows" -> chunkWindowsSql)
 }
