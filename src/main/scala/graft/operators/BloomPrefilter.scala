@@ -52,10 +52,16 @@ object BloomPrefilter {
                 corpus: DataFrame, corpusKey: Column,
                 expectedItems: Long, fpp: Double): DataFrame = {
     val spark = batch.sparkSession
-    val bf = corpus.select(corpusKey.as("k")).stat
+    // build AND probe on the stringified key: stat.bloomFilter hashes
+    // by the column's runtime type (putLong vs putString), so a typed
+    // build probed through the String UDF would hash different bytes
+    // and silently break the no-false-negative contract for e.g.
+    // BIGINT keys — one explicit cast on both sides makes the hash
+    // input identical for every key type
+    val bf = corpus.select(corpusKey.cast("string").as("k")).stat
       .bloomFilter("k", expectedItems, fpp)
     val bcast = spark.sparkContext.broadcast(bf)
     val might = udf((k: String) => k != null && bcast.value.mightContainString(k))
-    batch.filter(might(batchKey))
+    batch.filter(might(batchKey.cast("string")))
   }
 }

@@ -85,6 +85,11 @@ object PageRank {
       Materialize.free(rank)
       rank = next
     }
+    // the returned frame is its own checkpoint — the edge/node blocks
+    // are dead weight the caller can never release; drop them now
+    // (same end-of-run discipline as ConnectedComponents' sym frame)
+    Materialize.free(edges)
+    Materialize.free(nodes)
     rank.select(col("id"), col("r").as("rank_fp"))
   }
 }

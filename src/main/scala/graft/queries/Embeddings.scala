@@ -49,30 +49,20 @@ object Embeddings {
   }
 
   val cosineTopKSql: String =
-    """WITH q AS (
-      |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
-      |  WHERE vec_id % 50 = 0),
-      |c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
-      |scored AS (
-      |  SELECT q_id, c_id,
-      |    list_reduce(list_transform(range(1, len(q_emb)+1),
-      |        i -> CAST(q_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE)),
-      |      (a, b) -> a + b)
-      |    / SQRT(
-      |      list_reduce(list_transform(range(1, len(q_emb)+1),
-      |          i -> CAST(q_emb[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE)),
-      |        (a, b) -> a + b)
-      |      *
-      |      list_reduce(list_transform(range(1, len(c_emb)+1),
-      |          i -> CAST(c_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE)),
-      |        (a, b) -> a + b)) AS cos
-      |  FROM q JOIN c ON q_id <> c_id),
-      |ranked AS (
-      |  SELECT q_id, c_id,
-      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
-      |  FROM scored)
-      |SELECT q_id, c_id, rank FROM ranked WHERE rank <= 5
-      |ORDER BY q_id, rank""".stripMargin
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |  WHERE vec_id % 50 = 0),
+       |c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
+       |scored AS (
+       |  SELECT q_id, c_id,
+       |    ${cosFoldSql("q_emb", "c_emb")} AS cos
+       |  FROM q JOIN c ON q_id <> c_id),
+       |ranked AS (
+       |  SELECT q_id, c_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, c_id, rank FROM ranked WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
 
   /** Per-label centroid + stats: the clustering/recall-eval building
     * block. Sums are in-order double folds per row then Spark/DuckDB
@@ -129,19 +119,22 @@ object Embeddings {
        |  (a, b) -> a + b) >= 0 THEN '1' ELSE '0' END""".stripMargin
   }.mkString(" || ")
 
-  /** cosine(ae, be) as portable in-order folds (mirror of CosineSimF). */
-  private def cosFoldSql(ae: String, be: String): String =
-    s"""list_reduce(list_transform(range(1, len($ae)+1),
+  /** cosine(ae, be) as portable in-order folds (mirror of CosineSimF,
+    * INCLUDING its zero-norm guard — CosineSim.scala returns 0.0 when
+    * either norm is 0, while a bare dot/SQRT(0·n) in DuckDB is NaN,
+    * which DuckDB orders above every double, so an unguarded fold
+    * would count a zero vector as similar to everything). */
+  private def cosFoldSql(ae: String, be: String): String = {
+    def n2(v: String) =
+      s"""list_reduce(list_transform(range(1, len($v)+1),
+         |          i -> CAST($v[i] AS DOUBLE) * CAST($v[i] AS DOUBLE)),
+         |        (x, y) -> x + y)""".stripMargin
+    s"""(CASE WHEN ${n2(ae)} = 0 OR ${n2(be)} = 0 THEN 0.0 ELSE
+       |    list_reduce(list_transform(range(1, len($ae)+1),
        |      i -> CAST($ae[i] AS DOUBLE) * CAST($be[i] AS DOUBLE)),
        |      (x, y) -> x + y)
-       |    / SQRT(
-       |      list_reduce(list_transform(range(1, len($ae)+1),
-       |          i -> CAST($ae[i] AS DOUBLE) * CAST($ae[i] AS DOUBLE)),
-       |        (x, y) -> x + y)
-       |      *
-       |      list_reduce(list_transform(range(1, len($be)+1),
-       |          i -> CAST($be[i] AS DOUBLE) * CAST($be[i] AS DOUBLE)),
-       |        (x, y) -> x + y))""".stripMargin
+       |    / SQRT(${n2(ae)} * ${n2(be)}) END)""".stripMargin
+  }
 
   val annLshBucketsSql: String =
     s"""WITH sig AS (
@@ -285,12 +278,30 @@ object Embeddings {
     * The iterative update/SSE path is pinned Spark-side in KMeansSpec
     * (Lloyd's monotone-SSE invariant), not here: centroid MEANS are
     * shuffle-order dependent in the last ulp. */
+  /** Deterministic seed centers (every 64th vector, k=8) + the point
+    * projection — ONE definition for the three k-means-cell consumers
+    * (kmeansAssign, outliersPerCell, semanticDedupOn). */
+  private def seedCenters(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % 64 === 0 && col("vec_id") < 512)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+  private def pointsOf(e: DataFrame): DataFrame =
+    e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  /** Σ(p−c)² as a portable in-order fold (mirror of KMeans.sqDist),
+    * plus the seed-centers CTE — shared by the three cell oracles. */
+  private def sqFoldSql(p: String, c: String): String =
+    s"""list_reduce(list_transform(range(1, len($p)+1),
+       |      i -> (CAST($p[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))
+       |           * (CAST($p[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))),
+       |      (x, y) -> x + y)""".stripMargin
+  private val seedCentersCte: String =
+    """c AS (
+      |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      |  WHERE vec_id % 64 = 0 AND vec_id < 512)""".stripMargin
+
   def kmeansAssign(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
-    val centers = e.filter(col("vec_id") % 64 === 0 && col("vec_id") < 512)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    val pts = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
-    graft.operators.KMeans.assign(pts, centers)
+    graft.operators.KMeans.assign(pointsOf(e), seedCenters(e))
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n_points"),
         sum(col("id")).as("id_sum"),
@@ -299,18 +310,11 @@ object Embeddings {
       .orderBy(col("cid"))
   }
 
-  val kmeansAssignSql: String = {
-    def sq(p: String, c: String) =
-      s"""list_reduce(list_transform(range(1, len($p)+1),
-         |      i -> (CAST($p[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))
-         |           * (CAST($p[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))),
-         |      (x, y) -> x + y)""".stripMargin
-    s"""WITH c AS (
-       |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-       |  WHERE vec_id % 64 = 0 AND vec_id < 512),
+  val kmeansAssignSql: String =
+    s"""WITH $seedCentersCte,
        |a AS (
        |  SELECT p.vec_id AS id, c.cid,
-       |    ${sq("p.embedding", "c.cvec")} AS d2
+       |    ${sqFoldSql("p.embedding", "c.cvec")} AS d2
        |  FROM embeddings p CROSS JOIN c),
        |best AS (
        |  SELECT id, cid FROM a
@@ -318,7 +322,6 @@ object Embeddings {
        |SELECT cid, COUNT(*) AS n_points, CAST(SUM(id) AS BIGINT) AS id_sum,
        |  MIN(id) AS min_id, MAX(id) AS max_id
        |FROM best GROUP BY cid ORDER BY cid""".stripMargin
-  }
 
   // ---------------------------------------------- outlier detection
   /** Per-cluster outlier candidates: the 3 points FARTHEST from their
@@ -331,30 +334,20 @@ object Embeddings {
     * (O(n·k)) + one rank window partitioned by cell. */
   def outliersPerCell(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
-    val centers = e.filter(col("vec_id") % 64 === 0 && col("vec_id") < 512)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    val pts = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cid")).orderBy(col("d2").desc, col("id"))
-    graft.operators.KMeans.assign(pts, centers)
+    graft.operators.KMeans.assign(pointsOf(e), seedCenters(e))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("cid").as("cell"), col("rank"), col("id").as("vec_id"))
       .orderBy(col("cell"), col("rank"))
   }
 
-  val outliersPerCellSql: String = {
-    def sq(p: String, c: String) =
-      s"""list_reduce(list_transform(range(1, len($p)+1),
-         |      i -> (CAST($p[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))
-         |           * (CAST($p[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))),
-         |      (x, y) -> x + y)""".stripMargin
-    s"""WITH c AS (
-       |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-       |  WHERE vec_id % 64 = 0 AND vec_id < 512),
+  val outliersPerCellSql: String =
+    s"""WITH $seedCentersCte,
        |a AS (
        |  SELECT p.vec_id AS id, c.cid,
-       |    ${sq("p.embedding", "c.cvec")} AS d2
+       |    ${sqFoldSql("p.embedding", "c.cvec")} AS d2
        |  FROM embeddings p CROSS JOIN c),
        |best AS (
        |  SELECT id, cid, d2 FROM a
@@ -365,7 +358,6 @@ object Embeddings {
        |  FROM best)
        |SELECT cid AS cell, rank, id AS vec_id FROM ranked
        |WHERE rank <= 3 ORDER BY cell, rank""".stripMargin
-  }
 
   // ------------------------------------------------- semantic dedup
   /** SemDeDup-style semantic pruning (Abbas et al. 2023, arXiv
@@ -392,11 +384,13 @@ object Embeddings {
     * specs can plant semantic duplicates and sweep tau. */
   def semanticDedupOn(s: SparkSession, e: DataFrame, tau: Double): DataFrame = {
     graft.functions.GraftFunctions.registerAll(s)
-    val centers = e.filter(col("vec_id") % 64 === 0 && col("vec_id") < 512)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    val pts = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val assigned = graft.operators.KMeans.assignWithVec(pts, centers)
-      .select(col("id"), col("vec"), col("cid"))
+    // three consumers (both self-join sides + the final left join) —
+    // materialize once or the n×k assign cross-join re-runs per
+    // consumer (Materialize policy; blocks freed by harness freeAll /
+    // caller GC, same contract as the other dedup intermediates)
+    val assigned = graft.operators.Materialize.eager(
+      graft.operators.KMeans.assignWithVec(pointsOf(e), seedCenters(e))
+        .select(col("id"), col("vec"), col("cid")))
     val a = assigned.select(col("cid"), col("id").as("id_a"),
       col("vec").as("va"))
     val b = assigned.select(col("cid"), col("id").as("id_b"),
@@ -416,19 +410,12 @@ object Embeddings {
       .orderBy(col("vec_id"))
   }
 
-  val semanticDedupSql: String = {
-    def sq(p: String, c: String) =
-      s"""list_reduce(list_transform(range(1, len($p)+1),
-         |      i -> (CAST($p[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))
-         |           * (CAST($p[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))),
-         |      (x, y) -> x + y)""".stripMargin
-    s"""WITH c AS (
-       |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-       |  WHERE vec_id % 64 = 0 AND vec_id < 512),
+  val semanticDedupSql: String =
+    s"""WITH $seedCentersCte,
        |best AS (
        |  SELECT id, cid, vec FROM (
        |    SELECT p.vec_id AS id, c.cid, p.embedding AS vec,
-       |      ${sq("p.embedding", "c.cvec")} AS d2
+       |      ${sqFoldSql("p.embedding", "c.cvec")} AS d2
        |    FROM embeddings p CROSS JOIN c) t
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) = 1),
        |dups AS (
@@ -441,7 +428,6 @@ object Embeddings {
        |  COALESCE(d.n_dups, 0) AS n_dups, d.n_dups IS NULL AS keep
        |FROM best b LEFT JOIN dups d ON b.id = d.id_b
        |ORDER BY vec_id""".stripMargin
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_cosine_topk" -> cosineTopK,

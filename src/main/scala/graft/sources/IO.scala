@@ -79,9 +79,15 @@ object IO {
       .filter(length(trim(col("value"))) > 0)
       .withColumn("j", from_json(col("value"), s"$schema, $corrupt string",
         Map("columnNameOfCorruptRecord" -> corrupt)))
-    val good = parsed.filter(col(s"j.$corrupt").isNull)
+    // the literal line `null` is valid JSON, so from_json yields a
+    // NULL struct WITHOUT setting the corrupt slot — without the
+    // j.isNotNull guard it would sail into `good` as an all-null row,
+    // the exact silent-null leak this function exists to prevent
+    val good = parsed
+      .filter(col("j").isNotNull && col(s"j.$corrupt").isNull)
       .select(col("j.*")).drop(corrupt)
-    val quarantine = parsed.filter(col(s"j.$corrupt").isNotNull)
+    val quarantine = parsed
+      .filter(col("j").isNull || col(s"j.$corrupt").isNotNull)
       .select(col("value").as("corrupt_line"))
     (good, quarantine)
   }

@@ -95,6 +95,7 @@ class IOSpec extends AnyFunSuite {
       """{"doc_id": 3 "text": "missing comma"}""", // malformed
       """not json at all""",
       "", // blank: ingestion noise, in neither output
+      """null""", // valid JSON, but a NULL row is not data — quarantine
       """{"doc_id": "not-a-number", "text": "type mismatch"}""")
     java.nio.file.Files.write(java.nio.file.Paths.get(p, "in.jsonl"),
       String.join("\n", lines: _*).getBytes)
@@ -103,10 +104,12 @@ class IOSpec extends AnyFunSuite {
     // strict good: the type-mismatch line quarantines along with the
     // syntactically broken ones — no silent partial rows
     assert(good.count() == 2)
-    assert(sortedRows(bad) == Seq("""not json at all""",
+    assert(sortedRows(bad) == Seq(
+      """not json at all""",
+      "null",
       """{"doc_id": "not-a-number", "text": "type mismatch"}""",
       """{"doc_id": 3 "text": "missing comma"}"""))
-    assert(good.count() + bad.count() == 5) // = non-blank input lines
+    assert(good.count() + bad.count() == 6) // = non-blank input lines
   }
 
   test("clustered write bounds file sizes and yields pruning-tight ranges") {
