@@ -14,7 +14,8 @@ object PlanCheck {
       "doc_mixture_sample", "text_pack_sequences",
       "text_bm25_topk", "text_tfidf_top_terms", "text_repetition_quality",
       "doc_chunk_windows", "emb_kmeans_assign",
-      "emb_semantic_dedup", "graph_pagerank_dups", "dedup_bloom_incremental")
+      "emb_semantic_dedup", "graph_pagerank_dups", "dedup_bloom_incremental",
+      "ev_anomaly_3sigma", "text_vocab_oov")
     val out = new StringBuilder
     out ++= "# PLANS — formatted physical plans for headline queries\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanCheck PLANS.md\"` " +

@@ -202,7 +202,70 @@ object Relational3 {
       |GROUP BY s_suppkey, s_name
       |ORDER BY numwait DESC, s_suppkey""".stripMargin
 
+  // ------------------------------------------------------------ q13
+  /** Customer order-count distribution (TPC-H Q13 shape): LEFT join
+    * customers to orders so never-ordered customers count at 0, one
+    * agg per customer, then the histogram agg over counts — the
+    * classic outer-join + double-aggregation pattern. Both shuffles
+    * key on high-cardinality columns (c_custkey, then c_count);
+    * the second input is one row per customer, so the histogram agg
+    * is cheap at any scale. */
+  def q13OrderCountDist(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(col("c_custkey"))
+      .join(orders(s, d).select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  val q13OrderCountDistSql: String =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey) t
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // ------------------------------------------------------------ q18
+  /** Large-volume customers (TPC-H Q18 shape): orders whose total
+    * lineitem quantity exceeds 250, joined back to customer. The
+    * quantity sum runs on LONGs (quantities are whole numbers in the
+    * fixture, pinned by the cast) — exact, order-independent; the
+    * final ordering is on the STORED o_totalprice double (no
+    * arithmetic, so both engines compare identical bits) with an
+    * integer key tie-break. */
+  def q18LargeVolumeCustomer(s: SparkSession, d: String): DataFrame = {
+    val bigOrders = lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > 250L)
+    orders(s, d)
+      .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q18LargeVolumeCustomerSql: String =
+    """SELECT c_name, c_custkey, o_orderkey, o_totalprice, total_qty
+      |FROM (
+      |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+      |    AS total_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 250) big
+      |JOIN orders ON o_orderkey = big.l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_order_count_dist" -> q13OrderCountDist,
+    "q18_large_volume_customer" -> q18LargeVolumeCustomer,
     "q15_top_supplier" -> q15TopSupplier,
     "q21_waiting_supplier" -> q21WaitingSupplier,
     "q7_nation_volume" -> q7NationVolume,
@@ -211,6 +274,8 @@ object Relational3 {
     "q22_global_sales" -> q22GlobalSales)
 
   val oracle: Map[String, String] = Map(
+    "q13_order_count_dist" -> q13OrderCountDistSql,
+    "q18_large_volume_customer" -> q18LargeVolumeCustomerSql,
     "q15_top_supplier" -> q15TopSupplierSql,
     "q21_waiting_supplier" -> q21WaitingSupplierSql,
     "q7_nation_volume" -> q7NationVolumeSql,
