@@ -11,7 +11,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++
-      Documents.queries ++
+      Relational4.queries ++ Documents.queries ++
       Events.queries ++ Embeddings.queries ++ SimHashDedup.queries ++
       TextPipeline.queries ++ TextAnalysis.queries ++ SqlSurface.queries ++
       GraphRank.queries ++ graft.multimodal.Multimodal.queries
@@ -20,7 +20,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Relational2.oracle ++ Relational3.oracle ++
-      Documents.oracle ++
+      Relational4.oracle ++ Documents.oracle ++
       Events.oracle ++ Embeddings.oracle ++ SimHashDedup.oracle ++
       TextPipeline.oracle ++ TextAnalysis.oracle ++ SqlSurface.oracle ++
       GraphRank.oracle ++ graft.multimodal.Multimodal.oracle

@@ -1,0 +1,237 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.queries.Relational.{cents, centsSql}
+
+/** Fourth relational pack — the last five TPC-H shapes, completing all
+  * 22 on the fixture star schema. The fixture has no partsupp table, so
+  * Q11/Q16/Q20 keep their classic *plan shapes* (global-aggregate scalar
+  * subquery, exclusion-filtered COUNT DISTINCT, nested semi-join chain)
+  * with lineitem standing in for partsupp availability — same operators,
+  * same join/agg topology, fixture-native columns.
+  *
+  * Reference analog: the reference engine has no joins at all (SURVEY
+  * §2.3); this whole pack is beyond-reference relational surface.
+  */
+object Relational4 {
+
+  // ------------------------------------------------------------- q8
+  /** National market share (TPC-H Q8 shape): 8-way join, market =
+    * ASIA-region customers, share = NATION_2-supplied fraction of PROMO
+    * volume per order year. Dims (nation/region/part) broadcast; the
+    * one big shuffle is lineitem⋈orders on orderkey. Numerator and
+    * denominator are exact cent longs; both engines divide the same two
+    * longs so the double quotient is bit-identical. */
+  def q8MarketShare(s: SparkSession, d: String): DataFrame = {
+    val n1 = broadcast(nation(s, d)
+      .select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk")))
+    val n2 = broadcast(nation(s, d)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+    val asia = broadcast(region(s, d).filter(col("r_name") === "ASIA"))
+    val promo = broadcast(part(s, d).filter(col("p_type") === "PROMO")
+      .select(col("p_partkey")))
+    lineitem(s, d)
+      .join(orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(n1, col("c_nationkey") === col("c_nk"))
+      .join(asia, col("c_rk") === col("r_regionkey"))
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(n2, col("s_nationkey") === col("s_nk"))
+      .join(promo, col("l_partkey") === col("p_partkey"))
+      .withColumn("v",
+        cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("long"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        (sum(when(col("supp_nation") === "NATION_2", col("v")).otherwise(0L)) /
+          sum(col("v"))).as("mkt_share"),
+        (sum(col("v")) / 100.0).as("total_volume"))
+      .orderBy(col("o_year"))
+  }
+
+  val q8MarketShareSql: String =
+    s"""SELECT o_year,
+       |  SUM(CASE WHEN nation='NATION_2' THEN v ELSE 0 END) / SUM(v) AS mkt_share,
+       |  SUM(v)/100.0 AS total_volume
+       |FROM (
+       |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       |    ${centsSql("l_extendedprice*(1-l_discount)")} AS v,
+       |    n2.n_name AS nation
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+       |  JOIN region ON n1.n_regionkey = r_regionkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+       |  JOIN part ON l_partkey = p_partkey
+       |  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+       |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |    AND o_orderdate < TIMESTAMP '1998-01-01') t
+       |GROUP BY o_year ORDER BY o_year""".stripMargin
+
+  // ------------------------------------------------------------ q11
+  /** Important part value (TPC-H Q11 shape): per-part value from a
+    * nation-filtered supplier join, kept only where value exceeds the
+    * global average — the aggregate-vs-global-scalar-subquery pattern.
+    * The per-part aggregate is computed ONCE and reused for both the
+    * row set and the broadcast global total (Spark reuses the shuffle
+    * across the two consumers). The threshold compare v*n > tot runs in
+    * exact integer cents on both engines (fits long comfortably up to
+    * ~10^5× this SF; beyond that switch the compare to DECIMAL). */
+  def q11ImportantValue(s: SparkSession, d: String): DataFrame = {
+    val nations = broadcast(nation(s, d)
+      .filter(col("n_name").isin("NATION_3", "NATION_8", "NATION_13")))
+    val perPart = lineitem(s, d)
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(nations, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("long")).as("v"))
+    val global = perPart.agg(sum(col("v")).as("tot"), count(lit(1)).as("n"))
+    perPart.join(broadcast(global))
+      .filter(col("v") * col("n") > col("tot"))
+      .select(col("l_partkey"), (col("v") / 100.0).as("part_value"))
+      .orderBy(col("v").desc, col("l_partkey"))
+  }
+
+  val q11ImportantValueSql: String =
+    s"""WITH val AS (
+       |  SELECT l_partkey, SUM(${centsSql("l_extendedprice*(1-l_discount)")}) AS v
+       |  FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  WHERE n_name IN ('NATION_3','NATION_8','NATION_13')
+       |  GROUP BY l_partkey)
+       |SELECT l_partkey, v/100.0 AS part_value
+       |FROM val, (SELECT SUM(v) AS tot, COUNT(*) AS n FROM val) g
+       |WHERE v * n > tot
+       |ORDER BY v DESC, l_partkey""".stripMargin
+
+  // ------------------------------------------------------------ q12
+  /** Shipping-speed priority classes (TPC-H Q12 shape): join + CASE
+    * buckets + dual conditional counts. The fixture has no l_shipmode,
+    * so the bucket derives from ship latency (days from order to ship),
+    * which keeps the bucket column low-cardinality like shipmode. All
+    * outputs are exact integer counts. */
+  def q12ShipPriority(s: SparkSession, d: String): DataFrame = {
+    val lat = datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))
+    val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .withColumn("ship_bucket",
+        when(lat <= 30, "fast").when(lat <= 60, "medium").otherwise("slow"))
+      .groupBy(col("ship_bucket"))
+      .agg(
+        sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("ship_bucket"))
+  }
+
+  val q12ShipPrioritySql: String =
+    """SELECT CASE
+      |    WHEN DATE_DIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 30 THEN 'fast'
+      |    WHEN DATE_DIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 60 THEN 'medium'
+      |    ELSE 'slow' END AS ship_bucket,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------ q16
+  /** Supplier count per part descriptor (TPC-H Q16 shape): exclusion
+    * filters on the part attributes, an anti-join excluding flagged
+    * suppliers (negative balance standing in for Q16's complaints
+    * predicate), then COUNT(DISTINCT supplier) per (brand, type, size).
+    * The distinct-agg keys on the group columns — one expand-free
+    * shuffle; part is broadcast. */
+  def q16SupplierCount(s: SparkSession, d: String): DataFrame = {
+    val parts = broadcast(part(s, d)
+      .filter(col("p_brand") =!= "Brand#13" &&
+        !col("p_type").startsWith("MEDIUM") &&
+        col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)))
+    val flagged = broadcast(supplier(s, d).filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey")))
+    lineitem(s, d)
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .join(flagged, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  val q16SupplierCountSql: String =
+    """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#13' AND p_type NOT LIKE 'MEDIUM%'
+      |  AND p_size IN (1,5,9,14,19,23,36,45)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1,2,3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  // ------------------------------------------------------------ q20
+  /** Dominant suppliers (TPC-H Q20 shape): the nested semi-join chain.
+    * A supplier qualifies if it shipped the MAJORITY of some part's
+    * 1996 volume (2·q > part total — the availqty>half-of-shipped
+    * analog without partsupp), and sits in one of three nations. Both
+    * aggregates share the first shuffle (partkey,suppkey → partkey);
+    * the supplier table is then semi-joined — no row multiplication
+    * anywhere. Quantities sum as exact longs. */
+  def q20DominantSupplier(s: SparkSession, d: String): DataFrame = {
+    val sp = lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+    val pt = sp.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("q")).as("tq"))
+    val dominant = sp.join(pt, col("l_partkey") === col("pk"))
+      .filter(col("q") * 2 > col("tq"))
+      .select(col("l_suppkey"))
+    val nations = broadcast(nation(s, d)
+      .filter(col("n_name").isin("NATION_3", "NATION_8", "NATION_13")))
+    supplier(s, d)
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(nations, col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q20DominantSupplierSql: String =
+    """WITH sp AS (
+      |  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS q
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  GROUP BY 1, 2),
+      |pt AS (SELECT l_partkey, SUM(q) AS tq FROM sp GROUP BY 1)
+      |SELECT s_suppkey, s_name
+      |FROM supplier
+      |WHERE s_suppkey IN (SELECT l_suppkey FROM sp JOIN pt USING (l_partkey)
+      |                    WHERE 2*q > tq)
+      |  AND s_nationkey IN (SELECT n_nationkey FROM nation
+      |                      WHERE n_name IN ('NATION_3','NATION_8','NATION_13'))
+      |ORDER BY s_suppkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q8_market_share" -> q8MarketShare,
+    "q11_important_value" -> q11ImportantValue,
+    "q12_ship_priority" -> q12ShipPriority,
+    "q16_supplier_count" -> q16SupplierCount,
+    "q20_dominant_supplier" -> q20DominantSupplier)
+
+  val oracle: Map[String, String] = Map(
+    "q8_market_share" -> q8MarketShareSql,
+    "q11_important_value" -> q11ImportantValueSql,
+    "q12_ship_priority" -> q12ShipPrioritySql,
+    "q16_supplier_count" -> q16SupplierCountSql,
+    "q20_dominant_supplier" -> q20DominantSupplierSql)
+}

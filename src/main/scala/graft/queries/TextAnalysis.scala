@@ -349,11 +349,123 @@ object TextAnalysis {
        |FROM tok t LEFT JOIN vocab v ON t.word = v.word
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  // -------------------------------------------- unigram surprisal
+  /** Unigram-LM surprisal scoring — the KenLM-style quality filter
+    * reduced to its distributable core: score each document by how
+    * "surprising" its tokens are under the corpus's own unigram
+    * distribution (low surprisal ⇒ all-boilerplate tokens, high ⇒
+    * garbled/rare-token noise; both tails get cut in a real pipeline).
+    *
+    * Portability: true −log₂ p needs libm, whose last ulp differs per
+    * engine, so the metric is DEFINED on the integer bit-length grid:
+    * info(w) = bits(N) − bits(cnt_w) where bits(x) = len(bin(x)) —
+    * i.e. ⌊log₂⌋ distances, exact on both engines, summed as longs.
+    *
+    * Scale shape: token counts partial-agg map-side; the token→count
+    * join shuffles on the word (the vocab at web scale is too big to
+    * broadcast — this is the same join topology as tfidf); corpus
+    * total N is a 1-row broadcast; the per-doc roll-up keys on doc_id.
+    * Linear end to end. */
+  def unigramSurprisal(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("word"))
+    val cnts = tok.groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val tot = cnts.agg(sum(col("c")).as("n"))
+    tok.join(cnts, "word")
+      .crossJoin(broadcast(tot))
+      .withColumn("bits",
+        (length(bin(col("n"))) - length(bin(col("c")))).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("bits")).as("surprisal_bits"))
+      .withColumn("mean_millibits",
+        expr("(1000 * surprisal_bits) DIV n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val unigramSurprisalSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, UNNEST($toksSql) AS word FROM documents),
+       |cnts AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+       |         FROM tok GROUP BY word),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnts)
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |  CAST(SUM(length(bin(n)) - length(bin(c))) AS BIGINT)
+       |    AS surprisal_bits,
+       |  (1000 * CAST(SUM(length(bin(n)) - length(bin(c))) AS BIGINT))
+       |    // COUNT(*) AS mean_millibits
+       |FROM tok JOIN cnts USING (word) CROSS JOIN tot
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- collocations
+  /** PMI collocation mining: adjacent word pairs whose observed
+    * frequency beats independence by a lift margin — the phrase /
+    * multi-word-expression extraction pass that feeds tokenizer merge
+    * rules and stop-phrase lists.
+    *
+    * The lift test runs as one exact integer cross-multiplication
+    * (cab·Nu²·10 > 11·ca·cb·Nb, lift > 1.1) — no doubles, no log, so
+    * cross-engine equality is structural. Long headroom holds to
+    * ~10⁶× this corpus; past that the compare moves to DECIMAL(38)
+    * (ANSI mode makes any overflow loud, never silent).
+    *
+    * Scale shape: bigram and unigram counts are both map-side partial
+    * hash-aggs; the pair-table joins to the two unigram count tables
+    * shuffle on the word (vocab not assumed broadcastable, same
+    * topology as tfidf/surprisal); the two grand totals are 1-row
+    * broadcasts. No self-join on anything document-sized. */
+  def collocations(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), toks(col("text")).as("ws"))
+    val uni = base.select(explode(col("ws")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val nu = uni.agg(sum(col("c")).as("nu"))
+    val pairs = base.select(explode(expr(
+      """zip_with(slice(ws, 1, greatest(size(ws) - 1, 0)),
+        |         slice(ws, 2, greatest(size(ws) - 1, 0)),
+        |         (x, y) -> named_struct('a', x, 'b', y))""".stripMargin))
+      .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val bcnt = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+    val nb = bcnt.agg(sum(col("cab")).as("nbt"))
+    bcnt
+      .join(uni.select(col("word").as("a"), col("c").as("ca")), "a")
+      .join(uni.select(col("word").as("b"), col("c").as("cb")), "b")
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .filter(col("cab") >= 5 &&
+        col("cab") * col("nu") * col("nu") * 10 >
+          lit(11L) * col("ca") * col("cb") * col("nbt"))
+      .select(col("a").as("word_a"), col("b").as("word_b"),
+        col("cab").as("pair_count"))
+      .orderBy(col("pair_count").desc, col("word_a"), col("word_b"))
+  }
+
+  val collocationsSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, $toksSql AS ws FROM documents),
+       |uni AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM
+       |  (SELECT UNNEST(ws) AS word FROM base) GROUP BY word),
+       |ntot AS (SELECT CAST(SUM(c) AS BIGINT) AS nu FROM uni),
+       |pairs AS (
+       |  SELECT ws[i] AS a, ws[i+1] AS b
+       |  FROM base, UNNEST(range(1, len(ws))) AS t(i)),
+       |bcnt AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab
+       |         FROM pairs GROUP BY a, b),
+       |nb AS (SELECT CAST(SUM(cab) AS BIGINT) AS nbt FROM bcnt)
+       |SELECT a AS word_a, b AS word_b, cab AS pair_count
+       |FROM bcnt
+       |JOIN uni ua ON a = ua.word
+       |JOIN uni ub ON b = ub.word
+       |CROSS JOIN ntot CROSS JOIN nb
+       |WHERE cab >= 5 AND cab * nu * nu * 10 > 11 * ua.c * ub.c * nbt
+       |ORDER BY cab DESC, a, b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25_topk" -> bm25TopK,
     "text_tfidf_top_terms" -> tfidfTopTerms,
     "text_repetition_quality" -> repetitionQuality,
     "text_vocab_oov" -> vocabOov,
+    "text_unigram_surprisal" -> unigramSurprisal,
+    "text_collocations" -> collocations,
     "doc_chunk_windows" -> chunkWindows)
 
   val oracle: Map[String, String] = Map(
@@ -361,5 +473,7 @@ object TextAnalysis {
     "text_tfidf_top_terms" -> tfidfTopTermsSql,
     "text_repetition_quality" -> repetitionQualitySql,
     "text_vocab_oov" -> vocabOovSql,
+    "text_unigram_surprisal" -> unigramSurprisalSql,
+    "text_collocations" -> collocationsSql,
     "doc_chunk_windows" -> chunkWindowsSql)
 }

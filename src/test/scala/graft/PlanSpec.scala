@@ -161,4 +161,50 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "chunking must not introduce any join")
     assert(p.contains("Generate"), "expected the explode generator")
   }
+
+  // Round-5 relational pack: the five shapes completing TPC-H 22/22.
+  test("q8: date filter pushed to the orders scan, dims broadcast, " +
+      "no cartesian") {
+    val p = plan("q8_market_share")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "orders date range must reach the parquet scan")
+    assert(p.contains("BroadcastHashJoin"), "nation/region/part broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q11: per-part agg is two-phase; threshold join is the only " +
+      "broadcast-NLJ (1-row global)") {
+    val p = plan("q11_important_value")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_sum"), "cents sum must partial-agg map-side")
+  }
+
+  test("q12: shipdate range pushed; counts partial-aggregate map-side") {
+    val p = plan("q12_ship_priority")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"))
+    assert(p.contains("partial_sum"))
+  }
+
+  test("q16: flagged suppliers exclude via broadcast anti-join") {
+    val p = plan("q16_supplier_count")
+    assert(p.contains("LeftAnti"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q20: both qualification steps are semi-joins, quantity agg " +
+      "two-phase") {
+    val p = plan("q20_dominant_supplier")
+    assert(p.contains("LeftSemi"))
+    assert(p.contains("partial_sum"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("surprisal/collocations: word-keyed equi-joins only, counts " +
+      "partial-aggregate map-side") {
+    for (q <- Seq("text_unigram_surprisal", "text_collocations")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q must not cartesian")
+      assert(p.contains("partial_count"), s"$q counts must partial-agg")
+    }
+  }
 }

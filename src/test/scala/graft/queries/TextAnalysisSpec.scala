@@ -104,6 +104,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows.last._4 == expect)
   }
 
+  test("surprisal: rare tokens raise a doc's mean surprisal, exactly") {
+    // corpus: aa ×7, zz ×1 → N=8. bits(8)=4; info(aa)=4-bits(7)=1,
+    // info(zz)=4-bits(1)=3. doc1 = 4·aa → mean 1000 millibits;
+    // doc2 = 3·aa + zz → (3·1+3)·1000 DIV 4 = 1500.
+    val dir = writeDocs(Seq((1L, "aa aa aa aa"), (2L, "aa aa aa zz")))
+    val got = TextAnalysis.unigramSurprisal(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((4L, 1000L)))
+    assert(got(2L) == ((6L, 1500L)))
+  }
+
+  test("collocations: a planted adjacent phrase is mined; independent " +
+      "co-occurrence is not") {
+    // "neural network" adjacent in 6 docs (cab=6 ≥ 5, lift ≫ 1.1);
+    // "alpha"/"beta" appear in every doc but never adjacent to each
+    // other in the same order more than independence predicts.
+    val fillers = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val dir = writeDocs((0 until 6).map { i =>
+      (i.toLong, s"neural network ${fillers(i)} alpha beta")
+    })
+    val got = TextAnalysis.collocations(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got.get(("neural", "network")).contains(6L))
+    assert(!got.contains(("network", "alpha")) || got(("network", "alpha")) < 5L)
+  }
+
   test("chunks: a short doc yields exactly one window of its full length") {
     val dir = writeDocs(Seq((1L, "a b c"), (2L, ("x " * 64).trim)))
     val rows = TextAnalysis.chunkWindows(spark, dir)
