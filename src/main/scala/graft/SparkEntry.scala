@@ -14,7 +14,8 @@ object SparkEntry {
       Relational4.queries ++ Documents.queries ++
       Events.queries ++ Embeddings.queries ++ SimHashDedup.queries ++
       TextPipeline.queries ++ TextAnalysis.queries ++ SqlSurface.queries ++
-      GraphRank.queries ++ graft.multimodal.Multimodal.queries
+      GraphRank.queries ++ CorpusCuration.queries ++
+      graft.multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -23,5 +24,6 @@ object SparkEntry {
       Relational4.oracle ++ Documents.oracle ++
       Events.oracle ++ Embeddings.oracle ++ SimHashDedup.oracle ++
       TextPipeline.oracle ++ TextAnalysis.oracle ++ SqlSurface.oracle ++
-      GraphRank.oracle ++ graft.multimodal.Multimodal.oracle
+      GraphRank.oracle ++ CorpusCuration.oracle ++
+      graft.multimodal.Multimodal.oracle
 }

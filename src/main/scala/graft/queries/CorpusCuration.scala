@@ -1,0 +1,241 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Corpus-internal curation passes that complete the dedup/chunking
+  * tier: duplicate-SPAN detection (which tokens are copied, not just
+  * which documents), content-defined chunking (reuse-stable chunk
+  * boundaries), and two-model importance scoring (domain-targeted
+  * data selection).
+  *
+  * Everything runs on exact integers (positions, counts, bit-length
+  * surprisal, permille ratios) or md5 strings — no floating point
+  * anywhere, so Spark and DuckDB agree bit-for-bit.
+  *
+  * Reference analog: none (the reference engine has no windows or
+  * joins — SURVEY §2.3); this is beyond-reference LLM-pipeline
+  * surface.
+  */
+object CorpusCuration {
+
+  private def toks(c: org.apache.spark.sql.Column) = Documents.tokens(c)
+
+  private val toksSql =
+    """list_filter(string_split_regex(text, '[^\p{L}]+'), w -> w <> '')"""
+
+  // ---------------------------------------------- duplicate spans
+  /** Duplicate-span detection (the span-level half of "Deduplicating
+    * Training Data Makes Language Models Better": suffix-array
+    * repeated substrings, re-expressed distributably): a token 3-gram
+    * occurring in MORE THAN ONE document marks its positions as
+    * copied; per document, overlapping/adjacent hits merge into
+    * maximal spans (gaps-and-islands over the hit positions). Output
+    * = span count + copied-token coverage per document — the signal a
+    * pipeline uses to cut boilerplate spans before training.
+    *
+    * Scale shape: gram table is one explode (linear); the dup-gram
+    * filter is a hash-agg keyed on the gram; the hits join is
+    * gram-keyed equi; span merge is a per-document window (partition
+    * key = doc_id, the parallel unit). No stage touches doc × doc.
+    * The window sees only DUPLICATED gram positions of one doc —
+    * bounded by doc length, not corpus size. */
+  def duplicateSpans(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .withColumn("n", size(toks(col("text"))))
+    val grams = base
+      .select(col("doc_id"), col("n"),
+        posexplode(Documents.shingles3(col("text"))).as(Seq("p", "g")))
+      .withColumn("pos", (col("p") + 1).cast("int"))
+    val dup = grams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1).select(col("g"))
+    val hits = grams.join(dup, "g")
+      .select(col("doc_id"), col("n"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // a hit at pos covers [pos, pos+2]; the next hit merges when it
+    // starts within (or adjacent to) that cover — gap in pos ≤ 3
+    val sp = hits
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= 3, 0).otherwise(1))
+      .withColumn("span_id",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    sp.groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + 2).as("e"),
+        max(col("n")).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"),
+        max(col("n")).as("n"))
+      .withColumn("coverage_permille", expr("(1000 * dup_tokens) DIV n"))
+      .select(col("doc_id"), col("n_spans"), col("dup_tokens"),
+        col("coverage_permille"))
+      .orderBy(col("doc_id"))
+  }
+
+  val duplicateSpansSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $toksSql AS ws FROM documents),
+       |grams AS (
+       |  SELECT doc_id, CAST(i AS INT) AS pos,
+       |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g, len(ws) AS n
+       |  FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+       |dup AS (SELECT g FROM grams GROUP BY g
+       |        HAVING COUNT(DISTINCT doc_id) > 1),
+       |hits AS (SELECT doc_id, pos, n FROM grams JOIN dup USING (g)),
+       |isl AS (
+       |  SELECT doc_id, pos, n,
+       |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id
+       |                                   ORDER BY pos) <= 3
+       |         THEN 0 ELSE 1 END AS brk
+       |  FROM hits),
+       |sp AS (
+       |  SELECT doc_id, n, pos,
+       |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |                   ROWS UNBOUNDED PRECEDING) AS span_id
+       |  FROM isl),
+       |agg AS (
+       |  SELECT doc_id, MAX(n) AS n, span_id, MIN(pos) AS s,
+       |    MAX(pos) + 2 AS e
+       |  FROM sp GROUP BY doc_id, span_id)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       |  CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
+       |  (1000 * CAST(SUM(e - s + 1) AS BIGINT)) // MAX(n)
+       |    AS coverage_permille
+       |FROM agg GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- CDC chunking
+  /** Content-defined chunking: chunk boundaries fall where the token's
+    * own fingerprint says so (md5 first hex digit ∈ {0,1} ⇒ expected
+    * chunk length 8 tokens), NOT at fixed offsets — so an insertion
+    * early in a document shifts only its local chunk, and every other
+    * chunk keeps its content hash. That boundary stability is what
+    * makes chunk-level dedup/caching work on evolving corpora (the
+    * rolling-hash trick behind rsync/LBFS/data-dedup stores).
+    *
+    * Portability: the boundary predicate and the chunk hash both
+    * derive from md5 strings — identical on any engine; positions and
+    * running chunk ids are exact integers via a per-doc window.
+    * Scale shape: explode → per-doc window → hash-agg keyed
+    * (doc_id, chunk_id); linear, partitioned by document. */
+  def cdcChunks(s: SparkSession, d: String): DataFrame = {
+    val pos = documents(s, d)
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("p", "w")))
+      .withColumn("pos", (col("p") + 1).cast("int"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val withChunk = pos
+      .withColumn("brk",
+        when(col("pos") > 1 &&
+          substring(md5(col("w")), 1, 1).isin("0", "1"), 1).otherwise(0))
+      .withColumn("chunk_id",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("int"))
+    withChunk.groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        md5(concat_ws(" ",
+          transform(sort_array(collect_list(struct(col("pos"), col("w")))),
+            x => x.getField("w")))).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val cdcChunksSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $toksSql AS ws FROM documents),
+       |pos AS (
+       |  SELECT doc_id, CAST(i AS INT) AS pos, ws[i] AS w
+       |  FROM toks, UNNEST(range(1, len(ws) + 1)) AS t(i)),
+       |b AS (
+       |  SELECT doc_id, pos, w,
+       |    CASE WHEN pos > 1 AND substring(md5(w), 1, 1) IN ('0','1')
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM pos),
+       |c AS (
+       |  SELECT doc_id, pos, w,
+       |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |                   ROWS UNBOUNDED PRECEDING) AS chunk_id
+       |  FROM b)
+       |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       |  CAST(COUNT(*) AS INT) AS n_tokens,
+       |  md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_md5
+       |FROM c GROUP BY doc_id, chunk_id
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
+  // -------------------------------------------- importance scoring
+  /** Two-model importance scoring (the DSIR recipe: select pretraining
+    * data whose n-gram likelihood under a TARGET domain model beats
+    * its likelihood under the general corpus model). Target = the
+    * 'src0' slice; both unigram models live on the integer bit-length
+    * grid (info(w) = bits(N) − bits(cnt), as in unigram surprisal),
+    * with add-one smoothing so target-unseen words score, not crash:
+    * Nt' = Σct + |vocab|. ratio_bits > 0 ⇒ the doc looks more like
+    * the target than like the average corpus document.
+    *
+    * Scale shape: two count tables off one token explode (corpus
+    * counts, filtered target counts), joined back on the word (the
+    * vocab is not assumed broadcastable); two 1-row totals broadcast;
+    * final roll-up keys on doc_id. Linear, three shuffles. */
+  def importanceScore(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(toks(col("text"))).as("word"))
+    val corpus = tok.groupBy(col("word")).agg(count(lit(1)).as("cc"))
+    val target = tok.filter(col("source") === "src0")
+      .groupBy(col("word")).agg(count(lit(1)).as("ct"))
+    val nc = corpus.agg(sum(col("cc")).as("n_c"))
+    val nt = target.agg(sum(col("ct")).as("st"))
+      .crossJoin(corpus.agg(count(lit(1)).as("v")))
+      .select((col("st") + col("v")).as("n_t"))
+    val bits = (x: org.apache.spark.sql.Column) => length(bin(x))
+    tok.join(corpus, "word")
+      .join(target, Seq("word"), "left")
+      .crossJoin(broadcast(nc)).crossJoin(broadcast(nt))
+      .withColumn("rb",
+        ((bits(col("n_c")) - bits(col("cc"))) -
+          (bits(col("n_t")) - bits(coalesce(col("ct"), lit(0L)) + 1)))
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("rb")).as("ratio_bits"))
+      .withColumn("ratio_millibits",
+        expr("(1000 * ratio_bits) DIV n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val importanceScoreSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, source, UNNEST($toksSql) AS word FROM documents),
+       |corpus AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cc
+       |           FROM tok GROUP BY word),
+       |nc AS (SELECT CAST(SUM(cc) AS BIGINT) AS n FROM corpus),
+       |target AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS ct
+       |           FROM tok WHERE source = 'src0' GROUP BY word),
+       |nt AS (SELECT CAST(SUM(ct) AS BIGINT)
+       |         + CAST((SELECT COUNT(*) FROM corpus) AS BIGINT) AS n
+       |       FROM target)
+       |SELECT t.doc_id, COUNT(*) AS n_tokens,
+       |  CAST(SUM( (length(bin(nc.n)) - length(bin(c.cc)))
+       |          - (length(bin(nt.n))
+       |             - length(bin(COALESCE(tg.ct, 0) + 1))) ) AS BIGINT)
+       |    AS ratio_bits,
+       |  (1000 * CAST(SUM( (length(bin(nc.n)) - length(bin(c.cc)))
+       |          - (length(bin(nt.n))
+       |             - length(bin(COALESCE(tg.ct, 0) + 1))) ) AS BIGINT))
+       |    // COUNT(*) AS ratio_millibits
+       |FROM tok t
+       |JOIN corpus c USING (word)
+       |LEFT JOIN target tg USING (word)
+       |CROSS JOIN nc CROSS JOIN nt
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_duplicate_spans" -> duplicateSpans,
+    "doc_cdc_chunks" -> cdcChunks,
+    "doc_importance_score" -> importanceScore)
+
+  val oracle: Map[String, String] = Map(
+    "text_duplicate_spans" -> duplicateSpansSql,
+    "doc_cdc_chunks" -> cdcChunksSql,
+    "doc_importance_score" -> importanceScoreSql)
+}

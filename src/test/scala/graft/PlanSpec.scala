@@ -207,4 +207,20 @@ class PlanSpec extends AnyFunSuite {
       assert(p.contains("partial_count"), s"$q counts must partial-agg")
     }
   }
+
+  test("duplicate spans / cdc chunks: the island-merge windows " +
+      "partition by doc_id — the document is the parallel unit") {
+    for (q <- Seq("text_duplicate_spans", "doc_cdc_chunks")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q must not cartesian")
+      assert(p.contains("windowspecdefinition(doc_id"),
+        s"$q window must be keyed per-document")
+    }
+  }
+
+  test("importance score: word-keyed equi-joins, 1-row totals broadcast") {
+    val p = plan("doc_importance_score")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_count"), "model counts must partial-agg")
+  }
 }
