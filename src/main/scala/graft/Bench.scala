@@ -35,8 +35,12 @@ object Bench {
     }
     exec("q1_pricing_summary") // warm-up: JVM, codegen, file index
     // two passes, report min: first execution of a query shape pays
-    // one-time janino codegen (~1-5 s) that is irrelevant at scale
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // one-time janino codegen (~1-5 s) that is irrelevant at scale.
+    // Optional args: query names for single-query A/B timing (the
+    // driver always runs the full surface with no args).
+    val names =
+      if (args.nonEmpty) args.toSeq.sorted
+      else SparkEntry.queries.keys.toSeq.sorted
     val pass1 = names.map(n => n -> exec(n)).toMap
     val results = names.map { n =>
       val t2 = exec(n)

@@ -15,7 +15,10 @@ object PlanCheck {
       "text_bm25_topk", "text_tfidf_top_terms", "text_repetition_quality",
       "doc_chunk_windows", "emb_kmeans_assign",
       "emb_semantic_dedup", "graph_pagerank_dups", "dedup_bloom_incremental",
-      "ev_anomaly_3sigma", "text_vocab_oov")
+      "ev_anomaly_3sigma", "text_vocab_oov",
+      "q8_market_share", "q16_supplier_count", "q20_dominant_supplier",
+      "text_unigram_surprisal", "text_collocations",
+      "text_duplicate_spans", "doc_cdc_chunks", "doc_importance_score")
     val out = new StringBuilder
     out ++= "# PLANS — formatted physical plans for headline queries\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanCheck PLANS.md\"` " +

@@ -50,9 +50,11 @@ object CorpusCuration {
       .select(col("doc_id"), col("n"),
         posexplode(Documents.shingles3(col("text"))).as(Seq("p", "g")))
       .withColumn("pos", (col("p") + 1).cast("int"))
+    // "appears in >1 distinct doc" ⟺ min(doc) ≠ max(doc): one cheap
+    // min/max agg instead of the two-phase distinct-count rewrite
     val dup = grams.groupBy(col("g"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") > 1).select(col("g"))
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      .filter(col("d0") =!= col("d1")).select(col("g"))
     val hits = grams.join(dup, "g")
       .select(col("doc_id"), col("n"), col("pos"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -84,7 +86,7 @@ object CorpusCuration {
        |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g, len(ws) AS n
        |  FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i)),
        |dup AS (SELECT g FROM grams GROUP BY g
-       |        HAVING COUNT(DISTINCT doc_id) > 1),
+       |        HAVING MIN(doc_id) <> MAX(doc_id)),
        |hits AS (SELECT doc_id, pos, n FROM grams JOIN dup USING (g)),
        |isl AS (
        |  SELECT doc_id, pos, n,

@@ -24,7 +24,7 @@ object Documents {
     * THE tokenizer of the corpus tier: shared by every query that
     * splits text (shingles, BM25/TF-IDF, repetition, chunking) so a
     * definition tweak can never fork the surface. */
-  private[queries] def tokens(c: Column): Column =
+  private[graft] def tokens(c: Column): Column =
     filter(split(c, "[^\\p{L}]+"), t => length(t) > 0)
 
   private val tokensSql =

@@ -110,4 +110,49 @@ object IO {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(path)
   }
+
+  /** MERGE/upsert for plain-parquet corpora — the snapshot-refresh
+    * pass of a living training set (re-crawled docs replace their old
+    * versions, takedowns delete) without a table format: the new
+    * snapshot is computed functionally and written to a NEW directory,
+    * so readers of the old snapshot are never disturbed (swap = point
+    * the next pipeline run at the new path; lineage stays auditable).
+    *
+    * Semantics per key: update row wins over target row; an update row
+    * with `tombstoneCol = true` (when the column is present) deletes
+    * the key from the snapshot. Duplicate keys WITHIN each input are a
+    * contract violation and fail loudly under the count check rather
+    * than silently picking a survivor.
+    *
+    * Scale shape: one union + one hash-shuffle on the key (the
+    * row_number window's partition key) — the same single-shuffle
+    * topology as a shuffle join; no broadcast of either side is
+    * assumed, no driver-side state. At 100 TB pair it with
+    * [[writeClustered]] on the key so successive snapshots stay
+    * range-laid-out. */
+  def upsertSnapshot(target: DataFrame, updates: DataFrame, key: String,
+      outDir: String, tombstoneCol: String = "deleted"): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val u = if (updates.columns.contains(tombstoneCol)) updates
+      else updates.withColumn(tombstoneCol, lit(false))
+    val merged = target.withColumn(tombstoneCol, lit(false))
+      .withColumn("__src", lit(0))
+      .unionByName(u.withColumn("__src", lit(1)))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(key)).orderBy(col("__src").desc)))
+      .withColumn("__nk", count(lit(1)).over(
+        Window.partitionBy(col(key), col("__src"))))
+    // per-input key uniqueness: a key appearing twice on ONE side makes
+    // "update wins" ambiguous — fail, don't guess. limit(1) keeps the
+    // probe cheap; it is a second pass over the union, the price of a
+    // loud contract (callers that pre-dedup can see it as a no-op scan).
+    if (merged.filter(col("__nk") > 1).limit(1).count() > 0)
+      throw new IllegalArgumentException(
+        s"upsertSnapshot: duplicate '$key' values within one input — " +
+          "latest-wins is ambiguous; dedup inputs first")
+    merged.filter(col("__rn") === 1 && !col(tombstoneCol))
+      .drop("__src", "__rn", "__nk", tombstoneCol)
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+  }
 }

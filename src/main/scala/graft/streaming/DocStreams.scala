@@ -53,4 +53,43 @@ object DocStreams {
     onB0.union(onB1Only)
       .select(col("doc_id"), col("old_id"))
   }
+
+  /** Stream-static quality scoring: each arriving document's tokens
+    * scored against the EXISTING corpus's unigram model — the
+    * admission-control half of the batch `text_unigram_surprisal`
+    * query (new data is scored by the old model; the model refreshes
+    * when the corpus snapshot does). Stateless: token explode is a
+    * per-row generator, the model lookup is a stream-static equi-join
+    * on the word, so append mode needs no watermark and each token
+    * scores exactly once.
+    *
+    * Emits (doc_id, word, bits) rows; per-doc roll-ups happen in
+    * foreachBatch or over the sink table (the same pairs-not-verdicts
+    * contract as [[incrementalDedupStream]], and for the same reason —
+    * a global streaming groupBy would demand a watermark column the
+    * documents table does not carry).
+    *
+    * Counts are Laplace-shifted (+1 for every word) so corpus-unseen
+    * words score finitely instead of crashing the bit-length — same
+    * convention as the batch importance scorer's target model. The
+    * model tables materialize ONCE (Materialize.eager) — otherwise
+    * every micro-batch would re-tokenize the whole corpus. */
+  def surprisalScoreStream(streamDocs: DataFrame, corpus: DataFrame)
+      : DataFrame = {
+    val toks = (c: org.apache.spark.sql.Column) =>
+      graft.queries.Documents.tokens(c)
+    val cnts = graft.operators.Materialize.eager(
+      corpus.select(explode(toks(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("c")))
+    val tot = graft.operators.Materialize.eager(
+      cnts.agg(sum(col("c")).as("n")))
+    streamDocs
+      .select(col("doc_id"), explode(toks(col("text"))).as("word"))
+      .join(cnts, Seq("word"), "left")
+      .crossJoin(tot)
+      .select(col("doc_id"), col("word"),
+        (length(bin(col("n"))) -
+          length(bin(coalesce(col("c"), lit(0L)) + 1))).cast("long")
+          .as("bits"))
+  }
 }

@@ -134,4 +134,32 @@ class IOSpec extends AnyFunSuite {
     })
     assert(perFile.map(_._1).sum == 500L)
   }
+
+  test("upsert snapshot: update wins, tombstone deletes, inserts land, " +
+      "untouched rows carry over") {
+    import spark.implicits._
+    val tgt = tmp("upt"); val out = tmp("ups")
+    Seq((1L, "one-v1"), (2L, "two-v1"), (3L, "three-v1"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(tgt)
+    val updates = Seq(
+      (2L, "two-v2", false), // replaces the target row
+      (3L, "ignored", true), // tombstone: key 3 leaves the snapshot
+      (4L, "four-v1", false)) // brand-new key
+      .toDF("doc_id", "text", "deleted")
+    IO.upsertSnapshot(spark.read.parquet(tgt), updates, "doc_id", out)
+    val got = spark.read.parquet(out).as[(Long, String)].collect().sorted
+    assert(got.toSeq == Seq((1L, "one-v1"), (2L, "two-v2"), (4L, "four-v1")))
+  }
+
+  test("upsert snapshot: duplicate keys within one input fail loudly") {
+    import spark.implicits._
+    val tgt = tmp("upd")
+    Seq((1L, "a")).toDF("doc_id", "text").write.mode("overwrite").parquet(tgt)
+    val dupUpdates = Seq((2L, "x"), (2L, "y")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      IO.upsertSnapshot(spark.read.parquet(tgt), dupUpdates, "doc_id",
+        tmp("upo"))
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
 }

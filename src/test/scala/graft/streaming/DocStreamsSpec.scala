@@ -69,6 +69,34 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(batch.nonEmpty && batch.toSeq == proj.toSeq)
   }
 
+  test("stream-static surprisal scores equal the batch form, with " +
+      "add-one smoothing for corpus-unseen words") {
+    // corpus model: alpha ×10, beta ×5 → N=15 (bits 4)
+    val corpus = docsDf(Seq(
+      (0L, "alpha alpha alpha alpha alpha alpha alpha alpha alpha alpha"),
+      (1L, "beta beta beta beta beta")))
+    val arrivals = docsDf(Seq((7L, "alpha beta omega")))
+    val dir = java.nio.file.Files.createTempDirectory("docscore")
+    arrivals.coalesce(1).write.mode("overwrite").parquet(dir.toString + "/in")
+    val batch = DocStreams.surprisalScoreStream(
+      spark.read.parquet(dir.toString + "/in"), corpus)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sorted
+    val stream = DocStreams.surprisalScoreStream(
+      DocStreams.readDocStream(spark, dir.toString + "/in"), corpus)
+    EventStreams.runToMemory(spark, stream, "doc_score_stream",
+      OutputMode.Append())
+    val got = spark.table("doc_score_stream")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sorted
+    assert(got.toSeq == batch.toSeq,
+      "stream-static and batch scoring must produce identical rows")
+    // hand-check: bits(15)=4; alpha c+1=11 → 4-4=0; beta c+1=6 → 4-3=1;
+    // omega unseen → c+1=1 → 4-1=3 (the smoothing path)
+    assert(got.toSeq == Seq((7L, "alpha", 0L), (7L, "beta", 1L),
+      (7L, "omega", 3L)))
+  }
+
   test("streaming pairs equal the batch asymmetric-join pairs on the same data") {
     val corpus = docsDf(Seq((0L, shared), (2L, other)))
     val arrivals = docsDf(Seq((4L, shared), (14L, other)))
