@@ -112,6 +112,20 @@ object GraftFunctions {
     exprs
   }
 
+  def misraGries(c: Column, k: Int): Column =
+    org.apache.spark.sql.functions.call_function(
+      "misra_gries", c, org.apache.spark.sql.functions.lit(k))
+
+  /** The k argument must be a foldable integer literal (it sizes the
+    * aggregation buffer, so it cannot vary per row). */
+  private[functions] def mgFromExprs(exprs: Seq[Expression]): MisraGriesAgg = {
+    val es = arity("misra_gries", 2)(exprs)
+    if (!es(1).foldable)
+      throw new IllegalArgumentException(
+        "misra_gries: k must be a literal integer")
+    MisraGriesAgg(es(0), es(1).eval().asInstanceOf[Number].intValue())
+  }
+
   /** SQL + Column registration: SELECT simhash64(text) FROM ... */
   def registerAll(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -121,6 +135,8 @@ object GraftFunctions {
       "cosine_sim_f", exprs => {
         val e = arity("cosine_sim_f", 2)(exprs); CosineSimF(e(0), e(1))
       }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "misra_gries", mgFromExprs, "built-in")
   }
 }
 
@@ -142,6 +158,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         val es = GraftFunctions.arity("cosine_sim_f", 2)(exprs)
         CosineSimF(es(0), es(1))
       }))
+    e.injectFunction((FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "misra_gries"),
+      (exprs: Seq[Expression]) => GraftFunctions.mgFromExprs(exprs)))
     e.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
     e.injectOptimizerRule(_ => graft.plans.PruneAsOfJoinColumns)
   }

@@ -459,7 +459,48 @@ object TextAnalysis {
        |WHERE cab >= 5 AND cab * nu * nu * 10 > 11 * ua.c * ub.c * nbt
        |ORDER BY cab DESC, a, b""".stripMargin
 
+  // ------------------------------------------------ heavy hitters
+  /** Corpus heavy-hitter tokens via sketch → prune → exact-confirm:
+    * a native Misra–Gries TypedImperativeAggregate
+    * (`graft.functions.MisraGriesAgg`, k=48) reduces the whole token
+    * stream to ≤48 candidates with NO distinct-key shuffle (the
+    * aggregation state is k counters per partition, merged
+    * associatively), then ONLY the candidates are exact-counted — the
+    * second pass's agg carries ≤48 keys instead of the vocabulary.
+    *
+    * Determinism: the sketch's candidate list can vary with partition
+    * order near the threshold, but every word with freq > n/49 is
+    * guaranteed present, and the output filter keeps freq > n/40 on
+    * EXACT counts — so the result equals the plain exact query and
+    * the DuckDB oracle needs no sketch at all. */
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d).select(explode(toks(col("text"))).as("word"))
+    val n = tok.agg(count(lit(1)).as("n"))
+    val cands = tok
+      .agg(graft.functions.GraftFunctions.misraGries(col("word"), 48)
+        .as("cand"))
+      .select(explode(col("cand")).as("word"))
+    tok.join(broadcast(cands), "word")
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(n))
+      .filter(col("c") * 40 > col("n"))
+      .select(col("word"), col("c").as("n_occurrences"),
+        expr("(1000 * c) DIV n").as("freq_permille"))
+      .orderBy(col("n_occurrences").desc, col("word"))
+  }
+
+  val heavyHittersSql: String =
+    s"""WITH tok AS (
+       |  SELECT UNNEST($toksSql) AS word FROM documents),
+       |c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+       |      FROM tok GROUP BY word),
+       |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c)
+       |SELECT word, c AS n_occurrences, (1000 * c) // n AS freq_permille
+       |FROM c, t WHERE c * 40 > n
+       |ORDER BY c DESC, word""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_heavy_hitters" -> heavyHitters,
     "text_bm25_topk" -> bm25TopK,
     "text_tfidf_top_terms" -> tfidfTopTerms,
     "text_repetition_quality" -> repetitionQuality,
@@ -469,6 +510,7 @@ object TextAnalysis {
     "doc_chunk_windows" -> chunkWindows)
 
   val oracle: Map[String, String] = Map(
+    "text_heavy_hitters" -> heavyHittersSql,
     "text_bm25_topk" -> bm25TopKSql,
     "text_tfidf_top_terms" -> tfidfTopTermsSql,
     "text_repetition_quality" -> repetitionQualitySql,

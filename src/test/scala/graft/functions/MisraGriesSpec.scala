@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Pins for the native Misra–Gries TypedImperativeAggregate: the
+  * frequency guarantee under adversarial partitioning, exactness when
+  * the vocabulary fits in k, and the SQL registration path. */
+class MisraGriesSpec extends AnyFunSuite {
+  import graft.SparkTestSession._
+  import spark.implicits._
+
+  private def candidates(items: Seq[String], k: Int, parts: Int): Set[String] =
+    items.toDF("w").repartition(parts)
+      .agg(GraftFunctions.misraGries(col("w"), k).as("c"))
+      .collect().head.getSeq[String](0).toSet
+
+  test("guarantee: every item with freq > n/(k+1) survives, for any " +
+      "partitioning") {
+    // 3 heavy items at 300 each + 1100 singletons: n = 2000, k = 10
+    // → threshold n/11 ≈ 182; the singletons exist to force the
+    // decrement path (vocab 1103 ≫ k)
+    val heavy = Seq("h1", "h2", "h3").flatMap(h => Seq.fill(300)(h))
+    val noise = (0 until 1100).map(i => s"noise$i")
+    val items = scala.util.Random.shuffle(heavy ++ noise)
+    for (parts <- Seq(1, 3, 16, 31)) {
+      val got = candidates(items, k = 10, parts)
+      assert(Set("h1", "h2", "h3").subsetOf(got),
+        s"heavy items must survive at $parts partitions, got $got")
+      assert(got.size <= 10, "summary may never exceed k entries")
+    }
+  }
+
+  test("exact when the vocabulary fits in k: candidates = all distinct") {
+    val items = Seq("a", "a", "b", "c", "c", "c")
+    assert(candidates(items, k = 8, parts = 4) == Set("a", "b", "c"))
+  }
+
+  test("SQL registration: misra_gries works in spark.sql with a " +
+      "literal k, and rejects a non-literal k") {
+    Seq("x", "x", "y").toDF("w").createOrReplaceTempView("mg_in")
+    val got = spark.sql("SELECT misra_gries(w, 4) AS c FROM mg_in")
+      .collect().head.getSeq[String](0).toSet
+    assert(got == Set("x", "y"))
+    val e = intercept[Exception] {
+      spark.sql("SELECT misra_gries(w, length(w)) FROM mg_in").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("literal"))
+  }
+
+  test("heavy hitters query: sketch-pruned result equals the plain " +
+      "exact computation") {
+    val d = "/root/testdata/sf0.01"
+    val exact = graft.Tables.documents(spark, d)
+      .select(explode(Documents_tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val n = exact.agg(sum(col("c")).as("n"))
+    val expect = exact.crossJoin(broadcast(n))
+      .filter(col("c") * 40 > col("n"))
+      .select(col("word"), col("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    val got = graft.queries.TextAnalysis.heavyHitters(spark, d)
+      .select(col("word"), col("n_occurrences"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(got.nonEmpty && got.toSeq == expect.toSeq)
+  }
+
+  private def Documents_tokens(c: org.apache.spark.sql.Column) =
+    graft.queries.Documents.tokens(c)
+}
