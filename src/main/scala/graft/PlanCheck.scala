@@ -45,6 +45,11 @@ object PlanCheck {
         || text_tfidf_top_terms | score_e6 DESC (integer-snapped) | term |
         || emb_kmeans_assign | d2 ASC (bit-deterministic fold) | cid |
         || doc_stratified_sample | md5 hash ASC (string, engine-identical) | doc_id |
+        || q11_important_value | exact cents v DESC | l_partkey |
+        || q16_supplier_count | supplier_cnt DESC | p_brand, p_type, p_size |
+        || q18_large_volume_customer | STORED o_totalprice DESC (no arithmetic) | o_orderkey |
+        || text_collocations | pair_count DESC (exact long) | word_a, word_b |
+        || text_heavy_hitters | exact count DESC | word |
         |
         |All ranked floats are themselves engine-identical (integer-cents
         |money sums, or fixed left-to-right double folds for cosine), and
