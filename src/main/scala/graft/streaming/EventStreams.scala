@@ -217,6 +217,29 @@ object EventStreams {
       .filter(graft.queries.Events.anomalyPredicate)
       .select(col("event_id"), col("event_type"), col("v"))
 
+  /** Windowed streaming heavy-hitter candidates: which users dominate
+    * each event-time hour (the abuse/bot pre-filter) — the native
+    * Misra–Gries aggregate running INSIDE a watermarked streaming
+    * aggregation. Per-window state is the serialized ≤k-counter
+    * summary, merged incrementally across micro-batches, so state
+    * size is k entries per open window — never the per-user
+    * cardinality a count-based groupBy would hold.
+    *
+    * Same contract as the batch sketch: candidates are a GUARANTEED
+    * SUPERSET of users with > n_window/(k+1) of the window's events
+    * (pin in MisraGriesSpec); near-threshold membership depends on
+    * arrival order, so downstream exact-confirms against the event
+    * log — the streaming half of text_heavy_hitters' pattern. */
+  def heavyHitterStream(events: DataFrame, k: Int = 16): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.GraftFunctions.misraGries(
+          col("user_id").cast("string"), k).as("candidates"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").cast("long").as("hour_sec"),
+        col("candidates"), col("n_events"))
+
   /** Run any of the above to an in-memory sink until the source is
     * drained; returns the sink table name. Test/demo harness. */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,

@@ -67,4 +67,36 @@ class MisraGriesSpec extends AnyFunSuite {
 
   private def Documents_tokens(c: org.apache.spark.sql.Column) =
     graft.queries.Documents.tokens(c)
+
+  test("streaming: per-window candidates are a superset of guaranteed " +
+      "heavy users and never exceed k") {
+    import graft.streaming.EventStreams
+    val path = "/root/testdata/sf0.001/events.parquet"
+    val k = 16
+    val stream = EventStreams.heavyHitterStream(
+      EventStreams.readEventStream(spark, path), k)
+    EventStreams.runToMemory(spark, stream, "hh_stream",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    val got = spark.table("hh_stream")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getSeq[String](1).toSet, r.getLong(2)))
+      .toMap
+    assert(got.nonEmpty)
+    // batch truth: per-hour per-user exact counts over the same file
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val perUser = events
+      .groupBy(window(col("ts"), "1 hour").getField("start").cast("long")
+          .as("hour_sec"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byWindow = perUser.groupBy(_._1)
+    got.foreach { case (hour, (cands, nEvents)) =>
+      assert(cands.size <= k)
+      val rows = byWindow.getOrElse(hour, Array.empty)
+      assert(rows.map(_._3).sum == nEvents, s"window $hour count mismatch")
+      val guaranteed = rows.filter(_._3 * (k + 1) > nEvents).map(_._2.toString)
+      assert(guaranteed.toSet.subsetOf(cands),
+        s"window $hour must keep its guaranteed heavy users")
+    }
+  }
 }
