@@ -112,12 +112,14 @@ object Embeddings {
       .orderBy(col("bucket"))
   }
 
-  /** The 8-plane sign signature in DuckDB SQL (mirror of signBuckets). */
-  private val planesSql: String = (0 until 8).map { p =>
+  /** The n-plane sign signature in DuckDB SQL (mirror of signBuckets). */
+  private def planesSqlN(n: Int): String = (0 until n).map { p =>
     s"""CASE WHEN list_reduce(list_transform(range(1, len(embedding)+1),
        |  i -> CAST(embedding[i] AS DOUBLE) * SIN(CAST(${p * 1000} AS DOUBLE) + (i-1))),
        |  (a, b) -> a + b) >= 0 THEN '1' ELSE '0' END""".stripMargin
   }.mkString(" || ")
+
+  private val planesSql: String = planesSqlN(8)
 
   /** cosine(ae, be) as portable in-order folds (mirror of CosineSimF,
     * INCLUDING its zero-norm guard — CosineSim.scala returns 0.0 when
@@ -142,6 +144,90 @@ object Embeddings {
        |SELECT bucket, COUNT(*) AS n_vecs,
        |  COUNT(DISTINCT label) AS n_labels, MIN(vec_id) AS min_id
        |FROM sig GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ------------------------------------------- quantized ANN rescore
+  /** ANN with int8 quantized rescoring — the production vector-store
+    * recipe (coarse quantizer prunes, low-precision integer dot ranks):
+    * each vector quantizes to int8 on its own L2 scale (so the integer
+    * dot is a scaled cosine), a 2-plane sign bucket bounds the
+    * candidate set, and ranking runs on the EXACT INTEGER quantized
+    * dot product — no float enters the ordering, so top-k is
+    * total-order deterministic on any engine and the oracle needs no
+    * snapping at all.
+    *
+    * Scale shape: quantization is a per-row projection (8× smaller
+    * vectors for the rescore pass than float64 math); candidates come
+    * from an equi-join on the bucket key (shuffle, never broadcast-all
+    * — the brute cosineTopK above is the documented exactness
+    * baseline); per-query top-k is a window partitioned by the query.
+    * Integer dot of 64 int8 components bounds at 64·127² ≈ 10⁶ — long
+    * headroom to 4096-dim embeddings and beyond.
+    *
+    * Recall vs exact float cosine is pinned in SignAnnSpec; it is an
+    * approximation by design (quantization + single-probe bucket). */
+  def annQuantized(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    // L2 scale (not max-abs): with q ≈ 127·x/‖x‖ the integer dot is a
+    // scaled cosine, so integer ranking tracks cosine ranking; every
+    // |component| ≤ ‖x‖ keeps q in [-127, 127]
+    val quant = e
+      .withColumn("m", sqrt(norm2(col("embedding"))))
+      .withColumn("qv",
+        when(col("m") === 0.0,
+          transform(col("embedding"), _ => lit(0L)))
+        .otherwise(transform(col("embedding"),
+          x => floor(x.cast("double") * 127.0 / col("m") + 0.5))))
+      .withColumn("bucket",
+        concat((0 until 2).map(p =>
+          when(planeDot(col("embedding"), p) >= 0, lit("1"))
+            .otherwise(lit("0"))): _*))
+      .select(col("vec_id"), col("bucket"), col("qv"))
+    val q = quant.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("bucket"), col("qv").as("q_qv"))
+    val c = quant
+      .select(col("vec_id").as("c_id"), col("bucket"), col("qv").as("c_qv"))
+    val scored = q.join(c, "bucket")
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("score",
+        aggregate(zip_with(col("q_qv"), col("c_qv"), (x, y) => x * y),
+          lit(0L), (a, x) => a + x))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("c_id"), col("score"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val annQuantizedSql: String =
+    s"""WITH qz AS (
+       |  SELECT vec_id, embedding, ${planesSqlN(2)} AS bucket,
+       |    SQRT(list_reduce(list_transform(range(1, len(embedding)+1),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+       |      (a, b) -> a + b)) AS m
+       |  FROM embeddings),
+       |quant AS (
+       |  SELECT vec_id, bucket,
+       |    list_transform(embedding, x -> CASE WHEN m = 0
+       |      THEN CAST(0 AS BIGINT)
+       |      ELSE CAST(FLOOR(CAST(x AS DOUBLE)*127.0/m + 0.5) AS BIGINT)
+       |      END) AS qv
+       |  FROM qz),
+       |q AS (SELECT vec_id AS q_id, bucket, qv AS q_qv FROM quant
+       |      WHERE vec_id % 50 = 0),
+       |c AS (SELECT vec_id AS c_id, bucket, qv AS c_qv FROM quant),
+       |scored AS (
+       |  SELECT q_id, c_id,
+       |    list_reduce(list_transform(range(1, len(q_qv)+1),
+       |      i -> q_qv[i]*c_qv[i]), (a,b) -> a+b) AS score
+       |  FROM q JOIN c USING (bucket) WHERE q_id <> c_id),
+       |ranked AS (
+       |  SELECT q_id, c_id, CAST(score AS BIGINT) AS score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |         ORDER BY score DESC, c_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT q_id, c_id, score, rank FROM ranked WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
 
   /** Embedding-cosine near-dup, brute form: all pairs with cosine >=
     * 0.99. NOT the declared query (an all-pairs broadcast join is a
@@ -431,6 +517,7 @@ object Embeddings {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_cosine_topk" -> cosineTopK,
+    "emb_ann_quantized" -> annQuantized,
     "emb_ann_ivf" -> annIvf,
     "emb_label_norms" -> labelCentroidNorm,
     "emb_ann_lsh_buckets" -> annLshBuckets,
@@ -441,6 +528,7 @@ object Embeddings {
 
   val oracle: Map[String, String] = Map(
     "emb_cosine_topk" -> cosineTopKSql,
+    "emb_ann_quantized" -> annQuantizedSql,
     "emb_label_norms" -> labelCentroidNormSql,
     "emb_ann_lsh_buckets" -> annLshBucketsSql,
     "emb_ann_ivf" -> annIvfSql,

@@ -66,4 +66,24 @@ class SignAnnSpec extends AnyFunSuite {
     assert(meanRecall >= 0.5, f"mean recall@5 = $meanRecall%.2f")
     assert(approx.keySet == exact.keySet)
   }
+
+  test("int8-quantized bucket ANN: recall vs brute top-k, and integer " +
+      "scores bounded by 64*127^2") {
+    val approx = graft.queries.Embeddings.annQuantized(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(approx.nonEmpty)
+    assert(approx.forall(r => math.abs(r._3) <= 64L * 127 * 127))
+    val byQ = approx.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val exact = graft.queries.Embeddings.cosineTopK(spark, d)
+      .select(col("q_id"), col("c_id")).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val recalls = exact.map { case (q, truth) =>
+      byQ.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    // single-probe 4-cell coarse quantizer + int8 scores: recall is
+    // the approximation knob, pinned so a regression (e.g. a broken
+    // quantizer collapsing buckets) fails loudly
+    assert(meanRecall >= 0.4, f"mean recall@5 = $meanRecall%.2f")
+  }
 }
