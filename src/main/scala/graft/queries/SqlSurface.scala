@@ -62,13 +62,65 @@ object SqlSurface {
     registerViews(s, d); s.sql(topCustomersSql)
   }
 
+  /** Bag-semantics set operators — UNION ALL / INTERSECT ALL /
+    * EXCEPT ALL (the multiset forms the DISTINCT-flavored set_* queries
+    * don't exercise; duplicate multiplicities matter and are pinned by
+    * the per-key counts). */
+  val setOpsAllSql: String =
+    """WITH a AS (SELECT CAST(c_nationkey AS INT) AS k FROM customer
+      |           WHERE c_acctbal > 0),
+      |     b AS (SELECT CAST(s_nationkey AS INT) AS k FROM supplier)
+      |SELECT 'except_all' AS op, k, n FROM (
+      |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      |    SELECT k FROM b EXCEPT ALL SELECT k FROM a) GROUP BY k)
+      |UNION ALL
+      |SELECT 'intersect_all' AS op, k, n FROM (
+      |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      |    SELECT k FROM a INTERSECT ALL SELECT k FROM b) GROUP BY k)
+      |UNION ALL
+      |SELECT 'union_all' AS op, k, n FROM (
+      |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      |    SELECT k FROM a UNION ALL SELECT k FROM b) GROUP BY k)
+      |ORDER BY op, k""".stripMargin
+
+  /** Null-semantics surface: NULLIF-produced nulls, null-skipping vs
+    * null-counting aggregates, and the standard aggregate FILTER
+    * clause — the null-handling rules both engines must agree on
+    * bit-for-bit (COUNT(col) skips nulls, COUNT(*) doesn't,
+    * COUNT(DISTINCT col) ignores nulls, FILTER restricts the input
+    * bag). */
+  val nullSemanticsSql: String =
+    """WITH t AS (SELECT o_orderpriority AS p,
+      |             NULLIF(o_orderstatus, 'O') AS st,
+      |             CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+      |           FROM orders)
+      |SELECT p,
+      |  COUNT(*) AS n_rows,
+      |  COUNT(st) AS n_nonnull,
+      |  CAST(COUNT(*) FILTER (WHERE st IS NULL) AS BIGINT) AS n_null,
+      |  CAST(SUM(cents) FILTER (WHERE st IS NULL) AS BIGINT) AS open_cents,
+      |  COUNT(DISTINCT st) AS n_statuses
+      |FROM t GROUP BY p ORDER BY p""".stripMargin
+
+  def sqlSetOpsAll(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d); s.sql(setOpsAllSql)
+  }
+
+  def sqlNullSemantics(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d); s.sql(nullSemanticsSql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_pricing_summary" -> sqlPricingSummary,
     "sql_top_customers" -> sqlTopCustomers,
-    "sql_grouping_sets" -> sqlGroupingSets)
+    "sql_grouping_sets" -> sqlGroupingSets,
+    "sql_set_ops_all" -> sqlSetOpsAll,
+    "sql_null_semantics" -> sqlNullSemantics)
 
   val oracle: Map[String, String] = Map(
     "sql_pricing_summary" -> pricingSummarySql,
     "sql_top_customers" -> topCustomersSql,
-    "sql_grouping_sets" -> groupingSetsSql)
+    "sql_grouping_sets" -> groupingSetsSql,
+    "sql_set_ops_all" -> setOpsAllSql,
+    "sql_null_semantics" -> nullSemanticsSql)
 }
