@@ -292,7 +292,49 @@ object Events {
        |FROM st LEFT JOIN an USING (event_type)
        |ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------- heavy users
+  /** Per-day dominant users (the batch twin of
+    * streaming.EventStreams.heavyHitterStream, with the exact-confirm
+    * step the stream defers): Misra–Gries candidates PER DAY-WINDOW
+    * (grouped native TypedImperativeAggregate — ≤64 counters per
+    * day partial, no per-user shuffle in the sketch pass), then only
+    * candidate (day, user) rows are exact-counted via a semi-join and
+    * filtered on exact counts > n_day/50 — guaranteed complete since
+    * n/65 < n/50, deterministic, exactly oracle-equal. */
+  def heavyUsers(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    val ev = events(s, d)
+      .select(date_trunc("day", col("ts")).cast("long").as("day_sec"),
+        col("user_id"))
+    val perDay = ev.groupBy(col("day_sec")).agg(count(lit(1)).as("n"))
+    val cands = ev.groupBy(col("day_sec"))
+      .agg(graft.functions.GraftFunctions.misraGries(
+        col("user_id").cast("string"), 64).as("cand"))
+      .select(col("day_sec"), explode(col("cand")).as("u"))
+      .select(col("day_sec"), col("u").cast("long").as("user_id"))
+    ev.join(cands, Seq("day_sec", "user_id"), "left_semi")
+      .groupBy(col("day_sec"), col("user_id")).agg(count(lit(1)).as("c"))
+      .join(perDay, "day_sec")
+      .filter(col("c") * 50 > col("n"))
+      .select(col("day_sec"), col("user_id"), col("c").as("n_events"),
+        expr("(1000 * c) DIV n").as("share_permille"))
+      .orderBy(col("day_sec"), col("n_events").desc, col("user_id"))
+  }
+
+  val heavyUsersSql: String =
+    """WITH d AS (SELECT CAST(FLOOR(EPOCH(DATE_TRUNC('day', ts))) AS BIGINT)
+      |             AS day_sec, user_id FROM events),
+      |pu AS (SELECT day_sec, user_id, CAST(COUNT(*) AS BIGINT) AS c
+      |       FROM d GROUP BY 1, 2),
+      |pd AS (SELECT day_sec, CAST(SUM(c) AS BIGINT) AS n
+      |       FROM pu GROUP BY 1)
+      |SELECT day_sec, user_id, c AS n_events,
+      |  (1000 * c) // n AS share_permille
+      |FROM pu JOIN pd USING (day_sec) WHERE c * 50 > n
+      |ORDER BY day_sec, n_events DESC, user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_heavy_users" -> heavyUsers,
     "ev_tumbling_hourly" -> tumblingHourly,
     "ev_sliding_2h" -> slidingTwoHourBatch,
     "ev_funnel" -> funnel,
@@ -303,6 +345,7 @@ object Events {
     "ev_json_extract" -> jsonExtract)
 
   val oracle: Map[String, String] = Map(
+    "ev_heavy_users" -> heavyUsersSql,
     "ev_tumbling_hourly" -> tumblingHourlySql,
     "ev_sliding_2h" -> slidingTwoHourBatchSql,
     "ev_funnel" -> funnelSql,

@@ -223,4 +223,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("partial_count"), "model counts must partial-agg")
   }
+
+  test("heavy users: candidate prune is a semi-join, no cartesian") {
+    val p = plan("ev_heavy_users")
+    assert(p.contains("LeftSemi"),
+      "exact confirm must count only MG-candidate (day,user) rows")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
