@@ -110,6 +110,40 @@ object Multimodal {
       .orderBy(col("kind"))
   }
 
+  /** Batched resize: downsample every image/video until its longest
+    * side fits [[ResizeMaxDim]] (repeated integer halving — the
+    * thumbnail/preprocess pass before feature extraction). The stub
+    * "resample" strides the body bytes by 2^levels; a real codec swap
+    * changes the kernel, not the plan: mapPartitions batch in, binary
+    * payload out, metadata recomputed from the new header. */
+  private[multimodal] val ResizeMaxDim = 128
+
+  def resizeMedia(spark: SparkSession, media: Dataset[Media]): Dataset[Media] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val codec = StubCodec
+      it.map { m =>
+        if (m.kind == "audio") m
+        else Media(m.media_id, m.kind, codec.resize(m.payload, ResizeMaxDim))
+      }
+    }
+  }
+
+  /** Resize rollup: run the real batched resize pass, then aggregate
+    * the NEW headers — integer-exact, so the oracle can recompute the
+    * halving levels from the documents columns. */
+  def resizeStats(spark: SparkSession, dir: String): DataFrame = {
+    val resized = decodeMeta(spark,
+      resizeMedia(spark, mediaTable(spark, dir)))
+      .filter(col("kind") =!= "audio")
+    resized.groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("bytes")).as("total_bytes_resized"),
+        sum(col("width").cast("long")).as("total_width_resized"),
+        max(col("width")).as("max_width_resized"))
+      .orderBy(col("kind"))
+  }
+
   /** DuckDB oracles: the stub codec's header math re-expressed in SQL
     * (kind = doc_id%3; width = 64 + (doc_id%16)*32; n_frames =
     * video ? 8 + doc_id%24 : 1; payload = 16-byte header + utf8 text).
@@ -148,13 +182,41 @@ object Multimodal {
       |FROM m WHERE kind <> 'audio'
       |GROUP BY kind ORDER BY kind""".stripMargin
 
+  /** levels = smallest L with max(w,h) >> L <= 128; resized payload =
+    * 16-byte header + ceil(len / 2^L) stride-sampled body bytes. */
+  val resizeStatsSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio'
+      |         ELSE 'video' END AS kind,
+      |    CAST(64 + (doc_id % 16) * 32 AS INT) AS w,
+      |    CAST(64 + (n_chars % 16) * 32 AS INT) AS h,
+      |    strlen(text) AS len
+      |  FROM documents),
+      |lv AS (
+      |  SELECT kind, w, len,
+      |    CASE WHEN GREATEST(w, h) <= 128 THEN 0
+      |         WHEN GREATEST(w, h) <= 256 THEN 1
+      |         WHEN GREATEST(w, h) <= 512 THEN 2
+      |         ELSE 3 END AS l
+      |  FROM m WHERE kind <> 'audio')
+      |SELECT kind, COUNT(*) AS n,
+      |  CAST(SUM(16 + (len + (1 << l) - 1) // (1 << l)) AS BIGINT)
+      |    AS total_bytes_resized,
+      |  CAST(SUM(w // (1 << l)) AS BIGINT) AS total_width_resized,
+      |  CAST(MAX(w // (1 << l)) AS INT) AS max_width_resized
+      |FROM lv GROUP BY kind ORDER BY kind""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_media_stats" -> mediaStats,
-    "mm_frame_sample" -> frameSampleStats)
+    "mm_frame_sample" -> frameSampleStats,
+    "mm_resize_stats" -> resizeStats)
 
   val oracle: Map[String, String] = Map(
     "mm_media_stats" -> mediaStatsSql,
-    "mm_frame_sample" -> frameSampleStatsSql)
+    "mm_frame_sample" -> frameSampleStatsSql,
+    "mm_resize_stats" -> resizeStatsSql)
 }
 
 /** STUB codec — deterministic fake in place of image/audio libraries
@@ -193,6 +255,29 @@ object StubCodec extends Serializable {
       val chunk = math.max(b.length / math.max(getInt(payload, 9), 1), 1)
       val start = math.min(idx * chunk, b.length - 1)
       java.util.Arrays.copyOfRange(b, start, math.min(start + chunk, b.length))
+    }
+  }
+
+  /** Resize: halve both dims until the longest side fits maxDim, and
+    * stride-sample the body by 2^levels (ceil count). Header rewritten
+    * with the new dims; frame count unchanged. */
+  def resize(payload: Array[Byte], maxDim: Int): Array[Byte] = {
+    val (w, h, frames) = decodeHeader(payload)
+    var l = 0
+    while (math.max(w, h) >> l > maxDim) l += 1
+    if (l == 0) payload
+    else {
+      val stride = 1 << l
+      val b = body(payload)
+      val newLen = (b.length + stride - 1) / stride
+      val out = new Array[Byte](16 + newLen)
+      out(0) = payload(0)
+      putInt(out, 1, w >> l)
+      putInt(out, 5, h >> l)
+      putInt(out, 9, frames)
+      var i = 0
+      while (i < newLen) { out(16 + i) = b(i * stride); i += 1 }
+      out
     }
   }
 

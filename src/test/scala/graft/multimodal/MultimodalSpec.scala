@@ -59,4 +59,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(stats.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
     assert(stats.map(_.getLong(1)).sum == 500L)
   }
+
+  test("resize: longest side fits the cap, bytes follow the stride " +
+      "formula, and content is the stride subset of the original") {
+    val media = Multimodal.mediaTable(spark, dir)
+    val before = media.collect().map(m => m.media_id -> m).toMap
+    val after = Multimodal.resizeMedia(spark, media).collect()
+    assert(after.length == before.size)
+    after.foreach { m =>
+      val (w, h, frames) = StubCodec.decodeHeader(m.payload)
+      val (w0, h0, f0) = StubCodec.decodeHeader(before(m.media_id).payload)
+      if (m.kind == "audio") {
+        assert((w, h, frames) == ((w0, h0, f0)), "audio passes through")
+      } else {
+        assert(math.max(w, h) <= Multimodal.ResizeMaxDim)
+        assert(frames == f0, "frame count survives resize")
+        var l = 0
+        while (math.max(w0, h0) >> l > Multimodal.ResizeMaxDim) l += 1
+        assert(w == (w0 >> l) && h == (h0 >> l))
+        val b0 = StubCodec.body(before(m.media_id).payload)
+        val b = StubCodec.body(m.payload)
+        assert(b.length == (b0.length + (1 << l) - 1) / (1 << l))
+        // stub "resample" = every 2^l-th byte of the original body
+        b.zipWithIndex.foreach { case (x, i) => assert(x == b0(i * (1 << l))) }
+      }
+    }
+  }
 }
