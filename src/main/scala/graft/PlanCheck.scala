@@ -18,7 +18,9 @@ object PlanCheck {
       "ev_anomaly_3sigma", "text_vocab_oov",
       "q8_market_share", "q16_supplier_count", "q20_dominant_supplier",
       "text_unigram_surprisal", "text_collocations",
-      "text_duplicate_spans", "doc_cdc_chunks", "doc_importance_score")
+      "text_duplicate_spans", "doc_cdc_chunks", "doc_importance_score",
+      "text_heavy_hitters", "emb_ann_quantized", "ev_heavy_users",
+      "sql_set_ops_all", "mm_resize_stats")
     val out = new StringBuilder
     out ++= "# PLANS — formatted physical plans for headline queries\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanCheck PLANS.md\"` " +

@@ -474,6 +474,8 @@ object TextAnalysis {
     * EXACT counts — so the result equals the plain exact query and
     * the DuckDB oracle needs no sketch at all. */
   def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    // defensive registration for sessions built without GraftExtensions
+    graft.functions.GraftFunctions.registerAll(s)
     val tok = documents(s, d).select(explode(toks(col("text"))).as("word"))
     val n = tok.agg(count(lit(1)).as("n"))
     val cands = tok
