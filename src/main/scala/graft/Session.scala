@@ -23,6 +23,10 @@ object Session {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Spark 4's default, pinned: several queries DOCUMENT that long
+      // overflow fails loudly (e.g. text_collocations' lift compare) —
+      // a future default flip must not silently falsify that claim
+      .config("spark.sql.ansi.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .getOrCreate()

@@ -3,7 +3,7 @@ package graft.functions
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
@@ -39,10 +39,17 @@ case class MisraGriesAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
+  extends TypedImperativeAggregate[mutable.HashMap[String, Long]]
+  with ImplicitCastInputTypes {
 
   require(k > 0, "misra_gries: k must be positive")
 
+  // analysis-time typing: non-string children get an implicit cast
+  // (misra_gries(user_id, 8) works) instead of a runtime
+  // ClassCastException on the executor. Declared as the public
+  // Seq[DataType] — covariant with the parent's private[sql]
+  // Seq[AbstractDataType] signature.
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StringType, containsNull = false)

@@ -183,7 +183,10 @@ object Multimodal {
       |GROUP BY kind ORDER BY kind""".stripMargin
 
   /** levels = smallest L with max(w,h) >> L <= 128; resized payload =
-    * 16-byte header + ceil(len / 2^L) stride-sampled body bytes. */
+    * 16-byte header + ceil(len / 2^L) stride-sampled body bytes. The
+    * CASE ladder covers dims to 4096 exactly (stub headers max at
+    * 544); the LOG2 fallback keeps larger dims correct up to float
+    * precision rather than silently capping the level. */
   val resizeStatsSql: String =
     """WITH m AS (
       |  SELECT doc_id,
@@ -199,7 +202,11 @@ object Multimodal {
       |    CASE WHEN GREATEST(w, h) <= 128 THEN 0
       |         WHEN GREATEST(w, h) <= 256 THEN 1
       |         WHEN GREATEST(w, h) <= 512 THEN 2
-      |         ELSE 3 END AS l
+      |         WHEN GREATEST(w, h) <= 1024 THEN 3
+      |         WHEN GREATEST(w, h) <= 2048 THEN 4
+      |         WHEN GREATEST(w, h) <= 4096 THEN 5
+      |         ELSE CAST(CEIL(LOG2(GREATEST(w, h) / 128.0)) AS INT)
+      |         END AS l
       |  FROM m WHERE kind <> 'audio')
       |SELECT kind, COUNT(*) AS n,
       |  CAST(SUM(16 + (len + (1 << l) - 1) // (1 << l)) AS BIGINT)

@@ -303,7 +303,11 @@ object Events {
     * n/65 < n/50, deterministic, exactly oracle-equal. */
   def heavyUsers(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(s)
+    // NULL users are excluded EXPLICITLY on both engines (the MG
+    // update skips nulls while SQL GROUP BY keys them — defining the
+    // semantics as non-null keeps the twins equal on dirty data)
     val ev = events(s, d)
+      .filter(col("user_id").isNotNull)
       .select(date_trunc("day", col("ts")).cast("long").as("day_sec"),
         col("user_id"))
     val perDay = ev.groupBy(col("day_sec")).agg(count(lit(1)).as("n"))
@@ -323,7 +327,8 @@ object Events {
 
   val heavyUsersSql: String =
     """WITH d AS (SELECT CAST(FLOOR(EPOCH(DATE_TRUNC('day', ts))) AS BIGINT)
-      |             AS day_sec, user_id FROM events),
+      |             AS day_sec, user_id FROM events
+      |           WHERE user_id IS NOT NULL),
       |pu AS (SELECT day_sec, user_id, CAST(COUNT(*) AS BIGINT) AS c
       |       FROM d GROUP BY 1, 2),
       |pd AS (SELECT day_sec, CAST(SUM(c) AS BIGINT) AS n

@@ -134,7 +134,19 @@ object IO {
       outDir: String, tombstoneCol: String = "deleted"): Unit = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
-    val u = if (updates.columns.contains(tombstoneCol)) updates
+    // the tombstone name is control metadata: a target DATA column of
+    // that name would be clobbered by the lit(false) below and dropped
+    // from the snapshot — refuse instead of silently destroying it
+    if (target.columns.contains(tombstoneCol))
+      throw new IllegalArgumentException(
+        s"upsertSnapshot: target already has a '$tombstoneCol' column — " +
+          "pass a non-colliding tombstoneCol")
+    // NULL tombstone (nullable CDC feeds) means "not deleted", not
+    // "drop the row": an un-coalesced !NULL filter would silently
+    // delete the key
+    val u = if (updates.columns.contains(tombstoneCol))
+      updates.withColumn(tombstoneCol,
+        coalesce(col(tombstoneCol), lit(false)))
       else updates.withColumn(tombstoneCol, lit(false))
     val merged = target.withColumn(tombstoneCol, lit(false))
       .withColumn("__src", lit(0))

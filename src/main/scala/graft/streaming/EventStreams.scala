@@ -230,7 +230,9 @@ object EventStreams {
     * (pin in MisraGriesSpec); near-threshold membership depends on
     * arrival order, so downstream exact-confirms against the event
     * log — the streaming half of text_heavy_hitters' pattern. */
-  def heavyHitterStream(events: DataFrame, k: Int = 16): DataFrame =
+  def heavyHitterStream(events: DataFrame, k: Int = 16): DataFrame = {
+    // defensive registration for sessions built without GraftExtensions
+    graft.functions.GraftFunctions.registerAll(events.sparkSession)
     events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"))
@@ -239,6 +241,7 @@ object EventStreams {
         count(lit(1)).as("n_events"))
       .select(col("window.start").cast("long").as("hour_sec"),
         col("candidates"), col("n_events"))
+  }
 
   /** Run any of the above to an in-memory sink until the source is
     * drained; returns the sink table name. Test/demo harness. */

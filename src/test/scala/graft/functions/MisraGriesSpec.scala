@@ -48,6 +48,13 @@ class MisraGriesSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("literal"))
   }
 
+  test("non-string input takes an implicit cast at analysis time") {
+    val got = Seq(7L, 7L, 8L).toDF("id")
+      .agg(GraftFunctions.misraGries(col("id"), 4).as("c"))
+      .collect().head.getSeq[String](0).toSet
+    assert(got == Set("7", "8"))
+  }
+
   test("heavy hitters query: sketch-pruned result equals the plain " +
       "exact computation") {
     val d = "/root/testdata/sf0.01"

@@ -151,6 +151,34 @@ class IOSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, "one-v1"), (2L, "two-v2"), (4L, "four-v1")))
   }
 
+  test("upsert snapshot: a NULL tombstone means not-deleted, never " +
+      "silent row loss") {
+    import spark.implicits._
+    val tgt = tmp("upn"); val out = tmp("upno")
+    Seq((1L, "one-v1")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(tgt)
+    val updates = Seq((1L, "one-v2", None: Option[Boolean]),
+      (2L, "two-v1", Some(true)))
+      .toDF("doc_id", "text", "deleted")
+    IO.upsertSnapshot(spark.read.parquet(tgt), updates, "doc_id", out)
+    val got = spark.read.parquet(out).as[(Long, String)].collect().sorted
+    assert(got.toSeq == Seq((1L, "one-v2")),
+      "the NULL-tombstone update must land, the true tombstone must not")
+  }
+
+  test("upsert snapshot: a target data column named like the tombstone " +
+      "is refused, not destroyed") {
+    import spark.implicits._
+    val tgt = tmp("upc")
+    Seq((1L, "a", false)).toDF("doc_id", "text", "deleted")
+      .write.mode("overwrite").parquet(tgt)
+    val e = intercept[IllegalArgumentException] {
+      IO.upsertSnapshot(spark.read.parquet(tgt),
+        Seq((2L, "b")).toDF("doc_id", "text"), "doc_id", tmp("upco"))
+    }
+    assert(e.getMessage.contains("deleted"))
+  }
+
   test("upsert snapshot: duplicate keys within one input fail loudly") {
     import spark.implicits._
     val tgt = tmp("upd")
