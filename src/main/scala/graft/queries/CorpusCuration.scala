@@ -231,12 +231,72 @@ object CorpusCuration {
        |CROSS JOIN nc CROSS JOIN nt
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  // --------------------------------------- cross-source overlap
+  /** Source-to-source contamination matrix: for every pair of corpus
+    * sources, the count of token 3-gram shingles present in BOTH, and
+    * the shingle-set Jaccard in permille. The diagnostic a curation
+    * pipeline runs before mixing sources — which feeds are near-copies
+    * of each other (scraped mirrors, re-crawls) and which are genuinely
+    * disjoint — at the n-gram level, so it fires even when no whole
+    * document is duplicated (exact-hash overlap is empty on this very
+    * corpus; shingle overlap is not).
+    *
+    * Scale shape: explode → distinct(source, shingle) — a hash-agg, the
+    * heavy step, linear in corpus tokens; then a shingle-keyed equi
+    * self-join whose per-shingle bucket is capped by the number of
+    * SOURCES carrying it (≤ |sources|, independent of corpus size), so
+    * join cost ≤ |shingles| · |sources|²; final agg lands on ≤
+    * |sources|² rows and the per-source totals joined for the Jaccard
+    * denominator are a broadcast. Integer permille output — no doubles
+    * to drift. */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val sh = documents(s, d)
+      .select(col("source"),
+        explode(Documents.shingles3(col("text"))).as("g"))
+      .distinct()
+    val cnt = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val shared = sh.as("a").join(sh.as("b"), "g")
+      .filter(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(cnt.select(col("source").as("src_a"), col("n").as("na"))), "src_a")
+      .join(broadcast(cnt.select(col("source").as("src_b"), col("n").as("nb"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        expr("(1000 * n_shared) DIV (na + nb - n_shared)")
+          .as("jaccard_permille"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val sourceOverlapSql: String =
+    s"""WITH toks AS (
+       |  SELECT source, $toksSql AS ws FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT source,
+       |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+       |  FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+       |cnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+       |        FROM sh GROUP BY source),
+       |pr AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    CAST(COUNT(*) AS BIGINT) AS n_shared
+       |  FROM sh a JOIN sh b USING (g)
+       |  WHERE a.source < b.source GROUP BY 1, 2)
+       |SELECT src_a, src_b, n_shared,
+       |  (1000 * n_shared) // (ca.n + cb.n - n_shared) AS jaccard_permille
+       |FROM pr
+       |JOIN cnt ca ON ca.source = pr.src_a
+       |JOIN cnt cb ON cb.source = pr.src_b
+       |ORDER BY src_a, src_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_source_overlap" -> sourceOverlap,
     "text_duplicate_spans" -> duplicateSpans,
     "doc_cdc_chunks" -> cdcChunks,
     "doc_importance_score" -> importanceScore)
 
   val oracle: Map[String, String] = Map(
+    "doc_source_overlap" -> sourceOverlapSql,
     "text_duplicate_spans" -> duplicateSpansSql,
     "doc_cdc_chunks" -> cdcChunksSql,
     "doc_importance_score" -> importanceScoreSql)

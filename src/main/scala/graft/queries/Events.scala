@@ -338,7 +338,48 @@ object Events {
       |FROM pu JOIN pd USING (day_sec) WHERE c * 50 > n
       |ORDER BY day_sec, n_events DESC, user_id""".stripMargin
 
+  // ------------------------------------------- session transitions
+  /** Markov transition counts over event types WITHIN a session (same
+    * 30-min-gap boundary as sessionize): for every consecutive pair of
+    * events by one user with gap < 30 min, count (prev_type →
+    * next_type). The |types|² matrix behind next-event prediction and
+    * funnel discovery — sequence mining the funnel query can't see
+    * (funnel pins one fixed path; this surfaces all of them).
+    *
+    * Scale shape: ONE window shuffle keyed on user_id (the same
+    * partitioning sessionize uses — a pipeline computing both reuses
+    * the exchange), then a hash-agg onto ≤ |types|² rows. Per-user
+    * window state is one lagged row; nothing is quadratic. */
+  def sessionTransitions(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      // same µs-exact, gap-EXCLUSIVE boundary as sessionize: a pair
+      // exactly 30 min apart spans two sessions and does not count
+      .filter(col("prev_ts").isNotNull &&
+        unix_micros(col("ts")) - unix_micros(col("prev_ts")) < 1800000000L)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  val sessionTransitionsSql: String =
+    """WITH m AS (
+      |  SELECT event_type,
+      |    LAG(event_type) OVER w AS prev_type,
+      |    LAG(ts) OVER w AS prev_ts, ts
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      |FROM m
+      |WHERE prev_ts IS NOT NULL
+      |  AND epoch_us(ts) - epoch_us(prev_ts) < 1800000000
+      |GROUP BY 1, 2 ORDER BY prev_type, next_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_session_transitions" -> sessionTransitions,
     "ev_heavy_users" -> heavyUsers,
     "ev_tumbling_hourly" -> tumblingHourly,
     "ev_sliding_2h" -> slidingTwoHourBatch,
@@ -350,6 +391,7 @@ object Events {
     "ev_json_extract" -> jsonExtract)
 
   val oracle: Map[String, String] = Map(
+    "ev_session_transitions" -> sessionTransitionsSql,
     "ev_heavy_users" -> heavyUsersSql,
     "ev_tumbling_hourly" -> tumblingHourlySql,
     "ev_sliding_2h" -> slidingTwoHourBatchSql,
