@@ -20,7 +20,8 @@ object PlanCheck {
       "text_unigram_surprisal", "text_collocations",
       "text_duplicate_spans", "doc_cdc_chunks", "doc_importance_score",
       "text_heavy_hitters", "emb_ann_quantized", "ev_heavy_users",
-      "sql_set_ops_all", "mm_resize_stats")
+      "sql_set_ops_all", "mm_resize_stats",
+      "ev_session_transitions", "doc_source_overlap")
     val out = new StringBuilder
     out ++= "# PLANS — formatted physical plans for headline queries\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanCheck PLANS.md\"` " +
