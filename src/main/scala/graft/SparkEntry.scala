@@ -15,7 +15,7 @@ object SparkEntry {
       Events.queries ++ Embeddings.queries ++ SimHashDedup.queries ++
       TextPipeline.queries ++ TextAnalysis.queries ++ SqlSurface.queries ++
       GraphRank.queries ++ CorpusCuration.queries ++
-      graft.multimodal.Multimodal.queries
+      DataLayout.queries ++ graft.multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +25,5 @@ object SparkEntry {
       Events.oracle ++ Embeddings.oracle ++ SimHashDedup.oracle ++
       TextPipeline.oracle ++ TextAnalysis.oracle ++ SqlSurface.oracle ++
       GraphRank.oracle ++ CorpusCuration.oracle ++
-      graft.multimodal.Multimodal.oracle
+      DataLayout.oracle ++ graft.multimodal.Multimodal.oracle
 }

@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Data-layout planning: the Z-order (Morton-curve) clustering
+  * diagnostic a lakehouse pipeline runs before rewriting a 100 TB
+  * table for multi-dimension data skipping (Delta OPTIMIZE ZORDER /
+  * Iceberg sort-order compaction). A 1-D sort zeroes one dimension's
+  * per-file span and leaves the other at full range; interleaving the
+  * bits of both dimensions gives every file a span of ~range/√buckets
+  * on EACH dimension, so min/max file pruning works for filters on
+  * either column.
+  *
+  * Reference analog: none (the reference engine has no notion of data
+  * layout — SURVEY §2.3); this is beyond-reference scale surface.
+  */
+object DataLayout {
+
+  // ---------------------------------------------- z-order stats
+  /** Per-bucket dimension spans under Z-order space partitioning of
+    * lineitem on (l_partkey, l_suppkey): normalize both dims onto a
+    * 21-bit grid (exact integer scaling by the data max, so the curve
+    * adapts to any scale factor), interleave bits into a 42-bit Morton
+    * key, space-partition by the key's top 6 bits (64 buckets = an 8×8
+    * grid over the normalized plane), and report per-bucket row count
+    * + min/max/span of each raw dimension. The spans ARE the proof of
+    * skipping: each bucket covers ~1/8 of each dimension's range, so a
+    * point filter on either column prunes ~7/8 of the files.
+    *
+    * All integer algebra (scaled grid, shifts, spans) — bit-identical
+    * across engines. Scale shape: a 1-row max() stats agg broadcast
+    * back, ONE linear projection pass computing the key (codegen'd
+    * `aggregate` over a 21-element sequence — no UDF), and a hash-agg
+    * onto 64 rows. No global sort anywhere: the curve position is a
+    * pure function of the row, so at a real rewrite the same key feeds
+    * `repartitionByRange(zkey)` + write, and THIS query is the
+    * shuffle-free audit of what that layout buys. */
+  def zorderStats(s: SparkSession, d: String): DataFrame = {
+    val mx = lineitem(s, d).agg(
+      max(col("l_partkey")).cast("long").as("xm"),
+      max(col("l_suppkey")).cast("long").as("ym"))
+    lineitem(s, d)
+      .select(col("l_partkey").cast("long").as("x"),
+        col("l_suppkey").cast("long").as("y"))
+      .crossJoin(broadcast(mx))
+      // 21-bit normalized grid coordinates, exact integer division
+      .withColumn("xs", expr("(x * 2097152) DIV (xm + 1)"))
+      .withColumn("ys", expr("(y * 2097152) DIV (ym + 1)"))
+      // Morton interleave: x bits land at odd positions, y at even
+      .withColumn("zkey", expr(
+        """aggregate(sequence(0, 20), 0L, (acc, i) -> acc
+          |  + shiftleft(shiftright(xs, i) & 1, 2*i + 1)
+          |  + shiftleft(shiftright(ys, i) & 1, 2*i))""".stripMargin))
+      .groupBy(expr("shiftright(zkey, 36)").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+      .withColumn("x_span", col("x_max") - col("x_min"))
+      .withColumn("y_span", col("y_max") - col("y_min"))
+      .orderBy(col("bucket"))
+  }
+
+  val zorderStatsSql: String =
+    """WITH mx AS (
+      |  SELECT MAX(l_partkey) AS xm, MAX(l_suppkey) AS ym FROM lineitem),
+      |g AS (
+      |  SELECT CAST(l_partkey AS BIGINT) AS x, CAST(l_suppkey AS BIGINT) AS y,
+      |    (CAST(l_partkey AS BIGINT) * 2097152) // (xm + 1) AS xs,
+      |    (CAST(l_suppkey AS BIGINT) * 2097152) // (ym + 1) AS ys
+      |  FROM lineitem CROSS JOIN mx),
+      |z AS (
+      |  SELECT x, y,
+      |    list_sum([(((xs >> i) & 1) << (2*i+1)) + (((ys >> i) & 1) << (2*i))
+      |              FOR i IN range(0, 21)]) AS zkey
+      |  FROM g)
+      |SELECT CAST(zkey >> 36 AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+      |  MIN(x) AS x_min, MAX(x) AS x_max, MIN(y) AS y_min, MAX(y) AS y_max,
+      |  MAX(x) - MIN(x) AS x_span, MAX(y) - MIN(y) AS y_span
+      |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_zorder_stats" -> zorderStats)
+
+  val oracle: Map[String, String] = Map(
+    "layout_zorder_stats" -> zorderStatsSql)
+}
