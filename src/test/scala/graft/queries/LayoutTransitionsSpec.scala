@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Behavioral pins for the round-5 additions beyond the DuckDB oracle:
+  * transition counts must tie out against sessionize (same session
+  * boundary, two independent formulations), source overlap must count
+  * exactly the crafted shared shingle, and Z-order buckets must
+  * actually deliver the per-bucket span bound that justifies the
+  * layout. */
+class LayoutTransitionsSpec extends AnyFunSuite {
+  import graft.SparkTestSession._
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("session transitions tie out: sum of transition counts equals " +
+      "total events minus session count (each k-event session has k-1)") {
+    val trans = Events.sessionTransitions(spark, d)
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    val sess = Events.sessionize(spark, d)
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+      .collect()(0)
+    assert(trans == sess.getLong(1) - sess.getLong(0),
+      "transitions must equal events - sessions under the same boundary")
+    assert(trans > 0, "fixture must exercise the within-session path")
+  }
+
+  test("source overlap counts exactly the crafted shared shingle") {
+    val dir = java.nio.file.Files.createTempDirectory("ovl").toString
+    // srcA and srcB share exactly one 3-gram ("one two three"); srcC
+    // shares nothing. Distinct shingles: A = {one two three, two three
+    // aaa}, B = {zzz one two, one two three}, so |A∩B| = 1, |A∪B| = 3.
+    Seq(
+      (1L, "one two three aaa", "srcA"),
+      (2L, "zzz one two three", "srcB"),
+      (3L, "ppp qqq rrr sss", "srcC"))
+      .map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = CorpusCuration.sourceOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(("srcA", "srcB", 1L, 1000L / 3)),
+      "exactly the A-B pair, 1 shared shingle, Jaccard 1/3 permille-floored")
+  }
+
+  test("z-order buckets tile the table and bound both dimension spans") {
+    val stats = DataLayout.zorderStats(spark, d).collect()
+    val li = graft.Tables.lineitem(spark, d)
+      .agg(count(lit(1)), max(col("l_partkey")).cast("long"),
+        max(col("l_suppkey")).cast("long")).collect()(0)
+    val (total, xm, ym) = (li.getLong(0), li.getLong(1), li.getLong(2))
+    assert(stats.map(_.getLong(1)).sum == total, "buckets must tile all rows")
+    assert(stats.length <= 64 && stats.length > 1)
+    // an 8x8 grid bucket spans at most 1/8 of each normalized dimension;
+    // mapping back to raw values adds at most one integer-rounding step
+    for (r <- stats) {
+      assert(r.getLong(6) <= (xm + 1) / 8 + 1,
+        s"bucket ${r.getLong(0)} x_span ${r.getLong(6)} exceeds an eighth")
+      assert(r.getLong(7) <= (ym + 1) / 8 + 1,
+        s"bucket ${r.getLong(0)} y_span ${r.getLong(7)} exceeds an eighth")
+    }
+  }
+}
