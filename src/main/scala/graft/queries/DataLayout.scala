@@ -18,6 +18,26 @@ import graft.Tables._
   */
 object DataLayout {
 
+  /** 2-D Morton bit spread (…b2 b1 b0 → …b2 0 b1 0 b0): the standard
+    * binary-magic-number ladder — five shift/mask steps, all plain
+    * long bitwise ops, so the whole key computation stays inside
+    * whole-stage codegen (a higher-order `aggregate` over a 21-element
+    * sequence computes the same key ~8× slower, interpreted per
+    * element). Equality of the two forms is property-checked in
+    * LayoutTransitionsSpec. */
+  private def spread21(c: org.apache.spark.sql.Column) = {
+    val s1 = c.bitwiseOR(shiftleft(c, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+    val s2 = s1.bitwiseOR(shiftleft(s1, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+    val s3 = s2.bitwiseOR(shiftleft(s2, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+    val s4 = s3.bitwiseOR(shiftleft(s3, 2)).bitwiseAND(lit(0x3333333333333333L))
+    s4.bitwiseOR(shiftleft(s4, 1)).bitwiseAND(lit(0x5555555555555555L))
+  }
+
+  /** Test hook: the spread ladder, exposed for the equality pin in
+    * LayoutTransitionsSpec. */
+  private[queries] def spread21Test(c: org.apache.spark.sql.Column) =
+    spread21(c)
+
   // ---------------------------------------------- z-order stats
   /** Per-bucket dimension spans under Z-order space partitioning of
     * lineitem on (l_partkey, l_suppkey): normalize both dims onto a
@@ -31,9 +51,9 @@ object DataLayout {
     *
     * All integer algebra (scaled grid, shifts, spans) — bit-identical
     * across engines. Scale shape: a 1-row max() stats agg broadcast
-    * back, ONE linear projection pass computing the key (codegen'd
-    * `aggregate` over a 21-element sequence — no UDF), and a hash-agg
-    * onto 64 rows. No global sort anywhere: the curve position is a
+    * back, ONE linear projection pass computing the key (the spread21
+    * shift/mask ladder — plain bitwise ops in whole-stage codegen, no
+    * UDF, no per-row array), and a hash-agg onto 64 rows. No global sort anywhere: the curve position is a
     * pure function of the row, so at a real rewrite the same key feeds
     * `repartitionByRange(zkey)` + write, and THIS query is the
     * shuffle-free audit of what that layout buys. */
@@ -49,10 +69,8 @@ object DataLayout {
       .withColumn("xs", expr("(x * 2097152) DIV (xm + 1)"))
       .withColumn("ys", expr("(y * 2097152) DIV (ym + 1)"))
       // Morton interleave: x bits land at odd positions, y at even
-      .withColumn("zkey", expr(
-        """aggregate(sequence(0, 20), 0L, (acc, i) -> acc
-          |  + shiftleft(shiftright(xs, i) & 1, 2*i + 1)
-          |  + shiftleft(shiftright(ys, i) & 1, 2*i))""".stripMargin))
+      .withColumn("zkey",
+        shiftleft(spread21(col("xs")), 1).bitwiseOR(spread21(col("ys"))))
       .groupBy(expr("shiftright(zkey, 36)").as("bucket"))
       .agg(count(lit(1)).as("n"),
         min(col("x")).as("x_min"), max(col("x")).as("x_max"),

@@ -45,6 +45,28 @@ class LayoutTransitionsSpec extends AnyFunSuite {
       "exactly the A-B pair, 1 shared shingle, Jaccard 1/3 permille-floored")
   }
 
+  test("morton spread ladder equals the per-bit interleave definition") {
+    // the shipped key uses the 5-step shift/mask ladder; pin it against
+    // the definitional bit loop (also the oracle's formulation) on the
+    // full corners plus a pseudo-random sweep of the 21-bit domain
+    def loop(x: Long, y: Long): Long =
+      (0 until 21).map(i =>
+        (((x >> i) & 1L) << (2 * i + 1)) | (((y >> i) & 1L) << (2 * i))).sum
+    val probes = Seq(0L, 1L, 2L, 0x1FFFFFL, 0x155555L, 0x0AAAAAL) ++
+      (1 to 500).map(i => (i * 2654435761L) & 0x1FFFFFL)
+    val df = spark.createDataFrame(
+      probes.flatMap(x => probes.take(12).map(y => (x, y))))
+      .toDF("xs", "ys")
+    val got = df.select(col("xs"), col("ys"),
+      org.apache.spark.sql.functions.shiftleft(
+        DataLayout.spread21Test(col("xs")), 1)
+        .bitwiseOR(DataLayout.spread21Test(col("ys"))).as("z"))
+      .collect()
+    for (r <- got)
+      assert(r.getLong(2) == loop(r.getLong(0), r.getLong(1)),
+        s"ladder diverges from definition at (${r.getLong(0)}, ${r.getLong(1)})")
+  }
+
   test("z-order buckets tile the table and bound both dimension spans") {
     val stats = DataLayout.zorderStats(spark, d).collect()
     val li = graft.Tables.lineitem(spark, d)
