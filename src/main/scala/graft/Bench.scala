@@ -68,11 +68,14 @@ object Bench {
       s"""{"queries":$qs,"sf":"$sfDir","unit":"sec","metric":"total","value":${fmt(total)}}"""
     println(line)
     // belt-and-braces: persist the full line where tail-truncation
-    // can't lose it (read by later rounds for perf comparisons)
+    // can't lose it (read by later rounds for perf comparisons).
+    // Single-query A/B runs (args.nonEmpty) go to bench_ab.json so a
+    // partial run never replaces the full-surface baseline artifact.
+    val outFile = if (args.nonEmpty) "bench_ab.json" else "bench_last.json"
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_last.json"), line + "\n")
+      java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write bench_last.json: ${e.getMessage}")
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
     spark.stop()
   }

@@ -183,10 +183,13 @@ object Multimodal {
       |GROUP BY kind ORDER BY kind""".stripMargin
 
   /** levels = smallest L with max(w,h) >> L <= 128; resized payload =
-    * 16-byte header + ceil(len / 2^L) stride-sampled body bytes. The
-    * CASE ladder covers dims to 4096 exactly (stub headers max at
-    * 544); the LOG2 fallback keeps larger dims correct up to float
-    * precision rather than silently capping the level. */
+    * 16-byte header + ceil(len / 2^L) stride-sampled body bytes.
+    * Because >> floors, level L admits dims up to 129*2^L - 1 (e.g.
+    * 257 >> 1 = 128, so 257 is level 1, NOT 2) — the ladder thresholds
+    * are 129*2^L - 1, not powers of two. Covers dims to 4127 exactly
+    * (stub headers max at 544); the closed-form fallback
+    * CEIL(LOG2((max+1)/129)) is the same predicate solved for L and
+    * keeps larger dims correct rather than silently capping. */
   val resizeStatsSql: String =
     """WITH m AS (
       |  SELECT doc_id,
@@ -200,12 +203,12 @@ object Multimodal {
       |lv AS (
       |  SELECT kind, w, len,
       |    CASE WHEN GREATEST(w, h) <= 128 THEN 0
-      |         WHEN GREATEST(w, h) <= 256 THEN 1
-      |         WHEN GREATEST(w, h) <= 512 THEN 2
-      |         WHEN GREATEST(w, h) <= 1024 THEN 3
-      |         WHEN GREATEST(w, h) <= 2048 THEN 4
-      |         WHEN GREATEST(w, h) <= 4096 THEN 5
-      |         ELSE CAST(CEIL(LOG2(GREATEST(w, h) / 128.0)) AS INT)
+      |         WHEN GREATEST(w, h) <= 257 THEN 1
+      |         WHEN GREATEST(w, h) <= 515 THEN 2
+      |         WHEN GREATEST(w, h) <= 1031 THEN 3
+      |         WHEN GREATEST(w, h) <= 2063 THEN 4
+      |         WHEN GREATEST(w, h) <= 4127 THEN 5
+      |         ELSE CAST(CEIL(LOG2((GREATEST(w, h) + 1) / 129.0)) AS INT)
       |         END AS l
       |  FROM m WHERE kind <> 'audio')
       |SELECT kind, COUNT(*) AS n,

@@ -405,9 +405,12 @@ object TextAnalysis {
     *
     * The lift test runs as one exact integer cross-multiplication
     * (cab·Nu²·10 > 11·ca·cb·Nb, lift > 1.1) — no doubles, no log, so
-    * cross-engine equality is structural. Long headroom holds to
-    * ~10⁶× this corpus; past that the compare moves to DECIMAL(38)
-    * (ANSI mode makes any overflow loud, never silent).
+    * cross-engine equality is structural. Both sides grow ~cubically
+    * with corpus size (each count/total is ~linear), so Long headroom
+    * is the CUBE root of the remaining 2^63 slack: at sf0.1 the
+    * dominant term is ~1e17, leaving only ~10²× before overflow — at
+    * that point the compare moves to DECIMAL(38), which buys ~10⁷×
+    * more. ANSI mode makes any overflow loud, never silent.
     *
     * Scale shape: bigram and unigram counts are both map-side partial
     * hash-aggs; the pair-table joins to the two unigram count tables

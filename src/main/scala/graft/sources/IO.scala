@@ -117,6 +117,9 @@ object IO {
     * snapshot is computed functionally and written to a NEW directory,
     * so readers of the old snapshot are never disturbed (swap = point
     * the next pipeline run at the new path; lineage stays auditable).
+    * `outDir` must be new or empty — a non-empty outDir (e.g. the
+    * current snapshot) is refused loudly instead of being clobbered
+    * mid-read.
     *
     * Semantics per key: update row wins over target row; an update row
     * with `tombstoneCol = true` (when the column is present) deletes
@@ -163,6 +166,18 @@ object IO {
       throw new IllegalArgumentException(
         s"upsertSnapshot: duplicate '$key' values within one input — " +
           "latest-wins is ambiguous; dedup inputs first")
+    // The documented contract is "readers of the old snapshot are
+    // never disturbed" — a blind Overwrite would let a caller who
+    // passes the CURRENT snapshot dir as outDir destroy it mid-read.
+    // New-dir-per-snapshot is the contract: refuse any NON-EMPTY
+    // outDir (an empty pre-created dir is fine — mkdir-then-write is
+    // common), then Overwrite is safe on what remains.
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(target.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(outPath) && fs.listStatus(outPath).nonEmpty)
+      throw new IllegalArgumentException(
+        s"upsertSnapshot: outDir '$outDir' is non-empty — snapshots are " +
+          "written to a NEW directory; refusing to clobber existing data")
     merged.filter(col("__rn") === 1 && !col(tombstoneCol))
       .drop("__src", "__rn", "__nk", tombstoneCol)
       .write.mode(SaveMode.Overwrite).parquet(outDir)

@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.functions.{expr, lit}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestSession
 
@@ -83,6 +84,29 @@ class MultimodalSpec extends AnyFunSuite {
         // stub "resample" = every 2^l-th byte of the original body
         b.zipWithIndex.foreach { case (x, i) => assert(x == b0(i * (1 << l))) }
       }
+    }
+  }
+
+  test("oracle level ladder == the codec's shift rule for EVERY dim, " +
+      "including the 129*2^L boundaries and the LOG2 fallback") {
+    import spark.implicits._
+    // lift the CASE ladder verbatim out of resizeStatsSql (it is pure
+    // GREATEST/CEIL/LOG2 — valid Spark SQL too) and evaluate it against
+    // the definition: smallest L with max(w,h) >> L <= 128. Dims 1..6000
+    // cross every ladder threshold (..., 2063, 4127) and 6000 exercises
+    // the closed-form fallback branch.
+    val sql = Multimodal.resizeStatsSql
+    val start = sql.indexOf("CASE WHEN GREATEST")
+    val stop = sql.indexOf("END AS l")
+    assert(start >= 0 && stop > start, "ladder not found in oracle SQL")
+    val ladder = sql.substring(start, stop).replace("|", "").replace("\n", " ") + "END"
+    val dims = (1 to 6000).toDF("w").withColumn("h", lit(64))
+      .withColumn("l_oracle", expr(ladder))
+      .collect().map(r => r.getInt(0) -> r.getInt(2)).toMap
+    (1 to 6000).foreach { d =>
+      var l = 0
+      while (d >> l > 128) l += 1
+      assert(dims(d) == l, s"dim $d: oracle ladder ${dims(d)} != shift rule $l")
     }
   }
 }

@@ -179,6 +179,21 @@ class IOSpec extends AnyFunSuite {
     assert(e.getMessage.contains("deleted"))
   }
 
+  test("upsert snapshot: a non-empty outDir (e.g. the current snapshot) " +
+      "is refused, never clobbered") {
+    import spark.implicits._
+    val tgt = tmp("upe")
+    Seq((1L, "a")).toDF("doc_id", "text").write.mode("overwrite").parquet(tgt)
+    val e = intercept[IllegalArgumentException] {
+      // pointing outDir at the CURRENT snapshot directory must fail
+      IO.upsertSnapshot(spark.read.parquet(tgt),
+        Seq((2L, "b")).toDF("doc_id", "text"), "doc_id", tgt)
+    }
+    assert(e.getMessage.contains("non-empty"))
+    // and the old snapshot is untouched
+    assert(spark.read.parquet(tgt).count() == 1L)
+  }
+
   test("upsert snapshot: duplicate keys within one input fail loudly") {
     import spark.implicits._
     val tgt = tmp("upd")
