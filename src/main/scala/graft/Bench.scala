@@ -24,13 +24,19 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       // between executions (outside the timed window): drop any cached
       // table AND free every Materialize-tracked block synchronously.
-      // The previous System.gc() nudge was worse than useless here:
-      // the full-GC pause only ENQUEUES the ContextCleaner's async
-      // block removal, which then lands inside the NEXT query's timed
-      // window (observed as a uniform ~20% inflation of a whole run).
-      // Deterministic freeAll removes the blocks before the next t0.
+      // A BARE System.gc() here was once worse than useless — the full
+      // GC only ENQUEUES the ContextCleaner's async block removal,
+      // which then landed inside the NEXT query's timed window
+      // (observed as a uniform ~20% run inflation). But with NO nudge,
+      // ~230 executions' broadcast exchanges and codegen'd plans pile
+      // up un-collected in the shared 8 GiB heap, and allocation-heavy
+      // late-alphabet queries go GC-bound (scalar_array_functions
+      // 1.7 s isolated vs 4.2 s in-suite). The fix is gc PLUS a drain
+      // pause so the cleaner's removals also land before the next t0.
       spark.catalog.clearCache()
       graft.operators.Materialize.freeAll(spark)
+      System.gc()
+      Thread.sleep(250)
       if (ok) dt else -1.0
     }
     exec("q1_pricing_summary") // warm-up: JVM, codegen, file index
