@@ -21,7 +21,8 @@ object PlanCheck {
       "text_duplicate_spans", "doc_cdc_chunks", "doc_importance_score",
       "text_heavy_hitters", "emb_ann_quantized", "ev_heavy_users",
       "sql_set_ops_all", "mm_resize_stats",
-      "ev_session_transitions", "doc_source_overlap", "layout_zorder_stats")
+      "ev_session_transitions", "doc_source_overlap", "layout_zorder_stats",
+      "doc_snapshot_diff", "doc_incremental_stats")
     val out = new StringBuilder
     out ++= "# PLANS — formatted physical plans for headline queries\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanCheck PLANS.md\"` " +

@@ -14,7 +14,7 @@ object SparkEntry {
       Relational4.queries ++ Documents.queries ++
       Events.queries ++ Embeddings.queries ++ SimHashDedup.queries ++
       TextPipeline.queries ++ TextAnalysis.queries ++ SqlSurface.queries ++
-      GraphRank.queries ++ CorpusCuration.queries ++
+      GraphRank.queries ++ CorpusCuration.queries ++ SnapshotOps.queries ++
       DataLayout.queries ++ graft.multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -24,6 +24,6 @@ object SparkEntry {
       Relational4.oracle ++ Documents.oracle ++
       Events.oracle ++ Embeddings.oracle ++ SimHashDedup.oracle ++
       TextPipeline.oracle ++ TextAnalysis.oracle ++ SqlSurface.oracle ++
-      GraphRank.oracle ++ CorpusCuration.oracle ++
+      GraphRank.oracle ++ CorpusCuration.oracle ++ SnapshotOps.oracle ++
       DataLayout.oracle ++ graft.multimodal.Multimodal.oracle
 }
