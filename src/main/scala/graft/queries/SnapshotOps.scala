@@ -97,8 +97,9 @@ object SnapshotOps {
     * IS the proof the delta algebra reproduces the full recompute.
     *
     * Scale shape: the delta agg partial-combines map-side to one row
-    * per (source, class); the merge join is per-source (tiny — rows =
-    * |sources|, broadcast). At 100 TB this replaces a full-corpus
+    * per source; the merge is a full-outer sort-merge join over
+    * |sources| rows (full outer cannot broadcast — both sides are
+    * already tiny post-agg). At 100 TB this replaces a full-corpus
     * rescan with a scan of the day's changes. */
   def incrementalStats(s: SparkSession, d: String): DataFrame = {
     val oldStats = oldSnap(s, d)
@@ -111,7 +112,7 @@ object SnapshotOps {
           .when(col("change_type") === "delete", -1L)
           .otherwise(0L)).as("dn"),
         sum(col("chars_delta")).as("dc"))
-    oldStats.join(broadcast(delta), Seq("source"), "full_outer")
+    oldStats.join(delta, Seq("source"), "full_outer")
       .select(col("source"),
         (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))
           .as("n_docs"),
