@@ -22,7 +22,7 @@ import graft.Tables._
   */
 object SnapshotOps {
 
-  private def oldSnap(s: SparkSession, d: String): DataFrame =
+  private[graft] def oldSnap(s: SparkSession, d: String): DataFrame =
     documents(s, d).filter(col("doc_id") % 10 =!= 9)
       .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
 
@@ -39,7 +39,7 @@ object SnapshotOps {
     * 100 TB both sides cluster on doc_id via writeClustered, so the
     * join is a co-located sort-merge with no skew: doc_id is unique
     * per side). Classification is a projection over the joined row. */
-  private def changeFeed(s: SparkSession, d: String): DataFrame = {
+  private[graft] def changeFeed(s: SparkSession, d: String): DataFrame = {
     val o = oldSnap(s, d)
     val n = newSnap(s, d)
     o.as("o").join(n.as("n"), o("doc_id") === n("doc_id"), "full_outer")

@@ -102,6 +102,27 @@ object SqlSurface {
       |  COUNT(DISTINCT st) AS n_statuses
       |FROM t GROUP BY p ORDER BY p""".stripMargin
 
+  /** LATERAL correlated subquery — top-3 suppliers per nation via a
+    * per-row derived table. Exercises Catalyst's lateral-join
+    * decorrelation (DomainJoin → window rewrite): the correlated
+    * ORDER BY ... LIMIT subquery becomes a ranked window over the
+    * joined input, one shuffle keyed on the correlation key — the
+    * plan you'd hand-write, recovered from the declarative form.
+    * s_acctbal passes through unchanged (no float arithmetic), and
+    * every ordering float-ties on s_name, so cross-engine hash
+    * equality is safe. */
+  val lateralTopKSql: String =
+    """SELECT n_name, s_name, s_acctbal
+      |FROM nation n, LATERAL (
+      |  SELECT s_name, s_acctbal FROM supplier s
+      |  WHERE s.s_nationkey = n.n_nationkey
+      |  ORDER BY s_acctbal DESC, s_name LIMIT 3) t
+      |ORDER BY n_name, s_acctbal DESC, s_name""".stripMargin
+
+  def sqlLateralTopK(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d); s.sql(lateralTopKSql)
+  }
+
   def sqlSetOpsAll(s: SparkSession, d: String): DataFrame = {
     registerViews(s, d); s.sql(setOpsAllSql)
   }
@@ -115,12 +136,14 @@ object SqlSurface {
     "sql_top_customers" -> sqlTopCustomers,
     "sql_grouping_sets" -> sqlGroupingSets,
     "sql_set_ops_all" -> sqlSetOpsAll,
-    "sql_null_semantics" -> sqlNullSemantics)
+    "sql_null_semantics" -> sqlNullSemantics,
+    "sql_lateral_topk" -> sqlLateralTopK)
 
   val oracle: Map[String, String] = Map(
     "sql_pricing_summary" -> pricingSummarySql,
     "sql_top_customers" -> topCustomersSql,
     "sql_grouping_sets" -> groupingSetsSql,
     "sql_set_ops_all" -> setOpsAllSql,
-    "sql_null_semantics" -> nullSemanticsSql)
+    "sql_null_semantics" -> nullSemanticsSql,
+    "sql_lateral_topk" -> lateralTopKSql)
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Streaming ingestion over the documents table: the arriving-corpus
@@ -91,5 +91,56 @@ object DocStreams {
         (length(bin(col("n"))) -
           length(bin(coalesce(col("c"), lit(0L)) + 1))).cast("long")
           .as("bits"))
+  }
+
+  /** Per-source stats snapshot, `upd_seq` = how many state updates
+    * this source has seen (the max row per source is the final view). */
+  case class SourceStats(source: String, n_docs: Long, total_chars: Long,
+      upd_seq: Long)
+
+  /** Streaming incremental view maintenance — the streaming twin of
+    * queries.SnapshotOps.incrementalStats: a CDC stream of classified
+    * changes (source, change_type, chars_delta) folds into per-source
+    * (n_docs, total_chars) state with flatMapGroupsWithState, SEEDED
+    * with the old snapshot's stats via the initial-state API. The
+    * same abelian COUNT/SUM algebra as the batch query, so after the
+    * stream drains, state == direct recompute over the new snapshot
+    * (DocStreamsSpec pins the equality across multi-batch replay —
+    * the fold is associative, so micro-batch boundaries can't change
+    * the result).
+    *
+    * Scale shape: state is two longs per SOURCE (not per doc) — the
+    * state store stays |sources|-sized no matter how many changes
+    * stream through; each micro-batch shuffles only its own rows,
+    * keyed on source. */
+  def statsMaintenanceStream(spark: SparkSession, changes: DataFrame,
+      initialStats: DataFrame): Dataset[SourceStats] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val init = initialStats
+      .select(col("source"), col("n_docs"), col("total_chars"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3, 0L))
+    changes
+      .select(col("source"), col("change_type"), col("chars_delta"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), SourceStats](
+        OutputMode.Update, GroupStateTimeout.NoTimeout, init) {
+        (source, rows, state: GroupState[(Long, Long, Long)]) =>
+          var (n, c, seq) = state.getOption.getOrElse((0L, 0L, 0L))
+          rows.foreach { case (_, ct, dc) =>
+            n += (ct match {
+              case "insert" => 1L
+              case "delete" => -1L
+              case _ => 0L
+            })
+            c += dc
+          }
+          seq += 1
+          state.update((n, c, seq))
+          Iterator.single(SourceStats(source, n, c, seq))
+      }
   }
 }

@@ -114,4 +114,46 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(got.toSeq == batch.toSeq,
       "stream-static and batch joins must produce identical pairs")
   }
+
+  test("streaming IVM: change feed folded over initial-state stats " +
+      "equals the batch recompute, across micro-batch boundaries") {
+    val d = "/root/testdata/sf0.001"
+    // stage the classified change feed as several files so the fold
+    // crosses micro-batch boundaries (maxFilesPerTrigger=1)
+    val feedDir = java.nio.file.Files.createTempDirectory("ivm-feed")
+    graft.queries.SnapshotOps.changeFeed(spark, d)
+      .repartition(3)
+      .write.mode("overwrite").parquet(feedDir.toString + "/out")
+    val staged = java.nio.file.Files.createTempDirectory("ivm-staged")
+    new java.io.File(feedDir.toString + "/out").listFiles()
+      .filter(_.getName.endsWith(".parquet")).zipWithIndex
+      .foreach { case (f, i) =>
+        java.nio.file.Files.copy(f.toPath, staged.resolve(s"f$i.parquet"))
+      }
+    val initial = graft.queries.SnapshotOps.oldSnap(spark, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+    val updates = DocStreams.statsMaintenanceStream(spark,
+      DocStreams.readDocStream(spark, staged.toString), initial)
+    EventStreams.runToMemory(spark, updates.toDF(), "ivm_stream",
+      OutputMode.Update())
+    // final view = the max-upd_seq row per source
+    val sink = spark.table("ivm_stream")
+    val finalAll = sink.as[(String, Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (_, rows) => rows.maxBy(_._4) }
+      .map(r => (r._1, r._2, r._3)).toSeq.sorted
+    val batch = graft.queries.SnapshotOps.incrementalStats(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+    // the batch view drops fully-deleted sources; the stream keeps
+    // their state and it must have drained to exactly zero
+    val (gone, finalRows) = finalAll.partition(_._2 == 0L)
+    assert(finalRows == batch,
+      "streamed fold must land on the exact batch-recompute stats")
+    assert(gone.forall(_._3 == 0L),
+      "a fully-deleted source must drain to (0 docs, 0 chars)")
+    // and the fold really did cross batches: some source updated >1 time
+    assert(sink.agg(max(col("upd_seq"))).collect()(0).getLong(0) > 1L,
+      "expected multiple micro-batches to touch at least one source")
+  }
 }
