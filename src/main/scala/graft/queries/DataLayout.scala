@@ -38,6 +38,14 @@ object DataLayout {
   private[queries] def spread21Test(c: org.apache.spark.sql.Column) =
     spread21(c)
 
+  /** The 42-bit Morton key over two 21-bit grid coordinates — shared
+    * by the stats audit below and [[graft.sources.IO.writeZOrdered]]
+    * (ONE key definition, so the written layout and its audit can
+    * never disagree about the curve). */
+  private[graft] def mortonKey(xs: org.apache.spark.sql.Column,
+      ys: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    shiftleft(spread21(xs), 1).bitwiseOR(spread21(ys))
+
   // ---------------------------------------------- z-order stats
   /** Per-bucket dimension spans under Z-order space partitioning of
     * lineitem on (l_partkey, l_suppkey): normalize both dims onto a
@@ -69,8 +77,7 @@ object DataLayout {
       .withColumn("xs", expr("(x * 2097152) DIV (xm + 1)"))
       .withColumn("ys", expr("(y * 2097152) DIV (ym + 1)"))
       // Morton interleave: x bits land at odd positions, y at even
-      .withColumn("zkey",
-        shiftleft(spread21(col("xs")), 1).bitwiseOR(spread21(col("ys"))))
+      .withColumn("zkey", mortonKey(col("xs"), col("ys")))
       .groupBy(expr("shiftright(zkey, 36)").as("bucket"))
       .agg(count(lit(1)).as("n"),
         min(col("x")).as("x_min"), max(col("x")).as("x_max"),

@@ -111,6 +111,42 @@ object IO {
       .parquet(path)
   }
 
+  /** Z-ordered rewrite: cluster a table along TWO columns at once so
+    * filters on EITHER prune most files — the multi-dimension
+    * counterpart of [[writeClustered]] (which perfects one dimension
+    * at the cost of the other). Both columns are normalized onto a
+    * 21-bit integer grid (exact integer scaling by the column max, so
+    * the curve adapts to any data scale), interleaved into a 42-bit
+    * Morton key — queries.DataLayout.mortonKey, the SAME definition
+    * layout_zorder_stats audits — then range-partitioned and sorted
+    * by the key. No global sort: repartitionByRange samples the key,
+    * each task sorts its range. ParquetLayoutAuditSpec proves the
+    * payoff on the written files: both dimensions' per-row-group
+    * spans stay bounded for the TYPICAL group (a segment straddling a
+    * high-order curve boundary can still span one dim — z-order
+    * skipping is statistical, not worst-case), where a 1-D clustered
+    * write leaves the second dimension spanning the full domain in
+    * EVERY group.
+    * Columns must be non-negative integers (ids, bucketed values,
+    * epoch days) — the normalization is integer algebra. */
+  def writeZOrdered(df: DataFrame, path: String, colX: String,
+      colY: String, nFiles: Int, maxRecordsPerFile: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val mx = df.agg(max(col(colX)).cast("long").as("xm"),
+      max(col(colY)).cast("long").as("ym"))
+    df.crossJoin(broadcast(mx))
+      .withColumn("__zx", expr(s"(CAST($colX AS BIGINT) * 2097152) DIV (xm + 1)"))
+      .withColumn("__zy", expr(s"(CAST($colY AS BIGINT) * 2097152) DIV (ym + 1)"))
+      .withColumn("__zkey",
+        graft.queries.DataLayout.mortonKey(col("__zx"), col("__zy")))
+      .repartitionByRange(nFiles, col("__zkey"))
+      .sortWithinPartitions(col("__zkey"))
+      .drop("xm", "ym", "__zx", "__zy", "__zkey")
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+  }
+
   /** MERGE/upsert for plain-parquet corpora — the snapshot-refresh
     * pass of a living training set (re-crawled docs replace their old
     * versions, takedowns delete) without a table format: the new

@@ -57,6 +57,37 @@ class ParquetLayoutAuditSpec extends AnyFunSuite {
       s"hash layout should overlap broadly (worst=$worst of ${rep.length})")
   }
 
+  test("z-ordered write bounds BOTH dimensions' row-group spans; " +
+      "1-D clustering leaves the second dimension unpruned") {
+    import spark.implicits._
+    // a full 256x256 grid: every (x, y) cell exactly once
+    val grid = spark.range(65536L)
+      .select((col("id") % 256).as("x"), (col("id") / 256).cast("long").as("y"))
+    def spans(path: String, column: String): Seq[Long] =
+      ParquetLayoutAudit.rowGroupStats(spark, path, column).collect()
+        .map(r => r.getLong(5) - r.getLong(4)).toSeq
+    val oneD = tmp("pla_1d"); val zord = tmp("pla_z")
+    graft.sources.IO.writeClustered(grid, oneD, "x", 8, 2048L)
+    graft.sources.IO.writeZOrdered(grid, zord, "x", "y", 8, 2048L)
+    // 1-D on x: x-groups are tight but y spans the whole domain
+    assert(spans(oneD, "y").forall(_ > 200L),
+      "x-clustered layout cannot prune on y")
+    // z-order: a <=2048-cell curve segment stays inside a small tile
+    // EXCEPT when it straddles a high-order quadrant boundary (an
+    // unaligned file boundary can span the domain in one dim there) —
+    // the skipping win is statistical, so pin the distribution:
+    // typical group ≤ a half-domain tile in BOTH dims, and the mean
+    // span far below the 1-D layout's constant ~255
+    val zx = spans(zord, "x"); val zy = spans(zord, "y")
+    assert(zx.nonEmpty && zy.size == zx.size)
+    def tight(s: Seq[Long]) = s.count(_ <= 128L) * 4 >= s.size * 3
+    assert(tight(zx) && tight(zy),
+      s"≥3/4 of z-order groups must stay within a half-domain tile " +
+        s"(x spans ${zx.sorted}, y spans ${zy.sorted})")
+    assert(zx.sum / zx.size <= 100L && zy.sum / zy.size <= 100L,
+      "mean z-order span must be a fraction of the 255 domain")
+  }
+
   test("missing column stats come back null, not a crash") {
     val out = tmp("pla_m")
     writeSmallGroups(docs, out)
