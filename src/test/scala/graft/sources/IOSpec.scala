@@ -135,6 +135,31 @@ class IOSpec extends AnyFunSuite {
     assert(perFile.map(_._1).sum == 500L)
   }
 
+  test("dynamic partition pruning: a filtered dim join prunes fact " +
+      "partitions at runtime, not just statically") {
+    import spark.implicits._
+    val p = tmp("dpp")
+    val docs = graft.Tables.documents(spark, d)
+    IO.writePartitioned(docs, p, "lang")
+    // the selective filter is on a NON-join dim column, so only DPP
+    // (a runtime subquery over the broadcast) can prune the fact scan.
+    // The dim must be a FILE relation: a local Seq constant-folds into
+    // a LocalRelation, the Filter node disappears, and the DPP rule's
+    // selective-predicate check finds nothing to prune with.
+    val dimP = tmp("dppdim")
+    Seq(("en", "english"), ("fr", "french"), ("de", "german"),
+      ("es", "spanish"), ("zh", "chinese")).toDF("lang", "lang_name")
+      .write.mode("overwrite").parquet(dimP)
+    val q = IO.readParquet(spark, p)
+      .join(spark.read.parquet(dimP)
+        .filter(col("lang_name") === "english"), "lang")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      "fact scan must carry a dynamicpruning partition filter:\n" +
+        plan.take(800))
+    assert(q.count() == docs.filter(col("lang") === "en").count())
+  }
+
   test("upsert snapshot: update wins, tombstone deletes, inserts land, " +
       "untouched rows carry over") {
     import spark.implicits._
