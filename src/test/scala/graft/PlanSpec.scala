@@ -230,4 +230,43 @@ class PlanSpec extends AnyFunSuite {
       "exact confirm must count only MG-candidate (day,user) rows")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("runtime bloom-filter join injection: a selective dim filter " +
+      "row-filters the fact side of a SHUFFLE join") {
+    // the row-level analog of dynamic partition pruning (IOSpec): for
+    // a non-partitioned join key, Spark can build a bloom filter from
+    // the filtered creation side and inject a might_contain() filter
+    // into the fact scan's stage. Off-threshold on test-sized data, so
+    // the size gates are opened and broadcast is disabled (a broadcast
+    // join would not need the bloom filter); restore after.
+    import org.apache.spark.sql.functions.col
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      val li = Tables.lineitem(spark, d)
+      val p = Tables.part(spark, d).filter(col("p_size") === 1)
+      val q = li.join(p, li("l_partkey") === p("p_partkey"))
+      val planStr = q.queryExecution.optimizedPlan.toString
+      assert(planStr.contains("might_contain"),
+        "fact side must carry an injected bloom-filter predicate:\n" +
+          planStr.take(1200))
+      // and the filtered join still returns exactly the right rows
+      val exact = li.join(p.select(col("p_partkey")),
+        li("l_partkey") === p("p_partkey")).count()
+      assert(q.count() == exact)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
