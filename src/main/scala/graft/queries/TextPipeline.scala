@@ -281,6 +281,67 @@ object TextPipeline {
       |QUALIFY rn <= 5
       |ORDER BY lang, source, rn""".stripMargin
 
+  // ------------------------------------------- token-budget select
+  /** Budgeted selection: per source, admit documents best-first until
+    * a TOKEN budget is spent — the "fill each domain's share of the
+    * training mix" pass, where the budget is tokens (what training
+    * actually pays for), not document counts. Preference is an exact
+    * integer quality permille (stopword-token share — the natural-
+    * language signal the quality tier uses), tie-broken on doc_id, so
+    * the admitted set is bit-deterministic across engines and re-runs.
+    * A document is admitted while the RUNNING total (its own tokens
+    * included) fits the budget; later docs may still fit a smaller
+    * remainder — the standard greedy-prefix semantics (cum <= budget),
+    * not best-fit packing.
+    *
+    * Scale shape: one linear projection (token/stopword counts), one
+    * window shuffle keyed by source — the source is the parallel
+    * unit. A pathologically hot source bounds at its own doc count;
+    * the two-phase partial-cumsum trick (per-partition sums, then a
+    * prefix-sum join) drops in if a single source outgrows a task. */
+  def tokenBudgetSelect(s: SparkSession, d: String): DataFrame = {
+    val budget = 1200L
+    val toks = Documents.tokens(col("text"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("score_pm").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(toks).cast("long").as("n_tokens"),
+        size(filter(toks,
+          t => t.isin("the", "a", "of", "and", "to"))).cast("long").as("sw"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("score_pm", expr("(sw * 1000) DIV n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        col("score_pm"), col("cum_tokens"))
+      .orderBy(col("source"), col("cum_tokens"))
+  }
+
+  val tokenBudgetSelectSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(list_filter(string_split_regex(text, '[^\p{L}]+'),
+      |         w -> w <> '')) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_filter(string_split_regex(text, '[^\p{L}]+'),
+      |         w -> w IN ('the','a','of','and','to'))) AS BIGINT) AS sw
+      |  FROM documents),
+      |scored AS (
+      |  SELECT doc_id, source, n_tokens, (sw * 1000) // n_tokens AS score_pm
+      |  FROM t WHERE n_tokens > 0),
+      |ranked AS (
+      |  SELECT source, doc_id, n_tokens, score_pm,
+      |    CAST(SUM(n_tokens) OVER (PARTITION BY source
+      |      ORDER BY score_pm DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cum_tokens
+      |  FROM scored)
+      |SELECT source, doc_id, n_tokens, score_pm, cum_tokens
+      |FROM ranked WHERE cum_tokens <= 1200
+      |ORDER BY source, cum_tokens""".stripMargin
+
   // ------------------------------------------- global shuffle
   /** Deterministic global shuffle: every doc gets a position 0..n-1 in
     * md5-of-content order — the reproducible permutation a training
@@ -318,6 +379,7 @@ object TextPipeline {
     "text_pack_sequences" -> packSequences,
     "doc_mixture_sample" -> mixtureSample,
     "doc_stratified_sample" -> stratifiedSample,
+    "doc_token_budget_select" -> tokenBudgetSelect,
     "doc_decontaminate" -> decontaminate,
     "topk_per_key_agg" -> ((s, d) =>
       graft.operators.TopK.topOrdersPerCustomer(s, d)))
@@ -330,6 +392,7 @@ object TextPipeline {
     "text_pack_sequences" -> packSequencesSql,
     "doc_mixture_sample" -> mixtureSampleSql,
     "doc_stratified_sample" -> stratifiedSampleSql,
+    "doc_token_budget_select" -> tokenBudgetSelectSql,
     "doc_decontaminate" -> decontaminateSql,
     // same oracle as the window formulation — different physical plan,
     // identical rows
