@@ -22,7 +22,8 @@ object PlanCheck {
       "text_heavy_hitters", "emb_ann_quantized", "ev_heavy_users",
       "sql_set_ops_all", "mm_resize_stats",
       "ev_session_transitions", "doc_source_overlap", "layout_zorder_stats",
-      "doc_snapshot_diff", "doc_incremental_stats")
+      "doc_snapshot_diff", "doc_incremental_stats",
+      "sql_lateral_topk", "doc_token_budget_select")
     val out = new StringBuilder
     out ++= "# PLANS — formatted physical plans for headline queries\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanCheck PLANS.md\"` " +

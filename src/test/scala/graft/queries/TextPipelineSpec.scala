@@ -133,4 +133,43 @@ class TextPipelineSpec extends AnyFunSuite {
       .as[(String, Long, Long)].collect()
     assert(stats.toSeq == again.toSeq)
   }
+
+  test("token_budget_select: budget never exceeded, admission is " +
+      "best-first, and the next-best rejected doc would not have fit") {
+    import spark.implicits._
+    val rows = TextPipeline.tokenBudgetSelect(spark, d)
+      .as[(String, Long, Long, Long, Long)].collect()
+    val budget = 1200L
+    rows.groupBy(_._1).foreach { case (src, picked) =>
+      assert(picked.map(_._3).sum <= budget, s"$src busts the budget")
+      assert(picked.map(_._3).sum == picked.map(_._5).max,
+        s"$src cum_tokens must equal the running total")
+      // admission order is (score desc, doc_id): cum_tokens must be
+      // increasing along that order
+      val inOrder = picked.sortBy(p => (-p._4, p._2))
+      assert(inOrder.map(_._5).toSeq == picked.map(_._5).sorted.toSeq,
+        s"$src admitted out of preference order")
+    }
+    // greedy-prefix semantics: for each source the FIRST doc in
+    // preference order beyond the kept set must overflow the budget
+    val all = graft.Tables.documents(spark, d)
+      .select(col("source"), col("doc_id"),
+        size(Documents.tokens(col("text"))).cast("long").as("tok"),
+        size(org.apache.spark.sql.functions.filter(Documents.tokens(col("text")),
+          t => t.isin("the", "a", "of", "and", "to"))).cast("long").as("sw"))
+      .filter(col("tok") > 0)
+      .withColumn("score_pm", expr("(sw * 1000) DIV tok"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    all.groupBy(_._1).foreach { case (src, docs) =>
+      val pickedIds = rows.filter(_._1 == src).map(_._2).toSet
+      val ordered = docs.sortBy(d2 => (-d2._5, d2._2))
+      val kept = ordered.takeWhile(d2 => pickedIds.contains(d2._2))
+      assert(kept.length == pickedIds.size,
+        s"$src kept set must be a PREFIX of the preference order")
+      ordered.drop(kept.length).headOption.foreach { next =>
+        assert(kept.map(_._3).sum + next._3 > budget,
+          s"$src rejected a doc that still fit the budget")
+      }
+    }
+  }
 }
