@@ -15,7 +15,8 @@ object SparkEntry {
       Events.queries ++ Embeddings.queries ++ SimHashDedup.queries ++
       TextPipeline.queries ++ TextAnalysis.queries ++ SqlSurface.queries ++
       GraphRank.queries ++ CorpusCuration.queries ++ SnapshotOps.queries ++
-      DataLayout.queries ++ graft.multimodal.Multimodal.queries
+      DataLayout.queries ++ TokenizerOps.queries ++ Retrieval.queries ++
+      graft.multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +26,6 @@ object SparkEntry {
       Events.oracle ++ Embeddings.oracle ++ SimHashDedup.oracle ++
       TextPipeline.oracle ++ TextAnalysis.oracle ++ SqlSurface.oracle ++
       GraphRank.oracle ++ CorpusCuration.oracle ++ SnapshotOps.oracle ++
-      DataLayout.oracle ++ graft.multimodal.Multimodal.oracle
+      DataLayout.oracle ++ TokenizerOps.oracle ++ Retrieval.oracle ++
+      graft.multimodal.Multimodal.oracle
 }

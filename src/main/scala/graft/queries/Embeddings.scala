@@ -126,7 +126,7 @@ object Embeddings {
     * either norm is 0, while a bare dot/SQRT(0·n) in DuckDB is NaN,
     * which DuckDB orders above every double, so an unguarded fold
     * would count a zero vector as similar to everything). */
-  private def cosFoldSql(ae: String, be: String): String = {
+  private[queries] def cosFoldSql(ae: String, be: String): String = {
     def n2(v: String) =
       s"""list_reduce(list_transform(range(1, len($v)+1),
          |          i -> CAST($v[i] AS DOUBLE) * CAST($v[i] AS DOUBLE)),

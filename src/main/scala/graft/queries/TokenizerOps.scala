@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Tokenizer-training and LM-scoring passes over the documents table —
+  * the corpus statistics a pipeline computes while BUILDING the
+  * tokenizer/filter models, complementing the passes that APPLY them
+  * (TextAnalysis, TextPipeline).
+  *
+  * Everything is exact-integer (weighted counts, bit-length surprisal,
+  * permille ratios) or md5 strings — no floating point, so Spark and
+  * DuckDB agree bit-for-bit.
+  *
+  * Reference analog: none (the reference engine's apps stop at word
+  * count / inverted index — SURVEY §2.2); beyond-reference surface.
+  */
+object TokenizerOps {
+
+  private def toks(c: Column): Column = Documents.tokens(c)
+
+  private val toksSql =
+    """list_filter(string_split_regex(text, '[^\p{L}]+'), w -> w <> '')"""
+
+  // ------------------------------------------- BPE merge round
+  /** One byte-pair-encoding merge iteration, distributed: count
+    * adjacent SYMBOL pairs across the corpus weighted by word
+    * frequency and emit the top merge candidates — the inner loop of
+    * tokenizer training (BPE/WordPiece pick argmax and repeat).
+    *
+    * Scale shape: the corpus-sized work is ONE hash-agg (word counts,
+    * map-side partial); everything after runs on the DISTINCT VOCAB —
+    * the pair explode is |vocab|·avg_len rows regardless of corpus
+    * row count, so 100× the corpus with the same vocabulary costs
+    * only the first agg. Top-k is TakeOrderedAndProject (per-partition
+    * heads, no global sort); the rank window sees 20 rows.
+    *
+    * Symbols here are single characters (round 0 of BPE); later
+    * rounds would re-segment with the learned merges — the per-round
+    * plan shape is identical. */
+  def bpeMergeRound(s: SparkSession, d: String): DataFrame = {
+    val TopK = 20
+    val wc = documents(s, d)
+      .select(explode(toks(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .filter(length(col("word")) >= 2)
+    val pairs = wc
+      .select(col("word"), col("c"),
+        explode(sequence(lit(1), length(col("word")) - 1)).as("i"))
+      .select(expr("substring(word, i, 1)").as("sym_a"),
+        expr("substring(word, i + 1, 1)").as("sym_b"), col("c"))
+    val cnt = pairs.groupBy(col("sym_a"), col("sym_b"))
+      .agg(sum(col("c")).as("pair_count"))
+    // global top-k via limit (TakeOrderedAndProject), then rank the
+    // k survivors with a window that only ever sees k rows
+    val w = Window.orderBy(col("pair_count").desc, col("sym_a"), col("sym_b"))
+    cnt.orderBy(col("pair_count").desc, col("sym_a"), col("sym_b"))
+      .limit(TopK)
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("sym_a"), col("sym_b"), col("pair_count"))
+      .orderBy(col("rank"))
+  }
+
+  val bpeMergeRoundSql: String =
+    s"""WITH wc AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM (
+       |    SELECT UNNEST($toksSql) AS word FROM documents)
+       |  GROUP BY word HAVING length(word) >= 2),
+       |pairs AS (
+       |  SELECT substring(word, CAST(i AS INT), 1) AS sym_a,
+       |         substring(word, CAST(i AS INT) + 1, 1) AS sym_b, c
+       |  FROM wc, UNNEST(range(1, length(word))) AS t(i)),
+       |cnt AS (
+       |  SELECT sym_a, sym_b, CAST(SUM(c) AS BIGINT) AS pair_count
+       |  FROM pairs GROUP BY sym_a, sym_b)
+       |SELECT CAST(ROW_NUMBER() OVER
+       |    (ORDER BY pair_count DESC, sym_a, sym_b) AS INT) AS rank,
+       |  sym_a, sym_b, pair_count
+       |FROM cnt
+       |ORDER BY pair_count DESC, sym_a, sym_b LIMIT 20""".stripMargin
+
+  // ---------------------------------------- bigram LM surprisal
+  /** Bigram-LM quality scoring (the CCNet/KenLM filter reduced to its
+    * distributable core): score each document by the mean conditional
+    * surprisal −log₂ p(b|a) of its word bigrams under the corpus's own
+    * bigram MLE. Low = boilerplate (every transition predictable),
+    * high = garbled text; both tails get cut in a real pipeline. The
+    * conditional upgrade over [[TextAnalysis.unigramSurprisal]]: a doc
+    * of common words in an uncommon ORDER now scores high.
+    *
+    * Portability: −log₂(cab/ca) is DEFINED on the integer bit-length
+    * grid — bits(ca) − bits(cab), bits(x) = len(bin(x)) — exact ⌊log₂⌋
+    * distances on both engines, summed as longs (same device as
+    * unigramSurprisal).
+    *
+    * Scale shape: bigram counts and context counts are map-side
+    * partial hash-aggs; the occurrence→count joins shuffle on the
+    * bigram / the context word (vocab² not assumed broadcastable —
+    * same topology as collocations); per-doc roll-up keys on doc_id.
+    * Linear end to end, no doc × doc stage. */
+  def bigramPerplexity(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val len2 = greatest(size(col("ws")) - 1, lit(0))
+    val bi = base.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("ws"), lit(1), len2), slice(col("ws"), lit(2), len2),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val ctx = bi.groupBy(col("a")).agg(count(lit(1)).as("ca"))
+    val bc = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+    bi.join(bc, Seq("a", "b")).join(ctx, Seq("a"))
+      .withColumn("bits",
+        (length(bin(col("ca"))) - length(bin(col("cab")))).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("bits")).as("surprisal_bits"))
+      .withColumn("mean_millibits",
+        expr("(1000 * surprisal_bits) DIV n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bigramPerplexitySql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, $toksSql AS ws FROM documents),
+       |bi AS (
+       |  SELECT doc_id, ws[i] AS a, ws[i+1] AS b
+       |  FROM base, UNNEST(range(1, len(ws))) AS t(i)),
+       |ctx AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS ca FROM bi GROUP BY a),
+       |bc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab
+       |       FROM bi GROUP BY a, b)
+       |SELECT doc_id, COUNT(*) AS n_bigrams,
+       |  CAST(SUM(length(bin(ca)) - length(bin(cab))) AS BIGINT)
+       |    AS surprisal_bits,
+       |  (1000 * CAST(SUM(length(bin(ca)) - length(bin(cab))) AS BIGINT))
+       |    // COUNT(*) AS mean_millibits
+       |FROM bi JOIN bc USING (a, b) JOIN ctx USING (a)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------- duplicate-span removal
+  /** The REMOVAL half of span-level dedup ("Deduplicating Training
+    * Data Makes Language Models Better"): drop every token position
+    * covered by a cross-document duplicate 3-gram and emit the
+    * rewritten document (kept-token count + md5 of the re-joined
+    * text). [[CorpusCuration.duplicateSpans]] measures the damage;
+    * this pass applies the cut. Docs can come back EMPTY (all tokens
+    * copied) — they stay in the output with kept_tokens = 0, the
+    * rows a pipeline would route to the discard sink.
+    *
+    * Scale shape: the gram table is one explode; dup grams are a
+    * hash-agg keyed on the gram (min≠max doc test, no distinct-count
+    * rewrite); covered positions are an explode of 3 per hit,
+    * deduped per (doc, pos); the keep filter is a LEFT ANTI join
+    * keyed on (doc, pos). Every stage is keyed on gram or (doc,pos)
+    * — nothing touches doc × doc, and the rewrite per doc is a
+    * doc-local sort inside one hash-agg group. */
+  def spanRewrite(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), col("text"))
+    val grams = base.select(col("doc_id"),
+        posexplode(Documents.shingles3(col("text"))).as(Seq("p", "g")))
+      .withColumn("pos", (col("p") + 1).cast("int"))
+    val dup = grams.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      .filter(col("d0") =!= col("d1")).select(col("g"))
+    val covered = grams.join(dup, "g")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + 2)).as("cp"))
+      .distinct()
+    val tok = base.select(col("doc_id"),
+        posexplode(toks(col("text"))).as(Seq("tp", "tok")))
+      .withColumn("pos", (col("tp") + 1).cast("int"))
+    val kept = tok.join(covered,
+      tok("doc_id") === covered("doc_id") && tok("pos") === covered("cp"),
+      "left_anti")
+    val keptAgg = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_tokens"),
+        md5(array_join(
+          transform(sort_array(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ")).as("kept_md5"))
+    val n = base
+      .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    n.join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val spanRewriteSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, $toksSql AS ws FROM documents),
+       |grams AS (
+       |  SELECT doc_id, CAST(i AS INT) AS pos,
+       |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+       |  FROM base, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+       |dup AS (SELECT g FROM grams GROUP BY g
+       |        HAVING MIN(doc_id) <> MAX(doc_id)),
+       |covered AS (
+       |  SELECT DISTINCT doc_id, CAST(cp AS INT) AS cp
+       |  FROM (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+       |       UNNEST(range(pos, pos + 3)) AS t(cp)),
+       |tok AS (
+       |  SELECT doc_id, CAST(i AS INT) AS pos, ws[i] AS tok
+       |  FROM base, UNNEST(range(1, len(ws) + 1)) AS t(i)),
+       |kept AS (
+       |  SELECT t.doc_id, t.pos, t.tok FROM tok t
+       |  LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.cp
+       |  WHERE c.doc_id IS NULL),
+       |ka AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+       |    md5(array_to_string(list(tok ORDER BY pos), ' ')) AS kept_md5
+       |  FROM kept GROUP BY doc_id),
+       |n AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens
+       |      FROM base WHERE len(ws) > 0)
+       |SELECT n.doc_id, n.n_tokens,
+       |  COALESCE(ka.kept_tokens, CAST(0 AS BIGINT)) AS kept_tokens,
+       |  COALESCE(ka.kept_md5, md5('')) AS kept_md5
+       |FROM n LEFT JOIN ka USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_merge_round" -> bpeMergeRound,
+    "text_bigram_perplexity" -> bigramPerplexity,
+    "text_dedup_span_rewrite" -> spanRewrite)
+
+  val oracle: Map[String, String] = Map(
+    "text_bpe_merge_round" -> bpeMergeRoundSql,
+    "text_bigram_perplexity" -> bigramPerplexitySql,
+    "text_dedup_span_rewrite" -> spanRewriteSql)
+}
