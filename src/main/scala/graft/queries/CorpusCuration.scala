@@ -46,10 +46,13 @@ object CorpusCuration {
     val base = documents(s, d)
       .select(col("doc_id"), col("text"))
       .withColumn("n", size(toks(col("text"))))
-    val grams = base
+    // materialized once: grams feeds the dup-gram aggregate AND the
+    // hits join — un-materialized, the tokenize + shingle posexplode
+    // runs twice
+    val grams = graft.operators.Materialize.eager(base
       .select(col("doc_id"), col("n"),
         posexplode(Documents.shingles3(col("text"))).as(Seq("p", "g")))
-      .withColumn("pos", (col("p") + 1).cast("int"))
+      .withColumn("pos", (col("p") + 1).cast("int")))
     // "appears in >1 distinct doc" ⟺ min(doc) ≠ max(doc): one cheap
     // min/max agg instead of the two-phase distinct-count rewrite
     val dup = grams.groupBy(col("g"))
@@ -250,10 +253,14 @@ object CorpusCuration {
     * denominator are a broadcast. Integer permille output — no doubles
     * to drift. */
   def sourceOverlap(s: SparkSession, d: String): DataFrame = {
-    val sh = documents(s, d)
-      .select(col("source"),
-        explode(Documents.shingles3(col("text"))).as("g"))
-      .distinct()
+    // materialized once: sh feeds the per-source totals AND both sides
+    // of the shingle self-join — un-materialized, the tokenize +
+    // shingle-explode + distinct pipeline runs three times
+    val sh = graft.operators.Materialize.eager(
+      documents(s, d)
+        .select(col("source"),
+          explode(Documents.shingles3(col("text"))).as("g"))
+        .distinct())
     val cnt = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val shared = sh.as("a").join(sh.as("b"), "g")
       .filter(col("a.source") < col("b.source"))

@@ -30,11 +30,15 @@ object GraphRank {
     // band keys as md5-concat strings — same values the oracle groups
     // on (string keys share collision behavior across engines; see
     // dedupIncremental's note for why that matters at corpus scale)
-    val docBand = Documents.minhashSignatures(s, d)
-      .select(col("doc_id"),
-        explode(array(
-          concat(lit("b0_"), col("mh0"), lit("_"), col("mh1")),
-          concat(lit("b1_"), col("mh2"), lit("_"), col("mh3")))).as("band"))
+    // materialized once: docBand feeds BOTH the hub aggregate and the
+    // join back, and each side would otherwise recompute the full
+    // MinHash signature pipeline (shingle + 4 hash folds per doc)
+    val docBand = graft.operators.Materialize.eager(
+      Documents.minhashSignatures(s, d)
+        .select(col("doc_id"),
+          explode(array(
+            concat(lit("b0_"), col("mh0"), lit("_"), col("mh1")),
+            concat(lit("b1_"), col("mh2"), lit("_"), col("mh3")))).as("band")))
     val hubs = docBand.groupBy(col("band")).agg(min(col("doc_id")).as("hub"))
     val docHub = docBand.join(hubs, "band")
       .select(col("doc_id"), col("hub")).distinct()

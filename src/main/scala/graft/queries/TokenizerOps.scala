@@ -159,9 +159,13 @@ object TokenizerOps {
     * doc-local sort inside one hash-agg group. */
   def spanRewrite(s: SparkSession, d: String): DataFrame = {
     val base = documents(s, d).select(col("doc_id"), col("text"))
-    val grams = base.select(col("doc_id"),
-        posexplode(Documents.shingles3(col("text"))).as(Seq("p", "g")))
-      .withColumn("pos", (col("p") + 1).cast("int"))
+    // materialized once: grams feeds the dup-gram aggregate AND the
+    // covered-position join (same double-compute trap as
+    // CorpusCuration.duplicateSpans)
+    val grams = graft.operators.Materialize.eager(
+      base.select(col("doc_id"),
+          posexplode(Documents.shingles3(col("text"))).as(Seq("p", "g")))
+        .withColumn("pos", (col("p") + 1).cast("int")))
     val dup = grams.groupBy(col("g"))
       .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
       .filter(col("d0") =!= col("d1")).select(col("g"))
