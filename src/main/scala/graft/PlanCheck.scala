@@ -23,7 +23,9 @@ object PlanCheck {
       "sql_set_ops_all", "mm_resize_stats",
       "ev_session_transitions", "doc_source_overlap", "layout_zorder_stats",
       "doc_snapshot_diff", "doc_incremental_stats",
-      "sql_lateral_topk", "doc_token_budget_select")
+      "sql_lateral_topk", "doc_token_budget_select",
+      "text_bpe_merge_round", "text_bigram_perplexity",
+      "text_dedup_span_rewrite", "retrieval_rrf_fusion")
     val out = new StringBuilder
     out ++= "# PLANS — formatted physical plans for headline queries\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanCheck PLANS.md\"` " +
