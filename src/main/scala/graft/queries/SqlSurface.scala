@@ -123,6 +123,75 @@ object SqlSurface {
     registerViews(s, d); s.sql(lateralTopKSql)
   }
 
+  /** Recursive CTE #1 — calendar date spine + gap-fill (the canonical
+    * WITH RECURSIVE use): generate every day of 1995Q1 by recursion,
+    * LEFT JOIN daily order stats, zero-fill the gaps. Time-series
+    * featurization needs the dense spine; a GROUP BY alone silently
+    * drops empty days. Spark executes this with UnionLoopExec (one
+    * anchor + bounded loop over the step query); the spine is 90 rows,
+    * the join probe side — so recursion cost is independent of the
+    * orders table's size. Revenue stays in exact integer cents. */
+  val recursiveSpineSql: String =
+    """WITH RECURSIVE days(d) AS (
+      |  SELECT DATE '1995-01-01'
+      |  UNION ALL
+      |  SELECT CAST(d + INTERVAL 1 DAY AS DATE) FROM days
+      |  WHERE d < DATE '1995-03-31'),
+      |daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS od,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))
+      |         AS BIGINT) AS cents
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      |    AND o_orderdate < TIMESTAMP '1995-04-01'
+      |  GROUP BY 1)
+      |SELECT CAST(d AS TIMESTAMP) AS order_day,
+      |  COALESCE(n, CAST(0 AS BIGINT)) AS n_orders,
+      |  COALESCE(cents, CAST(0 AS BIGINT)) AS revenue_cents
+      |FROM days LEFT JOIN daily ON d = od
+      |ORDER BY d""".stripMargin
+
+  /** Recursive CTE #2 — hierarchy walk: region→nation→customer recast
+    * as a generic (parent, child) edge list, then WITH RECURSIVE
+    * descends from each region root counting nodes per depth — the
+    * org-chart/threaded-document traversal shape, expressed once and
+    * run verbatim on both engines. Node ids take disjoint integer
+    * lanes (4k / 4k+1 / 4k+2) so the edge UNION can mix levels; the
+    * depth guard bounds the loop (leaves also terminate naturally —
+    * no cycles in a hierarchy). Each recursion step is one equi-join
+    * of the frontier against the edge table: frontier size is the
+    * level's node count, never the closure. */
+  val recursiveHierarchySql: String =
+    """WITH RECURSIVE
+      |edges AS (
+      |  SELECT CAST(n_regionkey*4 AS BIGINT) AS parent,
+      |         CAST(n_nationkey*4+1 AS BIGINT) AS child FROM nation
+      |  UNION ALL
+      |  SELECT CAST(c_nationkey*4+1 AS BIGINT),
+      |         CAST(c_custkey*4+2 AS BIGINT) FROM customer),
+      |walk(root, node, depth) AS (
+      |  SELECT CAST(r_regionkey AS BIGINT),
+      |         CAST(r_regionkey*4 AS BIGINT), 0
+      |  FROM region
+      |  UNION ALL
+      |  SELECT w.root, e.child, w.depth + 1
+      |  FROM walk w JOIN edges e ON e.parent = w.node
+      |  WHERE w.depth < 3)
+      |SELECT r_name AS region, depth,
+      |  CAST(COUNT(*) AS BIGINT) AS n_nodes
+      |FROM walk JOIN region ON root = CAST(r_regionkey AS BIGINT)
+      |GROUP BY r_name, depth
+      |ORDER BY region, depth""".stripMargin
+
+  def sqlRecursiveSpine(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d); s.sql(recursiveSpineSql)
+  }
+
+  def sqlRecursiveHierarchy(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d); s.sql(recursiveHierarchySql)
+  }
+
   def sqlSetOpsAll(s: SparkSession, d: String): DataFrame = {
     registerViews(s, d); s.sql(setOpsAllSql)
   }
@@ -137,7 +206,9 @@ object SqlSurface {
     "sql_grouping_sets" -> sqlGroupingSets,
     "sql_set_ops_all" -> sqlSetOpsAll,
     "sql_null_semantics" -> sqlNullSemantics,
-    "sql_lateral_topk" -> sqlLateralTopK)
+    "sql_lateral_topk" -> sqlLateralTopK,
+    "sql_recursive_spine" -> sqlRecursiveSpine,
+    "sql_recursive_hierarchy" -> sqlRecursiveHierarchy)
 
   val oracle: Map[String, String] = Map(
     "sql_pricing_summary" -> pricingSummarySql,
@@ -145,5 +216,7 @@ object SqlSurface {
     "sql_grouping_sets" -> groupingSetsSql,
     "sql_set_ops_all" -> setOpsAllSql,
     "sql_null_semantics" -> nullSemanticsSql,
-    "sql_lateral_topk" -> lateralTopKSql)
+    "sql_lateral_topk" -> lateralTopKSql,
+    "sql_recursive_spine" -> recursiveSpineSql,
+    "sql_recursive_hierarchy" -> recursiveHierarchySql)
 }
