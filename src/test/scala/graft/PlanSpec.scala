@@ -119,6 +119,54 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  // Queries whose plans legitimately contain a BroadcastNestedLoopJoin:
+  // every entry is a crossJoin(broadcast(...)) of a BOUNDED side — a
+  // 1-row corpus-stats aggregate, a <=k-row candidate/center table —
+  // or the one documented brute-force baseline. Anything new landing
+  // here must justify itself the same way.
+  private val bnljWhitelist: Set[String] = Set(
+    "emb_cosine_topk",      // THE brute exactness baseline (documented);
+                            // emb_ann_* are the scale path
+    "emb_semantic_dedup",   // 1-row stats broadcast
+    "emb_outliers_per_cell",// per-cell stats broadcast (<= n_cells rows)
+    "text_bm25_topk",       // 1-row (N, avgdl) corpus stats broadcast
+    "text_tfidf_top_terms", // 1-row N broadcast
+    "text_unigram_surprisal", // 1-row total broadcast
+    "text_bigram_perplexity" , // (via bm25 shape) 1-row totals
+    "text_collocations",    // two 1-row grand-total broadcasts
+    "text_heavy_hitters",   // 1-row n + <=48-row candidate broadcasts
+    "ev_anomaly_3sigma",    // 1-row global mean/stddev broadcast
+    "retrieval_rrf_fusion", // 1-row query-vector + 1-row stats broadcast
+    "doc_importance_score", // 1-row model-stats broadcast
+    "doc_mixture_sample",   // per-source weight table broadcast
+    "quantiles_exact",      // 1-row exact-quantile cutoffs broadcast
+    "sketch_profile",       // 1-row exact-companion broadcast
+    "q11_important_value",  // 1-row global threshold (scalar subquery)
+    "q22_global_sales",     // 1-row global avg acctbal (scalar subquery)
+    "subquery_scalar",      // the scalar-subquery demo itself (1 row)
+    "emb_kmeans_assign",    // k-row centers table broadcast
+    "layout_zorder_stats")  // 1-row min/max bounds broadcast (Morton key)
+
+  test("GLOBAL plan lint: no CartesianProduct anywhere; no " +
+      "BroadcastNestedLoopJoin outside the bounded-side whitelist") {
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val p = fn(spark, d).queryExecution.explainString(FormattedMode)
+        if (p.contains("CartesianProduct"))
+          offenders += s"$name: CartesianProduct"
+        if (p.contains("BroadcastNestedLoopJoin") && !bnljWhitelist(name))
+          offenders += s"$name: unexpected BroadcastNestedLoopJoin"
+      } catch {
+        case e: Exception => offenders += s"$name: plan failed ${e.getMessage.take(80)}"
+      } finally {
+        spark.catalog.clearCache()
+        graft.operators.Materialize.freeAll(spark)
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("incremental dedup: band equi-join only — never batch × corpus") {
     val p = plan("dedup_incremental")
     assert(!p.contains("CartesianProduct"))
