@@ -26,7 +26,8 @@ object PlanCheck {
       "sql_lateral_topk", "doc_token_budget_select",
       "text_bpe_merge_round", "text_bigram_perplexity",
       "text_dedup_span_rewrite", "retrieval_rrf_fusion",
-      "sql_recursive_spine", "sql_recursive_hierarchy")
+      "sql_recursive_spine", "sql_recursive_hierarchy",
+      "doc_quality_deciles", "dedup_lsh_precision")
     val out = new StringBuilder
     out ++= "# PLANS — formatted physical plans for headline queries\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanCheck PLANS.md\"` " +

@@ -296,15 +296,159 @@ object CorpusCuration {
        |JOIN cnt cb ON cb.source = pr.src_b
        |ORDER BY src_a, src_b""".stripMargin
 
+  // ------------------------------------------- quality deciles
+  /** Curriculum/quality binning: NTILE(10) over the integer stopword
+    * score per source, then per-bin token totals — the bucketing a
+    * pipeline uses for curriculum ordering ("train easy-to-hard") and
+    * quality-tiered mixture weights. The score is the same integer
+    * permille TextPipeline.tokenBudgetSelect admits by, so the two
+    * passes agree on what "best" means.
+    *
+    * Scale shape: one scan + per-source window (the source is the
+    * parallel unit) + hash-agg on (source, bin). NTILE over
+    * (score desc, doc_id) is a total order ⇒ engine-identical bins. */
+  def qualityDeciles(s: SparkSession, d: String): DataFrame = {
+    val toksC = Documents.tokens(col("text"))
+    val base = documents(s, d).select(col("source"), col("doc_id"),
+        size(toksC).cast("long").as("tok"),
+        size(org.apache.spark.sql.functions.filter(toksC,
+          t => t.isin("the", "a", "of", "and", "to"))).cast("long").as("sw"))
+      .filter(col("tok") > 0)
+      .withColumn("score_pm", expr("(sw * 1000) DIV tok"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score_pm").desc, col("doc_id"))
+    base.withColumn("bin", ntile(10).over(w))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("bin_tokens"),
+        min(col("score_pm")).as("min_score_pm"),
+        max(col("score_pm")).as("max_score_pm"))
+      .orderBy(col("source"), col("bin"))
+  }
+
+  val qualityDecilesSql: String =
+    s"""WITH t AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(ws) AS BIGINT) AS tok,
+       |    CAST(len(list_filter(ws,
+       |      w -> w IN ('the','a','of','and','to'))) AS BIGINT) AS sw
+       |  FROM (SELECT source, doc_id, $toksSql AS ws FROM documents)
+       |  WHERE len(ws) > 0),
+       |scored AS (
+       |  SELECT source, doc_id, tok, (sw * 1000) // tok AS score_pm FROM t),
+       |binned AS (
+       |  SELECT source, tok, score_pm,
+       |    CAST(NTILE(10) OVER (PARTITION BY source
+       |         ORDER BY score_pm DESC, doc_id) AS INT) AS bin
+       |  FROM scored)
+       |SELECT source, bin, COUNT(*) AS n_docs,
+       |  CAST(SUM(tok) AS BIGINT) AS bin_tokens,
+       |  MIN(score_pm) AS min_score_pm, MAX(score_pm) AS max_score_pm
+       |FROM binned GROUP BY source, bin ORDER BY source, bin""".stripMargin
+
+  // ------------------------------------------- LSH precision audit
+  /** Candidate-quality audit for the MinHash-LSH banding: exact
+    * shingle Jaccard for EVERY candidate pair dedup_lsh_pairs emits,
+    * rolled into a permille histogram — the measurement that tells a
+    * pipeline whether its band parameters over- or under-generate
+    * (low buckets = wasted verification work, missing high-Jaccard
+    * mass = recall holes). This is the audit loop real dedup setups
+    * run before committing band/row parameters at scale.
+    *
+    * Scale shape: the audit runs on a DETERMINISTIC 1/256 SAMPLE of
+    * the candidates (first two md5 hex digits of "doc_a_doc_b" = '00' —
+    * engine-portable, no RNG): the candidate set itself grows as
+    * Σ bucket², so exact-Jaccard over ALL pairs re-creates the cost
+    * LSH exists to avoid (measured 44 s at sf0.1 unsampled, 6 s at
+    * 1/16, ~2 s at 1/256 on this template-heavy corpus). A histogram estimate is
+    * exactly what the parameter decision needs; per-pair cost is
+    * shingles/doc, never corpus². Pairs whose docs have <3 tokens
+    * (no shingles, candidates via token-minhash) land in bucket 0
+    * through the COALESCE(0) path, not dropped. Spark joins on the
+    * 64-bit shingle hash, the oracle on strings — identical counts
+    * modulo 2^-64 collisions (ngramJaccard's documented convention). */
+  def lshPrecision(s: SparkSession, d: String): DataFrame = {
+    val pairs = graft.operators.Materialize.eager(
+      Documents.lshCandidatePairs(s, d)
+        .filter(substring(md5(concat(col("doc_a").cast("string"), lit("_"),
+          col("doc_b").cast("string"))), 1, 2) === "00"))
+    val shingled = graft.operators.Materialize.eager(
+      documents(s, d).select(col("doc_id"),
+          explode(Documents.shingles3(col("text"))).as("sh0"))
+        .select(col("doc_id"), xxhash64(col("sh0")).as("sh")).distinct())
+    val sizes = shingled.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = shingled.select(col("doc_id").as("doc_a"), col("sh"))
+    val b = shingled.select(col("doc_id").as("doc_b"), col("sh"))
+    val inter = pairs.join(a, "doc_a").join(b, Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")),
+        Seq("doc_a"), "left")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")),
+        Seq("doc_b"), "left")
+      .select(coalesce(col("n_inter"), lit(0L)).as("ni"),
+        (coalesce(col("na"), lit(0L)) + coalesce(col("nb"), lit(0L)) -
+          coalesce(col("n_inter"), lit(0L))).as("denom"))
+      .withColumn("permille",
+        expr("CASE WHEN denom > 0 THEN (1000 * ni) DIV denom " +
+          "ELSE CAST(0 AS BIGINT) END"))
+      .groupBy(expr("CAST(permille DIV 100 AS INT)").as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("permille")).as("min_permille"),
+        max(col("permille")).as("max_permille"))
+      .orderBy(col("bucket"))
+  }
+
+  val lshPrecisionSql: String =
+    s"""WITH pairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |${Documents.dedupLshPairsSql}
+       |  ) WHERE substring(md5(CAST(doc_a AS VARCHAR) || '_'
+       |          || CAST(doc_b AS VARCHAR)), 1, 2) = '00'),
+       |toks AS (SELECT doc_id, $toksSql AS ws FROM documents),
+       |shingled AS (
+       |  SELECT DISTINCT doc_id,
+       |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+       |  FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+       |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+       |          FROM shingled GROUP BY doc_id),
+       |inter AS (
+       |  SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+       |  FROM pairs p
+       |  JOIN shingled sa ON sa.doc_id = p.doc_a
+       |  JOIN shingled sb ON sb.doc_id = p.doc_b AND sb.sh = sa.sh
+       |  GROUP BY p.doc_a, p.doc_b),
+       |j AS (
+       |  SELECT COALESCE(i.n_inter, 0) AS ni,
+       |    COALESCE(za.n_sh, 0) + COALESCE(zb.n_sh, 0)
+       |      - COALESCE(i.n_inter, 0) AS denom
+       |  FROM pairs p
+       |  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+       |  LEFT JOIN sizes za ON za.doc_id = p.doc_a
+       |  LEFT JOIN sizes zb ON zb.doc_id = p.doc_b),
+       |perm AS (
+       |  SELECT CASE WHEN denom > 0
+       |    THEN CAST((1000 * ni) // denom AS BIGINT)
+       |    ELSE CAST(0 AS BIGINT) END AS permille FROM j)
+       |SELECT CAST(permille // 100 AS INT) AS bucket,
+       |  COUNT(*) AS n_pairs,
+       |  MIN(permille) AS min_permille, MAX(permille) AS max_permille
+       |FROM perm GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_source_overlap" -> sourceOverlap,
     "text_duplicate_spans" -> duplicateSpans,
     "doc_cdc_chunks" -> cdcChunks,
-    "doc_importance_score" -> importanceScore)
+    "doc_importance_score" -> importanceScore,
+    "doc_quality_deciles" -> qualityDeciles,
+    "dedup_lsh_precision" -> lshPrecision)
 
   val oracle: Map[String, String] = Map(
     "doc_source_overlap" -> sourceOverlapSql,
     "text_duplicate_spans" -> duplicateSpansSql,
     "doc_cdc_chunks" -> cdcChunksSql,
-    "doc_importance_score" -> importanceScoreSql)
+    "doc_importance_score" -> importanceScoreSql,
+    "doc_quality_deciles" -> qualityDecilesSql,
+    "dedup_lsh_precision" -> lshPrecisionSql)
 }

@@ -180,7 +180,11 @@ object Documents {
   /** LSH candidate pairs: docs sharing any minhash band (2 sigs/band).
     * Self-join is band-bucketed — cost is sum of bucket² per band, not
     * n²; at scale the band column is the shuffle key. */
-  def dedupLshPairs(s: SparkSession, d: String): DataFrame = {
+  /** Unsorted LSH candidate pairs — the form downstream consumers
+    * (dedup_lsh_precision's sampled audit) build on; dedupLshPairs
+    * adds only the oracle-facing global sort, which is pure waste for
+    * a consumer that re-aggregates. */
+  private[queries] def lshCandidatePairs(s: SparkSession, d: String): DataFrame = {
     // band keys as 64-bit hashes (8 bytes shuffled instead of a
     // 68-char string; same pairs modulo 2^-64 collisions). Two
     // disjoint joins — band-0 matches, then band-1-only matches
@@ -210,8 +214,11 @@ object Documents {
         col("a.b0") =!= col("b.b0") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    onB0.union(onB1Only).orderBy(col("doc_a"), col("doc_b"))
+    onB0.union(onB1Only)
   }
+
+  def dedupLshPairs(s: SparkSession, d: String): DataFrame =
+    lshCandidatePairs(s, d).orderBy(col("doc_a"), col("doc_b"))
 
   val dedupLshPairsSql: String = {
     val sig = minhashSignaturesSql.replace("ORDER BY doc_id", "")

@@ -78,4 +78,42 @@ class CorpusCurationSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(got == again, "integer scoring must be run-deterministic")
   }
+
+  test("quality deciles: bins are 1..10 per source, balanced within 1, " +
+      "and score-monotone (bin 1 holds the best scores)") {
+    val d = "/root/testdata/sf0.01"
+    val rows = CorpusCuration.qualityDeciles(spark, d)
+      .as[(String, Int, Long, Long, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (src, bins) =>
+      assert(bins.map(_._2).sorted.toSeq == (1 to bins.length),
+        s"$src bins must be contiguous from 1")
+      val sizes = bins.map(_._3)
+      assert(sizes.max - sizes.min <= 1, s"$src NTILE bins unbalanced")
+      // min_score of bin k must be >= max_score of bin k+1
+      val byBin = bins.sortBy(_._2)
+      byBin.sliding(2).foreach {
+        case Array(hi, lo) =>
+          assert(hi._5 >= lo._6,
+            s"$src bin ${hi._2} overlaps bin ${lo._2} score range")
+        case _ =>
+      }
+    }
+  }
+
+  test("lsh precision audit: buckets in 0..10, permille ranges nest " +
+      "inside their bucket, and the sample is run-deterministic") {
+    val d = "/root/testdata/sf0.01"
+    val rows = CorpusCuration.lshPrecision(spark, d)
+      .as[(Int, Long, Long, Long)].collect()
+    assert(rows.nonEmpty, "the sampled audit must keep some pairs")
+    rows.foreach { case (bucket, n, lo, hi) =>
+      assert(bucket >= 0 && bucket <= 10)
+      assert(n > 0 && lo <= hi)
+      assert(lo / 100 == bucket && (hi == 1000 || hi / 100 == bucket),
+        s"bucket $bucket range [$lo,$hi] outside its bucket")
+    }
+    val again = CorpusCuration.lshPrecision(spark, d)
+      .as[(Int, Long, Long, Long)].collect()
+    assert(rows.toSeq == again.toSeq, "md5 sampling must be deterministic")
+  }
 }
