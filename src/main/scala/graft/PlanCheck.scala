@@ -27,7 +27,8 @@ object PlanCheck {
       "text_bpe_merge_round", "text_bigram_perplexity",
       "text_dedup_span_rewrite", "retrieval_rrf_fusion",
       "sql_recursive_spine", "sql_recursive_hierarchy",
-      "doc_quality_deciles", "dedup_lsh_precision")
+      "doc_quality_deciles", "dedup_lsh_precision",
+      "emb_truncation_energy")
     val out = new StringBuilder
     out ++= "# PLANS — formatted physical plans for headline queries\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanCheck PLANS.md\"` " +

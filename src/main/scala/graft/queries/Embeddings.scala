@@ -515,7 +515,63 @@ object Embeddings {
        |FROM best b LEFT JOIN dups d ON b.id = d.id_b
        |ORDER BY vec_id""".stripMargin
 
+  // --------------------------------------- truncation (matryoshka)
+  /** Dimension-truncation audit: how much of each vector's energy
+    * (squared L2 mass) the first k dims retain, per label — the
+    * measurement behind "can we store/serve 16 of 64 dims?"
+    * (matryoshka-style truncation halves index cost when the answer
+    * is yes, and this query is the yes/no). cos(v, zero-padded v[:k])
+    * = ‖v[:k]‖/‖v‖, so energy fraction ‖v[:k]‖²/‖v‖² IS the squared
+    * truncation cosine — one number, no pairwise anything.
+    *
+    * Portability: the per-row fraction is snapped to an integer
+    * permille BEFORE aggregation (floor(1000·r + 0.5)); the per-label
+    * mean is then integer DIV — the same snap-then-aggregate device
+    * as labelCentroidNorm. Scale shape: pure projection + one
+    * hash-agg on label; linear, no joins at all. */
+  def truncationEnergy(s: SparkSession, d: String): DataFrame = {
+    val ks = Seq(16, 32, 48)
+    val tot = norm2(col("embedding"))
+    val cols = ks.map { k =>
+      val part = norm2(slice(col("embedding"), 1, k))
+      floor(part * lit(1000.0) / tot + lit(0.5)).cast("bigint")
+        .as(s"pm_$k")
+    }
+    val aggs = ks.map(k =>
+      expr(s"CAST(SUM(pm_$k) AS BIGINT) DIV COUNT(1)").as(s"mean_pm_$k"))
+    embeddings(s, d)
+      .filter(tot > 0) // zero vectors have no direction to retain
+      .select(col("label") +: cols: _*)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), aggs: _*)
+      .orderBy(col("label"))
+  }
+
+  val truncationEnergySql: String = {
+    val ks = Seq(16, 32, 48)
+    def n2k(k: Int) =
+      s"""list_reduce(list_transform(range(1, ${k + 1}),
+         |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+         |      (x, y) -> x + y)""".stripMargin
+    val tot = n2k(64)
+    val rows = ks.map(k =>
+      s"CAST(FLOOR(${n2k(k)} * 1000.0 / tot + 0.5) AS BIGINT) AS pm_$k")
+      .mkString(",\n  ")
+    val aggs = ks.map(k =>
+      s"CAST(SUM(pm_$k) AS BIGINT) // COUNT(*) AS mean_pm_$k").mkString(",\n  ")
+    s"""WITH t AS (
+       |  SELECT label, $tot AS tot, embedding FROM embeddings),
+       |p AS (
+       |  SELECT label,
+       |  $rows
+       |  FROM t WHERE tot > 0)
+       |SELECT label, COUNT(*) AS n,
+       |  $aggs
+       |FROM p GROUP BY label ORDER BY label""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_truncation_energy" -> truncationEnergy,
     "emb_cosine_topk" -> cosineTopK,
     "emb_ann_quantized" -> annQuantized,
     "emb_ann_ivf" -> annIvf,
@@ -527,6 +583,7 @@ object Embeddings {
     "dedup_embedding_lsh" -> dedupEmbeddingLsh)
 
   val oracle: Map[String, String] = Map(
+    "emb_truncation_energy" -> truncationEnergySql,
     "emb_cosine_topk" -> cosineTopKSql,
     "emb_ann_quantized" -> annQuantizedSql,
     "emb_label_norms" -> labelCentroidNormSql,
