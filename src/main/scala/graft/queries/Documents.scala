@@ -469,6 +469,69 @@ object Documents {
       |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // -------------------------------------- dedup: n-gram containment
+  /** Asymmetric shingle CONTAINMENT for same-source pairs — the
+    * sub-document dup detector symmetric Jaccard misses: a short doc
+    * fully embedded in a long one (quoted boilerplate, template +
+    * payload) has tiny Jaccard but containment ≈ 1 on the short side.
+    * Metric: 1000·|A∩B| DIV min(|A|,|B|) in exact integer permille;
+    * pairs at ≥ 800‰ are flagged. Broder's containment companion to
+    * resemblance — real pipelines cut BOTH.
+    *
+    * Scale shape: identical topology to ngramJaccard (shingle-hash
+    * bucketed same-source self-join — per-shingle bucket bounded, no
+    * doc × doc), and like it the shingle subtree is deliberately NOT
+    * materialized: the same cold A/B applies (ReuseExchange already
+    * shares the distinct's shuffle across the three consumers). */
+  def ngramContainment(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    val shingled = docs.select(col("doc_id"), col("source"),
+      explode(shingles3(col("text"))).as("sh0"))
+      .select(col("doc_id"), col("source"), xxhash64(col("sh0")).as("sh"))
+      .distinct()
+    val a = shingled.as("a"); val b = shingled.as("b")
+    val inter = a.join(b, col("a.sh") === col("b.sh") &&
+        col("a.source") === col("b.source") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val sizes = shingled.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        expr("(1000 * n_inter) DIV least(sa.n_sh, sb.n_sh)")
+          .as("containment_permille"))
+      .filter(col("containment_permille") >= 800)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val ngramContainmentSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split_regex(text, '[^\p{L}]+'),
+      |                w -> w <> '') AS ws
+      |  FROM documents),
+      |shingled AS (
+      |  SELECT DISTINCT doc_id, source,
+      |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+      |  FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+      |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+      |          FROM shingled GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_inter
+      |  FROM shingled a JOIN shingled b
+      |    ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT doc_a, doc_b, n_inter,
+      |  (1000 * n_inter) // LEAST(sa.n_sh, sb.n_sh) AS containment_permille
+      |FROM inter
+      |JOIN sizes sa ON doc_a = sa.doc_id
+      |JOIN sizes sb ON doc_b = sb.doc_id
+      |WHERE (1000 * n_inter) // LEAST(sa.n_sh, sb.n_sh) >= 800
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // ------------------------------------------------- text analysis
   /** Quality scoring: token count, mean token length, stopword ratio,
     * uppercase/punct ratios — the standard pre-training quality gates. */
@@ -600,6 +663,7 @@ object Documents {
     "dedup_incremental" -> dedupIncremental,
     "dedup_bloom_incremental" -> dedupBloomIncremental,
     "dedup_ngram_jaccard" -> ngramJaccard,
+    "dedup_ngram_containment" -> ngramContainment,
     "text_quality" -> textQuality,
     "text_lang_id" -> langIdSimple,
     "text_token_count" -> tokenCount,
@@ -617,6 +681,7 @@ object Documents {
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_bloom_incremental" -> dedupBloomIncrementalSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_ngram_containment" -> ngramContainmentSql,
     "text_quality" -> textQualitySql,
     "text_lang_id" -> langIdSql,
     "text_token_count" -> tokenCountSql,
