@@ -532,6 +532,71 @@ object Documents {
       |WHERE (1000 * n_inter) // LEAST(sa.n_sh, sb.n_sh) >= 800
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ----------------------------------- dedup: edit-distance confirm
+  /** Edit-distance CONFIRMATION of the MinHash-LSH candidates — the
+    * exact final stage of the candidate→confirm dedup funnel. Two
+    * cheap gates run before the quadratic-per-pair Levenshtein: the
+    * LSH band join (candidate generation, sum-of-bucket² cost) and a
+    * length-ratio gate on the n_chars metadata already in the row
+    * (near-dups can't differ >20% in length — the standard pre-filter,
+    * since |len(a)−len(b)| lower-bounds edit distance). Survivors get
+    * Levenshtein on a 64-char prefix — O(64²) per pair, constant — and
+    * an exact integer permille similarity; confirmed = sim ≥ 900.
+    *
+    * Scale shape: candidates stay band-bucketed (never n²), the two
+    * text-side joins shuffle on doc_id, and per-pair CPU is capped by
+    * the prefix bound, so the stage is linear in candidate count with
+    * any number of executors. */
+  def dedupEditConfirm(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"),
+      substring(col("text"), 1, 64).as("pfx"), col("n_chars"))
+    lshCandidatePairs(s, d)
+      .join(docs.select(col("doc_id").as("doc_a"), col("pfx").as("pa"),
+        col("n_chars").as("ca")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("pfx").as("pb"),
+        col("n_chars").as("cb")), "doc_b")
+      .filter(abs(col("ca") - col("cb")) * 5 <=
+        greatest(col("ca"), col("cb")))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pa"), col("pb")).cast("long").as("pfx_dist"),
+        greatest(length(col("pa")), length(col("pb"))).cast("long")
+          .as("den"))
+      .withColumn("sim_permille",
+        expr("1000 - (1000 * pfx_dist) DIV den"))
+      .withColumn("confirmed", col("sim_permille") >= 900)
+      .select(col("doc_a"), col("doc_b"), col("pfx_dist"),
+        col("sim_permille"), col("confirmed"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupEditConfirmSql: String = {
+    val sig = minhashSignaturesSql.replace("ORDER BY doc_id", "")
+    s"""WITH sig AS ($sig),
+       |banded AS (
+       |  SELECT doc_id, 'b0_' || mh0 || '_' || mh1 AS band FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 'b1_' || mh2 || '_' || mh3 AS band FROM sig),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.doc_id < b.doc_id),
+       |d AS (SELECT doc_id, substring(text, 1, 64) AS pfx, n_chars
+       |      FROM documents),
+       |gated AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(levenshtein(da.pfx, db.pfx) AS BIGINT) AS pfx_dist,
+       |    CAST(GREATEST(LENGTH(da.pfx), LENGTH(db.pfx)) AS BIGINT) AS den
+       |  FROM pairs
+       |  JOIN d da ON doc_a = da.doc_id
+       |  JOIN d db ON doc_b = db.doc_id
+       |  WHERE abs(da.n_chars - db.n_chars) * 5
+       |          <= GREATEST(da.n_chars, db.n_chars))
+       |SELECT doc_a, doc_b, pfx_dist,
+       |  1000 - (1000 * pfx_dist) // den AS sim_permille,
+       |  (1000 - (1000 * pfx_dist) // den) >= 900 AS confirmed
+       |FROM gated ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ------------------------------------------------- text analysis
   /** Quality scoring: token count, mean token length, stopword ratio,
     * uppercase/punct ratios — the standard pre-training quality gates. */
@@ -664,6 +729,7 @@ object Documents {
     "dedup_bloom_incremental" -> dedupBloomIncremental,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_ngram_containment" -> ngramContainment,
+    "dedup_edit_confirm" -> dedupEditConfirm,
     "text_quality" -> textQuality,
     "text_lang_id" -> langIdSimple,
     "text_token_count" -> tokenCount,
@@ -682,6 +748,7 @@ object Documents {
     "dedup_bloom_incremental" -> dedupBloomIncrementalSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_ngram_containment" -> ngramContainmentSql,
+    "dedup_edit_confirm" -> dedupEditConfirmSql,
     "text_quality" -> textQualitySql,
     "text_lang_id" -> langIdSql,
     "text_token_count" -> tokenCountSql,

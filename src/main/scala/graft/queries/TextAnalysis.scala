@@ -504,7 +504,117 @@ object TextAnalysis {
        |FROM c, t WHERE c * 40 > n
        |ORDER BY c DESC, word""".stripMargin
 
+  // ---------------------------------------------- character entropy
+  /** Character-distribution Shannon entropy per doc, on the same exact
+    * integer bit-length grid as unigramSurprisal: each character class
+    * with count k out of n contributes k·(bitlen(n)−bitlen(k)) ≈
+    * k·log2(n/k) bits, so entropy_millibits = 1000·Σ/n with integer
+    * ops only. The gate catches binary-junk / single-char-spam docs
+    * (near-zero entropy) and base64-ish noise (near-max) that token
+    * rules miss — a standard CCNet/Gopher companion filter.
+    *
+    * Scale shape: explode to (doc, char) → hash-agg keyed (doc, char)
+    * (alphabet-bounded: ≤ ~100 rows per doc survive the partial agg)
+    * → per-doc second agg. The doc-total join is by doc_id — the same
+    * linear topology as surprisal, no corpus-wide state at all. */
+  def charEntropy(s: SparkSession, d: String): DataFrame = {
+    val ch = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(length(col("ch")) > 0) // Java split(-1) emits a trailing ""
+    val cnt = ch.groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("k"))
+    val tot = cnt.groupBy(col("doc_id")).agg(sum(col("k")).as("n"))
+    cnt.join(tot, "doc_id")
+      .withColumn("bits",
+        col("k") * (length(bin(col("n"))) - length(bin(col("k")))).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct_chars"),
+        max(col("n")).as("n_chars_counted"),
+        expr("(1000 * SUM(bits)) DIV MAX(n)").as("entropy_millibits"))
+      .orderBy(col("doc_id"))
+  }
+
+  val charEntropySql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, UNNEST(string_split(text, '')) AS ch
+      |  FROM documents),
+      |cnt AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS k
+      |        FROM ch WHERE ch <> '' GROUP BY doc_id, ch),
+      |tot AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n
+      |        FROM cnt GROUP BY doc_id)
+      |SELECT doc_id,
+      |  COUNT(*) AS n_distinct_chars,
+      |  MAX(n) AS n_chars_counted,
+      |  (1000 * CAST(SUM(k * (length(bin(n)) - length(bin(k)))) AS BIGINT))
+      |    // MAX(n) AS entropy_millibits
+      |FROM cnt JOIN tot USING (doc_id)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------- linear quality gate
+  /** Model-based quality filter with FROZEN integer weights — the
+    * fastText-classifier stage of DCLM/FineWeb-style pipelines, reduced
+    * to its distributable core: a linear score over per-doc features.
+    * Features live on the exact integer permille grid (mean token
+    * length, stopword rate, space rate, a capped token count), the
+    * logit is one integer dot product, and the keep decision is
+    * logit ≥ 0 — bit-identical cross-engine, no doubles anywhere.
+    * Swapping in real trained weights changes only the literals.
+    *
+    * Scale shape: a pure per-row projection over one scan — no
+    * shuffle, no state; the filter runs at I/O speed at any corpus
+    * size and pushes NOTHING across the cluster. */
+  def qualityClassifier(s: SparkSession, d: String): DataFrame = {
+    val ws = toks(col("text"))
+    documents(s, d)
+      .select(col("doc_id"), col("text"), ws.as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"),
+        least(size(col("ws")), lit(120)).cast("long").as("cap_tokens"),
+        (lit(1000L) *
+          length(regexp_replace(col("text"), "[^\\p{L}]+", ""))).as("mtl_num"),
+        (lit(1000L) * size(filter(col("ws"),
+          w => w.isin("the", "a", "of", "and", "to")))).as("stop_num"),
+        (lit(1000L) * (length(col("text")) -
+          length(replace(col("text"), lit(" "), lit(""))))).as("space_num"),
+        size(col("ws")).cast("long").as("n_tok"),
+        length(col("text")).cast("long").as("n_chr"))
+      .select(col("doc_id"), col("cap_tokens"),
+        expr("mtl_num DIV n_tok").as("mtl_permille"),
+        expr("stop_num DIV n_tok").as("stop_permille"),
+        expr("space_num DIV n_chr").as("space_permille"))
+      // frozen weights: reward length + healthy stopword/space rates,
+      // penalize distance from the ~4.5-letter mean-token-length mode
+      .withColumn("logit_milli",
+        expr("""-1100 + cap_tokens * 10 + stop_permille * 4 +
+                space_permille * 2 - abs(mtl_permille - 4500) DIV 2"""))
+      .withColumn("keep", col("logit_milli") >= 0)
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityClassifierSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CAST(LEAST(len(ws), 120) AS BIGINT) AS cap_tokens,
+       |    (1000 * CAST(LENGTH(regexp_replace(text, '[^\\p{L}]+', '', 'g'))
+       |       AS BIGINT)) // len(ws) AS mtl_permille,
+       |    (1000 * CAST(len(list_filter(ws,
+       |       w -> w IN ('the','a','of','and','to'))) AS BIGINT))
+       |       // len(ws) AS stop_permille,
+       |    (1000 * CAST(LENGTH(text) - LENGTH(replace(text, ' ', ''))
+       |       AS BIGINT)) // LENGTH(text) AS space_permille
+       |  FROM (SELECT doc_id, text, $toksSql AS ws FROM documents)
+       |  WHERE len(ws) > 0)
+       |SELECT doc_id, cap_tokens, mtl_permille, stop_permille,
+       |  space_permille,
+       |  -1100 + cap_tokens * 10 + stop_permille * 4 + space_permille * 2
+       |    - abs(mtl_permille - 4500) // 2 AS logit_milli,
+       |  (-1100 + cap_tokens * 10 + stop_permille * 4 + space_permille * 2
+       |    - abs(mtl_permille - 4500) // 2) >= 0 AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_char_entropy" -> charEntropy,
+    "text_quality_classifier" -> qualityClassifier,
     "text_heavy_hitters" -> heavyHitters,
     "text_bm25_topk" -> bm25TopK,
     "text_tfidf_top_terms" -> tfidfTopTerms,
@@ -515,6 +625,8 @@ object TextAnalysis {
     "doc_chunk_windows" -> chunkWindows)
 
   val oracle: Map[String, String] = Map(
+    "text_char_entropy" -> charEntropySql,
+    "text_quality_classifier" -> qualityClassifierSql,
     "text_heavy_hitters" -> heavyHittersSql,
     "text_bm25_topk" -> bm25TopKSql,
     "text_tfidf_top_terms" -> tfidfTopTermsSql,
