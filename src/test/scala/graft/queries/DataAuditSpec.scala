@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Pins the constraint-audit semantics on PLANTED violations (the
+  * synthetic tables are clean, so an all-pass run over them alone
+  * proves nothing) and the linkage's blocking + two-signal match. */
+class DataAuditSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+  private val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+
+  private def audit(orders: Seq[(Long, Long, Double)],
+      lineitem: Seq[(Long, Long, Long, Double, Double, java.sql.Timestamp)],
+      cust: Seq[Long], part: Seq[Long], supp: Seq[Long]) = {
+    val o = orders.toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val l = lineitem.toDF("l_orderkey", "l_partkey", "l_suppkey",
+      "l_quantity", "l_discount", "l_shipdate")
+    val out = DataAudit.referentialAuditOn(o, l, cust.toDF("c_custkey"),
+        part.toDF("p_partkey"), supp.toDF("s_suppkey"))
+      .as[(String, Long, Long, Boolean)].collect()
+    out.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
+
+  test("planted orphan FK, duplicate PK, and range violations are " +
+      "each counted exactly once by their own constraint") {
+    val m = audit(
+      // order 11 belongs to missing customer 99; order 10 duplicated;
+      // order 12 has non-positive totalprice
+      orders = Seq((10L, 1L, 5.0), (10L, 1L, 5.0), (11L, 99L, 5.0),
+        (12L, 1L, 0.0)),
+      // line 2 → missing order 77; line 3 → missing part 88; line 4 →
+      // missing supplier 66; line 5 breaks both range checks
+      lineitem = Seq(
+        (10L, 1L, 1L, 5.0, 0.05, ts),
+        (77L, 1L, 1L, 5.0, 0.05, ts),
+        (10L, 88L, 1L, 5.0, 0.05, ts),
+        (10L, 1L, 66L, 5.0, 0.05, ts),
+        (10L, 1L, 1L, 99.0, 0.9, ts)),
+      cust = Seq(1L), part = Seq(1L), supp = Seq(1L))
+    assert(m("fk_orders_customer") == ((4L, 1L, false)))
+    // the duplicated order 10 fans lineitem's order-FK probe: 4 of 5
+    // lines hit order 10 twice -> 9 checked; the pk_ row flags why
+    assert(m("fk_lineitem_orders") == ((9L, 1L, false)))
+    assert(m("fk_lineitem_part")._2 == 1L)
+    assert(m("fk_lineitem_supplier")._2 == 1L)
+    assert(m("pk_orders_orderkey_unique") == ((4L, 1L, false)))
+    assert(m("ck_orders_totalprice_positive")._2 == 1L)
+    assert(m("ck_lineitem_quantity_range") == ((5L, 1L, false)))
+    assert(m("ck_lineitem_discount_range") == ((5L, 1L, false)))
+    assert(m("nn_lineitem_shipdate") == ((5L, 0L, true)))
+    assert(m("pk_customer_custkey_unique") == ((1L, 0L, true)))
+  }
+
+  test("a clean micro-lake passes every constraint") {
+    val m = audit(orders = Seq((10L, 1L, 5.0)),
+      lineitem = Seq((10L, 1L, 1L, 5.0, 0.05, ts)),
+      cust = Seq(1L), part = Seq(1L), supp = Seq(1L))
+    assert(m.size == 10 && m.values.forall(_._3), s"expected all-pass: $m")
+  }
+
+  test("linkage: blocking confines pairs, and both signals (name " +
+      "distance AND nation) are required to link") {
+    val c = Seq((1L, "Customer#000000007", 3),
+        (2L, "Customer#000000008", 4))
+      .toDF("c_custkey", "c_name", "c_nationkey")
+    val s7 = Seq((70L, "Supplier#000000007", 3), // same block, same nation
+        (71L, "Supplier#000000008", 9), // same block as cust 2, nation off
+        (72L, "Xupplier_Q000000007", 3)) // same block, name 2 edits worse
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+    val out = DataAudit.linkBlockedFuzzyOn(c, s7)
+      .as[(Long, Long, Long, Long, Boolean, Boolean)].collect().toSeq
+    // block 7 pairs cust 1 with supp 70 and 72; block 8 pairs cust 2
+    // with supp 71 — never the cross-block (1,71) or (2,70)
+    assert(out.map(r => (r._2, r._3)).sorted ==
+      Seq((1L, 70L), (1L, 72L), (2L, 71L)))
+    val byPair = out.map(r => (r._2, r._3) -> r).toMap
+    assert(byPair((1L, 70L))._4 == 5L && byPair((1L, 70L))._6,
+      "registry prefix swap is exactly 5 edits and must link")
+    assert(byPair((2L, 71L))._4 == 5L && !byPair((2L, 71L))._6,
+      "close name but wrong nation must NOT link")
+    assert(byPair((1L, 72L))._4 == 7L && !byPair((1L, 72L))._6,
+      "7-edit name must NOT link even with the right nation")
+  }
+}
