@@ -570,8 +570,91 @@ object Embeddings {
        |FROM p GROUP BY label ORDER BY label""".stripMargin
   }
 
+  // ------------------------------------------- hard-negative mining
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the top-5 MOST-similar candidates with a DIFFERENT label
+    * — the negatives that sit closest to the decision boundary, which
+    * is exactly what a two-tower/embedding trainer wants in its batch.
+    * Similarity-not-relevance is the point: an easy (random) negative
+    * teaches nothing; a same-label neighbor is a false negative and is
+    * excluded by construction.
+    *
+    * Ranking runs on the int8-quantized integer dot (the annQuantized
+    * recipe: q ≈ 127·x/‖x‖, so the integer dot is a scaled cosine) —
+    * no float enters the ordering, so top-k is total-order
+    * deterministic cross-engine and the oracle needs no snapping.
+    *
+    * Scale shape: candidates come from a 2-plane sign-bucket equi-join
+    * (shuffle on the bucket key, never broadcast-all, never n²); the
+    * label filter prunes before the window; per-query top-k is a
+    * window partitioned by q_id. The same topology as emb_ann_quantized
+    * with one extra predicate — mining cost tracks ANN cost. */
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val quant = e
+      .withColumn("m", sqrt(norm2(col("embedding"))))
+      .withColumn("qv",
+        when(col("m") === 0.0,
+          transform(col("embedding"), _ => lit(0L)))
+        .otherwise(transform(col("embedding"),
+          x => floor(x.cast("double") * 127.0 / col("m") + 0.5))))
+      .withColumn("bucket",
+        concat((0 until 2).map(p =>
+          when(planeDot(col("embedding"), p) >= 0, lit("1"))
+            .otherwise(lit("0"))): _*))
+      .select(col("vec_id"), col("label"), col("bucket"), col("qv"))
+    val q = quant.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("bucket"), col("qv").as("q_qv"))
+    val c = quant.select(col("vec_id").as("neg_id"),
+      col("label").as("c_label"), col("bucket"), col("qv").as("c_qv"))
+    val scored = q.join(c, "bucket")
+      .filter(col("q_label") =!= col("c_label"))
+      .withColumn("score",
+        aggregate(zip_with(col("q_qv"), col("c_qv"), (x, y) => x * y),
+          lit(0L), (a, x) => a + x))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("score").desc, col("neg_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("neg_id"), col("score"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH qz AS (
+       |  SELECT vec_id, label, embedding, ${planesSqlN(2)} AS bucket,
+       |    SQRT(list_reduce(list_transform(range(1, len(embedding)+1),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+       |      (a, b) -> a + b)) AS m
+       |  FROM embeddings),
+       |quant AS (
+       |  SELECT vec_id, label, bucket,
+       |    list_transform(embedding, x -> CASE WHEN m = 0
+       |      THEN CAST(0 AS BIGINT)
+       |      ELSE CAST(FLOOR(CAST(x AS DOUBLE)*127.0/m + 0.5) AS BIGINT)
+       |      END) AS qv
+       |  FROM qz),
+       |q AS (SELECT vec_id AS q_id, label AS q_label, bucket, qv AS q_qv
+       |      FROM quant WHERE vec_id % 50 = 0),
+       |c AS (SELECT vec_id AS neg_id, label AS c_label, bucket, qv AS c_qv
+       |      FROM quant),
+       |scored AS (
+       |  SELECT q_id, neg_id,
+       |    list_reduce(list_transform(range(1, len(q_qv)+1),
+       |      i -> q_qv[i]*c_qv[i]), (a,b) -> a+b) AS score
+       |  FROM q JOIN c USING (bucket) WHERE q_label <> c_label),
+       |ranked AS (
+       |  SELECT q_id, neg_id, CAST(score AS BIGINT) AS score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |         ORDER BY score DESC, neg_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT q_id, neg_id, score, rank FROM ranked WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_truncation_energy" -> truncationEnergy,
+    "retrieval_hard_negatives" -> hardNegatives,
     "emb_cosine_topk" -> cosineTopK,
     "emb_ann_quantized" -> annQuantized,
     "emb_ann_ivf" -> annIvf,
@@ -584,6 +667,7 @@ object Embeddings {
 
   val oracle: Map[String, String] = Map(
     "emb_truncation_energy" -> truncationEnergySql,
+    "retrieval_hard_negatives" -> hardNegativesSql,
     "emb_cosine_topk" -> cosineTopKSql,
     "emb_ann_quantized" -> annQuantizedSql,
     "emb_label_norms" -> labelCentroidNormSql,
