@@ -209,11 +209,146 @@ object DataAudit {
       |FROM cb JOIN sb ON block_id = sblock
       |ORDER BY block_id, c_custkey, s_suppkey""".stripMargin
 
+  // ------------------------------------------------ join-key skew audit
+  /** Per-join-key skew profile over every candidate shuffle key in the
+    * star schema — the PRE-JOIN diagnostic that decides, before a
+    * 100 TB shuffle is launched, whether a key needs salting
+    * (operators.SkewJoin), AQE skew splitting, or nothing. One row per
+    * key: distinct-key count, row count, the hottest key's count, and
+    * `skew_pm` = hottest/mean in permille (1000 = perfectly uniform;
+    * AQE's default skewedPartitionFactor fires around 5000).
+    *
+    * Scale shape: each branch is ONE map-side-partial count per key
+    * followed by a 4-value rollup — no row leaves the cluster, output
+    * is O(number of audited keys). Branches are independent scans
+    * unioned at planning time, so the audit runs as wide as the
+    * cluster. */
+  def keySkewAudit(s: SparkSession, d: String): DataFrame = {
+    def prof(name: String, df: DataFrame, k: String): DataFrame =
+      df.groupBy(col(k).as("k")).agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+          max(col("cnt")).as("max_cnt"))
+        .select(lit(name).as("join_key"), col("n_keys"),
+          col("n_rows").cast("long").as("n_rows"), col("max_cnt"),
+          expr("max_cnt * n_keys * 1000 DIV n_rows").as("skew_pm"))
+    prof("events.user_id", events(s, d), "user_id")
+      .unionByName(prof("lineitem.l_orderkey", lineitem(s, d), "l_orderkey"))
+      .unionByName(prof("lineitem.l_partkey", lineitem(s, d), "l_partkey"))
+      .unionByName(prof("lineitem.l_suppkey", lineitem(s, d), "l_suppkey"))
+      .unionByName(prof("orders.o_custkey", orders(s, d), "o_custkey"))
+      .orderBy(col("join_key"))
+  }
+
+  val keySkewAuditSql: String = {
+    def prof(name: String, table: String, k: String): String =
+      s"""SELECT '$name' AS join_key, COUNT(*) AS n_keys,
+         |  CAST(SUM(cnt) AS BIGINT) AS n_rows, MAX(cnt) AS max_cnt,
+         |  MAX(cnt) * COUNT(*) * 1000 // CAST(SUM(cnt) AS BIGINT) AS skew_pm
+         |FROM (SELECT $k, COUNT(*) AS cnt FROM $table GROUP BY $k) g""".stripMargin
+    s"""${prof("events.user_id", "events", "user_id")}
+       |UNION ALL ${prof("lineitem.l_orderkey", "lineitem", "l_orderkey")}
+       |UNION ALL ${prof("lineitem.l_partkey", "lineitem", "l_partkey")}
+       |UNION ALL ${prof("lineitem.l_suppkey", "lineitem", "l_suppkey")}
+       |UNION ALL ${prof("orders.o_custkey", "orders", "o_custkey")}
+       |ORDER BY join_key""".stripMargin
+  }
+
+  // ------------------------------------------------ k-anonymity audit
+  /** k-anonymity of the customer registry under the quasi-identifier
+    * (nation, market segment, account-balance-to-the-$1000) — the
+    * re-identification audit a governed lake runs before releasing a
+    * table: every row in a QID group of size < k is linkable to at
+    * most k−1 candidates by an attacker holding those attributes.
+    * One row per segment: group count, the table's realized anonymity
+    * k (= min group size), singleton groups (unique individuals), and
+    * rows in groups smaller than 5.
+    *
+    * The balance bucket shifts cents non-negative BEFORE the integer
+    * divide — Spark's DIV truncates toward zero while DuckDB's //
+    * floors, and the two only agree on non-negative operands.
+    *
+    * Scale shape: one groupBy on the QID (map-side partial), one
+    * rollup per segment; output is O(segments). */
+  def kAnonymityAudit(s: SparkSession, d: String): DataFrame =
+    kAnonymityOn(customer(s, d))
+
+  /** Core audit over a caller-supplied registry — separated so specs
+    * can plant singleton and sub-k groups. */
+  def kAnonymityOn(c: DataFrame): DataFrame =
+    c.groupBy(col("c_nationkey").as("nation"),
+        col("c_mktsegment").as("segment"),
+        expr("(CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) + 100000) DIV 100000")
+          .as("bal_kilo"))
+      .agg(count(lit(1)).as("gsize"))
+      .groupBy(col("segment"))
+      .agg(sum(col("gsize")).cast("long").as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        min(col("gsize")).as("anonymity_k"),
+        sum(when(col("gsize") === 1, 1L).otherwise(0L)).cast("long")
+          .as("n_singletons"),
+        sum(when(col("gsize") < 5, col("gsize")).otherwise(0L)).cast("long")
+          .as("rows_below_k5"))
+      .orderBy(col("segment"))
+
+  val kAnonymityAuditSql: String =
+    """WITH g AS (
+      |  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+      |    (CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) + 100000) // 100000
+      |      AS bal_kilo,
+      |    COUNT(*) AS gsize
+      |  FROM customer GROUP BY 1, 2, 3)
+      |SELECT segment, CAST(SUM(gsize) AS BIGINT) AS n_rows,
+      |  COUNT(*) AS n_groups, MIN(gsize) AS anonymity_k,
+      |  CAST(COUNT(*) FILTER (WHERE gsize = 1) AS BIGINT) AS n_singletons,
+      |  CAST(COALESCE(SUM(gsize) FILTER (WHERE gsize < 5), 0) AS BIGINT)
+      |    AS rows_below_k5
+      |FROM g GROUP BY segment ORDER BY segment""".stripMargin
+
+  // ------------------------------------------------ salted skew join
+  /** The operators.SkewJoin.saltedJoin topology surfaced end-to-end:
+    * lineitem⋈supplier on the supplier key with an 8-way salt —
+    * the big side salts each row randomly, the small side replicates
+    * once per salt bucket, the join key becomes (key, salt) so no
+    * single reducer ever owns a whole hot key. The aggregate result
+    * must equal the UNSALTED join exactly (salting is a physical
+    * rewrite, not a semantic one) — which is precisely what the
+    * plain-join oracle checks.
+    *
+    * Scale shape: replication cost = |small| × buckets (bounded,
+    * build-side only); the big side's hottest key spreads over
+    * `buckets` partitions. This is the manual form for KNOWN mega-keys;
+    * AQE's runtime skew split (on in Session.build) covers the
+    * discovered-at-runtime case and cannot salt aggregations. */
+  def joinSkewSalted(s: SparkSession, d: String): DataFrame = {
+    val big = lineitem(s, d).select(col("l_suppkey").as("suppkey"),
+      graft.queries.Relational.cents(
+        col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev_c"))
+    val small = supplier(s, d).select(col("s_suppkey").as("suppkey"),
+      col("s_nationkey"))
+    graft.operators.SkewJoin.saltedJoin(big, small, "suppkey", buckets = 8)
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_items"), sum(col("rev_c")).as("revenue_c"))
+      .orderBy(col("nationkey"))
+  }
+
+  val joinSkewSaltedSql: String =
+    """SELECT s_nationkey AS nationkey, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(FLOOR((l_extendedprice*(1-l_discount))*100 + 0.5)
+      |    AS BIGINT)) AS BIGINT) AS revenue_c
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey ORDER BY nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "audit_referential" -> referentialAudit,
+    "audit_key_skew" -> keySkewAudit,
+    "audit_k_anonymity" -> kAnonymityAudit,
+    "join_skew_salted" -> joinSkewSalted,
     "link_blocked_fuzzy" -> linkBlockedFuzzy)
 
   val oracle: Map[String, String] = Map(
     "audit_referential" -> referentialAuditSql,
+    "audit_key_skew" -> keySkewAuditSql,
+    "audit_k_anonymity" -> kAnonymityAuditSql,
+    "join_skew_salted" -> joinSkewSaltedSql,
     "link_blocked_fuzzy" -> linkBlockedFuzzySql)
 }

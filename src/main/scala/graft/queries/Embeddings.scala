@@ -529,6 +529,84 @@ object Embeddings {
     * mean is then integer DIV — the same snap-then-aggregate device
     * as labelCentroidNorm. Scale shape: pure projection + one
     * hash-agg on label; linear, no joins at all. */
+  // ------------------------------------------- JL distortion audit
+  /** Johnson–Lindenstrauss random-projection audit: project each
+    * 64-dim embedding through a fixed ±1 Rademacher matrix down to
+    * k=16 dims and measure how well the squared norm survives —
+    * `ratio_pm` = 1000·‖Rx‖²/(k·‖x‖²), which JL says concentrates
+    * around 1000. Per label: n, integer mean/min/max of the permille
+    * ratio (snap-then-aggregate, so the hash compare never sees a
+    * float). Norm preservation implies pairwise-distance preservation
+    * by linearity (R(x−y) = Rx−Ry), so this is the audit to run before
+    * swapping a 64-dim index for a 16-dim one in the ANN path.
+    *
+    * The matrix is seedless and engine-exact: entry (p,i) =
+    * sign(sin(1000p + i + 0.5)) ∈ {−1, +1} — the +0.5 keeps every
+    * argument off sin's only representable zero (x=0), unlike the
+    * SignPlanes family where entry (0,0) degenerates to 0. Products
+    * are exact sign flips, the sum is the same in-order double fold
+    * both engines run, so projections are bit-identical.
+    *
+    * Scale shape: one projection + one rollup per label — per-row
+    * work is 16 folds over 64 components, no shuffle beyond the
+    * O(labels) aggregate. */
+  def jlDistortion(s: SparkSession, d: String): DataFrame =
+    jlDistortionOn(embeddings(s, d))
+
+  /** Core audit over a caller-supplied (label, embedding) frame —
+    * separated so specs can plant vectors with known projections. */
+  def jlDistortionOn(e: DataFrame): DataFrame = {
+    val k = 16
+    def radDot(emb: Column, p: Int): Column =
+      aggregate(zip_with(emb, sequence(lit(0), lit(63)),
+        (x, i) => x.cast("double") *
+          signum(sin(lit(p * 1000).cast("double") + i.cast("double") + lit(0.5)))),
+        lit(0.0), (acc, x) => acc + x)
+    val tot = norm2(col("embedding"))
+    val proj2 = (0 until k).map { p =>
+      val yp = radDot(col("embedding"), p); yp * yp
+    }.reduce(_ + _)
+    e
+      .filter(tot > 0) // zero vectors have no norm to preserve
+      .select(col("label"),
+        floor((proj2 * lit(1000.0)) / (tot * lit(k.toDouble)) + lit(0.5))
+          .cast("bigint").as("ratio_pm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(ratio_pm) AS BIGINT) DIV COUNT(1)").as("mean_pm"),
+        min(col("ratio_pm")).as("min_pm"), max(col("ratio_pm")).as("max_pm"))
+      .orderBy(col("label"))
+  }
+
+  val jlDistortionSql: String = {
+    val k = 16
+    def radDotSql(p: Int) =
+      s"""list_reduce(list_transform(range(1, len(embedding)+1),
+         |      i -> CAST(embedding[i] AS DOUBLE)
+         |        * SIGN(SIN(CAST(${p * 1000} AS DOUBLE) + (i-1) + 0.5))),
+         |      (a, b) -> a + b)""".stripMargin
+    val proj2 = (0 until k).map(p => s"pow_y$p")
+      .reduce((a, b) => s"($a + $b)")
+    val yCols = (0 until k).map(p =>
+      s"${radDotSql(p)} * ${radDotSql(p)} AS pow_y$p").mkString(",\n  ")
+    s"""WITH t AS (
+       |  SELECT label,
+       |    list_reduce(list_transform(range(1, len(embedding)+1),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+       |      (x, y) -> x + y) AS tot,
+       |  $yCols
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT label,
+       |    CAST(FLOOR((($proj2) * 1000.0) / (tot * ${k}.0) + 0.5) AS BIGINT)
+       |      AS ratio_pm
+       |  FROM t WHERE tot > 0)
+       |SELECT label, COUNT(*) AS n,
+       |  CAST(SUM(ratio_pm) AS BIGINT) // COUNT(*) AS mean_pm,
+       |  MIN(ratio_pm) AS min_pm, MAX(ratio_pm) AS max_pm
+       |FROM p GROUP BY label ORDER BY label""".stripMargin
+  }
+
   def truncationEnergy(s: SparkSession, d: String): DataFrame = {
     val ks = Seq(16, 32, 48)
     val tot = norm2(col("embedding"))
@@ -653,6 +731,7 @@ object Embeddings {
        |ORDER BY q_id, rank""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_jl_distortion" -> jlDistortion,
     "emb_truncation_energy" -> truncationEnergy,
     "retrieval_hard_negatives" -> hardNegatives,
     "emb_cosine_topk" -> cosineTopK,
@@ -666,6 +745,7 @@ object Embeddings {
     "dedup_embedding_lsh" -> dedupEmbeddingLsh)
 
   val oracle: Map[String, String] = Map(
+    "emb_jl_distortion" -> jlDistortionSql,
     "emb_truncation_energy" -> truncationEnergySql,
     "retrieval_hard_negatives" -> hardNegativesSql,
     "emb_cosine_topk" -> cosineTopKSql,

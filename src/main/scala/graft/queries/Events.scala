@@ -378,7 +378,67 @@ object Events {
       |  AND epoch_us(ts) - epoch_us(prev_ts) < 1800000000
       |GROUP BY 1, 2 ORDER BY prev_type, next_type""".stripMargin
 
+  // -------------------------------------------------- SCD2 intervals
+  /** Slowly-changing-dimension type-2 build from the event log: treat
+    * each user's event_type as their current STATE and collapse the
+    * log into validity intervals — one row per state CHANGE, carrying
+    * [valid_from, valid_to) in epoch micros, the change's event_id for
+    * lineage, and an is_current flag on the open interval. This is the
+    * warehouse pattern that turns an append-only CDC stream into a
+    * time-travelable dimension (consecutive equal states collapse; an
+    * as-of lookup is then one range probe).
+    *
+    * Micros (not seconds) keep interval bounds collision-free at event
+    * granularity; ties on (ts) break by event_id, so the interval
+    * sequence is a deterministic total order on both engines.
+    *
+    * Scale shape: two windows over the SAME (user_id → ts, event_id)
+    * partitioning — Catalyst plans one shuffle and one sort, the
+    * change filter runs between them; output is bounded by the number
+    * of state changes, never joined back to the full log. */
+  def scd2Intervals(s: SparkSession, d: String): DataFrame =
+    scd2IntervalsOn(events(s, d))
+
+  /** Core build over a caller-supplied (user_id, event_id, ts,
+    * event_type) log — separated so specs can plant change sequences
+    * and timestamp ties. */
+  def scd2IntervalsOn(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val changes = ev
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type").as("state"))
+      .withColumn("prev_state", lag(col("state"), 1).over(w))
+      .filter(col("prev_state").isNull || col("prev_state") =!= col("state"))
+      .select(col("user_id"), col("state"),
+        col("event_id").as("change_event_id"),
+        unix_micros(col("ts")).as("valid_from_us"))
+    val wc = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from_us"), col("change_event_id"))
+    changes
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(wc))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .orderBy(col("user_id"), col("valid_from_us"), col("change_event_id"))
+  }
+
+  val scd2IntervalsSql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, event_id, ts, event_type AS state,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev_state
+      |  FROM events),
+      |changes AS (
+      |  SELECT user_id, state, event_id AS change_event_id,
+      |    epoch_us(ts) AS valid_from_us
+      |  FROM ordered WHERE prev_state IS NULL OR prev_state <> state)
+      |SELECT user_id, state, change_event_id, valid_from_us,
+      |  LEAD(valid_from_us) OVER w AS valid_to_us,
+      |  LEAD(valid_from_us) OVER w IS NULL AS is_current
+      |FROM changes
+      |WINDOW w AS (PARTITION BY user_id ORDER BY valid_from_us, change_event_id)
+      |ORDER BY user_id, valid_from_us, change_event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_scd2_intervals" -> scd2Intervals,
     "ev_session_transitions" -> sessionTransitions,
     "ev_heavy_users" -> heavyUsers,
     "ev_tumbling_hourly" -> tumblingHourly,
@@ -391,6 +451,7 @@ object Events {
     "ev_json_extract" -> jsonExtract)
 
   val oracle: Map[String, String] = Map(
+    "ev_scd2_intervals" -> scd2IntervalsSql,
     "ev_session_transitions" -> sessionTransitionsSql,
     "ev_heavy_users" -> heavyUsersSql,
     "ev_tumbling_hourly" -> tumblingHourlySql,

@@ -92,9 +92,100 @@ object GraphRank {
        |WHERE id % 2 = 0 ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------ triangle count
+  /** Distributed triangle counting over the LSH candidate-pair graph,
+    * plus the global clustering coefficient (closed/total wedges in
+    * permille) — the dedup-QA diagnostic for transitive merging: a
+    * triangle-dense candidate graph means dup clusters are cliquish
+    * and the connected-components merge (dedup_clusters) is safe; a
+    * triangle-sparse one means chains of borderline pairs are gluing
+    * unrelated docs and the band parameters need tightening.
+    *
+    * Scale shape: the textbook wedge join is quadratic in the hottest
+    * node's degree, so edges are first ORIENTED from the
+    * lower-(degree, id) endpoint to the higher — every triangle then
+    * has exactly one node with two out-edges, each triangle is
+    * enumerated once, and out-degrees are O(√m), bounding the wedge
+    * join at O(m^1.5) regardless of skew (the Suri–Vassilvitskii
+    * MapReduce bound). Wedges close against the undirected edge set
+    * via one equi-join; the three final 1-row aggregates combine via
+    * broadcast (whitelisted in PlanSpec). */
+  def triangleCount(s: SparkSession, d: String): DataFrame =
+    triangleCountOn(Documents.lshCandidatePairs(s, d))
+
+  /** Core count over caller-supplied undirected edges (doc_a < doc_b,
+    * distinct) — separated so specs can plant known triangle motifs. */
+  def triangleCountOn(pairs: DataFrame): DataFrame = {
+    // edges feeds degree calc, orientation, and wedge closure — one
+    // materialization, three consumers
+    val edges = graft.operators.Materialize.eager(
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+    val deg = graft.operators.Materialize.eager(
+      edges.select(col("u").as("id")).union(edges.select(col("v").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("dg")))
+    val fwd = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = graft.operators.Materialize.eager(
+      edges
+        .join(deg.select(col("id").as("u"), col("dg").as("du")), "u")
+        .join(deg.select(col("id").as("v"), col("dg").as("dv")), "v")
+        .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
+          when(fwd, col("v")).otherwise(col("u")).as("dst")))
+    val x = oriented.as("x"); val y = oriented.as("y")
+    // two out-edges from one src; dst order makes (u,v) match the
+    // undirected edge convention u < v
+    val wedges = x.join(y,
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .select(col("x.dst").as("u"), col("y.dst").as("v"))
+    val triRow = wedges.join(edges, Seq("u", "v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodeRow = deg.agg(count(lit(1)).as("n_nodes"),
+      coalesce(sum(expr("dg * (dg - 1) DIV 2")), lit(0L)).cast("long")
+        .as("n_wedges"))
+    val edgeRow = edges.agg(count(lit(1)).as("n_edges"))
+    nodeRow.join(broadcast(edgeRow)).join(broadcast(triRow))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") === 0, lit(0L))
+          .otherwise(expr("n_triangles * 3000 DIV n_wedges"))
+          .as("closure_pm"))
+  }
+
+  val triangleCountSql: String = {
+    val sig = Documents.minhashSignaturesSql.replace("ORDER BY doc_id", "")
+    s"""WITH sig AS ($sig),
+       |banded AS (
+       |  SELECT doc_id, 'b0_' || mh0 || '_' || mh1 AS band FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 'b1_' || mh2 || '_' || mh3 AS band FROM sig),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.doc_id < b.doc_id),
+       |deg AS (
+       |  SELECT id, COUNT(*) AS dg FROM (
+       |    SELECT u AS id FROM pairs UNION ALL SELECT v FROM pairs) t
+       |  GROUP BY id),
+       |tri AS (
+       |  SELECT COUNT(*) AS n_triangles FROM pairs e1
+       |  JOIN pairs e2 ON e2.u = e1.v
+       |  JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v),
+       |node_stats AS (
+       |  SELECT COUNT(*) AS n_nodes,
+       |    CAST(COALESCE(SUM(dg * (dg - 1) // 2), 0) AS BIGINT) AS n_wedges
+       |  FROM deg),
+       |edge_stats AS (SELECT COUNT(*) AS n_edges FROM pairs)
+       |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       |  CASE WHEN n_wedges = 0 THEN 0
+       |       ELSE n_triangles * 3000 // n_wedges END AS closure_pm
+       |FROM node_stats, edge_stats, tri""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "graph_pagerank_dups" -> pagerankDupGraph)
+    "graph_pagerank_dups" -> pagerankDupGraph,
+    "graph_triangle_count" -> triangleCount)
 
   val oracle: Map[String, String] = Map(
-    "graph_pagerank_dups" -> pagerankDupGraphSql)
+    "graph_pagerank_dups" -> pagerankDupGraphSql,
+    "graph_triangle_count" -> triangleCountSql)
 }

@@ -83,4 +83,39 @@ class DataAuditSpec extends AnyFunSuite {
     assert(byPair((1L, 72L))._4 == 7L && !byPair((1L, 72L))._6,
       "7-edit name must NOT link even with the right nation")
   }
+
+  test("k-anonymity: planted sub-k groups are counted; distinct QIDs " +
+      "split groups; negative balances bucket like DuckDB") {
+    // segment S: 3 clones in one QID group + 1 singleton (different
+    // nation); segment T: 2 rows split ONLY by the balance bucket,
+    // one of them negative (floor-vs-truncate divide trap)
+    val c = Seq(
+      (1L, 3, "S", 1234.0), (2L, 3, "S", 1500.0), (3L, 3, "S", 1999.99),
+      (4L, 4, "S", 1234.0),
+      (5L, 1, "T", 500.0), (6L, 1, "T", -500.0))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val out = DataAudit.kAnonymityOn(c)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // S: groups {3 rows}, {1 row} → k=1, 1 singleton, 4 rows below 5
+    assert(out("S") == ((4L, 2L, 1L, 1L, 4L)))
+    // T: +500 → bucket 1, −500 → bucket 0 (shifted floor) → 2 groups
+    assert(out("T") == ((2L, 2L, 1L, 2L, 2L)))
+  }
+
+  test("key-skew audit: one row per audited key; skew_pm >= 1000 " +
+      "(hottest >= mean) and consistent with the table rows") {
+    val d = "/root/testdata/sf0.001"
+    val out = DataAudit.keySkewAudit(spark, d)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.map(_._1).toSeq == Seq("events.user_id",
+      "lineitem.l_orderkey", "lineitem.l_partkey", "lineitem.l_suppkey",
+      "orders.o_custkey"))
+    val liRows = graft.Tables.lineitem(spark, d).count()
+    out.foreach { case (key, nKeys, nRows, maxCnt, skewPm) =>
+      assert(nKeys > 0 && maxCnt > 0 && nKeys <= nRows)
+      assert(skewPm >= 1000, s"$key: max below mean is impossible")
+      if (key.startsWith("lineitem.")) assert(nRows == liRows)
+    }
+  }
 }
