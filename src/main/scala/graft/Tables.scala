@@ -20,12 +20,35 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read nanos as long and truncate to the session's
-    * microsecond timestamps (same truncation DuckDB applies on read). */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** The events fixture has shipped `ts` in two physical parquet shapes
+    * across driver rounds: TIMESTAMP(NANOS) — which Spark's vectorized
+    * reader rejects unless `nanosAsLong=true`, surfacing it as int64
+    * nanoseconds — and plain `timestamp[us]` with no timezone, which
+    * surfaces as TIMESTAMP_NTZ. Normalize either to session-zone
+    * TimestampType (session TZ is UTC, so the NTZ cast is value-
+    * preserving) so downstream queries and the DuckDB oracle see the
+    * same microsecond instants. IOSpec pins both shapes. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // nanos-as-long: truncate to µs (same truncation DuckDB applies)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
+  def events(s: SparkSession, d: String): DataFrame = normalizeEventTs {
+    try t(s, d, "events")
+    catch {
+      case _: Exception =>
+        // schema inference rejected the footer — the legacy
+        // TIMESTAMP(NANOS) shape; the conf must stay set for the scan
+        // itself to execute, so it is only ever set on this path
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        t(s, d, "events")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

@@ -16,11 +16,21 @@ object Verify {
     val spark = Session.build("graft-verify", s"local[$cpus]")
     spark.conf.set("spark.sql.shuffle.partitions", cpus)
     new java.io.File(outDir).mkdirs()
+    // A query that throws must leave a LOUD artifact, not just a stderr
+    // line: round 6 lost 15 correctness rows because failures produced
+    // no output at all and silently shrank the artifact. Each failure
+    // writes _errors/<name>.txt and a row in errors.json.
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.filter(kv => only(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        val msg = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
+        failed(name) = msg
+        val errDir = Paths.get(outDir, "_errors")
+        Files.createDirectories(errDir)
+        Files.writeString(errDir.resolve(s"$name.txt"), msg)
       } finally {
         // free per-query residue: cached tables via clearCache, and
         // every Materialize-tracked block synchronously (localCheckpoint
@@ -47,6 +57,15 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => only(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // always written (possibly {}) so "no errors" is distinguishable
+    // from "error reporting never ran"
+    val errJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (failed.nonEmpty) {
+      System.err.println(s"[verify] ${failed.size} QUERIES FAILED: " +
+        failed.keys.mkString(", "))
+    }
     spark.stop()
   }
 }

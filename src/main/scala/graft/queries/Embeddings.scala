@@ -23,20 +23,28 @@ object Embeddings {
 
   private def norm2(a: Column): Column = dot(a, a)
 
-  /** Pairwise cosine similarity for a filtered query set vs the whole
-    * table; top-k neighbors per query by (similarity desc, id).
-    * IDs-and-rank output keeps the hash compare float-free except for
-    * the similarity itself (deterministic by the fold above). */
+  /** Exact cosine top-k for a BOUNDED query set vs the whole table;
+    * top-k neighbors per query by (similarity desc, id). IDs-and-rank
+    * output keeps the hash compare float-free except for the
+    * similarity itself (deterministic by the fold above).
+    *
+    * Scale contract: the query side is capped at <=1024 vectors
+    * (vec_id % 50 == 0 AND vec_id < 51200 — deterministic, and a
+    * no-op at test SFs where max vec_id is far below the cap), and it
+    * is the BROADCAST side; the full corpus streams past it, so total
+    * work is O(1024 * n) — linear in corpus size, never n². The
+    * unbounded-query-set shape lives in emb_ann_* (LSH/IVF). PlanSpec
+    * pins the broadcast direction. */
   def cosineTopK(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(s)
     val e = embeddings(s, d)
-    val queries = e.filter(col("vec_id") % 50 === 0)
+    val queries = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 51200)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val cand = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
     // native CosineSimF expression: one primitive loop per pair inside
     // codegen (same fold order as the zip_with composition → same
     // doubles as the DuckDB oracle); ~10× the composed throughput
-    val scored = queries.join(broadcast(cand), col("q_id") =!= col("c_id"))
+    val scored = cand.join(broadcast(queries), col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
         graft.functions.GraftFunctions
           .cosineSim(col("q_emb"), col("c_emb")).as("cos"))
@@ -51,7 +59,7 @@ object Embeddings {
   val cosineTopKSql: String =
     s"""WITH q AS (
        |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
-       |  WHERE vec_id % 50 = 0),
+       |  WHERE vec_id % 50 = 0 AND vec_id < 51200),
        |c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
        |scored AS (
        |  SELECT q_id, c_id,

@@ -39,12 +39,21 @@ object EventStreams {
       .parquet(dir)
   }
 
-  /** File-source stream over an events parquet path (ns timestamps
-    * read as long, truncated to µs — same convention as Tables.events). */
+  /** File-source stream over an events parquet path. The fixture's ts
+    * column has shipped as both TIMESTAMP(NANOS) and timestamp[us]
+    * across rounds; delegate shape detection + normalization to
+    * Tables.normalizeEventTs so stream and batch can never disagree. */
   def readEventStream(spark: SparkSession, path: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    readParquetStream(spark, path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream =
+      try readParquetStream(spark, path)
+      catch {
+        case _: Exception =>
+          // legacy nanos footer: needs the conf both for the schema
+          // probe inside readParquetStream and for the scan itself
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          readParquetStream(spark, path)
+      }
+    graft.Tables.normalizeEventTs(stream)
   }
 
   /** Tumbling 1-hour event-time window with a 1-hour watermark. */

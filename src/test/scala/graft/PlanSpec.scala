@@ -125,8 +125,9 @@ class PlanSpec extends AnyFunSuite {
   // or the one documented brute-force baseline. Anything new landing
   // here must justify itself the same way.
   private val bnljWhitelist: Set[String] = Set(
-    "emb_cosine_topk",      // THE brute exactness baseline (documented);
-                            // emb_ann_* are the scale path
+    "emb_cosine_topk",      // brute exactness baseline; broadcast side
+                            // is the <=1024-row capped query set (pin
+                            // below); emb_ann_* are the scale path
     "emb_semantic_dedup",   // 1-row stats broadcast
     "emb_outliers_per_cell",// per-cell stats broadcast (<= n_cells rows)
     "text_bm25_topk",       // 1-row (N, avgdl) corpus stats broadcast
@@ -180,6 +181,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"),
       "global top-k must be the distributed heap form, not a full sort")
     assert(p.contains("partial_count"), "tf must partial-aggregate map-side")
+  }
+
+  test("emb_cosine_topk: BNLJ broadcasts the BOUNDED query side only") {
+    // Scale contract (Embeddings.cosineTopK): the query set is capped at
+    // <=1024 vectors (vec_id % 50 == 0 AND vec_id < 51200) and is the
+    // build/broadcast side; the full corpus STREAMS — work is O(1024·n),
+    // never n², and the broadcast can never grow with the corpus. The
+    // unbounded-query form is served by emb_ann_lsh_buckets/ivf/quantized.
+    val p = plan("emb_cosine_topk")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastNestedLoopJoin Inner BuildRight"),
+      "query side (right) must be the broadcast side:\n" + p.take(800))
+    // the bounding predicate must actually reach the broadcast side's scan
+    assert(p.contains("LessThan(vec_id,51200)"),
+      "query-side cap must be pushed to the scan")
   }
 
   test("kmeans assign: the ONLY non-equi join is the broadcast of k centers") {

@@ -230,4 +230,62 @@ class IOSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("duplicate"))
   }
+
+  // ---- events fixture-schema guard ------------------------------------
+  // Round 6 post-mortem: the driver regenerated events.parquet with ts as
+  // timestamp[us] (read as TIMESTAMP_NTZ) where earlier rounds shipped
+  // TIMESTAMP(NANOS) (readable only as int64 via nanosAsLong). The loader
+  // must normalize EVERY shape it has ever seen to the same session-zone
+  // TimestampType instant, so a fixture regeneration can never again
+  // silently break the whole events tier.
+
+  private val instantUs = "2024-01-01 00:00:00.123456"
+
+  private def eventsTsOf(dir: String): (org.apache.spark.sql.types.DataType, java.sql.Timestamp) = {
+    val df = graft.Tables.events(spark, dir)
+    (df.schema("ts").dataType, df.select(col("ts")).head().getTimestamp(0))
+  }
+
+  test("events loader: legacy TIMESTAMP(NANOS) fixture shape") {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val dir = tmp("evnanos")
+    val schema = Types.buildMessage()
+      .required(PrimitiveTypeName.INT64)
+      .as(LogicalTypeAnnotation.timestampType(false, TimeUnit.NANOS)).named("ts")
+      .required(PrimitiveTypeName.INT64).named("event_id")
+      .named("events")
+    val w = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(s"$dir/events.parquet"))
+      .withType(schema).build()
+    // 2024-01-01T00:00:00.123456789Z as epoch nanos; loader truncates to µs
+    val nanos = 1704067200L * 1000000000L + 123456789L
+    w.write(new SimpleGroupFactory(schema).newGroup()
+      .append("ts", nanos).append("event_id", 1L))
+    w.close()
+    val (dt, ts) = eventsTsOf(dir)
+    assert(dt == org.apache.spark.sql.types.TimestampType)
+    assert(ts.toInstant == java.time.Instant.parse("2024-01-01T00:00:00.123456Z"))
+  }
+
+  test("events loader: current timestamp[us] (TIMESTAMP_NTZ) fixture shape") {
+    val dir = tmp("evntz")
+    spark.sql(s"select timestamp_ntz'$instantUs' as ts, 1L as event_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val (dt, ts) = eventsTsOf(dir)
+    assert(dt == org.apache.spark.sql.types.TimestampType)
+    assert(ts.toInstant == java.time.Instant.parse("2024-01-01T00:00:00.123456Z"))
+  }
+
+  test("events loader: session-zone TimestampType passes through") {
+    val dir = tmp("evtz")
+    spark.sql(s"select timestamp'$instantUs' as ts, 1L as event_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val (dt, ts) = eventsTsOf(dir)
+    assert(dt == org.apache.spark.sql.types.TimestampType)
+    assert(ts.toInstant == java.time.Instant.parse("2024-01-01T00:00:00.123456Z"))
+  }
 }
