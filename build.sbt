@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] = driver AND all 32 executor threads in ONE heap; 8g
+  // OOM'd (exit 52) once the full 142-query surface ran in a single
+  // JVM (round 7). The container has 128 GiB — 24g is sized so the
+  // widest shuffle/sort working set plus accumulated broadcast/codegen
+  // residue never approaches the ceiling.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

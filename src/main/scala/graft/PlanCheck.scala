@@ -28,7 +28,9 @@ object PlanCheck {
       "text_dedup_span_rewrite", "retrieval_rrf_fusion",
       "sql_recursive_spine", "sql_recursive_hierarchy",
       "doc_quality_deciles", "dedup_lsh_precision",
-      "emb_truncation_energy")
+      "emb_truncation_energy",
+      "graph_triangle_count", "text_winnowing_pairs",
+      "ev_gap_fill_locf", "doc_weighted_sample", "agg_string_collect")
     val out = new StringBuilder
     out ++= "# PLANS — formatted physical plans for headline queries\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanCheck PLANS.md\"` " +

@@ -436,7 +436,83 @@ object CorpusCuration {
        |  MIN(permille) AS min_permille, MAX(permille) AS max_permille
        |FROM perm GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------- winnowing pairs
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's
+    * MOSS local fingerprinting): hash every token 3-gram, slide a
+    * 4-gram window over the hash sequence, keep each window's MIN
+    * hash — the selected fingerprints are GUARANTEED to include a
+    * shared fingerprint for any copied run of ≥ 6 tokens (w+k-1),
+    * with far fewer fingerprints than grams. Candidate pairs are
+    * docs sharing ≥ 3 selected fingerprints. The local-fingerprint
+    * complement to minhash-LSH: LSH finds whole-document near-dups,
+    * winnowing finds localized copies at fingerprint (not full
+    * gram-table) cost.
+    *
+    * Scale shape: gram hashing is one explode (linear); window-min is
+    * a per-doc window (doc_id = parallel unit, bounded by doc
+    * length); the pair join is fingerprint-keyed equi. A fingerprint
+    * shared by MORE THAN 64 docs is boilerplate (MOSS's standard
+    * stop-fingerprint rule) and is dropped BEFORE the join — that
+    * caps the join's Σ bucket² at 64²/fingerprint no matter how
+    * template-heavy the corpus (this synthetic corpus is ~60%
+    * near-dup: un-capped, a hot boilerplate fingerprint alone would
+    * emit millions of pairs). Singleton fingerprints can't pair and
+    * are pruned by the same aggregate. All md5-lexicographic, no
+    * floats. */
+  def winnowingPairs(s: SparkSession, d: String): DataFrame = {
+    val grams = documents(s, d)
+      .select(col("doc_id"),
+        posexplode(Documents.shingles3(col("text"))).as(Seq("p", "g")))
+      .select(col("doc_id"), col("p"), md5(col("g")).as("h"))
+    val wWin = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(Window.currentRow, 3)
+    val fpsAll = grams
+      .withColumn("fp", min(col("h")).over(wWin))
+      .withColumn("wn", count(col("h")).over(wWin))
+      .filter(col("wn") === 4) // full windows only (winnowing def.)
+      .select(col("doc_id"), col("fp")).distinct()
+    val rare = fpsAll.groupBy(col("fp"))
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2 && col("nd") <= 64)
+      .select(col("fp"))
+    val fps = fpsAll.join(rare, "fp")
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val winnowingPairsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $toksSql AS ws FROM documents),
+       |grams AS (
+       |  SELECT doc_id, CAST(i AS INT) AS pos,
+       |    md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS h
+       |  FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+       |wins AS (
+       |  SELECT doc_id,
+       |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+       |    COUNT(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+       |  FROM grams),
+       |fps_all AS (
+       |  SELECT DISTINCT doc_id, fp FROM wins WHERE wn = 4),
+       |rare AS (
+       |  SELECT fp FROM fps_all GROUP BY fp
+       |  HAVING COUNT(*) BETWEEN 2 AND 64),
+       |fps AS (
+       |  SELECT f.doc_id, f.fp FROM fps_all f JOIN rare USING (fp))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  COUNT(*) AS n_shared
+       |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_winnowing_pairs" -> winnowingPairs,
     "doc_source_overlap" -> sourceOverlap,
     "text_duplicate_spans" -> duplicateSpans,
     "doc_cdc_chunks" -> cdcChunks,
@@ -445,6 +521,7 @@ object CorpusCuration {
     "dedup_lsh_precision" -> lshPrecision)
 
   val oracle: Map[String, String] = Map(
+    "text_winnowing_pairs" -> winnowingPairsSql,
     "doc_source_overlap" -> sourceOverlapSql,
     "text_duplicate_spans" -> duplicateSpansSql,
     "doc_cdc_chunks" -> cdcChunksSql,

@@ -437,7 +437,74 @@ object Events {
       |WINDOW w AS (PARTITION BY user_id ORDER BY valid_from_us, change_event_id)
       |ORDER BY user_id, valid_from_us, change_event_id""".stripMargin
 
+  // ------------------------------------------- LOCF gap-fill (spine)
+  /** Last-observation-carried-forward over a dense per-user daily
+    * spine: each sampled user gets one row for EVERY day in the log's
+    * range; days with no purchase carry the most recent prior day's
+    * purchase total (the classic timeseries gap-fill / downstream-
+    * feature-store shape). Exercises the IGNORE NULLS window surface
+    * (`last(_, ignoreNulls=true)` ⇔ DuckDB `LAST_VALUE(x IGNORE
+    * NULLS)`), a generated calendar spine (`sequence` ⇔
+    * `generate_series`), and a left join of facts onto the spine.
+    *
+    * Scale shape: the spine is users × days — generated, never
+    * shuffled wide (one explode per user row); the 1-row global
+    * [min_day, max_day] bound is a broadcast (BNLJ whitelist); the
+    * join and the window share the user_id partitioning. Day totals
+    * are exact cents so carried values hash-match the oracle. The
+    * user sample (% 10) bounds output, not correctness. */
+  def gapFillLocf(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val bounds = ev.agg(
+      date_trunc("day", min(col("ts"))).as("d0"),
+      date_trunc("day", max(col("ts"))).as("d1"))
+    val users = ev.filter(col("user_id") % 10 === 0)
+      .select(col("user_id")).distinct()
+    val spine = users.crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
+          .as("day"))
+    val daily = ev.filter(col("event_type") === "purchase" &&
+        col("user_id") % 10 === 0)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(moneySum(col("value")).as("day_value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day").cast("long").as("day_sec"),
+        col("day_value"),
+        last(col("day_value"), ignoreNulls = true).over(w).as("filled_value"))
+      .orderBy(col("user_id"), col("day_sec"))
+  }
+
+  val gapFillLocfSql: String =
+    s"""WITH bounds AS (
+       |  SELECT DATE_TRUNC('day', MIN(ts)) AS d0,
+       |         DATE_TRUNC('day', MAX(ts)) AS d1 FROM events),
+       |users AS (
+       |  SELECT DISTINCT user_id FROM events WHERE user_id % 10 = 0),
+       |spine AS (
+       |  SELECT u.user_id, d.day
+       |  FROM users u CROSS JOIN
+       |    (SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+       |     FROM bounds) d),
+       |daily AS (
+       |  SELECT user_id, DATE_TRUNC('day', ts) AS day,
+       |    ${moneySumSql("value")} AS day_value
+       |  FROM events
+       |  WHERE event_type = 'purchase' AND user_id % 10 = 0
+       |  GROUP BY 1, 2)
+       |SELECT s.user_id, CAST(FLOOR(EPOCH(s.day)) AS BIGINT) AS day_sec,
+       |  y.day_value,
+       |  LAST_VALUE(y.day_value IGNORE NULLS) OVER (
+       |    PARTITION BY s.user_id ORDER BY s.day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+       |FROM spine s LEFT JOIN daily y
+       |  ON s.user_id = y.user_id AND s.day = y.day
+       |ORDER BY s.user_id, day_sec""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_gap_fill_locf" -> gapFillLocf,
     "ev_scd2_intervals" -> scd2Intervals,
     "ev_session_transitions" -> sessionTransitions,
     "ev_heavy_users" -> heavyUsers,
@@ -451,6 +518,7 @@ object Events {
     "ev_json_extract" -> jsonExtract)
 
   val oracle: Map[String, String] = Map(
+    "ev_gap_fill_locf" -> gapFillLocfSql,
     "ev_scd2_intervals" -> scd2IntervalsSql,
     "ev_session_transitions" -> sessionTransitionsSql,
     "ev_heavy_users" -> heavyUsersSql,

@@ -102,16 +102,28 @@ object GraphRank {
     * unrelated docs and the band parameters need tightening.
     *
     * Scale shape: the textbook wedge join is quadratic in the hottest
-    * node's degree, so edges are first ORIENTED from the
-    * lower-(degree, id) endpoint to the higher — every triangle then
-    * has exactly one node with two out-edges, each triangle is
-    * enumerated once, and out-degrees are O(√m), bounding the wedge
-    * join at O(m^1.5) regardless of skew (the Suri–Vassilvitskii
-    * MapReduce bound). Wedges close against the undirected edge set
-    * via one equi-join; the three final 1-row aggregates combine via
-    * broadcast (whitelisted in PlanSpec). */
+    * node's degree, so two defenses compose. (1) Edges are ORIENTED
+    * from the lower-(degree, id) endpoint to the higher — every
+    * triangle has exactly one node with two out-edges and is
+    * enumerated once (Suri–Vassilvitskii). (2) Orientation alone is
+    * NOT enough on this graph: LSH band buckets are cliques, and at
+    * sf0.1 the candidate graph is 7.5 M edges at ~60% density, where
+    * even oriented out-degrees reach the thousands — the un-capped
+    * wedge join measured 54 GB of spill and >30 min (round 7). So
+    * out-edges are CAPPED at K=64 per node, chosen deterministically
+    * by md5 order — the standard sampled local-clustering estimator:
+    * tested wedges are an unbiased-by-construction md5 sample, the
+    * wedge join is HARD-bounded at O(n·K²) whatever the density, and
+    * `n_triangles`/`closure_pm` are the sampled closure diagnostic
+    * (exact whenever every out-degree ≤ K — all spec motifs).
+    * `n_wedges` (the exact global wedge count) still comes from the
+    * O(n) degree aggregate. Wedges close against the full undirected
+    * edge set via one equi-join; the final 1-row aggregates combine
+    * via broadcast (whitelisted in PlanSpec). */
   def triangleCount(s: SparkSession, d: String): DataFrame =
     triangleCountOn(Documents.lshCandidatePairs(s, d))
+
+  private val CapK = 64
 
   /** Core count over caller-supplied undirected edges (doc_a < doc_b,
     * distinct) — separated so specs can plant known triangle motifs. */
@@ -125,13 +137,21 @@ object GraphRank {
         .groupBy(col("id")).agg(count(lit(1)).as("dg")))
     val fwd = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
-    val oriented = graft.operators.Materialize.eager(
-      edges
-        .join(deg.select(col("id").as("u"), col("dg").as("du")), "u")
-        .join(deg.select(col("id").as("v"), col("dg").as("dv")), "v")
-        .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
-          when(fwd, col("v")).otherwise(col("u")).as("dst")))
-    val x = oriented.as("x"); val y = oriented.as("y")
+    val oriented = edges
+      .join(deg.select(col("id").as("u"), col("dg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("dg").as("dv")), "v")
+      .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
+        when(fwd, col("v")).otherwise(col("u")).as("dst"))
+    // deterministic md5-ordered out-degree cap: the wedge join below
+    // is then bounded by n·C(K,2) rows no matter how dense the graph
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src"))
+      .orderBy(md5(concat(col("src").cast("string"), lit("|"),
+        col("dst").cast("string"))), col("dst"))
+    val capped = graft.operators.Materialize.eager(
+      oriented.withColumn("rk", row_number().over(wr))
+        .filter(col("rk") <= CapK).drop("rk"))
+    val x = capped.as("x"); val y = capped.as("y")
     // two out-edges from one src; dst order makes (u,v) match the
     // undirected edge convention u < v
     val wedges = x.join(y,
@@ -139,15 +159,20 @@ object GraphRank {
       .select(col("x.dst").as("u"), col("y.dst").as("v"))
     val triRow = wedges.join(edges, Seq("u", "v"))
       .agg(count(lit(1)).as("n_triangles"))
+    val testedRow = capped.groupBy(col("src"))
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L)).cast("long")
+        .as("n_wedges_tested"))
     val nodeRow = deg.agg(count(lit(1)).as("n_nodes"),
       coalesce(sum(expr("dg * (dg - 1) DIV 2")), lit(0L)).cast("long")
         .as("n_wedges"))
     val edgeRow = edges.agg(count(lit(1)).as("n_edges"))
-    nodeRow.join(broadcast(edgeRow)).join(broadcast(triRow))
+    nodeRow.join(broadcast(edgeRow)).join(broadcast(testedRow))
+      .join(broadcast(triRow))
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
-        col("n_triangles"),
-        when(col("n_wedges") === 0, lit(0L))
-          .otherwise(expr("n_triangles * 3000 DIV n_wedges"))
+        col("n_wedges_tested"), col("n_triangles"),
+        when(col("n_wedges_tested") === 0, lit(0L))
+          .otherwise(expr("n_triangles * 1000 DIV n_wedges_tested"))
           .as("closure_pm"))
   }
 
@@ -166,19 +191,41 @@ object GraphRank {
        |  SELECT id, COUNT(*) AS dg FROM (
        |    SELECT u AS id FROM pairs UNION ALL SELECT v FROM pairs) t
        |  GROUP BY id),
+       |oriented AS (
+       |  SELECT
+       |    CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v)
+       |         THEN u ELSE v END AS src,
+       |    CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v)
+       |         THEN v ELSE u END AS dst
+       |  FROM pairs
+       |  JOIN deg du ON du.id = u
+       |  JOIN deg dv ON dv.id = v),
+       |capped AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+       |      ORDER BY md5(CAST(src AS VARCHAR) || '|' ||
+       |        CAST(dst AS VARCHAR)), dst) AS rk
+       |    FROM oriented) r WHERE rk <= 64),
+       |wedges AS (
+       |  SELECT x.dst AS u, y.dst AS v
+       |  FROM capped x JOIN capped y
+       |    ON x.src = y.src AND x.dst < y.dst),
        |tri AS (
-       |  SELECT COUNT(*) AS n_triangles FROM pairs e1
-       |  JOIN pairs e2 ON e2.u = e1.v
-       |  JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v),
+       |  SELECT COUNT(*) AS n_triangles
+       |  FROM wedges w JOIN pairs e ON w.u = e.u AND w.v = e.v),
+       |tested AS (
+       |  SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT)
+       |    AS n_wedges_tested
+       |  FROM (SELECT COUNT(*) AS c FROM capped GROUP BY src) g),
        |node_stats AS (
        |  SELECT COUNT(*) AS n_nodes,
        |    CAST(COALESCE(SUM(dg * (dg - 1) // 2), 0) AS BIGINT) AS n_wedges
        |  FROM deg),
        |edge_stats AS (SELECT COUNT(*) AS n_edges FROM pairs)
-       |SELECT n_nodes, n_edges, n_wedges, n_triangles,
-       |  CASE WHEN n_wedges = 0 THEN 0
-       |       ELSE n_triangles * 3000 // n_wedges END AS closure_pm
-       |FROM node_stats, edge_stats, tri""".stripMargin
+       |SELECT n_nodes, n_edges, n_wedges, n_wedges_tested, n_triangles,
+       |  CASE WHEN n_wedges_tested = 0 THEN 0
+       |       ELSE n_triangles * 1000 // n_wedges_tested END AS closure_pm
+       |FROM node_stats, edge_stats, tested, tri""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

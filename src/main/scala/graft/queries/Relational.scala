@@ -517,6 +517,49 @@ object Relational {
       |FROM orders GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // ------------------------------------------------- string aggregation
+  /** LISTAGG/string_agg surface: per region, the comma-joined sorted
+    * list of its nations plus each nation's customer count — the
+    * denormalize-for-export shape (labels, report rows, prompt
+    * context packing). Determinism: the list is explicitly sorted
+    * (array_sort ⇔ ORDER BY inside string_agg), never
+    * collection-order-dependent. Scale note: a collected list is
+    * bounded by GROUP cardinality (here ≤25 nations/region) — the op
+    * is for bounded label sets; unbounded text concat belongs to
+    * text_pack_sequences' budgeted packing instead. */
+  def aggStringCollect(s: SparkSession, d: String): DataFrame = {
+    val n = nation(s, d).join(broadcast(region(s, d)),
+      col("n_regionkey") === col("r_regionkey"))
+    val perNation = n.join(customer(s, d),
+        col("c_nationkey") === col("n_nationkey"), "left")
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(col("c_custkey")).as("n_cust"))
+    perNation
+      .groupBy(col("r_name"))
+      .agg(
+        array_join(array_sort(collect_list(col("n_name"))), ",")
+          .as("nations"),
+        array_join(array_sort(collect_list(
+          concat(col("n_name"), lit(":"), col("n_cust")))), ",")
+          .as("nation_counts"),
+        sum(col("n_cust")).as("total_cust"))
+      .orderBy(col("r_name"))
+  }
+
+  val aggStringCollectSql: String =
+    """WITH per_nation AS (
+      |  SELECT r_name, n_name, COUNT(c_custkey) AS n_cust
+      |  FROM nation
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  LEFT JOIN customer ON c_nationkey = n_nationkey
+      |  GROUP BY r_name, n_name)
+      |SELECT r_name,
+      |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+      |  string_agg(n_name || ':' || CAST(n_cust AS VARCHAR), ','
+      |    ORDER BY n_name || ':' || CAST(n_cust AS VARCHAR)) AS nation_counts,
+      |  CAST(SUM(n_cust) AS BIGINT) AS total_cust
+      |FROM per_nation GROUP BY r_name ORDER BY r_name""".stripMargin
+
   // -------------------------------------------------------- subqueries
   /** Scalar subquery: customers with balance above the global average. */
   def subqueryScalar(s: SparkSession, d: String): DataFrame = {
@@ -649,6 +692,7 @@ object Relational {
     "agg_distinct" -> aggDistinct,
     "agg_having" -> aggHaving,
     "agg_pivot" -> aggPivot,
+    "agg_string_collect" -> aggStringCollect,
     "subquery_scalar" -> subqueryScalar,
     "subquery_in" -> subqueryIn,
     "scalar_functions" -> scalarFunctions,
@@ -679,6 +723,7 @@ object Relational {
     "agg_distinct" -> aggDistinctSql,
     "agg_having" -> aggHavingSql,
     "agg_pivot" -> aggPivotSql,
+    "agg_string_collect" -> aggStringCollectSql,
     "subquery_scalar" -> subqueryScalarSql,
     "subquery_in" -> subqueryInSql,
     "scalar_functions" -> scalarFunctionsSql,

@@ -342,6 +342,51 @@ object TextPipeline {
       |FROM ranked WHERE cum_tokens <= 1200
       |ORDER BY source, cum_tokens""".stripMargin
 
+  // ------------------------------------------- weighted sample (WOR)
+  /** Deterministic weighted sampling WITHOUT replacement, top-5 per
+    * source, weight ∝ document length: each doc draws `m` hash
+    * tickets (m = 1 + n_chars div 400, capped at 8) and its priority
+    * is the LEXICOGRAPHIC MIN ticket — more tickets ⇒ stochastically
+    * smaller min ⇒ longer docs win proportionally more often, the
+    * integer-exact analogue of exponential-race (A-ES) sampling with
+    * no RNG state and no float math anywhere. Re-runs, re-ingests,
+    * and both engines pick identical rows (ties break on doc_id).
+    *
+    * Scale shape: per-row bounded work (≤8 md5 calls — a fixed-size
+    * array expression, never an explode), then one window shuffle
+    * keyed by source, same parallel unit as the other sampling ops.
+    * The higher-order transform is off the bulk path: it runs once
+    * per doc, not per token. */
+  def weightedSample(s: SparkSession, d: String): DataFrame = {
+    val k = 5
+    val m = least(lit(8), expr("n_chars div 400") + lit(1))
+    val pr = array_min(transform(sequence(lit(1), m),
+      i => md5(concat(i.cast("string"), lit("|"), col("text")))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("pr"), col("doc_id"))
+    documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"), pr.as("pr"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("source"), col("rn"), col("doc_id"), col("n_chars"))
+      .orderBy(col("source"), col("rn"))
+  }
+
+  val weightedSampleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source, n_chars,
+      |    list_min(list_transform(
+      |      generate_series(1, LEAST(8, n_chars // 400 + 1)),
+      |      i -> md5(CAST(i AS VARCHAR) || '|' || text))) AS pr
+      |  FROM documents)
+      |SELECT source,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY pr, doc_id)
+      |    AS INT) AS rn,
+      |  doc_id, n_chars
+      |FROM t
+      |QUALIFY rn <= 5
+      |ORDER BY source, rn""".stripMargin
+
   // ------------------------------------------- global shuffle
   /** Deterministic global shuffle: every doc gets a position 0..n-1 in
     * md5-of-content order — the reproducible permutation a training
@@ -379,6 +424,7 @@ object TextPipeline {
     "text_pack_sequences" -> packSequences,
     "doc_mixture_sample" -> mixtureSample,
     "doc_stratified_sample" -> stratifiedSample,
+    "doc_weighted_sample" -> weightedSample,
     "doc_token_budget_select" -> tokenBudgetSelect,
     "doc_decontaminate" -> decontaminate,
     "topk_per_key_agg" -> ((s, d) =>
@@ -392,6 +438,7 @@ object TextPipeline {
     "text_pack_sequences" -> packSequencesSql,
     "doc_mixture_sample" -> mixtureSampleSql,
     "doc_stratified_sample" -> stratifiedSampleSql,
+    "doc_weighted_sample" -> weightedSampleSql,
     "doc_token_budget_select" -> tokenBudgetSelectSql,
     "doc_decontaminate" -> decontaminateSql,
     // same oracle as the window formulation — different physical plan,
