@@ -30,7 +30,8 @@ object PlanCheck {
       "doc_quality_deciles", "dedup_lsh_precision",
       "emb_truncation_energy",
       "graph_triangle_count", "text_winnowing_pairs",
-      "ev_gap_fill_locf", "doc_weighted_sample", "agg_string_collect")
+      "ev_gap_fill_locf", "doc_weighted_sample", "agg_string_collect",
+      "retrieval_mmr", "audit_null_profile", "ev_lateness_audit")
     val out = new StringBuilder
     out ++= "# PLANS — formatted physical plans for headline queries\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanCheck PLANS.md\"` " +

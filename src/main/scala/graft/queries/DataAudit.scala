@@ -338,7 +338,47 @@ object DataAudit {
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY s_nationkey ORDER BY nationkey""".stripMargin
 
+  // ------------------------------------------------ null/cardinality profile
+  /** Per-column completeness + cardinality profile of the events
+    * table: (column, n_rows, n_null, n_distinct) — the first pass any
+    * data-quality framework runs over a new source (null-rate
+    * regressions, accidental constant columns, key-cardinality
+    * drift).
+    *
+    * Shape: one aggregate PER COLUMN, unioned — deliberately not one
+    * fused multi-distinct aggregate: (a) each per-column agg scans
+    * only ITS parquet column (pruned scan), so total bytes read ≈ one
+    * full-table scan; (b) fusing n exact distincts into one agg
+    * triggers Catalyst's Expand rewrite, which multiplies the scan
+    * n-fold per row — the same trap sketch_profile documented
+    * (BASELINE.md: 188 s fused vs 3 s split). At true 100 TB scale
+    * the exact distinct per column would swap to HLL sketches; the
+    * exact form IS the oracle here. */
+  def nullProfile(s: SparkSession, d: String): DataFrame = {
+    def prof(c: String): DataFrame =
+      events(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"))
+    Seq("event_id", "user_id", "event_type", "value", "props")
+      .map(prof).reduce(_.unionByName(_))
+      .orderBy(col("col_name"))
+  }
+
+  val nullProfileSql: String = {
+    def prof(c: String): String =
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+         |  COUNT(*) - COUNT($c) AS n_null,
+         |  COUNT(DISTINCT $c) AS n_distinct
+         |FROM events""".stripMargin
+    Seq("event_id", "user_id", "event_type", "value", "props")
+      .map(prof).mkString("", "\nUNION ALL ", "\nORDER BY col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "audit_null_profile" -> nullProfile,
     "audit_referential" -> referentialAudit,
     "audit_key_skew" -> keySkewAudit,
     "audit_k_anonymity" -> kAnonymityAudit,
@@ -346,6 +386,7 @@ object DataAudit {
     "link_blocked_fuzzy" -> linkBlockedFuzzy)
 
   val oracle: Map[String, String] = Map(
+    "audit_null_profile" -> nullProfileSql,
     "audit_referential" -> referentialAuditSql,
     "audit_key_skew" -> keySkewAuditSql,
     "audit_k_anonymity" -> kAnonymityAuditSql,

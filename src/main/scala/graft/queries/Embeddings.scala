@@ -675,10 +675,11 @@ object Embeddings {
     * label filter prunes before the window; per-query top-k is a
     * window partitioned by q_id. The same topology as emb_ann_quantized
     * with one extra predicate — mining cost tracks ANN cost. */
-  def hardNegatives(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d)
-    val quant = e
-      .withColumn("m", sqrt(norm2(col("embedding"))))
+  /** (vec_id, label, bucket, qv): int8-quantized vectors with their
+    * 2-plane sign bucket — the shared front end of hardNegatives and
+    * mmrRerank (same expressions as annQuantized's recipe). */
+  private def quantizedWithBuckets(e: DataFrame): DataFrame =
+    e.withColumn("m", sqrt(norm2(col("embedding"))))
       .withColumn("qv",
         when(col("m") === 0.0,
           transform(col("embedding"), _ => lit(0L)))
@@ -689,6 +690,13 @@ object Embeddings {
           when(planeDot(col("embedding"), p) >= 0, lit("1"))
             .otherwise(lit("0"))): _*))
       .select(col("vec_id"), col("label"), col("bucket"), col("qv"))
+
+  /** Integer dot of two quantized vectors (in-order fold — exact). */
+  private def idot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    val quant = quantizedWithBuckets(embeddings(s, d))
     val q = quant.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
         col("bucket"), col("qv").as("q_qv"))
@@ -738,7 +746,126 @@ object Embeddings {
        |SELECT q_id, neg_id, score, rank FROM ranked WHERE rank <= 5
        |ORDER BY q_id, rank""".stripMargin
 
+  // ------------------------------------------------ MMR re-ranking
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein):
+    * from each query's candidate pool, greedily select k=3 results
+    * maximizing λ·relevance − (1−λ)·max-similarity-to-already-chosen
+    * (λ=0.7, scaled ×10 → mmr = 7·rel − 3·penalty) — the diversity
+    * pass a curation pipeline runs so its examples/negatives aren't k
+    * copies of the same near-dup. Greedy selection is inherently
+    * sequential in k, so the k=3 loop is UNROLLED as three
+    * argmax-window steps; everything is the int8-quantized integer
+    * dot (annQuantized's recipe), so selection is total-order
+    * deterministic cross-engine with no float snapping.
+    *
+    * Scale shape: candidates come from the 2-plane sign-bucket
+    * equi-join; the pool is capped at 12/query BEFORE the greedy
+    * steps, so each step is a window + equi-join over O(12·queries)
+    * rows — per-query work is constant, never corpus-sized. The pool
+    * is materialized once and fans out to all three steps. */
+  def mmrRerank(s: SparkSession, d: String): DataFrame = {
+    val quant = quantizedWithBuckets(embeddings(s, d))
+    val q = quant.filter(col("vec_id") % 100 === 0 && col("vec_id") < 102400)
+      .select(col("vec_id").as("q_id"), col("bucket"), col("qv").as("q_qv"))
+    val c = quant.select(col("vec_id").as("c_id"), col("bucket"),
+      col("qv").as("c_qv"))
+    val wRel = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("rel").desc, col("c_id"))
+    val pool = graft.operators.Materialize.eager(
+      q.join(c, "bucket").filter(col("q_id") =!= col("c_id"))
+        .withColumn("rel", idot(col("q_qv"), col("c_qv")))
+        .withColumn("rn", row_number().over(wRel))
+        .filter(col("rn") <= 12)
+        .select(col("q_id"), col("c_id"), col("rel"), col("c_qv")))
+    val s1 = pool.withColumn("rn", row_number().over(wRel))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("c_id").as("s1_id"),
+        col("rel").as("s1_rel"), col("c_qv").as("s1_qv"))
+    val r1 = pool.join(s1, "q_id").filter(col("c_id") =!= col("s1_id"))
+      .withColumn("p1", idot(col("c_qv"), col("s1_qv")))
+      .withColumn("mmr", lit(7) * col("rel") - lit(3) * col("p1"))
+    val wM = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("mmr").desc, col("c_id"))
+    val s2 = r1.withColumn("rn", row_number().over(wM))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("c_id").as("s2_id"),
+        col("mmr").as("s2_mmr"), col("c_qv").as("s2_qv"))
+    val r2 = r1.join(s2, "q_id").filter(col("c_id") =!= col("s2_id"))
+      .withColumn("p2", greatest(col("p1"), idot(col("c_qv"), col("s2_qv"))))
+      .withColumn("mmr2", lit(7) * col("rel") - lit(3) * col("p2"))
+    val wM2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("mmr2").desc, col("c_id"))
+    val s3 = r2.withColumn("rn", row_number().over(wM2))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("c_id").as("s3_id"), col("mmr2").as("s3_mmr"))
+    s1.select(col("q_id"), lit(1).as("rank"), col("s1_id").as("c_id"),
+        (lit(7) * col("s1_rel")).as("mmr_score"))
+      .unionByName(s2.select(col("q_id"), lit(2).as("rank"),
+        col("s2_id").as("c_id"), col("s2_mmr").as("mmr_score")))
+      .unionByName(s3.select(col("q_id"), lit(3).as("rank"),
+        col("s3_id").as("c_id"), col("s3_mmr").as("mmr_score")))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val idotSql: (String, String) => String = (a, b) =>
+    s"""CAST(list_reduce(list_transform(range(1, len($a)+1),
+       |      i -> $a[i]*$b[i]), (x,y) -> x+y) AS BIGINT)""".stripMargin
+
+  val mmrRerankSql: String =
+    s"""WITH qz AS (
+       |  SELECT vec_id, embedding, ${planesSqlN(2)} AS bucket,
+       |    SQRT(list_reduce(list_transform(range(1, len(embedding)+1),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+       |      (a, b) -> a + b)) AS m
+       |  FROM embeddings),
+       |quant AS (
+       |  SELECT vec_id, bucket,
+       |    list_transform(embedding, x -> CASE WHEN m = 0
+       |      THEN CAST(0 AS BIGINT)
+       |      ELSE CAST(FLOOR(CAST(x AS DOUBLE)*127.0/m + 0.5) AS BIGINT)
+       |      END) AS qv
+       |  FROM qz),
+       |q AS (SELECT vec_id AS q_id, bucket, qv AS q_qv FROM quant
+       |      WHERE vec_id % 100 = 0 AND vec_id < 102400),
+       |c AS (SELECT vec_id AS c_id, bucket, qv AS c_qv FROM quant),
+       |scored AS (
+       |  SELECT q_id, c_id, c_qv,
+       |    ${idotSql("q_qv", "c_qv")} AS rel
+       |  FROM q JOIN c USING (bucket) WHERE q_id <> c_id),
+       |pool AS (
+       |  SELECT q_id, c_id, c_qv, rel FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY rel DESC, c_id) AS rn FROM scored) t WHERE rn <= 12),
+       |s1 AS (
+       |  SELECT q_id, c_id AS s1_id, rel AS s1_rel, c_qv AS s1_qv FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY rel DESC, c_id) AS rn FROM pool) t WHERE rn = 1),
+       |r1 AS (
+       |  SELECT p.q_id, p.c_id, p.c_qv, p.rel,
+       |    ${idotSql("p.c_qv", "s.s1_qv")} AS p1
+       |  FROM pool p JOIN s1 s ON p.q_id = s.q_id AND p.c_id <> s.s1_id),
+       |m1 AS (SELECT *, 7*rel - 3*p1 AS mmr FROM r1),
+       |s2 AS (
+       |  SELECT q_id, c_id AS s2_id, mmr AS s2_mmr, c_qv AS s2_qv FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY mmr DESC, c_id) AS rn FROM m1) t WHERE rn = 1),
+       |r2 AS (
+       |  SELECT m.q_id, m.c_id, m.rel,
+       |    GREATEST(m.p1, ${idotSql("m.c_qv", "s.s2_qv")}) AS p2
+       |  FROM m1 m JOIN s2 s ON m.q_id = s.q_id AND m.c_id <> s.s2_id),
+       |m2 AS (SELECT *, 7*rel - 3*p2 AS mmr FROM r2),
+       |s3 AS (
+       |  SELECT q_id, c_id AS s3_id, mmr AS s3_mmr FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY mmr DESC, c_id) AS rn FROM m2) t WHERE rn = 1)
+       |SELECT q_id, CAST(1 AS INT) AS rank, s1_id AS c_id,
+       |  7*s1_rel AS mmr_score FROM s1
+       |UNION ALL SELECT q_id, CAST(2 AS INT), s2_id, s2_mmr FROM s2
+       |UNION ALL SELECT q_id, CAST(3 AS INT), s3_id, s3_mmr FROM s3
+       |ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "retrieval_mmr" -> mmrRerank,
     "emb_jl_distortion" -> jlDistortion,
     "emb_truncation_energy" -> truncationEnergy,
     "retrieval_hard_negatives" -> hardNegatives,
@@ -755,6 +882,7 @@ object Embeddings {
   val oracle: Map[String, String] = Map(
     "emb_jl_distortion" -> jlDistortionSql,
     "emb_truncation_energy" -> truncationEnergySql,
+    "retrieval_mmr" -> mmrRerankSql,
     "retrieval_hard_negatives" -> hardNegativesSql,
     "emb_cosine_topk" -> cosineTopKSql,
     "emb_ann_quantized" -> annQuantizedSql,

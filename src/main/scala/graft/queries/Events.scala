@@ -503,7 +503,55 @@ object Events {
        |  ON s.user_id = y.user_id AND s.day = y.day
        |ORDER BY s.user_id, day_sec""".stripMargin
 
+  // --------------------------------------------- lateness audit
+  /** Watermark-design audit: how out-of-order does this stream
+    * actually arrive? Treating event_id as arrival order (the
+    * generator's append order), each event's lateness is the gap to
+    * the per-user high-water mark at its arrival: running MAX(ts) −
+    * ts. The bucketed histogram is exactly the evidence that picks a
+    * Structured Streaming watermark (`withWatermark` delay = the
+    * bucket that bounds your tolerated drop rate) — run it before
+    * deploying any EventStreams job.
+    *
+    * Scale shape: one window partitioned by user (the parallel
+    * unit — a GLOBAL running max would serialize the stream through
+    * one partition), then a 5-bucket hash-agg. Lateness in whole
+    * seconds via integer micros division — exact cross-engine. */
+  def latenessAudit(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("run_max_us", max(col("us")).over(w))
+      .withColumn("late_sec", expr("(run_max_us - us) DIV 1000000"))
+      .groupBy(
+        when(col("late_sec") === 0, lit("a_on_time"))
+          .when(col("late_sec") < 60, lit("b_under_1m"))
+          .when(col("late_sec") < 600, lit("c_under_10m"))
+          .when(col("late_sec") < 3600, lit("d_under_1h"))
+          .otherwise(lit("e_1h_plus")).as("lateness"))
+      .agg(count(lit(1)).as("n"), max(col("late_sec")).as("max_late_sec"))
+      .orderBy(col("lateness"))
+  }
+
+  val latenessAuditSql: String =
+    """WITH lat AS (
+      |  SELECT (MAX(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    - epoch_us(ts)) // 1000000 AS late_sec
+      |  FROM events)
+      |SELECT CASE WHEN late_sec = 0 THEN 'a_on_time'
+      |            WHEN late_sec < 60 THEN 'b_under_1m'
+      |            WHEN late_sec < 600 THEN 'c_under_10m'
+      |            WHEN late_sec < 3600 THEN 'd_under_1h'
+      |            ELSE 'e_1h_plus' END AS lateness,
+      |  COUNT(*) AS n,
+      |  CAST(MAX(late_sec) AS BIGINT) AS max_late_sec
+      |FROM lat GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_lateness_audit" -> latenessAudit,
     "ev_gap_fill_locf" -> gapFillLocf,
     "ev_scd2_intervals" -> scd2Intervals,
     "ev_session_transitions" -> sessionTransitions,
@@ -518,6 +566,7 @@ object Events {
     "ev_json_extract" -> jsonExtract)
 
   val oracle: Map[String, String] = Map(
+    "ev_lateness_audit" -> latenessAuditSql,
     "ev_gap_fill_locf" -> gapFillLocfSql,
     "ev_scd2_intervals" -> scd2IntervalsSql,
     "ev_session_transitions" -> sessionTransitionsSql,

@@ -225,7 +225,104 @@ object TokenizerOps {
        |  COALESCE(ka.kept_md5, md5('')) AS kept_md5
        |FROM n LEFT JOIN ka USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- multi-round BPE trainer
+  /** Full BPE TRAINING loop, distributed: R=8 merge rounds, each
+    * picking the globally most frequent adjacent symbol pair
+    * (weighted by word frequency, ties broken lexicographically) and
+    * rewriting the vocabulary with that merge — the actual tokenizer-
+    * training algorithm, where [[bpeMergeRound]] is a single
+    * iteration. Output: the learned merge table (round, sym_a, sym_b,
+    * pair_count), 8 rows.
+    *
+    * Scale shape: the corpus-sized work is ONE word-count hash-agg;
+    * all 8 rounds run on the DISTINCT VOCAB (|vocab|·avg_len rows per
+    * round, independent of corpus row count). Each round collects
+    * exactly ONE row to the driver (the argmax pair — same bounded-
+    * driver-state discipline as KMeans' SSE scalar) and rewrites
+    * symbols with a left-to-right greedy fold (higher-order aggregate
+    * — off the corpus path, per-word bounded). The vocab frame is
+    * re-materialized per round so plans stay flat instead of nesting
+    * 8 fold expressions (PageRank's checkpoint discipline).
+    *
+    * No SQL oracle — 8 data-dependent argmax rounds are not
+    * expressible as one DuckDB statement; correctness is pinned by
+    * TokenizerOpsSpec's differential test against an in-memory
+    * sequential BPE on the same corpus (the mrsequential.go pattern),
+    * and the driver records a rows-only check. */
+  def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val Rounds = 8
+    // merge adjacent (a, b) occurrences left-to-right, non-overlapping
+    def mergeAdj(sym: Column, a: String, b: String): Column =
+      aggregate(sym, array().cast("array<string>"), (acc, x) =>
+        when(try_element_at(acc, lit(-1)) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+    var vocab = graft.operators.Materialize.eager(
+      documents(s, d)
+        .select(explode(toks(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("c"))
+        .select(filter(split(col("word"), ""), x => x =!= lit(""))
+          .as("sym"), col("c")))
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to Rounds) {
+      val pairs = vocab
+        .filter(size(col("sym")) >= 2)
+        .select(col("sym"), col("c"),
+          explode(sequence(lit(1), size(col("sym")) - 1)).as("i"))
+        .select(expr("sym[i - 1]").as("a"), expr("sym[i]").as("b"),
+          col("c"))
+      val top = pairs.groupBy(col("a"), col("b"))
+        .agg(sum(col("c")).as("pc"))
+        .orderBy(col("pc").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (a, b, pc) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((r, a, b, pc))
+        val next = graft.operators.Materialize.eager(
+          vocab.select(mergeAdj(col("sym"), a, b).as("sym"), col("c")))
+        vocab = next
+      }
+    }
+    merges.result()
+      .toDF("round", "sym_a", "sym_b", "pair_count")
+      .orderBy(col("round"))
+  }
+
+  /** Sequential in-memory BPE twin for the differential spec: same
+    * argmax/tie-break/merge semantics over a (word, count) list. */
+  def bpeTrainSequential(wordCounts: Seq[(String, Long)],
+      rounds: Int = 8): Seq[(Int, String, String, Long)] = {
+    var vocab: Seq[(Vector[String], Long)] =
+      wordCounts.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (sym, c) =>
+        sym.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + c
+          case _ => ()
+        }
+      }
+      if (counts.nonEmpty) {
+        val ((a, b), pc) = counts.minBy { case ((a, b), pc) => (-pc, a, b) }
+        out += ((r, a, b, pc))
+        vocab = vocab.map { case (sym, c) =>
+          val merged = sym.foldLeft(Vector.empty[String]) { (acc, x) =>
+            if (acc.nonEmpty && acc.last == a && x == b)
+              acc.init :+ (a + b)
+            else acc :+ x
+          }
+          (merged, c)
+        }
+      }
+    }
+    out.result()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_train" -> bpeTrain,
     "text_bpe_merge_round" -> bpeMergeRound,
     "text_bigram_perplexity" -> bigramPerplexity,
     "text_dedup_span_rewrite" -> spanRewrite)

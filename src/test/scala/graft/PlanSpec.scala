@@ -199,6 +199,19 @@ class PlanSpec extends AnyFunSuite {
       "query-side cap must be pushed to the scan")
   }
 
+  test("null profile: every per-column scan is pruned to ONE column") {
+    // the profile is deliberately one aggregate per column so each
+    // parquet scan reads only its own column; a fused multi-distinct
+    // form would both widen the scans and trip the Expand blowup
+    val p = plan("audit_null_profile")
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.nonEmpty)
+    schemas.foreach { line =>
+      assert(!line.substring(line.indexOf("struct<")).contains(","),
+        s"scan reads more than one column: $line")
+    }
+  }
+
   test("kmeans assign: the ONLY non-equi join is the broadcast of k centers") {
     val p = plan("emb_kmeans_assign")
     assert(!p.contains("CartesianProduct"),

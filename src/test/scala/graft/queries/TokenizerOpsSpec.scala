@@ -117,4 +117,26 @@ class TokenizerOpsSpec extends AnyFunSuite {
     assert(rows.map(_._5).toSeq == rows.map(_._5).sorted.reverse.toSeq,
       "output must be fused-score-descending")
   }
+
+  test("bpe_train: distributed 8-round trainer matches sequential BPE " +
+      "(mrsequential-style differential)") {
+    import spark.implicits._
+    // same word counts the distributed trainer starts from
+    val wc = graft.Tables.documents(spark, d)
+      .select(org.apache.spark.sql.functions.explode(
+        Documents.tokens(org.apache.spark.sql.functions.col("text")))
+        .as("word"))
+      .groupBy("word").count()
+      .as[(String, Long)].collect().toSeq
+    val expect = TokenizerOps.bpeTrainSequential(wc, rounds = 8)
+    val got = TokenizerOps.bpeTrain(spark, d)
+      .as[(Int, String, String, Long)].collect().toSeq
+    graft.operators.Materialize.freeAll(spark)
+    assert(got == expect)
+    // merged symbols must actually compound: later rounds may merge a
+    // previous round's output (multi-char symbol on either side) —
+    // assert the trainer produced 8 rounds and strictly positive counts
+    assert(got.map(_._1) == (1 to 8))
+    assert(got.forall(_._4 > 0))
+  }
 }
