@@ -864,8 +864,137 @@ object Embeddings {
        |UNION ALL SELECT q_id, CAST(3 AS INT), s3_id, s3_mmr FROM s3
        |ORDER BY q_id, rank""".stripMargin
 
+  // -------------------------------------- product quantization (ADC)
+  /** PQ-ADC top-k (Jégou et al. 2011, "Product Quantization for
+    * Nearest Neighbor Search"): split each 64-dim vector into M=4
+    * 16-dim subspaces, quantize each subvector to its nearest of k=8
+    * deterministic sub-centers (the kmeansAssign seed rule applied
+    * per subspace: every 64th vector, cid = vec_id/64), and answer
+    * queries with Asymmetric Distance Computation — a per-query
+    * lookup table of query-subvector→sub-center distances, summed
+    * over the M stored codes.
+    *
+    * This completes the ANN scale triad (LSH buckets, IVF coarse
+    * quantizer, int8 scalar quantization): PQ is the variant whose
+    * INDEX compresses — 4 small-int codes (~4 B) stand in for 256 B
+    * of floats, the representation a billion-vector corpus actually
+    * stores in memory. Scale shape: the codebook is O(M·k) and always
+    * broadcast; encoding is one linear pass (n·M·k distance folds, no
+    * shuffle but the argmin window keyed on (vec_id, m)); the query
+    * LUT is nq·M·k and broadcast (query side bounded ≤1024 by the
+    * same cap as emb_cosine_topk); ADC itself is M broadcast-hash
+    * equi-joins against the wide code table — linear in n, never n².
+    *
+    * Determinism: sub-distances are the KMeans.sqDist fixed fold;
+    * the ADC sum is a FIXED-PARENTHESIZATION projection
+    * ((l0+l1)+l2)+l3 — never a float SUM aggregate, whose addend
+    * order is shuffle-dependent — so ranks are engine-exact with
+    * (adc, c_id) tie-break; output is integers only. */
+  def pqAdcTopK(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val M = 4; val SUB = 16
+    val centersSub = (0 until M).map { m =>
+      e.filter(col("vec_id") % 64 === 0 && col("vec_id") < 512)
+        .select(lit(m).as("m"), (col("vec_id") / 64).cast("int").as("cid"),
+          slice(col("embedding"), m * SUB + 1, SUB).as("cvec"))
+    }.reduce(_ unionAll _)
+    def subvecs(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs), posexplode(
+        array((0 until M).map(m =>
+          slice(col("embedding"), m * SUB + 1, SUB)): _*)).as(Seq("m", "sv")))
+    val wEnc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"), col("m")).orderBy(col("d2"), col("cid"))
+    val codes = subvecs(e, "vec_id")
+      .join(broadcast(centersSub), "m")
+      .withColumn("d2", graft.operators.KMeans.sqDist(col("sv"), col("cvec")))
+      .withColumn("rn", row_number().over(wEnc))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("cid"))
+    val codesWide = codes.groupBy(col("vec_id")).agg(
+      max(when(col("m") === 0, col("cid"))).as("c0"),
+      max(when(col("m") === 1, col("cid"))).as("c1"),
+      max(when(col("m") === 2, col("cid"))).as("c2"),
+      max(when(col("m") === 3, col("cid"))).as("c3"))
+    val q = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 51200)
+    val lut = subvecs(q, "q_id")
+      .join(broadcast(centersSub), "m")
+      .withColumn("d2", graft.operators.KMeans.sqDist(col("sv"), col("cvec")))
+      .select(col("q_id"), col("m"), col("cid"), col("d2"))
+    def lutM(m: Int): DataFrame = lut.filter(col("m") === m)
+      .select(col("q_id"), col("cid").as(s"c$m"), col("d2").as(s"l$m"))
+    val adc = codesWide
+      .join(broadcast(lutM(0)), Seq("c0"))
+      .join(broadcast(lutM(1)), Seq("q_id", "c1"))
+      .join(broadcast(lutM(2)), Seq("q_id", "c2"))
+      .join(broadcast(lutM(3)), Seq("q_id", "c3"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        (((col("l0") + col("l1")) + col("l2")) + col("l3")).as("adc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("adc"), col("c_id"))
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("c_id"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val pqAdcTopKSql: String = {
+    def sub(src: String, m: Int) = s"$src[${m * 16 + 1}:${(m + 1) * 16}]"
+    val centers = (0 until 4).map(m =>
+      s"""SELECT $m AS m, CAST(vec_id // 64 AS INT) AS cid,
+         |    ${sub("embedding", m)} AS cvec
+         |  FROM embeddings WHERE vec_id % 64 = 0 AND vec_id < 512"""
+        .stripMargin).mkString("\n  UNION ALL\n  ")
+    val dbSub = (0 until 4).map(m =>
+      s"SELECT vec_id, $m AS m, ${sub("embedding", m)} AS sv FROM embeddings")
+      .mkString("\n  UNION ALL\n  ")
+    val qSub = (0 until 4).map(m =>
+      s"""SELECT vec_id AS q_id, $m AS m, ${sub("embedding", m)} AS sv
+         |  FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 51200"""
+        .stripMargin).mkString("\n  UNION ALL\n  ")
+    s"""WITH centers AS (
+       |  $centers),
+       |dbsub AS (
+       |  $dbSub),
+       |qsub AS (
+       |  $qSub),
+       |enc AS (
+       |  SELECT vec_id, s.m, c.cid,
+       |    ${sqFoldSql("s.sv", "c.cvec")} AS d2
+       |  FROM dbsub s JOIN centers c ON s.m = c.m),
+       |codes AS (
+       |  SELECT vec_id, m, cid FROM enc
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |    ORDER BY d2, cid) = 1),
+       |cw AS (
+       |  SELECT vec_id,
+       |    MAX(CASE WHEN m = 0 THEN cid END) AS c0,
+       |    MAX(CASE WHEN m = 1 THEN cid END) AS c1,
+       |    MAX(CASE WHEN m = 2 THEN cid END) AS c2,
+       |    MAX(CASE WHEN m = 3 THEN cid END) AS c3
+       |  FROM codes GROUP BY vec_id),
+       |lut AS (
+       |  SELECT q_id, s.m, c.cid,
+       |    ${sqFoldSql("s.sv", "c.cvec")} AS d2
+       |  FROM qsub s JOIN centers c ON s.m = c.m),
+       |adc AS (
+       |  SELECT l0.q_id, cw.vec_id AS c_id,
+       |    ((l0.d2 + l1.d2) + l2.d2) + l3.d2 AS adc
+       |  FROM cw
+       |  JOIN lut l0 ON l0.m = 0 AND l0.cid = cw.c0
+       |  JOIN lut l1 ON l1.m = 1 AND l1.cid = cw.c1 AND l1.q_id = l0.q_id
+       |  JOIN lut l2 ON l2.m = 2 AND l2.cid = cw.c2 AND l2.q_id = l0.q_id
+       |  JOIN lut l3 ON l3.m = 3 AND l3.cid = cw.c3 AND l3.q_id = l0.q_id
+       |  WHERE cw.vec_id <> l0.q_id)
+       |SELECT q_id, c_id, rank FROM (
+       |  SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY adc, c_id) AS rank FROM adc) r
+       |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "retrieval_mmr" -> mmrRerank,
+    "emb_pq_adc_topk" -> pqAdcTopK,
     "emb_jl_distortion" -> jlDistortion,
     "emb_truncation_energy" -> truncationEnergy,
     "retrieval_hard_negatives" -> hardNegatives,
@@ -880,6 +1009,7 @@ object Embeddings {
     "dedup_embedding_lsh" -> dedupEmbeddingLsh)
 
   val oracle: Map[String, String] = Map(
+    "emb_pq_adc_topk" -> pqAdcTopKSql,
     "emb_jl_distortion" -> jlDistortionSql,
     "emb_truncation_energy" -> truncationEnergySql,
     "retrieval_mmr" -> mmrRerankSql,
