@@ -105,9 +105,76 @@ object DataLayout {
       |  MAX(x) - MIN(x) AS x_span, MAX(y) - MIN(y) AS y_span
       |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // ------------------------------------------- compaction planner
+  /** Small-file compaction plan: the OPTIMIZE/rewrite planning pass a
+    * lakehouse runs when streaming ingest has fragmented a table into
+    * per-micro-batch files. The "file inventory" is derived
+    * deterministically from the events stream itself — one file per
+    * (event_type partition, 15-minute ingest window), sized as
+    * Σ(32 B row overhead + payload length) — then files are packed
+    * IN INGEST ORDER into target-size bins with a running-sum window:
+    * bin = exclusive-prefix-bytes DIV target (the standard sequential
+    * bin-fill estimate; a bin can overshoot by at most one file,
+    * which is exactly how sequential compaction behaves). Output is
+    * the per-bin plan (file count, bytes, row count, window range) —
+    * the work list a rewrite job would execute.
+    *
+    * Scale shape: inventory is one hash-agg (shuffle keyed on
+    * partition+window — the table's own layout key); the pack is one
+    * window per PARTITION (event_type), never a global sort; the plan
+    * summary is a second hash-agg onto O(bins) rows. All integer
+    * algebra (epoch-micros DIV window, byte sums) — engine-exact.
+    * At 100 TB the inventory comes from the table metadata layer
+    * (file listings) instead of a scan, and the same plan shape
+    * applies unchanged. */
+  def compactionBins(s: SparkSession, d: String): DataFrame = {
+    val target = 65536L // planning target: 64 KiB per compacted file
+    val files = events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 900000000").as("ingest_win"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(length(col("props")) + lit(32)).cast("long").as("bytes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("ingest_win"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    files
+      .withColumn("cum_before",
+        coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum_before DIV $target"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("bytes")).cast("long").as("bin_bytes"),
+        sum(col("n_rows")).cast("long").as("n_rows"),
+        min(col("ingest_win")).as("win_min"),
+        max(col("ingest_win")).as("win_max"))
+      .orderBy(col("event_type"), col("bin"))
+  }
+
+  val compactionBinsSql: String =
+    """WITH f AS (
+      |  SELECT event_type, epoch_us(ts) // 900000000 AS ingest_win,
+      |    COUNT(*) AS n_rows,
+      |    CAST(SUM(LENGTH(props) + 32) AS BIGINT) AS bytes
+      |  FROM events GROUP BY 1, 2),
+      |p AS (
+      |  SELECT event_type, ingest_win, n_rows, bytes,
+      |    COALESCE(SUM(bytes) OVER (PARTITION BY event_type
+      |      ORDER BY ingest_win
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS cum_before
+      |  FROM f)
+      |SELECT event_type, CAST(cum_before // 65536 AS BIGINT) AS bin,
+      |  COUNT(*) AS n_files,
+      |  CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+      |  CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+      |  MIN(ingest_win) AS win_min, MAX(ingest_win) AS win_max
+      |FROM p GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "layout_zorder_stats" -> zorderStats)
+    "layout_zorder_stats" -> zorderStats,
+    "layout_compaction_bins" -> compactionBins)
 
   val oracle: Map[String, String] = Map(
-    "layout_zorder_stats" -> zorderStatsSql)
+    "layout_zorder_stats" -> zorderStatsSql,
+    "layout_compaction_bins" -> compactionBinsSql)
 }

@@ -67,6 +67,44 @@ class LayoutTransitionsSpec extends AnyFunSuite {
         s"ladder diverges from definition at (${r.getLong(0)}, ${r.getLong(1)})")
   }
 
+  test("compaction plan packs planted files sequentially with at most " +
+      "one-file overshoot and never splits a file") {
+    val dir = java.nio.file.Files.createTempDirectory("cmp").toString
+    // plant one event per (window, row) so each 15-min window becomes
+    // one "file" of a known size: props of length L → file bytes =
+    // n*(L+32). Windows sized 20 KiB each → with the 64 KiB target,
+    // sequential packing puts windows {0,1,2} in bin 0 (60 KiB),
+    // {3,4,5} in bin 1 (overshoot starts bin 1 at window 3 since
+    // cum_before(3) = 60 KiB < 64 KiB... exactly: bins by
+    // cum_before DIV 65536: win3 cum=61440 → bin 0 (4 files!),
+    // win4 cum=81920 → bin 1. Compute expectations directly.
+    val perWin = 20480L // 20 KiB per window-file
+    val rowLen = 480 // props length; bytes/row = 512
+    val rowsPerWin = (perWin / 512).toInt // 40 rows
+    val rows = for {
+      w <- 0 until 8; r <- 0 until rowsPerWin
+    } yield (w.toLong * 100 + r, // event_id
+      new java.sql.Timestamp(w * 900000L + r * 1000L),
+      r.toLong, "etypeA", 1.0, "x" * rowLen)
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = DataLayout.compactionBins(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // expected greedy pack: cum_before(w) = w*20480; bin = that DIV 65536
+    val expBins = (0 until 8).groupBy(w => (w.toLong * perWin) / 65536L)
+    val want = expBins.toSeq.sortBy(_._1).map { case (b, ws) =>
+      ("etypeA", b, ws.size.toLong, ws.size * perWin,
+        ws.size.toLong * rowsPerWin, ws.min.toLong, ws.max.toLong)
+    }
+    assert(got == want, "plan must match the sequential-fill definition")
+    assert(got.map(_._3).sum == 8L, "every file lands in exactly one bin")
+    // overshoot bound: every bin except possibly the last holds
+    // >= target once its last file is in (sequential fill property)
+    for (t <- got.dropRight(1))
+      assert(t._4 + perWin > 65536L,
+        "a closed bin must be within one file of the target")
+  }
+
   test("z-order buckets tile the table and bound both dimension spans") {
     val stats = DataLayout.zorderStats(spark, d).collect()
     val li = graft.Tables.lineitem(spark, d)
