@@ -503,6 +503,109 @@ object Events {
        |  ON s.user_id = y.user_id AND s.day = y.day
        |ORDER BY s.user_id, day_sec""".stripMargin
 
+  // ------------------------------------- linear-interp gap-fill
+  /** Linear interpolation over the same per-user daily spine as
+    * [[gapFillLocf]] — the other standard timeseries repair: a gap
+    * day gets the straight line between its nearest observed
+    * neighbors, prev + (next−prev)·(t−t_prev)/(t_next−t_prev),
+    * evaluated in INTEGER CENTS with truncating division (Spark `DIV`
+    * and DuckDB `//` both truncate toward zero, verified) so the
+    * filled series hash-matches across engines with no float drift.
+    * Days before the first / after the last observation stay NULL
+    * (interpolation never extrapolates — that asymmetry with LOCF is
+    * the point of having both).
+    *
+    * Scale shape: identical to LOCF — generated spine, broadcast
+    * 1-row bounds, and FOUR frame windows that all share the ONE
+    * user_id sort (prev/next value and prev/next day index are two
+    * frames over the same ordering; Spark evaluates them in a single
+    * WindowExec pair without re-shuffling). */
+  def gapFillLinear(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val bounds = ev.agg(
+      date_trunc("day", min(col("ts"))).as("d0"),
+      date_trunc("day", max(col("ts"))).as("d1"))
+    val users = ev.filter(col("user_id") % 10 === 0)
+      .select(col("user_id")).distinct()
+    val spine = users.crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
+          .as("day"))
+    val daily = ev.filter(col("event_type") === "purchase" &&
+        col("user_id") % 10 === 0)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(cents(col("value"))).cast("long").as("day_cents"))
+    val back = Window.partitionBy(col("user_id")).orderBy(col("day_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("user_id")).orderBy(col("day_idx"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), expr("CAST(day AS LONG) DIV 86400").as("day_idx"),
+        col("day_cents"))
+      .withColumn("prev_c", last(col("day_cents"), ignoreNulls = true).over(back))
+      .withColumn("prev_d", last(when(col("day_cents").isNotNull,
+        col("day_idx")), ignoreNulls = true).over(back))
+      .withColumn("next_c", first(col("day_cents"), ignoreNulls = true).over(fwd))
+      .withColumn("next_d", first(when(col("day_cents").isNotNull,
+        col("day_idx")), ignoreNulls = true).over(fwd))
+      .withColumn("filled_cents", expr(
+        """CASE WHEN day_cents IS NOT NULL THEN day_cents
+          |     WHEN prev_c IS NOT NULL AND next_c IS NOT NULL THEN
+          |       prev_c + ((next_c - prev_c) * (day_idx - prev_d))
+          |                DIV (next_d - prev_d)
+          |     ELSE NULL END""".stripMargin))
+      .withColumn("interpolated",
+        col("day_cents").isNull && col("filled_cents").isNotNull)
+      .select(col("user_id"), col("day_idx"), col("day_cents"),
+        col("filled_cents"), col("interpolated"))
+      .orderBy(col("user_id"), col("day_idx"))
+  }
+
+  val gapFillLinearSql: String =
+    s"""WITH bounds AS (
+       |  SELECT DATE_TRUNC('day', MIN(ts)) AS d0,
+       |         DATE_TRUNC('day', MAX(ts)) AS d1 FROM events),
+       |users AS (
+       |  SELECT DISTINCT user_id FROM events WHERE user_id % 10 = 0),
+       |spine AS (
+       |  SELECT u.user_id,
+       |    CAST(FLOOR(EPOCH(d.day)) AS BIGINT) // 86400 AS day_idx
+       |  FROM users u CROSS JOIN
+       |    (SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+       |     FROM bounds) d),
+       |daily AS (
+       |  SELECT user_id,
+       |    CAST(FLOOR(EPOCH(DATE_TRUNC('day', ts))) AS BIGINT) // 86400
+       |      AS day_idx,
+       |    CAST(SUM(${centsSql("value")}) AS BIGINT) AS day_cents
+       |  FROM events
+       |  WHERE event_type = 'purchase' AND user_id % 10 = 0
+       |  GROUP BY 1, 2),
+       |j AS (
+       |  SELECT s.user_id, s.day_idx, y.day_cents,
+       |    LAST_VALUE(y.day_cents IGNORE NULLS) OVER wb AS prev_c,
+       |    LAST_VALUE(CASE WHEN y.day_cents IS NOT NULL
+       |      THEN s.day_idx END IGNORE NULLS) OVER wb AS prev_d,
+       |    FIRST_VALUE(y.day_cents IGNORE NULLS) OVER wf AS next_c,
+       |    FIRST_VALUE(CASE WHEN y.day_cents IS NOT NULL
+       |      THEN s.day_idx END IGNORE NULLS) OVER wf AS next_d
+       |  FROM spine s LEFT JOIN daily y
+       |    ON s.user_id = y.user_id AND s.day_idx = y.day_idx
+       |  WINDOW
+       |    wb AS (PARTITION BY s.user_id ORDER BY s.day_idx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |    wf AS (PARTITION BY s.user_id ORDER BY s.day_idx
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+       |SELECT user_id, day_idx, day_cents,
+       |  CASE WHEN day_cents IS NOT NULL THEN day_cents
+       |       WHEN prev_c IS NOT NULL AND next_c IS NOT NULL THEN
+       |         prev_c + ((next_c - prev_c) * (day_idx - prev_d))
+       |                  // (next_d - prev_d)
+       |       ELSE NULL END AS filled_cents,
+       |  (day_cents IS NULL AND prev_c IS NOT NULL AND next_c IS NOT NULL)
+       |    AS interpolated
+       |FROM j ORDER BY user_id, day_idx""".stripMargin
+
   // --------------------------------------------- lateness audit
   /** Watermark-design audit: how out-of-order does this stream
     * actually arrive? Treating event_id as arrival order (the
@@ -553,6 +656,7 @@ object Events {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_lateness_audit" -> latenessAudit,
     "ev_gap_fill_locf" -> gapFillLocf,
+    "ev_gap_fill_linear" -> gapFillLinear,
     "ev_scd2_intervals" -> scd2Intervals,
     "ev_session_transitions" -> sessionTransitions,
     "ev_heavy_users" -> heavyUsers,
@@ -568,6 +672,7 @@ object Events {
   val oracle: Map[String, String] = Map(
     "ev_lateness_audit" -> latenessAuditSql,
     "ev_gap_fill_locf" -> gapFillLocfSql,
+    "ev_gap_fill_linear" -> gapFillLinearSql,
     "ev_scd2_intervals" -> scd2IntervalsSql,
     "ev_session_transitions" -> sessionTransitionsSql,
     "ev_heavy_users" -> heavyUsersSql,
