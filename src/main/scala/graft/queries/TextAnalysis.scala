@@ -612,7 +612,92 @@ object TextAnalysis {
        |    - abs(mtl_permille - 4500) // 2) >= 0 AS keep
        |FROM f ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- RAKE keyword extraction
+  /** RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
+    * Extraction from Individual Documents"): candidate phrases are the
+    * maximal stopword-free token runs; each word scores
+    * degree/frequency where degree(w) = Σ over w's occurrences of the
+    * containing phrase's length (co-occurrence count including
+    * itself) and freq(w) = occurrence count; a phrase scores the sum
+    * of its word scores; top-3 phrases per document win. Scores stay
+    * on an integer permille grid ((1000·degree) DIV freq, summed) so
+    * ranking is engine-exact; ties break on (phrase text, phrase id).
+    *
+    * Scale shape: tokenize+segment is one explode + one per-doc
+    * window (doc_id is the parallel unit); word stats are a hash-agg
+    * keyed on word (corpus-wide, the only cross-doc shuffle, output
+    * = vocabulary size); phrase assembly re-keys on (doc, phrase) —
+    * all linear, no joins wider than the token table. */
+  def keywordsRake(s: SparkSession, d: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to")
+    val tok = documents(s, d)
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "w")))
+      .withColumn("is_stop", col("w").isin(stop: _*))
+    val W = org.apache.spark.sql.expressions.Window
+    val wSeg = W.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val seg = graft.operators.Materialize.eager(
+      tok.withColumn("phrase_id",
+          sum(when(col("is_stop"), 1).otherwise(0)).over(wSeg))
+        .filter(!col("is_stop"))
+        .select(col("doc_id"), col("phrase_id"), col("pos"), col("w")))
+    val plen = seg.groupBy(col("doc_id"), col("phrase_id"))
+      .agg(count(lit(1)).as("plen"))
+    val wordStats = seg.join(plen, Seq("doc_id", "phrase_id"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("degree"))
+      .select(col("w"), expr("(1000 * degree) DIV freq").as("score_pm"))
+    val phrases = seg.join(wordStats, "w")
+      .groupBy(col("doc_id"), col("phrase_id"))
+      .agg(sum(col("score_pm")).cast("long").as("phrase_score_pm"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          _.getField("w"))).as("phrase"))
+    val wTop = W.partitionBy(col("doc_id"))
+      .orderBy(col("phrase_score_pm").desc, col("phrase"), col("phrase_id"))
+    phrases.withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("phrase"),
+        col("phrase_score_pm"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val keywordsRakeSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, i AS pos, ws[i] AS w,
+       |    ws[i] IN ('the','a','of','and','to') AS is_stop
+       |  FROM (SELECT doc_id, $toksSql AS ws FROM documents),
+       |    UNNEST(range(1, len(ws) + 1)) t(i)),
+       |seg AS (
+       |  SELECT doc_id, pos, w,
+       |    SUM(CASE WHEN is_stop THEN 1 ELSE 0 END) OVER (
+       |      PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS phrase_id
+       |  FROM tok QUALIFY NOT is_stop),
+       |plen AS (
+       |  SELECT doc_id, phrase_id, COUNT(*) AS plen
+       |  FROM seg GROUP BY 1, 2),
+       |word_stats AS (
+       |  SELECT w,
+       |    CAST((1000 * SUM(plen)) // COUNT(*) AS BIGINT) AS score_pm
+       |  FROM seg JOIN plen USING (doc_id, phrase_id)
+       |  GROUP BY w),
+       |phrases AS (
+       |  SELECT doc_id, phrase_id,
+       |    CAST(SUM(score_pm) AS BIGINT) AS phrase_score_pm,
+       |    STRING_AGG(w, ' ' ORDER BY pos) AS phrase
+       |  FROM seg JOIN word_stats USING (w)
+       |  GROUP BY 1, 2)
+       |SELECT doc_id, rank, phrase, phrase_score_pm FROM (
+       |  SELECT doc_id, phrase, phrase_score_pm,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY phrase_score_pm DESC, phrase, phrase_id) AS INT)
+       |      AS rank
+       |  FROM phrases) r
+       |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_keywords_rake" -> keywordsRake,
     "text_char_entropy" -> charEntropy,
     "text_quality_classifier" -> qualityClassifier,
     "text_heavy_hitters" -> heavyHitters,
@@ -625,6 +710,7 @@ object TextAnalysis {
     "doc_chunk_windows" -> chunkWindows)
 
   val oracle: Map[String, String] = Map(
+    "text_keywords_rake" -> keywordsRakeSql,
     "text_char_entropy" -> charEntropySql,
     "text_quality_classifier" -> qualityClassifierSql,
     "text_heavy_hitters" -> heavyHittersSql,

@@ -40,6 +40,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows.find(_._1 == 2L).get._3 == 1L)
   }
 
+  test("rake: phrase segmentation at stopwords, degree/freq scoring, " +
+      "longer co-occurring phrases outrank singletons") {
+    // doc 1: "red fish swim of red fish jump" — stopword 'of' splits
+    // two phrases: [red fish swim], [red fish jump].
+    // freq: red 2, fish 2, swim 1, jump 1; degree: red 6, fish 6,
+    // swim 3, jump 3 → scores (pm): red 3000, fish 3000, swim 3000,
+    // jump 3000 → both phrases score 9000; tie broken by text:
+    // "red fish jump" < "red fish swim".
+    // doc 2: "solo and red" → phrases [solo], [red]:
+    // corpus recompute: freq red 3 (degree 6+1=7) → red 2333,
+    // solo: freq 1 degree 1 → 1000.
+    val dir = writeDocs(Seq(
+      (1L, "red fish swim of red fish jump"),
+      (2L, "solo and red")))
+    val got = TextAnalysis.keywordsRake(spark, dir)
+      .as[(Long, Int, String, Long)].collect().toSeq.sortBy(t => (t._1, t._2))
+    // recompute scores with doc2 in the corpus:
+    // freq: red 3, fish 2, swim 1, jump 1, solo 1
+    // degree: red = 3+3+1 = 7, fish = 3+3 = 6, swim 3, jump 3, solo 1
+    // score_pm: red 2333, fish 3000, swim 3000, jump 3000, solo 1000
+    // doc1 phrases: both 2333+3000+3000 = 8333; doc2: [solo]=1000,
+    // [red]=2333
+    assert(got == Seq(
+      (1L, 1, "red fish jump", 8333L),
+      (1L, 2, "red fish swim", 8333L),
+      (2L, 1, "red", 2333L),
+      (2L, 2, "solo", 1000L)))
+  }
+
   test("bm25: ranks are contiguous from 1 and scores non-increasing") {
     val rows = TextAnalysis.bm25TopK(spark, d)
       .select(col("rank"), col("score_e6")).as[(Int, Long)].collect()
