@@ -218,15 +218,93 @@ object Multimodal {
       |  CAST(MAX(w // (1 << l)) AS INT) AS max_width_resized
       |FROM lv GROUP BY kind ORDER BY kind""".stripMargin
 
+  /** Scene-cut (shot boundary) detection over the sampled frame
+    * stream — the segmentation pass a video-training pipeline runs to
+    * pick clip boundaries. The pipeline is real: batched frame
+    * sampling (binary slices through mapPartitions), a per-frame
+    * energy, then a per-video lag window flagging frames whose energy
+    * jumps >25% from the previous sample; a video's segments =
+    * cuts + 1. The ENERGY KERNEL is the stub standing in for a real
+    * luma-histogram distance (no codecs in this container): frame
+    * byte-length ×1000 plus a deterministic per-(video, frame) mix —
+    * swap [[StubCodec]] energy for a real decoder and the plan shape
+    * (sample → per-partition kernel → one window per video → rollup)
+    * is unchanged.
+    *
+    * Scale shape: media_id is the parallel unit end-to-end — the
+    * sampler, the kernel, and the lag window all key on it; the
+    * rollup is one hash-agg. Integer arithmetic only. */
+  def sceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frames = sampleFrames(spark, mediaTable(spark, dir), everyK = 4)
+      .filter((f: Frame) => f.kind == "video")
+    val energies = frames.mapPartitions { it =>
+      it.map(f => (f.media_id, f.frame_idx,
+        f.frame.length.toLong * 1000L +
+          (f.media_id * 131L + f.frame_idx * 31L) % 997L))
+    }.toDF("media_id", "frame_idx", "energy")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    energies
+      .withColumn("prev", lag(col("energy"), 1).over(w))
+      .withColumn("jump", abs(col("energy") - col("prev")))
+      .withColumn("is_cut", col("prev").isNotNull &&
+        col("jump") * 4 > greatest(col("energy"), col("prev")))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames_sampled"),
+        sum(when(col("is_cut"), 1L).otherwise(0L)).as("n_cuts"),
+        (sum(when(col("is_cut"), 1L).otherwise(0L)) + 1L).as("n_segments"),
+        coalesce(max(col("jump")), lit(0L)).as("max_jump"))
+      .orderBy(col("media_id"))
+  }
+
+  /** Oracle: the stub energy recomputed from the header/slicing math
+    * (chunk = max(len/frames, 1); sampled idx 0,4,…; slice length =
+    * min(start+chunk, len) − start with start = min(idx·chunk,
+    * len−1)), then the same lag window. */
+  val sceneCutsSql: String =
+    """WITH v AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(8 + doc_id % 24 AS BIGINT) AS n_frames,
+      |    CAST(strlen(text) AS BIGINT) AS len
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |f AS (
+      |  SELECT media_id, CAST(i AS INT) AS frame_idx, n_frames, len,
+      |    GREATEST(len // GREATEST(n_frames, 1), 1) AS chunk
+      |  FROM v, UNNEST(range(0, n_frames, 4)) t(i)),
+      |e AS (
+      |  SELECT media_id, frame_idx,
+      |    (CASE WHEN len = 0 THEN 0
+      |          ELSE LEAST(LEAST(frame_idx * chunk, len - 1) + chunk, len)
+      |               - LEAST(frame_idx * chunk, len - 1) END) * 1000
+      |    + (media_id * 131 + frame_idx * 31) % 997 AS energy
+      |  FROM f),
+      |l AS (
+      |  SELECT media_id, energy,
+      |    LAG(energy) OVER (PARTITION BY media_id ORDER BY frame_idx)
+      |      AS prev
+      |  FROM e)
+      |SELECT media_id, COUNT(*) AS n_frames_sampled,
+      |  CAST(SUM(CASE WHEN prev IS NOT NULL
+      |    AND ABS(energy - prev) * 4 > GREATEST(energy, prev)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+      |  CAST(SUM(CASE WHEN prev IS NOT NULL
+      |    AND ABS(energy - prev) * 4 > GREATEST(energy, prev)
+      |    THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_segments,
+      |  CAST(COALESCE(MAX(ABS(energy - prev)), 0) AS BIGINT) AS max_jump
+      |FROM l GROUP BY media_id ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_media_stats" -> mediaStats,
     "mm_frame_sample" -> frameSampleStats,
-    "mm_resize_stats" -> resizeStats)
+    "mm_resize_stats" -> resizeStats,
+    "mm_scene_cuts" -> sceneCuts)
 
   val oracle: Map[String, String] = Map(
     "mm_media_stats" -> mediaStatsSql,
     "mm_frame_sample" -> frameSampleStatsSql,
-    "mm_resize_stats" -> resizeStatsSql)
+    "mm_resize_stats" -> resizeStatsSql,
+    "mm_scene_cuts" -> sceneCutsSql)
 }
 
 /** STUB codec — deterministic fake in place of image/audio libraries

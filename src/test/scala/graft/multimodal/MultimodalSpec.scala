@@ -44,6 +44,28 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("sceneCuts: one row per video, segments = cuts + 1, frame " +
+      "counts match the sampler, deterministic across runs") {
+    import spark.implicits._
+    val cuts = Multimodal.sceneCuts(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val metas = Multimodal.decodeMeta(spark,
+      Multimodal.mediaTable(spark, dir)).collect()
+      .filter(_.kind == "video")
+    assert(cuts.map(_._1).sorted == metas.map(_.media_id).toSeq.sorted,
+      "exactly the videos, every video")
+    val byId = metas.map(m => m.media_id -> m).toMap
+    for ((id, nf, nCuts, nSeg, maxJump) <- cuts) {
+      assert(nf == (byId(id).n_frames + 3) / 4, s"sampled count for $id")
+      assert(nSeg == nCuts + 1, s"segments must be cuts+1 for $id")
+      assert(nCuts >= 0 && maxJump >= 0)
+      assert(nCuts <= nf - 1, s"at most one cut per frame gap for $id")
+    }
+    val again = Multimodal.sceneCuts(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(cuts.sortBy(_._1) == again.sortBy(_._1), "deterministic")
+  }
+
   test("frameFeatures: fixed 8-dim normalized vectors") {
     val media = Multimodal.mediaTable(spark, dir)
     val feats = Multimodal.frameFeatures(spark,
