@@ -992,9 +992,55 @@ object Embeddings {
        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
   }
 
+  // --------------------------------------- per-dimension variance
+  /** Per-dimension moment profile — the embedding-quality audit that
+    * surfaces dead dimensions (≈0 variance), scale outliers, and
+    * mean-offset drift before vectors feed ANN indexing or matryoshka
+    * truncation (a dimension the encoder collapsed wastes index
+    * bits; one with 10× scale dominates L2). Output per dim: count
+    * and the exact integer moment sums on a 1e-6 grid — each float
+    * snaps to floor(x·1e6 + 0.5) BEFORE summation, so the sums are
+    * integer-exact under ANY shuffle order (a raw double SUM is
+    * order-dependent), plus the derived variance in e-12 units via
+    * integer algebra (n·Σx² − (Σx)²) DIV n².
+    *
+    * Scale shape: one posexplode + one hash-agg keyed on dim (64
+    * groups) — partial-aggregated map-side, shuffle carries 64 rows
+    * per partition. Linear, no joins. */
+  def dimVariance(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim"),
+        floor(col("x").cast("double") * lit(1e6) + lit(0.5))
+          .cast("long").as("xe6"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xe6")).as("sum_e6"),
+        sum(col("xe6") * col("xe6")).as("sumsq_e12"))
+      .withColumn("var_e12",
+        expr("(n * sumsq_e12 - sum_e6 * sum_e6) DIV (n * n)"))
+      .orderBy(col("dim"))
+
+  val dimVarianceSql: String =
+    """WITH x AS (
+      |  SELECT CAST(i - 1 AS INT) AS dim,
+      |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+      |      AS xe6
+      |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+      |m AS (
+      |  SELECT dim, COUNT(*) AS n,
+      |    CAST(SUM(xe6) AS BIGINT) AS sum_e6,
+      |    CAST(SUM(xe6 * xe6) AS BIGINT) AS sumsq_e12
+      |  FROM x GROUP BY dim)
+      |SELECT dim, n, sum_e6, sumsq_e12,
+      |  CAST((n * sumsq_e12 - sum_e6 * sum_e6) // (n * n) AS BIGINT)
+      |    AS var_e12
+      |FROM m ORDER BY dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "retrieval_mmr" -> mmrRerank,
     "emb_pq_adc_topk" -> pqAdcTopK,
+    "emb_dim_variance" -> dimVariance,
     "emb_jl_distortion" -> jlDistortion,
     "emb_truncation_energy" -> truncationEnergy,
     "retrieval_hard_negatives" -> hardNegatives,
@@ -1010,6 +1056,7 @@ object Embeddings {
 
   val oracle: Map[String, String] = Map(
     "emb_pq_adc_topk" -> pqAdcTopKSql,
+    "emb_dim_variance" -> dimVarianceSql,
     "emb_jl_distortion" -> jlDistortionSql,
     "emb_truncation_energy" -> truncationEnergySql,
     "retrieval_mmr" -> mmrRerankSql,

@@ -107,9 +107,60 @@ object SimHashDedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // --------------------------------------- cross-method agreement
+  /** Dedup-method agreement audit: MinHash-LSH (token-set Jaccard)
+    * and SimHash (weighted-bit cosine-ish) candidate sets compared
+    * pair-by-pair — the QA matrix a pipeline inspects before trusting
+    * either method's drop list. High both-count = methods corroborate;
+    * a large single-method margin shows which similarity notion
+    * (set overlap vs repeated-token weighting) is doing the work on
+    * this corpus. Same spirit as dedup_lsh_precision but BETWEEN
+    * methods instead of against exact Jaccard.
+    *
+    * Scale shape: both pair sets stay band-bucketed (each is its own
+    * Σ bucket² join, never n²); the comparison is one full-outer
+    * equi-join on the pair key and a 1-row rollup. */
+  def methodAgreement(s: SparkSession, d: String): DataFrame = {
+    val lsh = Documents.dedupLshPairs(s, d)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("in_lsh"))
+    val sim = dedupSimhash(s, d)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("in_sim"))
+    lsh.join(sim, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        coalesce(sum(col("in_lsh")), lit(0)).cast("long").as("n_lsh"),
+        coalesce(sum(col("in_sim")), lit(0)).cast("long").as("n_sim"),
+        coalesce(sum(col("in_lsh") * col("in_sim")), lit(0)).cast("long")
+          .as("n_both"),
+        coalesce(sum(when(col("in_sim").isNull, 1)), lit(0)).cast("long")
+          .as("n_lsh_only"),
+        coalesce(sum(when(col("in_lsh").isNull, 1)), lit(0)).cast("long")
+          .as("n_sim_only"))
+  }
+
+  val methodAgreementSql: String =
+    s"""WITH lsh AS (
+       |  SELECT doc_a, doc_b FROM (
+       |${Documents.dedupLshPairsSql}
+       |  ) tl),
+       |sim AS (
+       |  SELECT doc_a, doc_b FROM (
+       |$dedupSimhashSql
+       |  ) ts)
+       |SELECT
+       |  CAST((SELECT COUNT(*) FROM lsh) AS BIGINT) AS n_lsh,
+       |  CAST((SELECT COUNT(*) FROM sim) AS BIGINT) AS n_sim,
+       |  CAST((SELECT COUNT(*) FROM lsh JOIN sim USING (doc_a, doc_b))
+       |    AS BIGINT) AS n_both,
+       |  CAST((SELECT COUNT(*) FROM lsh ANTI JOIN sim USING (doc_a, doc_b))
+       |    AS BIGINT) AS n_lsh_only,
+       |  CAST((SELECT COUNT(*) FROM sim ANTI JOIN lsh USING (doc_a, doc_b))
+       |    AS BIGINT) AS n_sim_only""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_simhash" -> dedupSimhash)
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_method_agreement" -> methodAgreement)
 
   val oracle: Map[String, String] = Map(
-    "dedup_simhash" -> dedupSimhashSql)
+    "dedup_simhash" -> dedupSimhashSql,
+    "dedup_method_agreement" -> methodAgreementSql)
 }
