@@ -129,6 +129,7 @@ class PlanSpec extends AnyFunSuite {
                             // is the <=1024-row capped query set (pin
                             // below); emb_ann_* are the scale path
     "ev_gap_fill_locf",     // 1-row [min_day,max_day] bounds broadcast
+    "ev_gap_fill_linear",   // same 1-row bounds broadcast as LOCF
     "emb_semantic_dedup",   // 1-row stats broadcast
     "emb_outliers_per_cell",// per-cell stats broadcast (<= n_cells rows)
     "text_bm25_topk",       // 1-row (N, avgdl) corpus stats broadcast
