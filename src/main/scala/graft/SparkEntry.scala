@@ -16,7 +16,8 @@ object SparkEntry {
       TextPipeline.queries ++ TextAnalysis.queries ++ SqlSurface.queries ++
       GraphRank.queries ++ CorpusCuration.queries ++ SnapshotOps.queries ++
       DataLayout.queries ++ TokenizerOps.queries ++ Retrieval.queries ++
-      DataAudit.queries ++ graft.multimodal.Multimodal.queries
+      DataAudit.queries ++ graft.multimodal.Multimodal.queries ++
+      ProductAnalytics.queries ++ TextModeling.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
       TextPipeline.oracle ++ TextAnalysis.oracle ++ SqlSurface.oracle ++
       GraphRank.oracle ++ CorpusCuration.oracle ++ SnapshotOps.oracle ++
       DataLayout.oracle ++ TokenizerOps.oracle ++ Retrieval.oracle ++
-      DataAudit.oracle ++ graft.multimodal.Multimodal.oracle
+      DataAudit.oracle ++ graft.multimodal.Multimodal.oracle ++
+      ProductAnalytics.oracle ++ TextModeling.oracle
 }

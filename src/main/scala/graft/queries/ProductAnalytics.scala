@@ -1,0 +1,289 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+import graft.queries.Relational.{cents, centsSql}
+
+/** Product-analytics tier over the events stream: rolling active
+  * users, interval concurrency, RFM segmentation, and last-touch
+  * attribution. These are the queries a consumer-facing analytics
+  * stack runs daily at full-corpus scale, so every one is built
+  * around a bounded parallel unit (a user, a day, a session) and
+  * avoids any global serial pass.
+  *
+  * Reference scope: the reference engine's wc/indexer pattern
+  * (/root/reference/mr-main/mrapps/wc.go:15-30) is per-key counting;
+  * these are its grown-up analytics descendants with the same
+  * key→bucket discipline.
+  */
+object ProductAnalytics {
+
+  // ------------------------------------ rolling active users
+  /** DAU / rolling-7-day / rolling-28-day distinct actives per day,
+    * plus the DAU/WAU stickiness ratio in permille.
+    *
+    * Scale shape: a rolling COUNT(DISTINCT) cannot be a window
+    * function (no distinct frames in Spark OR DuckDB); the standard
+    * scalable form is CONTRIBUTION EXPLOSION — each distinct
+    * (user, active_day) pair contributes to the ≤7 (resp. ≤28)
+    * trailing window days, so work is O(active_pairs × 28) with a
+    * hash-agg per window day, never a self-join of days × users.
+    * Days past the observed max are clipped so every output day
+    * reflects a full (or left-truncated) window, and the explosion
+    * factor is a compile-time constant — at 100 TB this is a fixed
+    * 35× fan-out on the (user, day) DISTINCT, which is itself tiny
+    * relative to raw events. */
+  def rollingActiveUsers(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val pairs = ev.select(col("user_id"),
+      expr("CAST(date_trunc('day', ts) AS LONG) DIV 86400").as("day_idx"))
+      .distinct()
+    val maxDay = pairs.agg(max(col("day_idx")).as("max_day"))
+    // each active (user, day) counts toward window days day..day+k-1
+    def contrib(k: Int, name: String): DataFrame =
+      pairs.crossJoin(broadcast(maxDay))
+        .select(col("user_id"),
+          explode(sequence(col("day_idx"),
+            least(col("day_idx") + lit(k - 1), col("max_day")))).as("day_idx"))
+        .distinct()
+        .groupBy(col("day_idx")).agg(count(lit(1)).as(name))
+    val dau = pairs.groupBy(col("day_idx")).agg(count(lit(1)).as("dau"))
+    dau
+      .join(contrib(7, "wau7"), Seq("day_idx"))
+      .join(contrib(28, "mau28"), Seq("day_idx"))
+      .withColumn("stickiness_pm", expr("dau * 1000 DIV wau7"))
+      .orderBy(col("day_idx"))
+  }
+
+  val rollingActiveUsersSql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(FLOOR(EPOCH(DATE_TRUNC('day', ts))) AS BIGINT) // 86400 AS day_idx
+      |  FROM events),
+      |mx AS (SELECT MAX(day_idx) AS max_day FROM pairs),
+      |w7 AS (
+      |  SELECT g.day_idx, COUNT(DISTINCT p.user_id) AS wau7
+      |  FROM pairs p, mx,
+      |    LATERAL (SELECT UNNEST(generate_series(p.day_idx,
+      |      LEAST(p.day_idx + 6, mx.max_day))) AS day_idx) g
+      |  GROUP BY 1),
+      |w28 AS (
+      |  SELECT g.day_idx, COUNT(DISTINCT p.user_id) AS mau28
+      |  FROM pairs p, mx,
+      |    LATERAL (SELECT UNNEST(generate_series(p.day_idx,
+      |      LEAST(p.day_idx + 27, mx.max_day))) AS day_idx) g
+      |  GROUP BY 1),
+      |d AS (SELECT day_idx, COUNT(*) AS dau FROM pairs GROUP BY 1)
+      |SELECT d.day_idx, d.dau, w7.wau7, w28.mau28,
+      |  d.dau * 1000 // w7.wau7 AS stickiness_pm
+      |FROM d JOIN w7 USING (day_idx) JOIN w28 USING (day_idx)
+      |ORDER BY day_idx""".stripMargin
+
+  // ------------------------------------ session concurrency curve
+  /** Peak concurrent sessions per day — the capacity-planning curve.
+    * Sessions are the same 30-min-gap sessions [[Events.sessionize]]
+    * emits (inclusive [start, end] at second granularity). A session
+    * contributes (+1 at start, −1 after end) delta points; the
+    * running sum over points is instantaneous concurrency, and the
+    * per-day max is the answer.
+    *
+    * Scale shape: a GLOBAL running sum would serialize, so the day is
+    * the parallel unit: each session explodes into the days it spans
+    * (bounded by session length — gap-bounded sessions rarely span
+    * 2 days), contributing its in-day delta points plus a carry-in of
+    * +1 to each later day it covers (= sessions already open at that
+    * day's midnight). Within a day the sweep is one window over that
+    * day's points. Ties break +1-before-−1 via a delta DESC sort key
+    * so back-to-back sessions at the same second count as overlapping
+    * (inclusive-interval semantics, pinned in the spec). */
+  def concurrencyCurve(s: SparkSession, d: String): DataFrame = {
+    val sess = Events.sessionize(s, d)
+      .select(col("session_start_sec").as("s"), col("session_end_sec").as("e"))
+    val spanned = sess.select(col("s"), col("e"),
+      explode(sequence(expr("s DIV 86400"), expr("e DIV 86400"))).as("day_idx"))
+    // in-day delta points; carried-over sessions contribute +1 at midnight
+    val points = spanned.select(col("day_idx"),
+        when(expr("s DIV 86400") === col("day_idx"), col("s"))
+          .otherwise(col("day_idx") * 86400L).as("t"),
+        lit(1).as("delta"))
+      .unionAll(sess.select(expr("e DIV 86400").as("day_idx"),
+        (col("e") + 1).as("t"), lit(-1).as("delta")))
+    val sweep = Window.partitionBy(col("day_idx"))
+      .orderBy(col("t"), col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    points
+      .withColumn("conc", sum(col("delta")).over(sweep))
+      .groupBy(col("day_idx"))
+      .agg(max(col("conc")).as("peak_concurrency"),
+        sum(when(col("delta") === 1, 1).otherwise(0)).as("n_sessions_touching"))
+      .orderBy(col("day_idx"))
+  }
+
+  val concurrencyCurveSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess0 AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      |  FROM marked),
+      |sess AS (
+      |  SELECT CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS s,
+      |         CAST(FLOOR(EPOCH(MAX(ts))) AS BIGINT) AS e
+      |  FROM sess0 GROUP BY user_id, sid),
+      |spanned AS (
+      |  SELECT s, e, g.day_idx
+      |  FROM sess, LATERAL (SELECT UNNEST(generate_series(
+      |    s // 86400, e // 86400)) AS day_idx) g),
+      |points AS (
+      |  SELECT day_idx,
+      |    CASE WHEN s // 86400 = day_idx THEN s ELSE day_idx * 86400 END AS t,
+      |    1 AS delta
+      |  FROM spanned
+      |  UNION ALL
+      |  SELECT e // 86400 AS day_idx, e + 1 AS t, -1 AS delta FROM sess),
+      |swept AS (
+      |  SELECT day_idx, delta,
+      |    SUM(delta) OVER (PARTITION BY day_idx ORDER BY t, delta DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+      |  FROM points)
+      |SELECT day_idx,
+      |  CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+      |  CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_sessions_touching
+      |FROM swept GROUP BY day_idx ORDER BY day_idx""".stripMargin
+
+  // ------------------------------------ RFM segmentation
+  /** Classic RFM: per purchasing user, Recency (days since last
+    * purchase, vs the corpus max day), Frequency (purchase count),
+    * Monetary (summed cents) — each scored into quintiles, users
+    * labeled `r f m` concatenated, rolled up per segment.
+    *
+    * Scale shape: one purchase-filtered hash-agg per user, then three
+    * NTILE(5) windows over the USER table (orders of magnitude
+    * smaller than events; a range-partitioned sort each — NTILE is
+    * over the whole user population by definition). user_id is the
+    * deterministic tiebreak in every NTILE ordering so quintile
+    * boundaries are stable cross-engine. */
+  def rfmSegments(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val maxDay = purchases.agg(
+      max(expr("CAST(date_trunc('day', ts) AS LONG) DIV 86400")).as("max_day"))
+    val perUser = purchases
+      .groupBy(col("user_id"))
+      .agg(max(expr("CAST(date_trunc('day', ts) AS LONG) DIV 86400")).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(cents(col("value"))).cast("long").as("monetary_cents"))
+      .crossJoin(broadcast(maxDay))
+      .withColumn("recency_days", col("max_day") - col("last_day"))
+    // low recency = good → order recency ASC for score 5..1 means DESC ntile;
+    // keep it simple: score = ntile over explicitly documented orderings
+    val rW = Window.orderBy(col("recency_days").asc, col("user_id").asc)
+    val fW = Window.orderBy(col("freq").desc, col("user_id").asc)
+    val mW = Window.orderBy(col("monetary_cents").desc, col("user_id").asc)
+    perUser
+      .withColumn("r_score", ntile(5).over(rW))
+      .withColumn("f_score", ntile(5).over(fW))
+      .withColumn("m_score", ntile(5).over(mW))
+      .groupBy(concat_ws("", col("r_score"), col("f_score"), col("m_score"))
+        .as("segment"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("monetary_cents")).as("segment_cents"),
+        min(col("user_id")).as("sample_user"))
+      .orderBy(col("segment"))
+  }
+
+  val rfmSegmentsSql: String =
+    s"""WITH p AS (
+       |  SELECT user_id,
+       |    CAST(FLOOR(EPOCH(DATE_TRUNC('day', ts))) AS BIGINT) // 86400 AS day_idx,
+       |    ${centsSql("value")} AS cents
+       |  FROM events WHERE event_type = 'purchase'),
+       |mx AS (SELECT MAX(day_idx) AS max_day FROM p),
+       |per_user AS (
+       |  SELECT user_id, MAX(day_idx) AS last_day, COUNT(*) AS freq,
+       |    CAST(SUM(cents) AS BIGINT) AS monetary_cents
+       |  FROM p GROUP BY 1),
+       |scored AS (
+       |  SELECT user_id, monetary_cents,
+       |    NTILE(5) OVER (ORDER BY mx.max_day - last_day ASC, user_id ASC) AS r_score,
+       |    NTILE(5) OVER (ORDER BY freq DESC, user_id ASC) AS f_score,
+       |    NTILE(5) OVER (ORDER BY monetary_cents DESC, user_id ASC) AS m_score
+       |  FROM per_user, mx)
+       |SELECT CONCAT(r_score, f_score, m_score) AS segment,
+       |  COUNT(*) AS n_users,
+       |  CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents,
+       |  MIN(user_id) AS sample_user
+       |FROM scored GROUP BY 1 ORDER BY segment""".stripMargin
+
+  // ------------------------------------ last-touch attribution
+  /** Marketing-style last-touch attribution: each purchase is
+    * credited to the user's most recent PRECEDING non-purchase event
+    * within a 48-hour lookback; purchases with no touch in window
+    * fall into the 'none' bucket. Output: per touch type, attributed
+    * purchase count and revenue cents.
+    *
+    * Scale shape: a single user-partitioned ordered window (the
+    * last_value-ignore-nulls idiom over (ts, event_id)) — NO join:
+    * the as-of lookup rides the same per-user sort sessionize uses,
+    * so at 100 TB this is one shuffle by user_id, the minimum any
+    * per-user ordering needs. The 48 h cutoff is integer-micros
+    * arithmetic, exact cross-engine. */
+  def attributionLastTouch(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(s, d)
+      .withColumn("touch_type", last(
+        when(col("event_type") =!= "purchase", col("event_type")),
+        ignoreNulls = true).over(byUser))
+      .withColumn("touch_us", last(
+        when(col("event_type") =!= "purchase", unix_micros(col("ts"))),
+        ignoreNulls = true).over(byUser))
+      .filter(col("event_type") === "purchase")
+      .withColumn("attributed", coalesce(
+        when(unix_micros(col("ts")) - col("touch_us") <= 172800000000L,
+          col("touch_type")), lit("none")))
+      .groupBy(col("attributed"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(cents(col("value"))).cast("long").as("revenue_cents"))
+      .orderBy(col("attributed"))
+  }
+
+  val attributionLastTouchSql: String =
+    s"""WITH touched AS (
+       |  SELECT event_type, ts, value,
+       |    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+       |      IGNORE NULLS) OVER w AS touch_type,
+       |    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN epoch_us(ts) END
+       |      IGNORE NULLS) OVER w AS touch_us
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+       |SELECT COALESCE(CASE WHEN epoch_us(ts) - touch_us <= 172800000000
+       |    THEN touch_type END, 'none') AS attributed,
+       |  COUNT(*) AS n_purchases,
+       |  CAST(SUM(${centsSql("value")}) AS BIGINT) AS revenue_cents
+       |FROM touched WHERE event_type = 'purchase'
+       |GROUP BY 1 ORDER BY attributed""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_rolling_active_users" -> rollingActiveUsers,
+    "ev_concurrency_curve" -> concurrencyCurve,
+    "ev_rfm_segments" -> rfmSegments,
+    "ev_attribution_last_touch" -> attributionLastTouch)
+
+  val oracle: Map[String, String] = Map(
+    "ev_rolling_active_users" -> rollingActiveUsersSql,
+    "ev_concurrency_curve" -> concurrencyCurveSql,
+    "ev_rfm_segments" -> rfmSegmentsSql,
+    "ev_attribution_last_touch" -> attributionLastTouchSql)
+}

@@ -149,7 +149,11 @@ class PlanSpec extends AnyFunSuite {
     "subquery_scalar",      // the scalar-subquery demo itself (1 row)
     "emb_kmeans_assign",    // k-row centers table broadcast
     "layout_zorder_stats",  // 1-row min/max bounds broadcast (Morton key)
-    "graph_triangle_count") // two 1-row stat aggregates broadcast
+    "graph_triangle_count", // two 1-row stat aggregates broadcast
+    "ev_rolling_active_users", // 1-row max-day broadcast (window clip)
+    "ev_rfm_segments",      // 1-row max-day broadcast (recency anchor)
+    "text_kneser_ney",      // 1-row bigram-type total broadcast
+    "agg_countmin_confirm") // 1-row token total broadcast (threshold)
 
   test("GLOBAL plan lint: no CartesianProduct anywhere; no " +
       "BroadcastNestedLoopJoin outside the bounded-side whitelist") {

@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Pins the product-analytics tier's boundary semantics on planted
+  * event fixtures: inclusive-interval concurrency ties, midnight
+  * carry-in, rolling-window clipping at the corpus max day, and the
+  * 48-hour attribution cutoff (touches are last NON-purchase, so an
+  * intervening purchase never steals attribution). */
+class ProductAnalyticsSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def writeEvents(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("pa").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+  test("concurrency: same-second sessions overlap (inclusive ties); " +
+      "midnight-crossing sessions carry +1 into the next day") {
+    // users 1,2: single-event sessions both at t=1000 → peak 2 on day 0.
+    // user 3: one session [86350, 86450] crossing midnight → +1 carried
+    // into day 1 at 86400, where nothing else runs → day-1 peak 1.
+    val d = writeEvents(Seq(
+      (1L, ts(1000), 1L, "view", 1.0, "{}"),
+      (2L, ts(1000), 2L, "view", 1.0, "{}"),
+      (3L, ts(86350), 3L, "view", 1.0, "{}"),
+      (4L, ts(86450), 3L, "view", 1.0, "{}")))
+    val got = ProductAnalytics.concurrencyCurve(spark, d)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, 2L, 3L),  // day 0: users 1+2 concurrent; 3 sessions start
+      (1L, 1L, 1L))) // day 1: only user 3's carried session touches
+  }
+
+  test("rolling actives: trailing windows clip at max_day and " +
+      "wau7 >= dau always") {
+    // user 1 active day 0 only; user 2 active day 3 only; max_day = 3.
+    val d = writeEvents(Seq(
+      (1L, ts(3600), 1L, "view", 1.0, "{}"),
+      (2L, ts(3 * 86400 + 3600), 2L, "view", 1.0, "{}")))
+    val got = ProductAnalytics.rollingActiveUsers(spark, d)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // day 0: dau 1, wau7 1 (only user 1); day 3: dau 1 (user 2), but
+    // user 1's day-0 activity still inside the 7-day window → wau7 2;
+    // stickiness 1000*1/2 = 500. Days 1,2 have no dau row (dau join).
+    assert(got == Seq(
+      (0L, 1L, 1L, 1L, 1000L),
+      (3L, 1L, 2L, 2L, 500L)))
+  }
+
+  test("attribution: 48h cutoff is exact; intervening purchases never " +
+      "steal the touch; first-event purchases fall to 'none'") {
+    val d = writeEvents(Seq(
+      // user 1: click at t=0, purchase 48h LATER EXACTLY → attributed
+      (1L, ts(0), 1L, "click", 0.0, "{}"),
+      (2L, ts(172800), 1L, "purchase", 10.0, "{}"),
+      // user 2: view at t=0, purchase 48h + 1s → outside window → none
+      (3L, ts(0), 2L, "view", 0.0, "{}"),
+      (4L, ts(172801), 2L, "purchase", 20.0, "{}"),
+      // user 3: click, then purchase, then ANOTHER purchase — both
+      // credit the click (purchases are never touches)
+      (5L, ts(100), 3L, "click", 0.0, "{}"),
+      (6L, ts(200), 3L, "purchase", 5.0, "{}"),
+      (7L, ts(300), 3L, "purchase", 7.0, "{}"),
+      // user 4: purchase with no prior event at all → none
+      (8L, ts(50), 4L, "purchase", 1.0, "{}")))
+    val got = ProductAnalytics.attributionLastTouch(spark, d)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("click", 3L, 2200L),  // 10.00 + 5.00 + 7.00
+      ("none", 2L, 2100L)))  // 20.00 + 1.00
+  }
+
+  test("rfm: a single purchasing user lands in segment 111 " +
+      "(best quintile on every axis when alone)") {
+    val d = writeEvents(Seq(
+      (1L, ts(1000), 1L, "purchase", 12.34, "{}"),
+      (2L, ts(2000), 2L, "view", 0.0, "{}"))) // non-purchaser: excluded
+    val got = ProductAnalytics.rfmSegments(spark, d)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("111", 1L, 1234L, 1L)))
+  }
+}
