@@ -17,7 +17,8 @@ object SparkEntry {
       GraphRank.queries ++ CorpusCuration.queries ++ SnapshotOps.queries ++
       DataLayout.queries ++ TokenizerOps.queries ++ Retrieval.queries ++
       DataAudit.queries ++ graft.multimodal.Multimodal.queries ++
-      ProductAnalytics.queries ++ TextModeling.queries
+      ProductAnalytics.queries ++ TextModeling.queries ++
+      EmbeddingAudit.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
       GraphRank.oracle ++ CorpusCuration.oracle ++ SnapshotOps.oracle ++
       DataLayout.oracle ++ TokenizerOps.oracle ++ Retrieval.oracle ++
       DataAudit.oracle ++ graft.multimodal.Multimodal.oracle ++
-      ProductAnalytics.oracle ++ TextModeling.oracle
+      ProductAnalytics.oracle ++ TextModeling.oracle ++
+      EmbeddingAudit.oracle
 }

@@ -275,15 +275,83 @@ object ProductAnalytics {
        |FROM touched WHERE event_type = 'purchase'
        |GROUP BY 1 ORDER BY attributed""".stripMargin
 
+  // ------------------------------------ CUSUM change-point detection
+  /** Page's CUSUM over per-type daily revenue — the drift detector
+    * behind "did this metric shift?" alerts. The textbook recursion
+    * S_t = max(0, S_{t−1} + dev_t) is not window-expressible, but its
+    * closed form is: S_t = R_t − min(0, min_{j≤t} R_j) where R is the
+    * running deviation sum — TWO frames over ONE per-type sort, fully
+    * parallel across event types. A day flags when S_t² exceeds the
+    * 9·σ² bar (3-sigma in cents², σ² the exact integer population
+    * variance of the type's daily cents — squaring both sides keeps
+    * the test sqrt-free and integer-exact).
+    *
+    * Scale shape: one day×type hash-agg off the scan, a 1-row-per-type
+    * stats join (broadcast), and one window partitioned by type. The
+    * type is the parallel unit; nothing is global. */
+  def cusumChangepoint(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"),
+        expr("CAST(date_trunc('day', ts) AS LONG) DIV 86400").as("day_idx"))
+      .agg(sum(cents(col("value"))).cast("long").as("day_cents"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(expr("SUM(day_cents) DIV COUNT(1)").as("mean_cents"),
+        expr("(COUNT(1) * SUM(day_cents * day_cents)" +
+          " - SUM(day_cents) * SUM(day_cents))" +
+          " DIV (COUNT(1) * COUNT(1))").as("var_cents2"))
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("day_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(broadcast(stats), "event_type")
+      .withColumn("dev", col("day_cents") - col("mean_cents"))
+      .withColumn("run", sum(col("dev")).over(byType))
+      .withColumn("cusum", col("run") - least(lit(0L), min(col("run")).over(byType)))
+      .withColumn("flagged", col("cusum") * col("cusum") > lit(9L) * col("var_cents2"))
+      .select(col("event_type"), col("day_idx"), col("day_cents"),
+        col("dev"), col("cusum"), col("flagged"))
+      .orderBy(col("event_type"), col("day_idx"))
+  }
+
+  val cusumChangepointSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type,
+       |    CAST(FLOOR(EPOCH(DATE_TRUNC('day', ts))) AS BIGINT) // 86400 AS day_idx,
+       |    CAST(SUM(${centsSql("value")}) AS BIGINT) AS day_cents
+       |  FROM events GROUP BY 1, 2),
+       |stats AS (
+       |  SELECT event_type,
+       |    CAST(SUM(day_cents) // COUNT(*) AS BIGINT) AS mean_cents,
+       |    CAST((COUNT(*) * SUM(day_cents * day_cents)
+       |      - SUM(day_cents) * SUM(day_cents))
+       |      // (COUNT(*) * COUNT(*)) AS BIGINT) AS var_cents2
+       |  FROM daily GROUP BY 1),
+       |runs AS (
+       |  SELECT d.event_type, d.day_idx, d.day_cents,
+       |    d.day_cents - s.mean_cents AS dev, s.var_cents2,
+       |    SUM(d.day_cents - s.mean_cents) OVER w AS run
+       |  FROM daily d JOIN stats s USING (event_type)
+       |  WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day_idx
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |r AS (
+       |  SELECT *, MIN(run) OVER (PARTITION BY event_type ORDER BY day_idx
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS min_run
+       |  FROM runs)
+       |SELECT event_type, day_idx, day_cents, dev,
+       |  CAST(run - LEAST(0, min_run) AS BIGINT) AS cusum,
+       |  (run - LEAST(0, min_run)) * (run - LEAST(0, min_run))
+       |    > 9 * var_cents2 AS flagged
+       |FROM r ORDER BY event_type, day_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_rolling_active_users" -> rollingActiveUsers,
     "ev_concurrency_curve" -> concurrencyCurve,
     "ev_rfm_segments" -> rfmSegments,
-    "ev_attribution_last_touch" -> attributionLastTouch)
+    "ev_attribution_last_touch" -> attributionLastTouch,
+    "ev_cusum_changepoint" -> cusumChangepoint)
 
   val oracle: Map[String, String] = Map(
     "ev_rolling_active_users" -> rollingActiveUsersSql,
     "ev_concurrency_curve" -> concurrencyCurveSql,
     "ev_rfm_segments" -> rfmSegmentsSql,
-    "ev_attribution_last_touch" -> attributionLastTouchSql)
+    "ev_attribution_last_touch" -> attributionLastTouchSql,
+    "ev_cusum_changepoint" -> cusumChangepointSql)
 }

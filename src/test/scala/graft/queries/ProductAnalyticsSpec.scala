@@ -76,6 +76,29 @@ class ProductAnalyticsSpec extends AnyFunSuite {
       ("none", 2L, 2100L)))  // 20.00 + 1.00
   }
 
+  test("cusum: the windowed closed form equals Page's recursion " +
+      "S_t = max(0, S_{t-1} + dev_t) on a planted level shift") {
+    // one event type, 10 days: 8 days at 10.00, then a shift to 30.00
+    val rows = (0 until 10).map { day =>
+      val v = if (day >= 8) 30.00 else 10.00
+      ((day + 1).toLong, ts(day * 86400L + 3600L), 1L, "click", v, "{}")
+    }
+    val d = writeEvents(rows)
+    val got = ProductAnalytics.cusumChangepoint(spark, d)
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+      .sortBy(_._2).toSeq
+    // sequential reference: same integer mean/dev, textbook recursion
+    val cents = got.map(_._3)
+    val mean = cents.sum / cents.length
+    val expected = cents.scanLeft(0L) { (s, c) =>
+      math.max(0L, s + (c - mean)) }.tail
+    assert(got.map(_._5) == expected)
+    // the shift is flagged: variance is inflated by the planted step,
+    // so only the post-shift accumulation crosses the 3-sigma bar
+    assert(got.takeWhile(_._2 < 8).forall(!_._6))
+    assert(got.last._6)
+  }
+
   test("rfm: a single purchasing user lands in segment 111 " +
       "(best quintile on every axis when alone)") {
     val d = writeEvents(Seq(
