@@ -18,7 +18,7 @@ object SparkEntry {
       DataLayout.queries ++ TokenizerOps.queries ++ Retrieval.queries ++
       DataAudit.queries ++ graft.multimodal.Multimodal.queries ++
       ProductAnalytics.queries ++ TextModeling.queries ++
-      EmbeddingAudit.queries
+      EmbeddingAudit.queries ++ AudienceOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +31,5 @@ object SparkEntry {
       DataLayout.oracle ++ TokenizerOps.oracle ++ Retrieval.oracle ++
       DataAudit.oracle ++ graft.multimodal.Multimodal.oracle ++
       ProductAnalytics.oracle ++ TextModeling.oracle ++
-      EmbeddingAudit.oracle
+      EmbeddingAudit.oracle ++ AudienceOps.oracle
 }

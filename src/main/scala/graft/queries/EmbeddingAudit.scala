@@ -77,9 +77,95 @@ object EmbeddingAudit {
       |  CAST(SUM(other_d2 - own_d2) // COUNT(*) AS BIGINT) AS mean_margin_e12
       |FROM per_vec GROUP BY label ORDER BY label""".stripMargin
 
+  // ------------------------------------------ power-iteration PCA
+  /** Top principal direction of the embedding cloud by two rounds of
+    * matrix-free power iteration: v ← Xᵀ(Xv), starting from the
+    * all-ones vector. Never forms the d×d Gram matrix — each round is
+    * one row-score aggregation (s_i = xᵢ·v) and one dim-score
+    * aggregation (v'_d = Σᵢ sᵢ·x_{i,d}), both hash-aggs with map-side
+    * combine over the exploded (vec, dim, value) grid. This is the
+    * audit that tells you whether one direction dominates the
+    * embedding space (an anisotropy/collapse smell) before ANN
+    * bucketing or whitening decisions.
+    *
+    * Integer discipline: inputs snap to the ×1e6 grid; row scores are
+    * down-shifted (DIV 1e3 after round 1, DIV 1e7 after round 2 —
+    * bounds documented inline) so every sum stays in Long for corpus
+    * sizes up to ~1e8 vectors at d=64; each round renormalizes to the
+    * ×1e6 grid by the max |component| (a 1-row broadcast — whitelisted
+    * in the plan lint). Deterministic start + fixed rounds ⇒ no sign
+    * or convergence ambiguity; DuckDB replays the identical grid.
+    *
+    * Scale shape: the exploded grid is materialized ONCE
+    * ([[graft.operators.Materialize]]) and scanned by the four
+    * aggregations; shuffles are keyed alternately on vec_id and dim
+    * (d rows only). At 100 TB the vec_id-keyed aggs dominate and are
+    * plain map-side-combined hash-aggs — no pairwise anything. */
+  def pcaPower(s: SparkSession, d: String): DataFrame = {
+    val x = graft.operators.Materialize.eager(
+      embeddings(s, d)
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("dim", "xv")))
+        .select(col("vec_id"), col("dim"),
+          floor(col("xv").cast("double") * 1e6 + 0.5).cast("long")
+            .as("xe6")))
+    // round 1: v0 = 1⃗ ⇒ s1_i = Σ_d xe6 (|s1| ≤ d·1e6 = 6.4e7);
+    // DIV 1e3 bounds the v1 accumulator at n·6.4e4·1e6 ≈ 6.4e19/1e9 —
+    // Long-safe through n ≈ 1e8
+    val s1 = x.groupBy(col("vec_id")).agg(expr("SUM(xe6) DIV 1000").as("sc"))
+    val v1 = x.join(s1, Seq("vec_id"))
+      .groupBy(col("dim")).agg(sum(col("sc") * col("xe6")).as("v"))
+    val m1 = v1.agg(
+      greatest(lit(1L), expr("MAX(ABS(v)) DIV 1000000")).as("nrm"))
+    val v1n = v1.crossJoin(broadcast(m1))
+      .select(col("dim"), expr("v DIV nrm").as("ve6"))
+    // round 2: s2_i = Σ_d xe6·ve6 ≤ d·1e12 = 6.4e13; DIV 1e7 bounds
+    // the v2 accumulator the same way as round 1
+    val s2 = x.join(broadcast(v1n), Seq("dim"))
+      .groupBy(col("vec_id"))
+      .agg(expr("SUM(xe6 * ve6) DIV 10000000").as("sc"))
+    val v2 = x.join(s2, Seq("vec_id"))
+      .groupBy(col("dim")).agg(sum(col("sc") * col("xe6")).as("v"))
+    val m2 = v2.agg(
+      greatest(lit(1L), expr("MAX(ABS(v)) DIV 1000000")).as("nrm"))
+    v2.crossJoin(broadcast(m2))
+      .select(col("dim"), expr("v DIV nrm").as("loading_e6"))
+      .orderBy(col("dim"))
+  }
+
+  val pcaPowerSql: String =
+    """WITH x AS (
+      |  SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+      |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+      |      AS xe6
+      |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+      |s1 AS (
+      |  SELECT vec_id, CAST(SUM(xe6) // 1000 AS BIGINT) AS sc
+      |  FROM x GROUP BY 1),
+      |v1 AS (
+      |  SELECT dim, CAST(SUM(s1.sc * x.xe6) AS BIGINT) AS v
+      |  FROM x JOIN s1 USING (vec_id) GROUP BY 1),
+      |m1 AS (
+      |  SELECT GREATEST(1, MAX(ABS(v)) // 1000000) AS nrm FROM v1),
+      |v1n AS (
+      |  SELECT dim, CAST(v // nrm AS BIGINT) AS ve6 FROM v1, m1),
+      |s2 AS (
+      |  SELECT x.vec_id,
+      |    CAST(SUM(x.xe6 * v1n.ve6) // 10000000 AS BIGINT) AS sc
+      |  FROM x JOIN v1n USING (dim) GROUP BY 1),
+      |v2 AS (
+      |  SELECT dim, CAST(SUM(s2.sc * x.xe6) AS BIGINT) AS v
+      |  FROM x JOIN s2 USING (vec_id) GROUP BY 1),
+      |m2 AS (
+      |  SELECT GREATEST(1, MAX(ABS(v)) // 1000000) AS nrm FROM v2)
+      |SELECT dim, CAST(v // nrm AS BIGINT) AS loading_e6
+      |FROM v2, m2 ORDER BY dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "emb_centroid_margin" -> centroidMargin)
+    "emb_centroid_margin" -> centroidMargin,
+    "emb_pca_power" -> pcaPower)
 
   val oracle: Map[String, String] = Map(
-    "emb_centroid_margin" -> centroidMarginSql)
+    "emb_centroid_margin" -> centroidMarginSql,
+    "emb_pca_power" -> pcaPowerSql)
 }

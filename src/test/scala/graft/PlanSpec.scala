@@ -153,7 +153,8 @@ class PlanSpec extends AnyFunSuite {
     "ev_rolling_active_users", // 1-row max-day broadcast (window clip)
     "ev_rfm_segments",      // 1-row max-day broadcast (recency anchor)
     "text_kneser_ney",      // 1-row bigram-type total broadcast
-    "agg_countmin_confirm") // 1-row token total broadcast (threshold)
+    "agg_countmin_confirm", // 1-row token total broadcast (threshold)
+    "emb_pca_power")        // two 1-row max-|component| renorm broadcasts
 
   test("GLOBAL plan lint: no CartesianProduct anywhere; no " +
       "BroadcastNestedLoopJoin outside the bounded-side whitelist") {
