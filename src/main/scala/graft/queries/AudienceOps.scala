@@ -150,13 +150,86 @@ object AudienceOps {
       |    AS chars_dropped
       |FROM r GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------- forecast backtest
+  /** Backtest of two one-step forecasters on the hourly event-count
+    * grid, per event type: NAIVE (previous hour's count) vs
+    * SEASONAL-NAIVE (same hour yesterday). Reports both mean absolute
+    * errors (milli-units) and the seasonal improvement in permille of
+    * the naive error — the quantitative follow-on to
+    * `ev_seasonality_profile`: it tells you whether the hour-of-day
+    * cycle is strong enough that a capacity model must carry it.
+    *
+    * Only grid cells where BOTH predecessors exist are scored, so the
+    * two MAEs average over the identical point set (a fair horse
+    * race, and join-expressible with no dense spine needed).
+    *
+    * Scale shape: the only corpus-sized pass is the (type, day, hour)
+    * hash-agg; the backtest then self-joins the aggregated grid —
+    * |types|·days·24 rows, broadcast-sized even at decades of data —
+    * twice on (type, day, hour) keys. */
+  def forecastBacktest(s: SparkSession, d: String): DataFrame = {
+    val grid = events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        hour(col("ts")).cast("int").as("hr"))
+      .groupBy(col("event_type"), col("day"), col("hr"))
+      .agg(count(lit(1)).as("n"))
+    val cur = grid.as("c")
+    val scored = cur
+      .join(grid.as("pn"),
+        col("c.event_type") === col("pn.event_type") &&
+          col("c.day") === col("pn.day") &&
+          col("c.hr") === col("pn.hr") + 1)
+      .join(grid.as("ps"),
+        col("c.event_type") === col("ps.event_type") &&
+          col("c.day") === date_add(col("ps.day"), 1) &&
+          col("c.hr") === col("ps.hr"))
+      .select(col("c.event_type").as("event_type"),
+        abs(col("c.n") - col("pn.n")).as("e_naive"),
+        abs(col("c.n") - col("ps.n")).as("e_seasonal"))
+    scored.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("e_naive")).as("sn"), sum(col("e_seasonal")).as("ss"))
+      .select(col("event_type"), col("n_points"),
+        expr("1000 * sn DIV n_points").as("mae_naive_milli"),
+        expr("1000 * ss DIV n_points").as("mae_seasonal_milli"),
+        when(col("sn") === 0, lit(0L))
+          .otherwise(expr("1000 * (sn - ss) DIV sn"))
+          .as("improvement_permille"))
+      .orderBy(col("event_type"))
+  }
+
+  val forecastBacktestSql: String =
+    """WITH g AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(EXTRACT(HOUR FROM ts) AS INT) AS hr, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2, 3),
+      |sc AS (
+      |  SELECT c.event_type,
+      |    ABS(c.n - pn.n) AS e_naive, ABS(c.n - ps.n) AS e_seasonal
+      |  FROM g c
+      |  JOIN g pn ON pn.event_type = c.event_type
+      |    AND pn.day = c.day AND pn.hr + 1 = c.hr
+      |  JOIN g ps ON ps.event_type = c.event_type
+      |    AND ps.day + 1 = c.day AND ps.hr = c.hr)
+      |SELECT event_type, COUNT(*) AS n_points,
+      |  CAST(1000 * SUM(e_naive) // COUNT(*) AS BIGINT)
+      |    AS mae_naive_milli,
+      |  CAST(1000 * SUM(e_seasonal) // COUNT(*) AS BIGINT)
+      |    AS mae_seasonal_milli,
+      |  CASE WHEN SUM(e_naive) = 0 THEN 0
+      |    ELSE CAST(1000 * (SUM(e_naive) - SUM(e_seasonal))
+      |      // SUM(e_naive) AS BIGINT) END AS improvement_permille
+      |FROM sc GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_seasonality_profile" -> seasonalityProfile,
     "ev_audience_overlap" -> audienceOverlap,
-    "dedup_survivorship" -> dedupSurvivorship)
+    "dedup_survivorship" -> dedupSurvivorship,
+    "ev_forecast_backtest" -> forecastBacktest)
 
   val oracle: Map[String, String] = Map(
     "ev_seasonality_profile" -> seasonalityProfileSql,
     "ev_audience_overlap" -> audienceOverlapSql,
-    "dedup_survivorship" -> dedupSurvivorshipSql)
+    "dedup_survivorship" -> dedupSurvivorshipSql,
+    "ev_forecast_backtest" -> forecastBacktestSql)
 }

@@ -70,6 +70,26 @@ class AudienceOpsSpec extends AnyFunSuite {
       ("s2", 1L, 0L, 1L, 2L)))
   }
 
+  test("forecast backtest: scores only cells with BOTH predecessors; " +
+      "negative improvement when seasonal loses") {
+    def at(day: Int, hr: Int, k: Int) = ts(day * 86400L + hr * 3600L + k)
+    // type a — day1 hr1 is the only scored cell: naive err 0, seasonal 1
+    // type b — day1 hr1 scored: naive err 1, seasonal err 3 (worse)
+    var id = 0L
+    def burst(n: Int, day: Int, hr: Int, u: Long, t: String) =
+      (0 until n).map { k => id += 1; (id, at(day, hr, k), u, t, 0.0, "{}") }
+    val d = writeEvents(
+      burst(2, 0, 0, 1L, "a") ++ burst(4, 0, 1, 1L, "a") ++
+        burst(3, 1, 0, 1L, "a") ++ burst(3, 1, 1, 1L, "a") ++
+        burst(1, 0, 0, 2L, "b") ++ burst(5, 0, 1, 2L, "b") ++
+        burst(1, 1, 0, 2L, "b") ++ burst(2, 1, 1, 2L, "b"))
+    val got = AudienceOps.forecastBacktest(spark, d)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", 1L, 0L, 1000L, 0L),       // sn=0 → improvement clamps to 0
+      ("b", 1L, 1000L, 3000L, -2000L)))
+  }
+
   test("pca power iteration recovers a planted dominant axis") {
     val dir = java.nio.file.Files.createTempDirectory("au").toString
     val dims = 8
