@@ -31,7 +31,12 @@ object PlanCheck {
       "emb_truncation_energy",
       "graph_triangle_count", "text_winnowing_pairs",
       "ev_gap_fill_locf", "doc_weighted_sample", "agg_string_collect",
-      "retrieval_mmr", "audit_null_profile", "ev_lateness_audit")
+      "retrieval_mmr", "audit_null_profile", "ev_lateness_audit",
+      "ev_rolling_active_users", "ev_cusum_changepoint",
+      "emb_centroid_margin", "text_kneser_ney", "agg_countmin_confirm",
+      "emb_pq_adc_topk", "mm_scene_cuts", "ev_rfm_segments",
+      "emb_pca_power", "ev_audience_overlap", "ev_forecast_backtest",
+      "dedup_survivorship")
     val out = new StringBuilder
     out ++= "# PLANS — formatted physical plans for headline queries\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanCheck PLANS.md\"` " +
