@@ -18,7 +18,8 @@ object SparkEntry {
       DataLayout.queries ++ TokenizerOps.queries ++ Retrieval.queries ++
       DataAudit.queries ++ graft.multimodal.Multimodal.queries ++
       ProductAnalytics.queries ++ TextModeling.queries ++
-      EmbeddingAudit.queries ++ AudienceOps.queries
+      EmbeddingAudit.queries ++ AudienceOps.queries ++
+      DistributionAudit.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
       DataLayout.oracle ++ TokenizerOps.oracle ++ Retrieval.oracle ++
       DataAudit.oracle ++ graft.multimodal.Multimodal.oracle ++
       ProductAnalytics.oracle ++ TextModeling.oracle ++
-      EmbeddingAudit.oracle ++ AudienceOps.oracle
+      EmbeddingAudit.oracle ++ AudienceOps.oracle ++
+      DistributionAudit.oracle
 }

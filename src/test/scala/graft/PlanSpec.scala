@@ -154,7 +154,9 @@ class PlanSpec extends AnyFunSuite {
     "ev_rfm_segments",      // 1-row max-day broadcast (recency anchor)
     "text_kneser_ney",      // 1-row bigram-type total broadcast
     "agg_countmin_confirm", // 1-row token total broadcast (threshold)
-    "emb_pca_power")        // two 1-row max-|component| renorm broadcasts
+    "emb_pca_power",        // two 1-row max-|component| renorm broadcasts
+    "ev_ks_drift",          // 1-row [min_day,max_day] bounds broadcast
+    "audit_benford")        // 1-row grand-total broadcast
 
   test("GLOBAL plan lint: no CartesianProduct anywhere; no " +
       "BroadcastNestedLoopJoin outside the bounded-side whitelist") {
