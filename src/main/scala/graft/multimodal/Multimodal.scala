@@ -294,17 +294,93 @@ object Multimodal {
       |  CAST(COALESCE(MAX(ABS(energy - prev)), 0) AS BIGINT) AS max_jump
       |FROM l GROUP BY media_id ORDER BY media_id""".stripMargin
 
+  // ------------------------------------------------ audio VAD
+  /** Voice-activity detection over the audio rows — the stub twin of
+    * an energy-threshold VAD: the payload BODY is framed into 160-byte
+    * "20 ms" windows in one batched per-partition pass over the binary
+    * column (the real plumbing a PCM decoder would use); each frame's
+    * stub energy is its byte count ×100 plus a deterministic jitter,
+    * and a frame is "voiced" iff jitter ≥ 28 (≈2/3 duty cycle — pure
+    * arithmetic, so DuckDB replays it from strlen). Per audio: frame
+    * count, voiced count, speech ratio permille, and the longest
+    * voiced run (gaps-and-islands on frame index).
+    *
+    * Scale shape: frames explode ≤ len/160 rows per audio inside the
+    * partition pass (no shuffle until the per-media hash-agg); the
+    * islands window partitions by media_id — each audio is one
+    * parallel unit, never a global sort. */
+  def audioVad(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frames = mediaTable(spark, dir)
+      .filter((m: Media) => m.kind == "audio")
+      .mapPartitions { it =>
+        it.flatMap { m =>
+          val len = m.payload.length - 16
+          val n = math.max(1, (len + 159) / 160)
+          (0 until n).iterator.map { f =>
+            val chunk = math.max(0, math.min(160, len - f * 160))
+            val jitter = (m.media_id * 37 + f * 17) % 83
+            (m.media_id, f, chunk.toLong * 100L + jitter, jitter >= 28)
+          }
+        }
+      }.toDF("media_id", "frame_idx", "energy", "voiced")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    val runs = frames.filter(col("voiced"))
+      .withColumn("isl", col("frame_idx") - row_number().over(w))
+      .groupBy(col("media_id"), col("isl")).agg(count(lit(1)).as("run"))
+      .groupBy(col("media_id")).agg(max(col("run")).as("lr"))
+    frames.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("voiced"), 1L).otherwise(0L)).as("n_voiced"))
+      .join(runs, Seq("media_id"), "left")
+      .withColumn("speech_permille", expr("1000 * n_voiced DIV n_frames"))
+      .withColumn("longest_voiced_run", coalesce(col("lr"), lit(0L)))
+      .select(col("media_id"), col("n_frames"), col("n_voiced"),
+        col("speech_permille"), col("longest_voiced_run"))
+      .orderBy(col("media_id"))
+  }
+
+  val audioVadSql: String =
+    """WITH a AS (
+      |  SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS len
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |f AS (
+      |  SELECT media_id, CAST(i AS INT) AS frame_idx,
+      |    (media_id * 37 + i * 17) % 83 AS jitter
+      |  FROM a, UNNEST(range(0, GREATEST((len + 159) // 160, 1))) t(i)),
+      |v AS (
+      |  SELECT media_id, frame_idx, jitter >= 28 AS voiced FROM f),
+      |r AS (
+      |  SELECT media_id, frame_idx - ROW_NUMBER() OVER (
+      |      PARTITION BY media_id ORDER BY frame_idx) AS isl
+      |  FROM v WHERE voiced),
+      |runs AS (
+      |  SELECT media_id, MAX(cnt) AS lr FROM (
+      |    SELECT media_id, isl, COUNT(*) AS cnt FROM r GROUP BY 1, 2)
+      |  GROUP BY 1)
+      |SELECT v.media_id, COUNT(*) AS n_frames,
+      |  CAST(SUM(CASE WHEN voiced THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_voiced,
+      |  CAST(1000 * SUM(CASE WHEN voiced THEN 1 ELSE 0 END) // COUNT(*)
+      |    AS BIGINT) AS speech_permille,
+      |  CAST(COALESCE(MAX(runs.lr), 0) AS BIGINT) AS longest_voiced_run
+      |FROM v LEFT JOIN runs USING (media_id)
+      |GROUP BY 1 ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_media_stats" -> mediaStats,
     "mm_frame_sample" -> frameSampleStats,
     "mm_resize_stats" -> resizeStats,
-    "mm_scene_cuts" -> sceneCuts)
+    "mm_scene_cuts" -> sceneCuts,
+    "mm_audio_vad" -> ((s, d) => audioVad(s, d)))
 
   val oracle: Map[String, String] = Map(
     "mm_media_stats" -> mediaStatsSql,
     "mm_frame_sample" -> frameSampleStatsSql,
     "mm_resize_stats" -> resizeStatsSql,
-    "mm_scene_cuts" -> sceneCutsSql)
+    "mm_scene_cuts" -> sceneCutsSql,
+    "mm_audio_vad" -> audioVadSql)
 }
 
 /** STUB codec — deterministic fake in place of image/audio libraries

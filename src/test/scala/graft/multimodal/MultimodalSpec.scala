@@ -131,4 +131,25 @@ class MultimodalSpec extends AnyFunSuite {
       assert(dims(d) == l, s"dim $d: oracle ladder ${dims(d)} != shift rule $l")
     }
   }
+
+  test("audioVad: planted frame counts, jitter duty cycle, and the " +
+      "longest voiced run") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("vad").toString
+    // only doc_id % 3 == 1 rows are audio; 320 chars → 2 frames,
+    // 10 chars → 1 frame; jitter = (id*37 + f*17) % 83, voiced ⇔ ≥ 28
+    Seq(
+      (1L, "a" * 320, "en", "s", 320L), // f0 j=37 v, f1 j=54 v → run 2
+      (4L, "b" * 10, "en", "s", 10L),   // f0 j=65 v → run 1
+      (7L, "c" * 5, "en", "s", 5L),     // f0 j=10 unvoiced → run 0
+      (2L, "ignored video row", "en", "s", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Multimodal.audioVad(spark, tmp)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, 1000L, 2L),
+      (4L, 1L, 1L, 1000L, 1L),
+      (7L, 1L, 0L, 0L, 0L)))
+  }
 }
