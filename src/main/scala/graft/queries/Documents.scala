@@ -690,6 +690,42 @@ object Documents {
       |       ELSE 'fr' END AS pred_lang
       |FROM h ORDER BY doc_id""".stripMargin
 
+  /** Label-vs-classifier confusion matrix for the language tier: the
+    * stored `lang` label against [[langIdSimple]]'s stopword-hit
+    * prediction, with each cell's share of its actual-language row
+    * count in permille. The audit that decides whether the cheap
+    * n-gram classifier is trustworthy enough to gate ingestion on —
+    * off-diagonal mass IS the gating risk.
+    *
+    * Scale shape: the per-doc classify is the [[langIdSimple]] linear
+    * pass; cells aggregate to |langs|² rows and the per-actual totals
+    * join back broadcast. */
+  def langConfusion(s: SparkSession, d: String): DataFrame = {
+    val cells = langIdSimple(s, d)
+      .groupBy(col("actual_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("actual_lang"))
+      .agg(sum(col("n")).as("total"))
+    cells.join(broadcast(totals), Seq("actual_lang"))
+      .withColumn("share_permille", expr("1000 * n DIV total"))
+      .select(col("actual_lang"), col("pred_lang"), col("n"),
+        col("share_permille"))
+      .orderBy(col("actual_lang"), col("pred_lang"))
+  }
+
+  val langConfusionSql: String = {
+    val pred = langIdSql.replace(" ORDER BY doc_id", "")
+    s"""WITH p AS ($pred),
+      |cells AS (
+      |  SELECT actual_lang, pred_lang, COUNT(*) AS n
+      |  FROM p GROUP BY 1, 2),
+      |t AS (SELECT actual_lang, SUM(n) AS total FROM cells GROUP BY 1)
+      |SELECT actual_lang, pred_lang, n,
+      |  CAST(1000 * n // total AS BIGINT) AS share_permille
+      |FROM cells JOIN t USING (actual_lang)
+      |ORDER BY actual_lang, pred_lang""".stripMargin
+  }
+
   // ------------------------------------------------- token counting
   /** Token counts per source: whitespace tokens + BPE-ish subword
     * estimate (chars/4 heuristic used by tokenizer-cost planners). */
@@ -749,6 +785,7 @@ object Documents {
     "dedup_edit_confirm" -> dedupEditConfirm,
     "text_quality" -> textQuality,
     "text_lang_id" -> langIdSimple,
+    "text_lang_confusion" -> langConfusion,
     "text_token_count" -> tokenCount,
     "text_fingerprint" -> fingerprint)
 
@@ -768,6 +805,7 @@ object Documents {
     "dedup_edit_confirm" -> dedupEditConfirmSql,
     "text_quality" -> textQualitySql,
     "text_lang_id" -> langIdSql,
+    "text_lang_confusion" -> langConfusionSql,
     "text_token_count" -> tokenCountSql,
     "text_fingerprint" -> fingerprintSql)
 }
