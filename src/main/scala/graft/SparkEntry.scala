@@ -19,7 +19,7 @@ object SparkEntry {
       DataAudit.queries ++ graft.multimodal.Multimodal.queries ++
       ProductAnalytics.queries ++ TextModeling.queries ++
       EmbeddingAudit.queries ++ AudienceOps.queries ++
-      DistributionAudit.queries
+      DistributionAudit.queries ++ PrefixFilterJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +33,5 @@ object SparkEntry {
       DataAudit.oracle ++ graft.multimodal.Multimodal.oracle ++
       ProductAnalytics.oracle ++ TextModeling.oracle ++
       EmbeddingAudit.oracle ++ AudienceOps.oracle ++
-      DistributionAudit.oracle
+      DistributionAudit.oracle ++ PrefixFilterJoin.oracle
 }
