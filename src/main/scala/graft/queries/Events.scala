@@ -653,7 +653,59 @@ object Events {
       |  CAST(MAX(late_sec) AS BIGINT) AS max_late_sec
       |FROM lat GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------ top 3-paths
+  /** Top-10 three-event paths inside sessions — the path-analysis
+    * generalization of [[sessionTransitions]]' 2-grams: every
+    * (e, next, next-next) triple whose BOTH hops are inside the same
+    * 30-minute-gap session (µs-exact, gap-EXCLUSIVE — the same
+    * boundary sessionize pins), counted and ranked. What a product
+    * team reads to find the dominant flows; also the Markov-order
+    * sanity check (are 3-grams explained by the 2-gram chain?).
+    *
+    * Determinism: ranked by (n DESC, then the three types ASC) — a
+    * total order, so LIMIT 10 is engine-stable.
+    *
+    * Scale shape: ONE window over the (user_id → ts, event_id)
+    * partitioning computes both leads (same shuffle+sort
+    * sessionize/transitions already use), then a hash-agg on the
+    * bounded (type³) grid and a 10-row TakeOrdered. */
+  def topPaths(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("t1", lead(col("event_type"), 1).over(w))
+      .withColumn("ts1", lead(col("ts"), 1).over(w))
+      .withColumn("t2", lead(col("event_type"), 2).over(w))
+      .withColumn("ts2", lead(col("ts"), 2).over(w))
+      .filter(col("t2").isNotNull &&
+        unix_micros(col("ts1")) - unix_micros(col("ts")) < 1800000000L &&
+        unix_micros(col("ts2")) - unix_micros(col("ts1")) < 1800000000L)
+      .groupBy(col("event_type").as("step1"), col("t1").as("step2"),
+        col("t2").as("step3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+      .limit(10)
+  }
+
+  val topPathsSql: String =
+    """WITH m AS (
+      |  SELECT event_type AS step1,
+      |    LEAD(event_type, 1) OVER w AS step2,
+      |    LEAD(ts, 1) OVER w AS ts1,
+      |    LEAD(event_type, 2) OVER w AS step3,
+      |    LEAD(ts, 2) OVER w AS ts2, ts
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT step1, step2, step3, COUNT(*) AS n
+      |FROM m
+      |WHERE step3 IS NOT NULL
+      |  AND epoch_us(ts1) - epoch_us(ts) < 1800000000
+      |  AND epoch_us(ts2) - epoch_us(ts1) < 1800000000
+      |GROUP BY 1, 2, 3
+      |ORDER BY n DESC, step1, step2, step3 LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_top_paths" -> topPaths,
     "ev_lateness_audit" -> latenessAudit,
     "ev_gap_fill_locf" -> gapFillLocf,
     "ev_gap_fill_linear" -> gapFillLinear,
@@ -670,6 +722,7 @@ object Events {
     "ev_json_extract" -> jsonExtract)
 
   val oracle: Map[String, String] = Map(
+    "ev_top_paths" -> topPathsSql,
     "ev_lateness_audit" -> latenessAuditSql,
     "ev_gap_fill_locf" -> gapFillLocfSql,
     "ev_gap_fill_linear" -> gapFillLinearSql,

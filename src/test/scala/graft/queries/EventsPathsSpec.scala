@@ -1,0 +1,35 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Pins ev_top_paths' session-boundary semantics: BOTH hops must be
+  * strictly under the 30-minute gap (the same µs-exact, gap-EXCLUSIVE
+  * boundary sessionize pins), and the (n DESC, types ASC) rank is a
+  * total order. */
+class EventsPathsSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+  test("both hops inside the gap; an exactly-30-min hop breaks the path") {
+    val dir = java.nio.file.Files.createTempDirectory("paths").toString
+    Seq(
+      // user 1: a→b→c tight path, then EXACTLY 30 min to d: the
+      // (b,c,d) and (c,d,*) paths must not form across the boundary
+      (1L, ts(0), 1L, "a", 0.0, "{}"),
+      (2L, ts(10), 1L, "b", 0.0, "{}"),
+      (3L, ts(20), 1L, "c", 0.0, "{}"),
+      (4L, ts(20 + 1800), 1L, "d", 0.0, "{}"),
+      // user 2: the same a→b→c, twice the weight for the rank check
+      (5L, ts(0), 2L, "a", 0.0, "{}"),
+      (6L, ts(5), 2L, "b", 0.0, "{}"),
+      (7L, ts(9), 2L, "c", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Events.topPaths(spark, dir)
+      .as[(String, String, String, Long)].collect().toSeq
+    assert(got == Seq(("a", "b", "c", 2L)))
+  }
+}
