@@ -36,7 +36,9 @@ object PlanCheck {
       "emb_centroid_margin", "text_kneser_ney", "agg_countmin_confirm",
       "emb_pq_adc_topk", "mm_scene_cuts", "ev_rfm_segments",
       "emb_pca_power", "ev_audience_overlap", "ev_forecast_backtest",
-      "dedup_survivorship")
+      "dedup_survivorship", "dedup_prefix_filter_pairs", "ev_ks_drift",
+      "audit_benford", "mm_audio_vad", "ev_top_paths",
+      "text_lang_confusion")
     val out = new StringBuilder
     out ++= "# PLANS — formatted physical plans for headline queries\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanCheck PLANS.md\"` " +
