@@ -19,7 +19,8 @@ object SparkEntry {
       DataAudit.queries ++ graft.multimodal.Multimodal.queries ++
       ProductAnalytics.queries ++ TextModeling.queries ++
       EmbeddingAudit.queries ++ AudienceOps.queries ++
-      DistributionAudit.queries ++ PrefixFilterJoin.queries
+      DistributionAudit.queries ++ PrefixFilterJoin.queries ++
+      LifecycleOps.queries ++ CorpusStats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       DataAudit.oracle ++ graft.multimodal.Multimodal.oracle ++
       ProductAnalytics.oracle ++ TextModeling.oracle ++
       EmbeddingAudit.oracle ++ AudienceOps.oracle ++
-      DistributionAudit.oracle ++ PrefixFilterJoin.oracle
+      DistributionAudit.oracle ++ PrefixFilterJoin.oracle ++
+      LifecycleOps.oracle ++ CorpusStats.oracle
 }

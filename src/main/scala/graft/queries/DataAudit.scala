@@ -377,7 +377,91 @@ object DataAudit {
       .map(prof).mkString("", "\nUNION ALL ", "\nORDER BY col_name")
   }
 
+  // ------------------------------------- robust MAD outlier audit
+  /** Median-absolute-deviation outlier audit of the value column per
+    * event type — the robust-statistics twin of the 3σ anomaly query
+    * (`ev_anomaly_3sigma`): MAD is immune to the very outliers it
+    * hunts, so a fat-tailed corruption can't inflate its own
+    * threshold. Flags |value − median| > 10·MAD.
+    *
+    * Exactness: medians are the DISCRETE lower median picked by
+    * row_number (rn = (n+1) DIV 2 in (cents, event_id) order) — no
+    * interpolation, no doubles — so both engines pick the identical
+    * element and every downstream op is integer.
+    *
+    * Scale shape: two per-type sort windows (the exact-audit stance
+    * quantiles_exact declares: exact sorts are the AUDIT form; the
+    * monitoring form is approx_percentile). Both windows shuffle on
+    * event_type — 5 sort groups run in parallel; at 1000 executors
+    * the per-type sort is the range-partitioned sort Spark already
+    * distributes. */
+  def valueMadOutliers(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = events(s, d).select(col("event_type"), col("event_id"),
+      Relational.cents(col("value")).cast("long").as("c"))
+    val w1 = Window.partitionBy(col("event_type"))
+      .orderBy(col("c"), col("event_id"))
+    // median pick: rn == (n+1) DIV 2 — computed via a broadcast join on
+    // the per-type count so the sort window and the agg stay separate
+    val cnt = c.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val medv = c.withColumn("rn", row_number().over(w1))
+      .join(broadcast(cnt), "event_type")
+      .filter(col("rn") === expr("(n + 1) DIV 2"))
+      .select(col("event_type"), col("c").as("med_cents"))
+    val dev = c.join(broadcast(medv), "event_type")
+      .withColumn("dev", abs(col("c") - col("med_cents")))
+    val w2 = Window.partitionBy(col("event_type"))
+      .orderBy(col("dev"), col("event_id"))
+    val madv = dev.withColumn("rn", row_number().over(w2))
+      .join(broadcast(cnt), "event_type")
+      .filter(col("rn") === expr("(n + 1) DIV 2"))
+      .select(col("event_type"), col("dev").as("mad_cents"))
+    dev.join(broadcast(madv), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("med_cents")).as("med_cents"),
+        max(col("mad_cents")).as("mad_cents"),
+        sum(when(col("dev") > lit(10L) * col("mad_cents"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .withColumn("outlier_permille", expr("n_outliers * 1000 DIV n_events"))
+      .orderBy(col("event_type"))
+  }
+
+  val valueMadOutliersSql: String =
+    s"""WITH c AS (
+       |  SELECT event_type, event_id, ${Relational.centsSql("value")} AS c
+       |  FROM events),
+       |cnt AS (SELECT event_type, COUNT(*) AS n FROM c GROUP BY 1),
+       |medv AS (
+       |  SELECT event_type, c AS med_cents FROM (
+       |    SELECT c.event_type, c.c, cnt.n,
+       |      ROW_NUMBER() OVER (PARTITION BY c.event_type
+       |        ORDER BY c.c, c.event_id) AS rn
+       |    FROM c JOIN cnt USING (event_type))
+       |  WHERE rn = (n + 1) // 2),
+       |dev AS (
+       |  SELECT c.event_type, c.event_id, c.c, m.med_cents,
+       |    ABS(c.c - m.med_cents) AS dev
+       |  FROM c JOIN medv m USING (event_type)),
+       |madv AS (
+       |  SELECT event_type, dev AS mad_cents FROM (
+       |    SELECT d.event_type, d.dev, cnt.n,
+       |      ROW_NUMBER() OVER (PARTITION BY d.event_type
+       |        ORDER BY d.dev, d.event_id) AS rn
+       |    FROM dev d JOIN cnt USING (event_type))
+       |  WHERE rn = (n + 1) // 2),
+       |agg AS (
+       |  SELECT d.event_type, COUNT(*) AS n_events,
+       |    MAX(d.med_cents) AS med_cents, MAX(m.mad_cents) AS mad_cents,
+       |    CAST(SUM(CASE WHEN d.dev > 10 * m.mad_cents THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_outliers
+       |  FROM dev d JOIN madv m USING (event_type) GROUP BY 1)
+       |SELECT event_type, n_events, med_cents, mad_cents, n_outliers,
+       |  n_outliers * 1000 // n_events AS outlier_permille
+       |FROM agg ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "audit_value_mad" -> valueMadOutliers,
     "audit_null_profile" -> nullProfile,
     "audit_referential" -> referentialAudit,
     "audit_key_skew" -> keySkewAudit,
@@ -386,6 +470,7 @@ object DataAudit {
     "link_blocked_fuzzy" -> linkBlockedFuzzy)
 
   val oracle: Map[String, String] = Map(
+    "audit_value_mad" -> valueMadOutliersSql,
     "audit_null_profile" -> nullProfileSql,
     "audit_referential" -> referentialAuditSql,
     "audit_key_skew" -> keySkewAuditSql,

@@ -161,11 +161,78 @@ object EmbeddingAudit {
       |SELECT dim, CAST(v // nrm AS BIGINT) AS loading_e6
       |FROM v2, m2 ORDER BY dim""".stripMargin
 
+  // ------------------------------- sampled pair-distance histogram
+  /** Equi-width 16-bin histogram of pairwise squared L2 distances over
+    * a deterministic 1/8 md5-sample of the vectors — the
+    * embedding-space geometry dashboard: a healthy embedding cloud is
+    * unimodal; a spike at near-zero distance means duplicate floods,
+    * a bimodal split means two disconnected domains mixed into one
+    * index. Distances run on the ×1e6 integer grid (the tier's snap),
+    * so bins and counts are exact integers on both engines.
+    *
+    * Scale shape: the all-pairs form runs on the SAMPLE, never the
+    * corpus — the md5 id-sample bounds the pair count at (n/8)²/2
+    * regardless of corpus growth, and sampling by id (not by pair)
+    * keeps the estimator consistent for distance DISTRIBUTIONS while
+    * doing 64× less work than pair-sampling the full cross product.
+    * The crossJoin is declared and bounded (PlanSpec whitelists it
+    * alongside the other bounded-sample BNLJs). At 100 TB the sample
+    * rate becomes a knob: the histogram needs ~10⁵ pairs for tight
+    * bins, so the rate scales as 1/√n. */
+  def pairDistanceHist(s: SparkSession, d: String): DataFrame = {
+    val sampled = embeddings(s, d)
+      .filter(conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 8 === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1e6 + 0.5).cast("long")).as("qe6"))
+    val a = sampled.select(col("vec_id").as("ia"), col("qe6").as("qa"))
+    val b = sampled.select(col("vec_id").as("ib"), col("qe6").as("qb"))
+    val pairs = a.crossJoin(b).filter(col("ia") < col("ib"))
+      .withColumn("d2_e12",
+        aggregate(zip_with(col("qa"), col("qb"),
+          (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v))
+    val bounds = pairs.agg(min(col("d2_e12")).as("mn"), max(col("d2_e12")).as("mx"))
+    pairs.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        least(lit(15L), expr("(d2_e12 - mn) * 16 DIV (mx - mn + 1)")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("d2_e12")).as("lo_d2_e12"), max(col("d2_e12")).as("hi_d2_e12"))
+      .orderBy(col("bucket"))
+  }
+
+  val pairDistanceHistSql: String =
+    """WITH sampled AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+      |      AS qe6
+      |  FROM embeddings
+      |  WHERE ((strpos('0123456789abcdef', substring(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) * 4096
+      |       + (strpos('0123456789abcdef', substring(md5(CAST(vec_id AS VARCHAR)), 2, 1)) - 1) * 256
+      |       + (strpos('0123456789abcdef', substring(md5(CAST(vec_id AS VARCHAR)), 3, 1)) - 1) * 16
+      |       + (strpos('0123456789abcdef', substring(md5(CAST(vec_id AS VARCHAR)), 4, 1)) - 1)) % 8 = 0),
+      |pairs AS (
+      |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+      |    list_reduce(list_transform(range(1, len(a.qe6) + 1),
+      |      i -> (a.qe6[i] - b.qe6[i]) * (a.qe6[i] - b.qe6[i])),
+      |      (x, y) -> x + y) AS d2_e12
+      |  FROM sampled a JOIN sampled b ON a.vec_id < b.vec_id),
+      |bounds AS (SELECT MIN(d2_e12) AS mn, MAX(d2_e12) AS mx FROM pairs)
+      |SELECT LEAST(15, (p.d2_e12 - b.mn) * 16 // (b.mx - b.mn + 1)) AS bucket,
+      |  COUNT(*) AS n_pairs,
+      |  MIN(p.d2_e12) AS lo_d2_e12, MAX(p.d2_e12) AS hi_d2_e12
+      |FROM pairs p, bounds b
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_centroid_margin" -> centroidMargin,
-    "emb_pca_power" -> pcaPower)
+    "emb_pca_power" -> pcaPower,
+    "emb_pair_distance_hist" -> pairDistanceHist)
 
   val oracle: Map[String, String] = Map(
     "emb_centroid_margin" -> centroidMarginSql,
-    "emb_pca_power" -> pcaPowerSql)
+    "emb_pca_power" -> pcaPowerSql,
+    "emb_pair_distance_hist" -> pairDistanceHistSql)
 }

@@ -1,0 +1,274 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+import graft.queries.Relational.{cents, centsSql}
+
+/** User-lifecycle analytics over the events stream: conversion
+  * latency, interarrival distributions, per-type value histograms,
+  * next-event transition entropy, and co-presence affinity pairs.
+  *
+  * Every query keeps the per-user (or per-hour-bucket) unit as the
+  * parallel unit: the only corpus-wide state is a ≤5-row bounds/total
+  * frame that travels by broadcast. Outputs are exact integers on the
+  * repo's fixed-point grids (cents, millibits via the bit-length
+  * ladder, centiseconds for snapped percentiles) so the DuckDB oracle
+  * hash-matches bit-for-bit.
+  *
+  * Reference scope: the reference's per-key counting pattern
+  * (/root/reference/mr-main/mrapps/wc.go:15-30) generalized to keyed
+  * lifecycle state — same key→bucket discipline, Spark-native ops.
+  */
+object LifecycleOps {
+
+  private def ev(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(col("event_id"), col("user_id"), col("event_type"),
+      col("value"), col("ts"), col("ts").cast("long").as("sec"))
+
+  // -------------------------------------------- time to convert
+  /** Days from a user's first event of any kind to their first
+    * `purchase`, as a distribution (−1 bucket = never converted),
+    * with a permille share of the whole user base.
+    *
+    * Scale shape: one user-keyed hash-agg builds (first_seen,
+    * first_purchase) with conditional MINs — a single shuffle on
+    * user_id with full map-side partial aggregation; the user-base
+    * total is a 1-row broadcast. Nothing here grows faster than the
+    * distinct-user count. */
+  def timeToConvert(s: SparkSession, d: String): DataFrame = {
+    val per = ev(s, d)
+      .groupBy(col("user_id"))
+      .agg(min(col("sec")).as("first_sec"),
+        min(when(col("event_type") === "purchase", col("sec")))
+          .as("first_purchase_sec"))
+    val tot = per.agg(count(lit(1)).as("n_total"))
+    per
+      .withColumn("latency_days",
+        when(col("first_purchase_sec").isNull, lit(-1L))
+          .otherwise(expr("(first_purchase_sec - first_sec) DIV 86400")))
+      .groupBy(col("latency_days"))
+      .agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(tot))
+      .withColumn("permille", expr("n_users * 1000 DIV n_total"))
+      .select(col("latency_days"), col("n_users"), col("permille"))
+      .orderBy(col("latency_days"))
+  }
+
+  val timeToConvertSql: String =
+    """WITH per AS (
+      |  SELECT user_id,
+      |    MIN(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) AS first_sec,
+      |    MIN(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(FLOOR(EPOCH(ts)) AS BIGINT) END) AS first_purchase_sec
+      |  FROM events GROUP BY 1),
+      |tot AS (SELECT COUNT(*) AS n_total FROM per),
+      |b AS (
+      |  SELECT CASE WHEN first_purchase_sec IS NULL THEN -1
+      |    ELSE (first_purchase_sec - first_sec) // 86400 END AS latency_days,
+      |    COUNT(*) AS n_users
+      |  FROM per GROUP BY 1)
+      |SELECT latency_days, n_users, n_users * 1000 // n_total AS permille
+      |FROM b, tot ORDER BY latency_days""".stripMargin
+
+  // --------------------------------------- interarrival quantiles
+  /** Exact p50/p90/p99 of the per-user interarrival gap (seconds)
+    * for each event type — the "how often does a user do X" profile
+    * that sizes session-gap and watermark parameters.
+    *
+    * Scale shape: one (user_id, event_type)-keyed window computes the
+    * lag; the exact percentile is a per-type sort-based aggregate over
+    * the gap column — 5 groups, each sorted independently. At 100 TB
+    * the exact percentile is the declared-audit form (same stance as
+    * quantiles_exact); approx_percentile is the monitoring form.
+    * Percentiles snap to a centisecond integer grid before the
+    * cross-engine compare (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, same linear interpolation on integer gaps). */
+  def interarrivalQuantiles(s: SparkSession, d: String): DataFrame = {
+    val byUT = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    ev(s, d)
+      .withColumn("prev", lag(col("sec"), 1).over(byUT))
+      .filter(col("prev").isNotNull)
+      .withColumn("gap", col("sec") - col("prev"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        expr("CAST(FLOOR(percentile(gap, 0.5)*100 + 0.5) AS BIGINT)")
+          .as("p50_centisec"),
+        expr("CAST(FLOOR(percentile(gap, 0.9)*100 + 0.5) AS BIGINT)")
+          .as("p90_centisec"),
+        expr("CAST(FLOOR(percentile(gap, 0.99)*100 + 0.5) AS BIGINT)")
+          .as("p99_centisec"))
+      .orderBy(col("event_type"))
+  }
+
+  val interarrivalQuantilesSql: String =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+      |      - LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER w AS gap
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id))
+      |SELECT event_type, COUNT(*) AS n_gaps,
+      |  CAST(FLOOR(quantile_cont(gap, 0.5)*100 + 0.5) AS BIGINT) AS p50_centisec,
+      |  CAST(FLOOR(quantile_cont(gap, 0.9)*100 + 0.5) AS BIGINT) AS p90_centisec,
+      |  CAST(FLOOR(quantile_cont(gap, 0.99)*100 + 0.5) AS BIGINT) AS p99_centisec
+      |FROM g WHERE gap IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------- value histograms
+  /** Equi-width 10-bin histogram of the value column (cents) per
+    * event type, bounds taken from that type's own min/max.
+    *
+    * Scale shape: the bounds frame is one row per type (≤5) and
+    * travels by broadcast; binning is then a stateless per-row
+    * projection into a hash-agg — two linear passes, no sort. The
+    * bucket index is pure integer arithmetic (no width division on
+    * doubles), so the bin edges are identical across engines. */
+  def valueHistogram(s: SparkSession, d: String): DataFrame = {
+    val c = ev(s, d).select(col("event_type"), cents(col("value"))
+      .cast("long").as("c"))
+    val bounds = c.groupBy(col("event_type"))
+      .agg(min(col("c")).as("mn"), max(col("c")).as("mx"))
+    c.join(broadcast(bounds), "event_type")
+      .withColumn("bucket",
+        least(lit(9L), expr("(c - mn) * 10 DIV (mx - mn + 1)")))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("c")).as("lo_cents"), max(col("c")).as("hi_cents"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  val valueHistogramSql: String =
+    s"""WITH c AS (
+       |  SELECT event_type, ${centsSql("value")} AS c FROM events),
+       |b AS (SELECT event_type, MIN(c) AS mn, MAX(c) AS mx
+       |      FROM c GROUP BY 1)
+       |SELECT c.event_type,
+       |  LEAST(9, (c.c - b.mn) * 10 // (b.mx - b.mn + 1)) AS bucket,
+       |  COUNT(*) AS n_events, MIN(c.c) AS lo_cents, MAX(c.c) AS hi_cents
+       |FROM c JOIN b USING (event_type)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --------------------------------------- transition entropy
+  /** First-order Markov view of user behavior: for each event type,
+    * the distribution of the NEXT event type (within the same user,
+    * event-time order), its Shannon entropy on the integer bit-length
+    * grid (k·(bitlen(n)−bitlen(k)) ≈ k·log2(n/k) bits, exactly the
+    * charEntropy ladder), and the modal next step.
+    *
+    * Scale shape: one user-keyed window for the lead, then the
+    * transition matrix is a ≤|types|² hash-agg — all downstream work
+    * runs on ≤25 rows regardless of corpus size. */
+  def markovEntropy(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val cnt = ev(s, d)
+      .withColumn("nxt", lead(col("event_type"), 1).over(byUser))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type"), col("nxt"))
+      .agg(count(lit(1)).as("k"))
+    val tot = cnt.groupBy(col("event_type"))
+      .agg(sum(col("k")).as("n"), count(lit(1)).as("n_next_types"))
+    val ent = cnt.join(tot, "event_type")
+      .withColumn("bits",
+        col("k") * (length(bin(col("n"))) - length(bin(col("k")))).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_transitions"),
+        max(col("n_next_types")).as("n_next_types"),
+        expr("(1000 * SUM(bits)) DIV MAX(n)").as("entropy_millibits"))
+    val rn = Window.partitionBy(col("event_type"))
+      .orderBy(col("k").desc, col("nxt"))
+    val top = cnt.withColumn("rn", row_number().over(rn))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("nxt").as("top_next"),
+        col("k").as("top_next_k"))
+    ent.join(top, "event_type").orderBy(col("event_type"))
+  }
+
+  val markovEntropySql: String =
+    """WITH nx AS (
+      |  SELECT event_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS nxt
+      |  FROM events),
+      |cnt AS (SELECT event_type, nxt, CAST(COUNT(*) AS BIGINT) AS k
+      |        FROM nx WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT event_type, CAST(SUM(k) AS BIGINT) AS n,
+      |          COUNT(*) AS n_next_types
+      |        FROM cnt GROUP BY 1),
+      |ent AS (
+      |  SELECT c.event_type, MAX(t.n) AS n_transitions,
+      |    MAX(t.n_next_types) AS n_next_types,
+      |    (1000 * CAST(SUM(c.k * (length(bin(t.n)) - length(bin(c.k))))
+      |      AS BIGINT)) // MAX(t.n) AS entropy_millibits
+      |  FROM cnt c JOIN tot t USING (event_type) GROUP BY 1),
+      |top AS (
+      |  SELECT event_type, nxt AS top_next, k AS top_next_k
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+      |          ORDER BY k DESC, nxt) AS rn FROM cnt)
+      |  WHERE rn = 1)
+      |SELECT event_type, n_transitions, n_next_types, entropy_millibits,
+      |  top_next, top_next_k
+      |FROM ent JOIN top USING (event_type) ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------ co-presence pairs
+  /** Top-20 user pairs by behavioral co-presence: the number of
+    * distinct (hour, event_type) slots in which BOTH users were
+    * active. The bucketed-candidate interval join: a direct
+    * session-interval overlap join is near-empty on this fixture
+    * (95% of gap-sessions are single-event point intervals), so the
+    * slot grid is the declared semantics.
+    *
+    * Scale shape: candidates are generated per (hour, type) bucket, so
+    * pair cost is Σ_bucket actives² — bounded by per-bucket fan-in,
+    * never |users|². At 100 TB a hot bucket (everyone active every
+    * hour) is the skew risk; the mitigation is the same as the LSH
+    * tiers: cap or sub-bucket the hot slot, and the top-k cutoff is
+    * decided on (count, user_a, user_b) so ties are deterministic. */
+  def copresenceAffinity(s: SparkSession, d: String): DataFrame = {
+    val slots = ev(s, d)
+      .select(expr("sec DIV 3600").as("hour_idx"), col("event_type"),
+        col("user_id"))
+      .distinct()
+    val a = slots.select(col("hour_idx"), col("event_type"),
+      col("user_id").as("user_a"))
+    val b = slots.select(col("hour_idx"), col("event_type"),
+      col("user_id").as("user_b"))
+    a.join(b, Seq("hour_idx", "event_type"))
+      .filter(col("user_a") < col("user_b"))
+      .groupBy(col("user_a"), col("user_b"))
+      .agg(count(lit(1)).as("n_shared_slots"))
+      .orderBy(col("n_shared_slots").desc, col("user_a"), col("user_b"))
+      .limit(20)
+  }
+
+  val copresenceAffinitySql: String =
+    """WITH slots AS (
+      |  SELECT DISTINCT CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600 AS hour_idx,
+      |    event_type, user_id
+      |  FROM events)
+      |SELECT a.user_id AS user_a, b.user_id AS user_b,
+      |  COUNT(*) AS n_shared_slots
+      |FROM slots a JOIN slots b
+      |  ON a.hour_idx = b.hour_idx AND a.event_type = b.event_type
+      |  AND a.user_id < b.user_id
+      |GROUP BY 1, 2
+      |ORDER BY n_shared_slots DESC, user_a, user_b
+      |LIMIT 20""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_time_to_convert" -> timeToConvert,
+    "ev_interarrival_quantiles" -> interarrivalQuantiles,
+    "ev_value_histogram" -> valueHistogram,
+    "ev_markov_entropy" -> markovEntropy,
+    "ev_copresence_affinity" -> copresenceAffinity)
+
+  val oracle: Map[String, String] = Map(
+    "ev_time_to_convert" -> timeToConvertSql,
+    "ev_interarrival_quantiles" -> interarrivalQuantilesSql,
+    "ev_value_histogram" -> valueHistogramSql,
+    "ev_markov_entropy" -> markovEntropySql,
+    "ev_copresence_affinity" -> copresenceAffinitySql)
+}

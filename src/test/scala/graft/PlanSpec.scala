@@ -156,7 +156,15 @@ class PlanSpec extends AnyFunSuite {
     "agg_countmin_confirm", // 1-row token total broadcast (threshold)
     "emb_pca_power",        // two 1-row max-|component| renorm broadcasts
     "ev_ks_drift",          // 1-row [min_day,max_day] bounds broadcast
-    "audit_benford")        // 1-row grand-total broadcast
+    "audit_benford",        // 1-row grand-total broadcast
+    "ev_time_to_convert",   // 1-row user-base total broadcast (permille)
+    "text_heaps_checkpoints", // 10-row decile-threshold broadcast
+    "text_js_divergence",   // <=201-row topK+OOV bucket + 1-row corpus
+                            // total broadcasts; grid is |sources|x201
+    "emb_pair_distance_hist") // declared bounded all-pairs on the 1/8
+                            // md5 id-sample ((n/8)^2/2 pairs) + 1-row
+                            // bounds broadcast; sample rate is the
+                            // 100 TB knob (see Scaladoc)
 
   test("GLOBAL plan lint: no CartesianProduct anywhere; no " +
       "BroadcastNestedLoopJoin outside the bounded-side whitelist") {

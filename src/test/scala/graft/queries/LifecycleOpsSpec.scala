@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Pins the lifecycle tier's semantics on planted fixtures: the −1
+  * never-converted bucket, integer histogram bin edges, the bit-length
+  * entropy ladder on a known transition matrix, distinct-slot
+  * co-presence counting, and the MAD audit's discrete lower median. */
+class LifecycleOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+  private def writeEvents(
+      rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)])
+      : String = {
+    val dir = java.nio.file.Files.createTempDirectory("lc").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("time to convert: day buckets from first-seen, -1 for never") {
+    // user 1: first event t=0, purchase at day 2 (2*86400+10)
+    // user 2: purchase IS the first event -> latency 0
+    // user 3: never purchases -> -1 bucket
+    val d = writeEvents(Seq(
+      (1L, ts(0), 1L, "view", 0.0, "{}"),
+      (2L, ts(2 * 86400 + 10), 1L, "purchase", 0.0, "{}"),
+      (3L, ts(50), 2L, "purchase", 0.0, "{}"),
+      (4L, ts(60), 3L, "click", 0.0, "{}")))
+    val got = LifecycleOps.timeToConvert(spark, d)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((-1L, 1L, 333L), (0L, 1L, 333L), (2L, 1L, 333L)))
+  }
+
+  test("value histogram: integer bin edges, max lands in bucket 9") {
+    // one type, cents 0..99 -> mn=0, mx=9900 over 100 events? keep tiny:
+    // values 0,1,...,9 dollars -> cents 0..900, width rule
+    // bucket = (c-0)*10 DIV 901 -> 0..9, c=900 -> 9
+    val rows = (0 until 10).map(i =>
+      (i.toLong, ts(i * 100L), 1L, "a", i.toDouble, "{}"))
+    val d = writeEvents(rows)
+    val got = LifecycleOps.valueHistogram(spark, d)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got.size == 10)
+    assert(got.head == ("a", 0L, 1L, 0L, 0L))
+    assert(got.last == ("a", 9L, 1L, 900L, 900L))
+  }
+
+  test("markov entropy: uniform 2-way split is exactly 1000 millibits") {
+    // user chains: a->b, a->c, a->b, a->c (n=4, k=2,2)
+    // bits: 2*(bitlen(4)-bitlen(2)) * 2 = 2*(3-2)*2 = 4; 1000*4/4 = 1000
+    val d = writeEvents(Seq(
+      (1L, ts(0), 1L, "a", 0.0, "{}"),
+      (2L, ts(1), 1L, "b", 0.0, "{}"),
+      (3L, ts(2), 1L, "a", 0.0, "{}"),
+      (4L, ts(3), 1L, "c", 0.0, "{}"),
+      (5L, ts(0), 2L, "a", 0.0, "{}"),
+      (6L, ts(1), 2L, "b", 0.0, "{}"),
+      (7L, ts(2), 2L, "a", 0.0, "{}"),
+      (8L, ts(3), 2L, "c", 0.0, "{}")))
+    val got = LifecycleOps.markovEntropy(spark, d)
+      .as[(String, Long, Long, Long, String, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val a = got("a")
+    assert(a._2 == 4L && a._3 == 2L && a._4 == 1000L)
+    // modal tie between b and c breaks to the lexicographically first
+    assert(a._5 == "b" && a._6 == 2L)
+    // b -> a deterministic: entropy 0
+    assert(got("b")._4 == 0L && got("b")._5 == "a")
+  }
+
+  test("copresence: distinct (hour,type) slots — repeats don't double") {
+    // users 1,2 share hour-0 'click' (user 1 clicks twice — one slot)
+    // and hour-1 'view'; users 1,3 share only hour-0 'click'
+    val d = writeEvents(Seq(
+      (1L, ts(10), 1L, "click", 0.0, "{}"),
+      (2L, ts(20), 1L, "click", 0.0, "{}"),
+      (3L, ts(30), 2L, "click", 0.0, "{}"),
+      (4L, ts(40), 3L, "click", 0.0, "{}"),
+      (5L, ts(3700), 1L, "view", 0.0, "{}"),
+      (6L, ts(3800), 2L, "view", 0.0, "{}")))
+    val got = LifecycleOps.copresenceAffinity(spark, d)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L)))
+  }
+
+  test("interarrival quantiles: per-(user,type) gaps, snapped centisec") {
+    // user 1 type a at 0,10,30 -> gaps 10,20; p50 = 15 s = 1500 centisec
+    val d = writeEvents(Seq(
+      (1L, ts(0), 1L, "a", 0.0, "{}"),
+      (2L, ts(10), 1L, "a", 0.0, "{}"),
+      (3L, ts(30), 1L, "a", 0.0, "{}")))
+    val got = LifecycleOps.interarrivalQuantiles(spark, d)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) == Seq(("a", 2L, 1500L)))
+  }
+
+  test("MAD audit: discrete lower median, strict 10x threshold") {
+    // cents 100,200,300,400,100000 -> n=5, lower median rn=3 -> 300
+    // devs 200,100,0,100,99700 -> sorted 0,100,100,200,99700; med rn=3
+    // -> MAD=100; outlier iff dev > 1000: only 99700 -> 1 of 5 = 200pm
+    val rows = Seq(1.0, 2.0, 3.0, 4.0, 1000.0).zipWithIndex.map {
+      case (v, i) => (i.toLong, ts(i * 10L), 1L, "a", v, "{}")
+    }
+    val d = writeEvents(rows)
+    val got = DataAudit.valueMadOutliers(spark, d)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 5L, 300L, 100L, 1L, 200L)))
+  }
+}
