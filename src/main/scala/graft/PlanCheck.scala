@@ -38,7 +38,10 @@ object PlanCheck {
       "emb_pca_power", "ev_audience_overlap", "ev_forecast_backtest",
       "dedup_survivorship", "dedup_prefix_filter_pairs", "ev_ks_drift",
       "audit_benford", "mm_audio_vad", "ev_top_paths",
-      "text_lang_confusion")
+      "text_lang_confusion",
+      "ev_time_to_convert", "ev_copresence_affinity", "ev_markov_entropy",
+      "text_zipf_slope", "text_js_divergence", "text_heaps_checkpoints",
+      "emb_pair_distance_hist", "audit_value_mad")
     val out = new StringBuilder
     out ++= "# PLANS — formatted physical plans for headline queries\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanCheck PLANS.md\"` " +

@@ -105,9 +105,13 @@ object CorpusStats {
     * monitored grid is not. */
   def jsDivergence(s: SparkSession, d: String): DataFrame = {
     val K = 200
-    val wcs = documents(s, d)
+    // the (source, word) count table feeds FOUR consumers (corpus wc,
+    // per-source totals, the top-K semi-join, and its per-source
+    // totals) — materialize once (A/B'd at sf0.1: 2.29 s re-executing
+    // vs 2.02 s materialized)
+    val wcs = graft.operators.Materialize.eager(documents(s, d)
       .select(col("source"), explode(Documents.tokens(col("text"))).as("word"))
-      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c_sw"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c_sw")))
     val wc = wcs.groupBy(col("word")).agg(sum(col("c_sw")).as("c_w"))
     val topK = wc.orderBy(col("c_w").desc, col("word")).limit(K)
     val nTot = wc.agg(sum(col("c_w")).as("n"))
