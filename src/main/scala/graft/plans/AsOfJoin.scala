@@ -9,7 +9,11 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Dist
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
 /** Native as-of join: for every left row, the latest right row with the
-  * same key and time <= the left row's time (ASOF LEFT JOIN).
+  * same key and time <= the left row's time (ASOF LEFT JOIN; backward
+  * direction), or with `forward = true` the EARLIEST right row with
+  * time >= the left row's time. An optional `tolerance` (same units as
+  * the time columns; negative = unlimited) bounds the match gap — the
+  * full pandas merge_asof surface (direction + tolerance).
   *
   * The full custom-operator tier (SURVEY.md §7.2 / guide tier c):
   * logical node → planner strategy → physical exec, registered through
@@ -17,7 +21,9 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * physical plan declares hash distribution on the key and (key, time)
   * ordering, so Catalyst plans exactly one shuffle + sort per side and
   * the join itself is a streaming two-pointer merge per partition —
-  * no window state, no per-row buffering beyond one build row.
+  * no window state, no per-row buffering beyond one build row (the
+  * forward direction buffers NOTHING: its match is the lookahead row
+  * itself, never consumed past).
   *
   * Keys and times must evaluate to Long (covers the id/epoch shapes;
   * the composed window formulation in Relational2 stays the generic
@@ -26,7 +32,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   */
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    forward: Boolean = false, tolerance: Long = -1L) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -47,7 +54,7 @@ object PruneAsOfJoinColumns
 
   def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case p @ Project(projectList,
-        aj @ AsOfJoin(l, r, lk, rk, lt, rt)) =>
+        aj @ AsOfJoin(l, r, lk, rk, lt, rt, _, _)) =>
       val used = AttributeSet(projectList.flatMap(_.references)) ++
         AttributeSet(Seq(lk, rk, lt, rt).flatMap(_.references))
       val keepL = l.output.filter(used.contains)
@@ -61,15 +68,16 @@ object PruneAsOfJoinColumns
 
 object AsOfStrategy extends SparkStrategy {
   def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, fwd, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, fwd, tol) :: Nil
     case _ => Nil
   }
 }
 
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+    leftTime: Expression, rightTime: Expression,
+    forward: Boolean = false, tolerance: Long = -1L) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -103,8 +111,10 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         private var rNextKey: Long = 0L
         private var rNextTime: Long = 0L
         // latest right row at-or-before the probe cursor, per key
+        // (backward direction only; forward matches the lookahead)
         private var matchRow: InternalRow = _
         private var matchKey: Long = 0L
+        private var matchTime: Long = 0L
         // one-row lookahead on the build side
         private var rNext: InternalRow = advanceRight()
 
@@ -132,15 +142,33 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           if (kAny == null || tAny == null) return joined(l, nullRight)
           val k = kAny.asInstanceOf[Long]
           val t = tAny.asInstanceOf[Long]
-          // consume build rows up to (k, t]
-          while (rNext != null &&
-              (rNextKey < k || (rNextKey == k && rNextTime <= t))) {
-            matchRow = rNext.copy() // buffer outlives the iterator's row reuse
-            matchKey = rNextKey
-            rNext = advanceRight()
+          if (forward) {
+            // consume build rows strictly before (k, t); the match is
+            // then the lookahead itself — earliest time >= t. It is
+            // NEVER consumed here: a later probe with the same (k, t)
+            // (or a larger t that it still satisfies) reuses it.
+            while (rNext != null &&
+                (rNextKey < k || (rNextKey == k && rNextTime < t))) {
+              rNext = advanceRight()
+            }
+            if (rNext != null && rNextKey == k &&
+                (tolerance < 0L || rNextTime - t <= tolerance))
+              joined(l, rNext)
+            else joined(l, nullRight)
+          } else {
+            // consume build rows up to (k, t]
+            while (rNext != null &&
+                (rNextKey < k || (rNextKey == k && rNextTime <= t))) {
+              matchRow = rNext.copy() // buffer outlives the iterator's row reuse
+              matchKey = rNextKey
+              matchTime = rNextTime
+              rNext = advanceRight()
+            }
+            if (matchRow != null && matchKey == k &&
+                (tolerance < 0L || t - matchTime <= tolerance))
+              joined(l, matchRow)
+            else joined(l, nullRight)
           }
-          if (matchRow != null && matchKey == k) joined(l, matchRow)
-          else joined(l, nullRight)
         }
       }
     }
@@ -153,10 +181,22 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 
 object AsOf {
   /** ASOF LEFT JOIN left/right on key columns with time columns; all
-    * four must be Long-typed (ids / epoch seconds). */
+    * four must be Long-typed (ids / epoch seconds).
+    *
+    * `direction`: "backward" (latest right time <= left time, the
+    * default) or "forward" (earliest right time >= left time).
+    * `tolerance`: max |gap| in the time columns' own units; negative =
+    * unlimited. The pandas merge_asof parameter surface. */
   def join(leftDf: DataFrame, rightDf: DataFrame,
       leftKey: String, rightKey: String,
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      direction: String = "backward", tolerance: Long = -1L): DataFrame = {
+    val fwd = direction match {
+      case "backward" => false
+      case "forward"  => true
+      case other => throw new IllegalArgumentException(
+        s"as-of direction must be 'backward' or 'forward', got '$other'")
+    }
     val lp = GraftShims.analyzed(leftDf)
     val rp = GraftShims.analyzed(rightDf)
     def a(p: LogicalPlan, n: String): Attribute = {
@@ -171,6 +211,6 @@ object AsOf {
       "as-of join sides must not share attributes — alias the right side")
     GraftShims.ofRows(leftDf.sparkSession,
       AsOfJoin(lp, rp, a(lp, leftKey), a(rp, rightKey),
-        a(lp, leftTime), a(rp, rightTime)))
+        a(lp, leftTime), a(rp, rightTime), fwd, tolerance))
   }
 }

@@ -66,6 +66,42 @@ object Relational2 {
       .orderBy(col("event_id"))
   }
 
+  /** FORWARD as-of with tolerance through the native exec: for every
+    * event, the user's NEXT purchase within 7 days — the
+    * label-attachment join of outcome-prediction training data (each
+    * interaction labeled with the conversion that follows it, never a
+    * leak from the past). Forward direction buffers nothing: the match
+    * is the merge's lookahead row; tolerance is enforced inside the
+    * exec so unmatched rows stay NULL without a post-filter. */
+  def asofNativeForward(s: SparkSession, d: String): DataFrame = {
+    val TolUs = 7L * 86400L * 1000000L
+    val ev = events(s, d).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("us"), col("ts").cast("long").as("sec"))
+    val purchases = events(s, d).filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        unix_micros(col("ts")).as("p_us"), col("ts").cast("long").as("p_sec"))
+    graft.plans.AsOf.join(ev, purchases, "user_id", "p_user", "us", "p_us",
+        direction = "forward", tolerance = TolUs)
+      .select(col("event_id"), col("user_id"),
+        col("p_id").as("next_purchase_id"),
+        (col("p_sec") - col("sec")).as("gap_sec"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofNativeForwardSql: String =
+    """WITH j AS (
+      |  SELECT e.event_id, e.user_id, p.event_id AS p_id,
+      |    epoch_us(p.ts) - epoch_us(e.ts) AS gap_us,
+      |    CAST(FLOOR(EPOCH(p.ts)) AS BIGINT)
+      |      - CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) AS gap_sec
+      |  FROM events e
+      |  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |    ON e.user_id = p.user_id AND p.ts >= e.ts)
+      |SELECT event_id, user_id,
+      |  CASE WHEN gap_us <= 604800000000 THEN p_id END AS next_purchase_id,
+      |  CASE WHEN gap_us <= 604800000000 THEN gap_sec END AS gap_sec
+      |FROM j ORDER BY event_id""".stripMargin
+
   // ------------------------------------------------------ range join
   /** Events within 10 minutes after each purchase by the same user,
     * as an equi-join on (user, minute-bucket): the build side maps to
@@ -310,6 +346,7 @@ object Relational2 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_last_purchase" -> asofLastPurchase,
     "asof_native" -> asofNative,
+    "asof_native_forward" -> asofNativeForward,
     "range_join_followers" -> rangeJoinFollowers,
     "q2_min_per_group" -> q2MinPerGroup,
     "q10_returned_items" -> q10ReturnedItems,
@@ -321,6 +358,7 @@ object Relational2 {
   val oracle: Map[String, String] = Map(
     "asof_last_purchase" -> asofLastPurchaseSql,
     "asof_native" -> asofLastPurchaseSql, // same semantics, native exec
+    "asof_native_forward" -> asofNativeForwardSql,
 
     "range_join_followers" -> rangeJoinFollowersSql,
     "q2_min_per_group" -> q2MinPerGroupSql,

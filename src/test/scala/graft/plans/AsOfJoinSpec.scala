@@ -28,6 +28,59 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, -1L), (2L, 100L), (3L, 101L), (4L, -1L)))
   }
 
+  test("forward direction: earliest >= match, boundary inclusive") {
+    // probe at t=15 matches the build row AT 15 (>= is inclusive);
+    // probe past the last build row gets null; keys never cross
+    val probe = Seq((1L, 10L, 5L), (2L, 10L, 15L), (3L, 10L, 17L),
+      (4L, 10L, 30L), (5L, 99L, 1L)).toDF("id", "key", "t")
+    val build = Seq((100L, 10L, 15L), (101L, 10L, 18L))
+      .toDF("b_id", "b_key", "b_t")
+    val got = AsOf.join(probe, build, "key", "b_key", "t", "b_t",
+        direction = "forward")
+      .select("id", "b_id").orderBy("id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 100L), (2L, 100L), (3L, 101L),
+      (4L, -1L), (5L, -1L)))
+  }
+
+  test("forward lookahead is not consumed: equal-t probes share a match") {
+    val probe = Seq((1L, 7L, 10L), (2L, 7L, 10L), (3L, 7L, 10L))
+      .toDF("id", "key", "t")
+    val build = Seq((100L, 7L, 12L)).toDF("b_id", "b_key", "b_t")
+    val got = AsOf.join(probe, build, "key", "b_key", "t", "b_t",
+        direction = "forward")
+      .select("id", "b_id").collect().map(_.getLong(1)).toSeq
+    assert(got == Seq(100L, 100L, 100L))
+  }
+
+  test("tolerance bounds the gap in both directions") {
+    val probe = Seq((1L, 5L, 100L)).toDF("id", "key", "t")
+    val build = Seq((200L, 5L, 90L)).toDF("b_id", "b_key", "b_t")
+    def run(dir: String, tol: Long) =
+      AsOf.join(probe, build, "key", "b_key", "t", "b_t", dir, tol)
+        .select("b_id").collect().map(r =>
+          if (r.isNullAt(0)) -1L else r.getLong(0)).head
+    assert(run("backward", 10L) == 200L)  // gap exactly tolerance: match
+    assert(run("backward", 9L) == -1L)    // gap over tolerance: null
+    assert(run("forward", 100L) == -1L)   // build row is in the PAST
+    val fwdBuild = Seq((300L, 5L, 107L)).toDF("b_id", "b_key", "b_t")
+    val fwd = AsOf.join(probe, fwdBuild, "key", "b_key", "t", "b_t",
+        "forward", 7L).select("b_id").collect().head.getLong(0)
+    assert(fwd == 300L)
+    val fwdMiss = AsOf.join(probe, fwdBuild, "key", "b_key", "t", "b_t",
+        "forward", 6L).select("b_id").collect().head
+    assert(fwdMiss.isNullAt(0))
+  }
+
+  test("invalid direction is rejected with a clear error") {
+    val df1 = Seq((1L, 2L, 3L)).toDF("a", "b", "c")
+    val df2 = Seq((1L, 2L, 3L)).toDF("x", "y", "z")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.join(df1, df2, "a", "x", "b", "y", direction = "nearest")
+    }
+    assert(e.getMessage.contains("backward"))
+  }
+
   test("plan contains the custom exec and exactly one shuffle per side") {
     val probe = Seq((1L, 10L, 5L)).toDF("id", "key", "t")
     val build = Seq((100L, 10L, 1L)).toDF("b_id", "b_key", "b_t")
