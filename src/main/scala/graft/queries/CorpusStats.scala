@@ -265,13 +265,56 @@ object CorpusStats {
        |FROM vocab v JOIN toks k USING (decile)
        |ORDER BY v.decile""".stripMargin
 
+  // ------------------------------------------- feature hashing
+  /** The hashing trick: every term maps to one of 32 feature buckets
+    * by md5, giving each document a fixed-width sparse TF vector with
+    * no vocabulary table at all — the linear-model featurizer
+    * (Vowpal-Wabbit / hashingTF style) that a quality-classifier
+    * stage trains on when the corpus vocabulary is unbounded.
+    * Output: (doc_id, bucket) term frequency + distinct-term count
+    * (the collision diagnostic) for a bounded doc set.
+    *
+    * Scale shape: stateless per-row hashing into a (doc, bucket)
+    * hash-agg — no vocabulary broadcast, no join, nothing global;
+    * THE fixed-width path when even the frequency table of the
+    * vocabulary would be a scale problem. md5-based bucket (not
+    * murmur) so both engines hash identically. */
+  def featureHashing(s: SparkSession, d: String): DataFrame = {
+    val B = 32
+    documents(s, d)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), explode(Documents.tokens(col("text"))).as("word"))
+      .withColumn("bucket",
+        conv(substring(md5(col("word")), 1, 4), 16, 10).cast("long") % B)
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("tf"),
+        countDistinct(col("word")).as("n_terms"))
+      .orderBy(col("doc_id"), col("bucket"))
+  }
+
+  val featureHashingSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, UNNEST(list_filter(
+      |    string_split_regex(text, '[^\p{L}]+'), t -> t <> '')) AS word
+      |  FROM documents WHERE doc_id < 100)
+      |SELECT doc_id,
+      |  ((strpos('0123456789abcdef', substring(md5(word), 1, 1)) - 1) * 4096
+      |   + (strpos('0123456789abcdef', substring(md5(word), 2, 1)) - 1) * 256
+      |   + (strpos('0123456789abcdef', substring(md5(word), 3, 1)) - 1) * 16
+      |   + (strpos('0123456789abcdef', substring(md5(word), 4, 1)) - 1)) % 32
+      |    AS bucket,
+      |  COUNT(*) AS tf, COUNT(DISTINCT word) AS n_terms
+      |FROM tok GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_zipf_slope" -> zipfSlope,
     "text_js_divergence" -> jsDivergence,
-    "text_heaps_checkpoints" -> heapsCheckpoints)
+    "text_heaps_checkpoints" -> heapsCheckpoints,
+    "text_feature_hashing" -> featureHashing)
 
   val oracle: Map[String, String] = Map(
     "text_zipf_slope" -> zipfSlopeSql,
     "text_js_divergence" -> jsDivergenceSql,
-    "text_heaps_checkpoints" -> heapsCheckpointsSql)
+    "text_heaps_checkpoints" -> heapsCheckpointsSql,
+    "text_feature_hashing" -> featureHashingSql)
 }

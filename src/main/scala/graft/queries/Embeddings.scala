@@ -1037,6 +1037,50 @@ object Embeddings {
       |    AS var_e12
       |FROM m ORDER BY dim""".stripMargin
 
+  // ------------------------------------------- ANN recall self-audit
+  /** Recall@5 of the IVF index against the exact brute-force ranking,
+    * per probe — the in-engine quality gate every ANN deployment needs
+    * before it replaces the exact path: the same library computes the
+    * index, the ground truth, and the recall number, so index
+    * parameter changes (planes, nProbe) are regression-tested by a
+    * query, not an offline notebook.
+    *
+    * Scale shape: composes two existing bounded queries (brute is the
+    * capped-probe BNLJ baseline, IVF the bucketed path) and joins
+    * their ≤(probes×5)-row outputs — the audit itself adds only
+    * probe-sized work. At 100 TB the brute side stays viable BECAUSE
+    * the probe set is capped: ground truth on a fixed sample is how
+    * production recall monitoring works at any corpus size. */
+  def annRecallEval(s: SparkSession, d: String): DataFrame = {
+    val brute = cosineTopK(s, d).select(col("q_id"), col("c_id"))
+    val ivf = annIvf(s, d)
+      .select(col("q_id").as("i_q"), col("c_id").as("i_c"))
+    val hits = brute.join(ivf,
+        col("q_id") === col("i_q") && col("c_id") === col("i_c"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    brute.groupBy(col("q_id")).agg(count(lit(1)).as("k"))
+      .join(hits, Seq("q_id"), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .withColumn("recall_permille", expr("n_hit * 1000 DIV k"))
+      .orderBy(col("q_id"))
+  }
+
+  val annRecallEvalSql: String = {
+    val brute = cosineTopKSql.replace("ORDER BY q_id, rank", "")
+    val ivf = annIvfSql.replace("ORDER BY q_id, rank", "")
+    s"""WITH brute AS (SELECT q_id, c_id FROM ($brute) tb),
+       |ivf AS (SELECT q_id, c_id FROM ($ivf) ti),
+       |hits AS (
+       |  SELECT b.q_id, COUNT(*) AS n_hit
+       |  FROM brute b JOIN ivf i ON b.q_id = i.q_id AND b.c_id = i.c_id
+       |  GROUP BY 1),
+       |pr AS (SELECT q_id, COUNT(*) AS k FROM brute GROUP BY 1)
+       |SELECT pr.q_id, pr.k, COALESCE(h.n_hit, 0) AS n_hit,
+       |  COALESCE(h.n_hit, 0) * 1000 // pr.k AS recall_permille
+       |FROM pr LEFT JOIN hits h USING (q_id)
+       |ORDER BY pr.q_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "retrieval_mmr" -> mmrRerank,
     "emb_pq_adc_topk" -> pqAdcTopK,
@@ -1047,6 +1091,7 @@ object Embeddings {
     "emb_cosine_topk" -> cosineTopK,
     "emb_ann_quantized" -> annQuantized,
     "emb_ann_ivf" -> annIvf,
+    "emb_ann_recall_eval" -> annRecallEval,
     "emb_label_norms" -> labelCentroidNorm,
     "emb_ann_lsh_buckets" -> annLshBuckets,
     "emb_kmeans_assign" -> kmeansAssign,
@@ -1066,6 +1111,7 @@ object Embeddings {
     "emb_label_norms" -> labelCentroidNormSql,
     "emb_ann_lsh_buckets" -> annLshBucketsSql,
     "emb_ann_ivf" -> annIvfSql,
+    "emb_ann_recall_eval" -> annRecallEvalSql,
     "emb_kmeans_assign" -> kmeansAssignSql,
     "emb_semantic_dedup" -> semanticDedupSql,
     "emb_outliers_per_cell" -> outliersPerCellSql,
