@@ -226,13 +226,81 @@ object EmbeddingAudit {
       |FROM pairs p, bounds b
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------- leading-dim covariance audit
+  /** Pairwise covariance and Pearson correlation of the first 8
+    * embedding dimensions — the off-diagonal companion to
+    * emb_dim_variance: isotropic embeddings should show near-zero
+    * cross-dim correlation, and a dominated off-diagonal block is the
+    * cheap symptom of the anisotropy emb_pca_power quantifies.
+    *
+    * Numerics: sums run on the ×1e3 integer grid (NOT the tier's
+    * usual 1e6 — n·Σx² must stay inside BIGINT: at 1e6 the product
+    * n·Σx² ≈ 2.5e19 overflows for 5 k vectors; at 1e3 it is 2.5e13),
+    * so covariance is exact integer. Pearson needs a square root;
+    * both engines evaluate the IDENTICAL num/SQRT(a·b) double
+    * expression and snap ×1000 (the BM25 last-ulp stance).
+    *
+    * Scale shape: posexplode prunes to dims < 8 before the self-join,
+    * so the pair frame is 28 rows per vector — linear in n with
+    * map-side partial aggregation; no vector×vector work. */
+  def dimCovariance(s: SparkSession, d: String): DataFrame = {
+    val x = embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xv")))
+      .filter(col("dim") < 8)
+      .select(col("vec_id"), col("dim"),
+        floor(col("xv").cast("double") * 1e3 + 0.5).cast("long").as("xe3"))
+    val a = x.select(col("vec_id"), col("dim").as("di"), col("xe3").as("xi"))
+    val b = x.select(col("vec_id"), col("dim").as("dj"), col("xe3").as("xj"))
+    a.join(b, "vec_id").filter(col("di") < col("dj"))
+      .groupBy(col("di"), col("dj"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xi")).as("sx"), sum(col("xj")).as("sy"),
+        sum(col("xi") * col("xj")).as("sxy"),
+        sum(col("xi") * col("xi")).as("sxx"),
+        sum(col("xj") * col("xj")).as("syy"))
+      .withColumn("cov_e6", expr("(n * sxy - sx * sy) DIV (n * n)"))
+      .withColumn("pearson_milli", expr(
+        """CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+          |  / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+          |         * CAST(n * syy - sy * sy AS DOUBLE)) * 1000 + 0.5)
+          |AS BIGINT)""".stripMargin))
+      .select(col("di"), col("dj"), col("n"), col("cov_e6"),
+        col("pearson_milli"))
+      .orderBy(col("di"), col("dj"))
+  }
+
+  val dimCovarianceSql: String =
+    """WITH x AS (
+      |  SELECT vec_id, i - 1 AS dim,
+      |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+      |      AS xe3
+      |  FROM embeddings, (SELECT UNNEST(range(1, 9)) AS i) g),
+      |p AS (
+      |  SELECT a.dim AS di, b.dim AS dj, COUNT(*) AS n,
+      |    CAST(SUM(a.xe3) AS BIGINT) AS sx,
+      |    CAST(SUM(b.xe3) AS BIGINT) AS sy,
+      |    CAST(SUM(a.xe3 * b.xe3) AS BIGINT) AS sxy,
+      |    CAST(SUM(a.xe3 * a.xe3) AS BIGINT) AS sxx,
+      |    CAST(SUM(b.xe3 * b.xe3) AS BIGINT) AS syy
+      |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim < b.dim
+      |  GROUP BY 1, 2)
+      |SELECT di, dj, n,
+      |  (n * sxy - sx * sy) // (n * n) AS cov_e6,
+      |  CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+      |           * CAST(n * syy - sy * sy AS DOUBLE)) * 1000 + 0.5)
+      |  AS BIGINT) AS pearson_milli
+      |FROM p ORDER BY di, dj""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_centroid_margin" -> centroidMargin,
     "emb_pca_power" -> pcaPower,
-    "emb_pair_distance_hist" -> pairDistanceHist)
+    "emb_pair_distance_hist" -> pairDistanceHist,
+    "emb_dim_covariance" -> dimCovariance)
 
   val oracle: Map[String, String] = Map(
     "emb_centroid_margin" -> centroidMarginSql,
     "emb_pca_power" -> pcaPowerSql,
-    "emb_pair_distance_hist" -> pairDistanceHistSql)
+    "emb_pair_distance_hist" -> pairDistanceHistSql,
+    "emb_dim_covariance" -> dimCovarianceSql)
 }

@@ -258,7 +258,52 @@ object LifecycleOps {
       |ORDER BY n_shared_slots DESC, user_a, user_b
       |LIMIT 20""".stripMargin
 
+  // ------------------------------------------ survival curve
+  /** User-retention survival curve: for each day offset k (0–29), the
+    * share of users whose observed lifespan (first event → last
+    * event) reaches at least k days — the Kaplan–Meier-shaped curve
+    * (no censoring model: the fixture window is closed) that
+    * retention targets are set against.
+    *
+    * Scale shape: users reduce to one (first, last) row each (single
+    * hash-agg with map-side combine); the curve is then a suffix
+    * count over the ≤30-row lifespan histogram against a broadcast
+    * 30-row day grid — corpus-sized work is exactly one pass. */
+  def survivalCurve(s: SparkSession, d: String): DataFrame = {
+    val per = ev(s, d).groupBy(col("user_id"))
+      .agg(expr("(MAX(sec) - MIN(sec)) DIV 86400").as("lifespan_days"))
+    val hist = per.groupBy(col("lifespan_days")).agg(count(lit(1)).as("n"))
+    val tot = per.agg(count(lit(1)).as("n_total"))
+    val grid = tot.select(explode(sequence(lit(0L), lit(29L))).as("day_k"),
+      col("n_total"))
+    grid.join(broadcast(hist), col("lifespan_days") >= col("day_k"), "left")
+      .groupBy(col("day_k"), col("n_total"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_survivors"))
+      .withColumn("permille", expr("n_survivors * 1000 DIV n_total"))
+      .select(col("day_k"), col("n_survivors"), col("permille"))
+      .orderBy(col("day_k"))
+  }
+
+  val survivalCurveSql: String =
+    """WITH per AS (
+      |  SELECT user_id,
+      |    (MAX(CAST(FLOOR(EPOCH(ts)) AS BIGINT))
+      |     - MIN(CAST(FLOOR(EPOCH(ts)) AS BIGINT))) // 86400 AS lifespan_days
+      |  FROM events GROUP BY 1),
+      |hist AS (SELECT lifespan_days, CAST(COUNT(*) AS BIGINT) AS n
+      |         FROM per GROUP BY 1),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM per),
+      |grid AS (SELECT UNNEST(generate_series(0, 29)) AS day_k)
+      |SELECT g.day_k,
+      |  CAST(COALESCE(SUM(h.n), 0) AS BIGINT) AS n_survivors,
+      |  CAST(COALESCE(SUM(h.n), 0) AS BIGINT) * 1000 // MAX(t.n_total)
+      |    AS permille
+      |FROM grid g CROSS JOIN tot t
+      |LEFT JOIN hist h ON h.lifespan_days >= g.day_k
+      |GROUP BY g.day_k ORDER BY g.day_k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_survival_curve" -> survivalCurve,
     "ev_time_to_convert" -> timeToConvert,
     "ev_interarrival_quantiles" -> interarrivalQuantiles,
     "ev_value_histogram" -> valueHistogram,
@@ -266,6 +311,7 @@ object LifecycleOps {
     "ev_copresence_affinity" -> copresenceAffinity)
 
   val oracle: Map[String, String] = Map(
+    "ev_survival_curve" -> survivalCurveSql,
     "ev_time_to_convert" -> timeToConvertSql,
     "ev_interarrival_quantiles" -> interarrivalQuantilesSql,
     "ev_value_histogram" -> valueHistogramSql,

@@ -161,6 +161,10 @@ class PlanSpec extends AnyFunSuite {
     "text_heaps_checkpoints", // 10-row decile-threshold broadcast
     "text_js_divergence",   // <=201-row topK+OOV bucket + 1-row corpus
                             // total broadcasts; grid is |sources|x201
+    "emb_ann_recall_eval",  // inherits emb_cosine_topk's bounded
+                            // capped-probe BNLJ as its ground truth
+    "ev_survival_curve",    // 30-row day grid x <=30-row lifespan
+                            // histogram suffix join — both sides tiny
     "emb_pair_distance_hist") // declared bounded all-pairs on the 1/8
                             // md5 id-sample ((n/8)^2/2 pairs) + 1-row
                             // bounds broadcast; sample rate is the
