@@ -41,7 +41,9 @@ object PlanCheck {
       "text_lang_confusion",
       "ev_time_to_convert", "ev_copresence_affinity", "ev_markov_entropy",
       "text_zipf_slope", "text_js_divergence", "text_heaps_checkpoints",
-      "emb_pair_distance_hist", "audit_value_mad")
+      "emb_pair_distance_hist", "audit_value_mad",
+      "asof_native_forward", "emb_ann_recall_eval", "text_feature_hashing",
+      "ev_survival_curve", "emb_dim_covariance")
     val out = new StringBuilder
     out ++= "# PLANS — formatted physical plans for headline queries\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanCheck PLANS.md\"` " +

@@ -302,7 +302,79 @@ object LifecycleOps {
       |LEFT JOIN hist h ON h.lifespan_days >= g.day_k
       |GROUP BY g.day_k ORDER BY g.day_k""".stripMargin
 
+  // ------------------------------------------ windowed funnel
+  /** Conversion funnel with PER-STEP windows: signup → first click
+    * within 3 days → first purchase within 3 days OF THAT CLICK.
+    * Unlike the unbounded funnel (Events.funnel), each step must land
+    * inside its conversion window — the form real attribution uses,
+    * where a purchase months later doesn't credit the campaign.
+    * Output: stage, users reaching it, and permille vs the previous
+    * stage.
+    *
+    * Scale shape: the same conditional-min cascade as the unbounded
+    * funnel — three user-keyed hash-aggs chained by equi-joins on
+    * user_id, each with map-side partial MINs; the window bound is a
+    * residual predicate on the join, never a new join shape. */
+  def funnelWindowed(s: SparkSession, d: String): DataFrame = {
+    val WinSec = 3L * 86400L
+    val e = ev(s, d).select(col("user_id"), col("event_type"), col("sec"))
+    val s1 = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("sec")).as("signup_sec"))
+    val s2 = e.filter(col("event_type") === "click")
+      .join(s1, "user_id")
+      .filter(col("sec") > col("signup_sec") &&
+        col("sec") <= col("signup_sec") + WinSec)
+      .groupBy(col("user_id")).agg(min(col("sec")).as("click_sec"))
+    val s3 = e.filter(col("event_type") === "purchase")
+      .join(s2, "user_id")
+      .filter(col("sec") > col("click_sec") &&
+        col("sec") <= col("click_sec") + WinSec)
+      .groupBy(col("user_id")).agg(min(col("sec")).as("purchase_sec"))
+    val counts = s1.agg(count(lit(1)).as("n")).select(lit("1_signup").as("stage"), col("n"))
+      .unionByName(s2.agg(count(lit(1)).as("n")).select(lit("2_click_3d").as("stage"), col("n")))
+      .unionByName(s3.agg(count(lit(1)).as("n")).select(lit("3_purchase_3d").as("stage"), col("n")))
+    val w = Window.orderBy(col("stage"))
+    counts
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .withColumn("conv_permille",
+        when(col("prev_n").isNull, lit(1000L))
+          .when(col("prev_n") === 0L, lit(0L)) // empty prior stage
+          .otherwise(expr("n * 1000 DIV prev_n")))
+      .select(col("stage"), col("n").as("n_users"), col("conv_permille"))
+      .orderBy(col("stage"))
+  }
+
+  val funnelWindowedSql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, MIN(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) AS signup_sec
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, MIN(CAST(FLOOR(EPOCH(e.ts)) AS BIGINT)) AS click_sec
+      |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click'
+      |    AND CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) > s1.signup_sec
+      |    AND CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) <= s1.signup_sec + 259200
+      |  GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id, MIN(CAST(FLOOR(EPOCH(e.ts)) AS BIGINT)) AS purchase_sec
+      |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase'
+      |    AND CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) > s2.click_sec
+      |    AND CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) <= s2.click_sec + 259200
+      |  GROUP BY e.user_id),
+      |counts AS (
+      |  SELECT '1_signup' AS stage, CAST(COUNT(*) AS BIGINT) AS n FROM s1
+      |  UNION ALL SELECT '2_click_3d', COUNT(*) FROM s2
+      |  UNION ALL SELECT '3_purchase_3d', COUNT(*) FROM s3)
+      |SELECT stage, n AS n_users,
+      |  CASE WHEN LAG(n) OVER (ORDER BY stage) IS NULL THEN 1000
+      |       WHEN LAG(n) OVER (ORDER BY stage) = 0 THEN 0
+      |       ELSE n * 1000 // LAG(n) OVER (ORDER BY stage) END
+      |    AS conv_permille
+      |FROM counts ORDER BY stage""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_funnel_windowed" -> funnelWindowed,
     "ev_survival_curve" -> survivalCurve,
     "ev_time_to_convert" -> timeToConvert,
     "ev_interarrival_quantiles" -> interarrivalQuantiles,
@@ -311,6 +383,7 @@ object LifecycleOps {
     "ev_copresence_affinity" -> copresenceAffinity)
 
   val oracle: Map[String, String] = Map(
+    "ev_funnel_windowed" -> funnelWindowedSql,
     "ev_survival_curve" -> survivalCurveSql,
     "ev_time_to_convert" -> timeToConvertSql,
     "ev_interarrival_quantiles" -> interarrivalQuantilesSql,
