@@ -341,7 +341,103 @@ object ProductAnalytics {
        |    > 9 * var_cents2 AS flagged
        |FROM r ORDER BY event_type, day_idx""".stripMargin
 
+  // ------------------------------------ new vs returning actives
+  /** Daily active users split into first-ever-seen-today vs returning,
+    * with the new-user share in permille — the growth-vs-retention
+    * decomposition of the DAU line.
+    *
+    * Scale shape: one distinct on (user, day), one per-user MIN for
+    * first-seen, one day-keyed hash-agg — each a single shuffle with
+    * map-side combine; nothing global. */
+  def newVsReturning(s: SparkSession, d: String): DataFrame = {
+    val pairs = events(s, d).select(col("user_id"),
+      expr("CAST(date_trunc('day', ts) AS LONG) DIV 86400").as("day_idx"))
+      .distinct()
+    val first = pairs.groupBy(col("user_id"))
+      .agg(min(col("day_idx")).as("first_day"))
+    pairs.join(first, "user_id")
+      .groupBy(col("day_idx"))
+      .agg(count(lit(1)).as("dau"),
+        sum(when(col("day_idx") === col("first_day"), 1L).otherwise(0L))
+          .as("n_new"))
+      .withColumn("n_returning", col("dau") - col("n_new"))
+      .withColumn("new_permille", expr("n_new * 1000 DIV dau"))
+      .orderBy(col("day_idx"))
+  }
+
+  val newVsReturningSql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(FLOOR(EPOCH(DATE_TRUNC('day', ts))) AS BIGINT) // 86400
+      |      AS day_idx
+      |  FROM events),
+      |first AS (SELECT user_id, MIN(day_idx) AS first_day
+      |          FROM pairs GROUP BY 1)
+      |SELECT p.day_idx, COUNT(*) AS dau,
+      |  CAST(SUM(CASE WHEN p.day_idx = f.first_day THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_new,
+      |  COUNT(*) - CAST(SUM(CASE WHEN p.day_idx = f.first_day THEN 1 ELSE 0
+      |    END) AS BIGINT) AS n_returning,
+      |  CAST(SUM(CASE WHEN p.day_idx = f.first_day THEN 1 ELSE 0 END)
+      |    AS BIGINT) * 1000 // COUNT(*) AS new_permille
+      |FROM pairs p JOIN first f USING (user_id)
+      |GROUP BY p.day_idx ORDER BY p.day_idx""".stripMargin
+
+  // ------------------------------------ activity concentration
+  /** Pareto/Lorenz concentration of event volume: users ranked by
+    * event count into deciles; per decile the user count, event
+    * count, share of all events, and the cumulative share — "do 10%
+    * of users generate 60% of traffic" answered as a query. Bot
+    * floods and scraper accounts show up as a top-decile share spike.
+    *
+    * Scale shape: per-user counts are one hash-agg; the decile split
+    * is one ntile window over the user frame (users, not events); all
+    * share arithmetic runs on the 10-row decile frame. */
+  def powerUsersPareto(s: SparkSession, d: String): DataFrame = {
+    val per = events(s, d).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ev"))
+    val w = Window.orderBy(col("n_ev").desc, col("user_id"))
+    val dec = per.withColumn("decile", ntile(10).over(w))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n_ev")).as("n_events"))
+    val all = Window.partitionBy()
+    val cum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec
+      .withColumn("share_permille",
+        expr("n_events * 1000") / sum(col("n_events")).over(all))
+      .withColumn("share_permille",
+        expr("CAST(FLOOR(share_permille) AS BIGINT)"))
+      .withColumn("cum_events", sum(col("n_events")).over(cum))
+      .withColumn("cum_share_permille",
+        expr("CAST(FLOOR(cum_events * 1000 / SUM(n_events) OVER ()) AS BIGINT)"))
+      .select(col("decile"), col("n_users"), col("n_events"),
+        col("share_permille"), col("cum_share_permille"))
+      .orderBy(col("decile"))
+  }
+
+  val powerUsersParetoSql: String =
+    """WITH per AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ev
+      |  FROM events GROUP BY 1),
+      |dec AS (
+      |  SELECT decile, COUNT(*) AS n_users,
+      |    CAST(SUM(n_ev) AS BIGINT) AS n_events
+      |  FROM (SELECT user_id, n_ev,
+      |          NTILE(10) OVER (ORDER BY n_ev DESC, user_id) AS decile
+      |        FROM per)
+      |  GROUP BY 1)
+      |SELECT decile, n_users, n_events,
+      |  CAST(FLOOR(n_events * 1000.0 / SUM(n_events) OVER ()) AS BIGINT)
+      |    AS share_permille,
+      |  CAST(FLOOR(SUM(n_events) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000.0
+      |    / SUM(n_events) OVER ()) AS BIGINT) AS cum_share_permille
+      |FROM dec ORDER BY decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_new_vs_returning" -> newVsReturning,
+    "ev_power_users_pareto" -> powerUsersPareto,
     "ev_rolling_active_users" -> rollingActiveUsers,
     "ev_concurrency_curve" -> concurrencyCurve,
     "ev_rfm_segments" -> rfmSegments,
@@ -349,6 +445,8 @@ object ProductAnalytics {
     "ev_cusum_changepoint" -> cusumChangepoint)
 
   val oracle: Map[String, String] = Map(
+    "ev_new_vs_returning" -> newVsReturningSql,
+    "ev_power_users_pareto" -> powerUsersParetoSql,
     "ev_rolling_active_users" -> rollingActiveUsersSql,
     "ev_concurrency_curve" -> concurrencyCurveSql,
     "ev_rfm_segments" -> rfmSegmentsSql,
