@@ -43,7 +43,8 @@ object PlanCheck {
       "text_zipf_slope", "text_js_divergence", "text_heaps_checkpoints",
       "emb_pair_distance_hist", "audit_value_mad",
       "asof_native_forward", "emb_ann_recall_eval", "text_feature_hashing",
-      "ev_survival_curve", "emb_dim_covariance")
+      "ev_survival_curve", "emb_dim_covariance",
+      "ev_funnel_windowed", "ev_new_vs_returning", "ev_power_users_pareto")
     val out = new StringBuilder
     out ++= "# PLANS — formatted physical plans for headline queries\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanCheck PLANS.md\"` " +
