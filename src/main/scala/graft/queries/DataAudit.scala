@@ -460,7 +460,72 @@ object DataAudit {
        |  n_outliers * 1000 // n_events AS outlier_permille
        |FROM agg ORDER BY event_type""".stripMargin
 
+  // --------------------------------------- full-catalog profile
+  /** ANALYZE-style catalog statistics for every column of every table
+    * in the star schema: row count, null count, exact distinct count —
+    * the stats a cost-based optimizer and a data-quality dashboard
+    * both start from. The generalization of audit_null_profile (which
+    * profiles events only) to the whole catalog.
+    *
+    * Scale shape: ONE PRUNED SCAN PER COLUMN (ReadSchema carries just
+    * that column — the audit_null_profile plan pin), each a two-phase
+    * agg with map-side partials. Exact NDV is the declared audit form;
+    * the monitoring twin is approx_count_distinct (sketch_profile
+    * pins the bound). Never a multi-distinct single aggregate: the
+    * Expand rewrite would replicate every row per profiled column
+    * (the documented 188 s sketch_profile lesson). */
+  private val catalogCols: Seq[(String, Seq[String])] = Seq(
+    "region" -> Seq("r_regionkey", "r_name"),
+    "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
+    "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+      "c_mktsegment"),
+    "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    "part" -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+      "p_retailprice"),
+    "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey",
+      "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+      "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"),
+    "events" -> Seq("event_id", "ts", "user_id", "event_type", "value",
+      "props"),
+    "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+    "embeddings" -> Seq("vec_id", "embedding", "label"))
+
+  def schemaProfile(s: SparkSession, d: String): DataFrame = {
+    val profiles = for {
+      (t, cols) <- catalogCols
+      c <- cols
+    } yield {
+      // events goes through the shape-adaptive loader so ts profiles
+      // as the normalized timestamp, not a fixture-dependent physical
+      val df = if (t == "events") events(s, d) else graft.Tables.t(s, d, t)
+      df.select(col(c)).agg(
+          count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col(c))).as("n_null"),
+          countDistinct(col(c)).as("n_distinct"))
+        .select(lit(t).as("table_name"), lit(c).as("col_name"),
+          col("n_rows"), col("n_null"), col("n_distinct"))
+    }
+    profiles.reduce(_ unionByName _)
+      .select(col("table_name"), col("col_name"), col("n_rows"),
+        col("n_null"), col("n_distinct"))
+      .orderBy(col("table_name"), col("col_name"))
+  }
+
+  val schemaProfileSql: String =
+    catalogCols.flatMap { case (t, cols) =>
+      cols.map { c =>
+        s"""SELECT '$t' AS table_name, '$c' AS col_name,
+           |  COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($c) AS n_null,
+           |  COUNT(DISTINCT $c) AS n_distinct
+           |FROM $t""".stripMargin
+      }
+    }.mkString("", "\nUNION ALL ", "\nORDER BY table_name, col_name")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "audit_schema_profile" -> schemaProfile,
     "audit_value_mad" -> valueMadOutliers,
     "audit_null_profile" -> nullProfile,
     "audit_referential" -> referentialAudit,
@@ -470,6 +535,7 @@ object DataAudit {
     "link_blocked_fuzzy" -> linkBlockedFuzzy)
 
   val oracle: Map[String, String] = Map(
+    "audit_schema_profile" -> schemaProfileSql,
     "audit_value_mad" -> valueMadOutliersSql,
     "audit_null_profile" -> nullProfileSql,
     "audit_referential" -> referentialAuditSql,

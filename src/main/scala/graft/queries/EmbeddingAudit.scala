@@ -292,15 +292,70 @@ object EmbeddingAudit {
       |  AS BIGINT) AS pearson_milli
       |FROM p ORDER BY di, dj""".stripMargin
 
+  // ------------------------------------- IVF cell-balance audit
+  /** Occupancy profile of the sign-plane IVF index: vectors per cell,
+    * share in permille, and the hot-cell factor (cell size ×1000 /
+    * ideal uniform size). The health metric behind
+    * emb_ann_recall_eval: multi-probe recall collapses exactly when
+    * occupancy skews, and at scale a hot cell is also a hot TASK in
+    * every probe join — this audit is the early warning that the
+    * quantizer needs more planes or a k-means refit.
+    *
+    * Scale shape: the index projection is a per-row plane-dot; the
+    * audit is one 2^planes-cell hash-agg with a 1-row total joined
+    * back broadcast. */
+  def ivfBalance(s: SparkSession, d: String): DataFrame = {
+    val cells = graft.operators.IvfIndex.buildSign(embeddings(s, d))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+    val tot = cells.agg(sum(col("n_vecs")).as("n_total"),
+      count(lit(1)).as("n_cells"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("share_permille", expr("n_vecs * 1000 DIV n_total"))
+      .withColumn("hot_factor_milli",
+        expr("n_vecs * n_cells * 1000 DIV n_total"))
+      .select(col("cell"), col("n_vecs"), col("share_permille"),
+        col("hot_factor_milli"))
+      .orderBy(col("cell"))
+  }
+
+  /** Mirrors annIvfSql's sign-plane cell computation (same SIN-based
+    * deterministic pseudo-plane dots — see operators.SignPlanes). */
+  val ivfBalanceSql: String = {
+    def dotSql(p: Int): String =
+      s"""list_reduce(list_transform(range(1, len(embedding)+1),
+         |  i -> CAST(embedding[i] AS DOUBLE) * SIN(CAST(${p * 1000} AS DOUBLE) + (i-1))),
+         |  (a, b) -> a + b)""".stripMargin
+    s"""WITH cells AS (
+       |  SELECT vec_id,
+       |    (CASE WHEN d0 >= 0 THEN 4 ELSE 0 END
+       |     + CASE WHEN d1 >= 0 THEN 2 ELSE 0 END
+       |     + CASE WHEN d2 >= 0 THEN 1 ELSE 0 END) AS cell
+       |  FROM (SELECT vec_id,
+       |          ${dotSql(0)} AS d0,
+       |          ${dotSql(1)} AS d1,
+       |          ${dotSql(2)} AS d2
+       |        FROM embeddings) t),
+       |g AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+       |      FROM cells GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_total,
+       |          COUNT(*) AS n_cells FROM g)
+       |SELECT g.cell, g.n_vecs,
+       |  g.n_vecs * 1000 // t.n_total AS share_permille,
+       |  g.n_vecs * t.n_cells * 1000 // t.n_total AS hot_factor_milli
+       |FROM g, tot t ORDER BY g.cell""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_centroid_margin" -> centroidMargin,
     "emb_pca_power" -> pcaPower,
     "emb_pair_distance_hist" -> pairDistanceHist,
-    "emb_dim_covariance" -> dimCovariance)
+    "emb_dim_covariance" -> dimCovariance,
+    "emb_ivf_balance" -> ivfBalance)
 
   val oracle: Map[String, String] = Map(
     "emb_centroid_margin" -> centroidMarginSql,
     "emb_pca_power" -> pcaPowerSql,
     "emb_pair_distance_hist" -> pairDistanceHistSql,
-    "emb_dim_covariance" -> dimCovarianceSql)
+    "emb_dim_covariance" -> dimCovarianceSql,
+    "emb_ivf_balance" -> ivfBalanceSql)
 }

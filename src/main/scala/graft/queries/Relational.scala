@@ -310,6 +310,32 @@ object Relational {
       |  ORDER BY o_totalprice DESC, o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** The NATIVE pivot operator with MULTIPLE aggregates per cell:
+    * order count and exact cents revenue per (priority × status) —
+    * Spark's `.pivot(col, values)` with an explicit value list keeps
+    * the plan a single two-phase hash-agg (no second pass to discover
+    * pivot values, which at 100 TB would be an extra full scan), and
+    * the multi-agg produces the `<value>_<agg>` column grid the
+    * oracle re-expresses as conditional aggregates. */
+  def aggPivotMulti(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .withColumn("cents", cents(col("o_totalprice")).cast("long"))
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .orderBy(col("o_orderpriority"))
+
+  val aggPivotMultiSql: String =
+    s"""SELECT o_orderpriority,
+       |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O_n,
+       |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN ${centsSql("o_totalprice")} END) AS BIGINT) AS O_cents,
+       |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F_n,
+       |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN ${centsSql("o_totalprice")} END) AS BIGINT) AS F_cents,
+       |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P_n,
+       |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN ${centsSql("o_totalprice")} END) AS BIGINT) AS P_cents
+       |FROM orders GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
   /** Unpivot (wide → long): melt the pivoted status counts back into
     * (priority, status, n) rows — Spark's native `unpivot` operator;
     * the oracle re-expresses it as the equivalent UNION ALL. */
@@ -692,6 +718,7 @@ object Relational {
     "agg_distinct" -> aggDistinct,
     "agg_having" -> aggHaving,
     "agg_pivot" -> aggPivot,
+    "agg_pivot_multi" -> aggPivotMulti,
     "agg_string_collect" -> aggStringCollect,
     "subquery_scalar" -> subqueryScalar,
     "subquery_in" -> subqueryIn,
@@ -723,6 +750,7 @@ object Relational {
     "agg_distinct" -> aggDistinctSql,
     "agg_having" -> aggHavingSql,
     "agg_pivot" -> aggPivotSql,
+    "agg_pivot_multi" -> aggPivotMultiSql,
     "agg_string_collect" -> aggStringCollectSql,
     "subquery_scalar" -> subqueryScalarSql,
     "subquery_in" -> subqueryInSql,
