@@ -368,7 +368,75 @@ object Multimodal {
       |FROM v LEFT JOIN runs USING (media_id)
       |GROUP BY 1 ORDER BY media_id""".stripMargin
 
+  // ----------------------------------------- perceptual-hash dedup
+  /** Media near-dup detection via a 64-bit perceptual hash: sample 64
+    * evenly-spaced body bytes per payload, threshold each against the
+    * sample mean, and bucket media by (kind, bit pattern) — the
+    * pHash/aHash recipe real image dedup runs after decode, here over
+    * the stub payload (whose body is the UTF-8 text, so byte k ≡
+    * character code k and the DuckDB oracle mirrors the sampling with
+    * substr/ord). Unlike exact dedup, near-identical payloads that
+    * differ in a few bytes usually land in the same bucket — the
+    * robustness that makes perceptual hashing the media twin of
+    * MinHash.
+    *
+    * Scale shape: the hash is a stateless per-row projection (64
+    * samples regardless of payload size — resolution-independent by
+    * construction), then one (kind, hash) hash-agg. The
+    * recall/precision trade lives in the bit count, not in any join:
+    * there is never a pairwise stage. */
+  def phashBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("kind"))
+    val hashed = docs
+      .withColumn("samples", expr(
+        "transform(sequence(0, 63), j -> ascii(substr(text, CAST(1 + (j * length(text)) DIV 64 AS INT), 1)))"))
+      .withColumn("m", expr("aggregate(samples, 0L, (a, x) -> a + x) DIV 64"))
+      .withColumn("phash", expr(
+        "array_join(transform(samples, b -> IF(b > m, '1', '0')), '')"))
+    hashed.groupBy(col("kind"), col("phash"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("sz")).as("n_media"),
+        sum(when(col("sz") > 1, 1L).otherwise(0L)).as("n_dup_buckets"),
+        sum(when(col("sz") > 1, col("sz") - 1).otherwise(0L))
+          .as("n_redundant"),
+        max(col("sz")).as("max_bucket"))
+      .orderBy(col("kind"))
+  }
+
+  val phashBucketsSql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+      |    list_transform(range(0, 64),
+      |      j -> ord(substr(text, CAST(1 + (j * length(text)) // 64 AS INT), 1)))
+      |      AS samples
+      |  FROM documents),
+      |p AS (
+      |  SELECT kind,
+      |    array_to_string(list_transform(samples,
+      |      b -> CASE WHEN b > (list_reduce(samples, (a, x) -> a + x) // 64)
+      |           THEN '1' ELSE '0' END), '') AS phash
+      |  FROM h),
+      |g AS (SELECT kind, phash, CAST(COUNT(*) AS BIGINT) AS sz
+      |      FROM p GROUP BY 1, 2)
+      |SELECT kind, COUNT(*) AS n_buckets,
+      |  CAST(SUM(sz) AS BIGINT) AS n_media,
+      |  CAST(SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_buckets,
+      |  CAST(SUM(CASE WHEN sz > 1 THEN sz - 1 ELSE 0 END) AS BIGINT)
+      |    AS n_redundant,
+      |  MAX(sz) AS max_bucket
+      |FROM g GROUP BY kind ORDER BY kind""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_phash_buckets" -> phashBuckets,
     "mm_media_stats" -> mediaStats,
     "mm_frame_sample" -> frameSampleStats,
     "mm_resize_stats" -> resizeStats,
@@ -376,6 +444,7 @@ object Multimodal {
     "mm_audio_vad" -> ((s, d) => audioVad(s, d)))
 
   val oracle: Map[String, String] = Map(
+    "mm_phash_buckets" -> phashBucketsSql,
     "mm_media_stats" -> mediaStatsSql,
     "mm_frame_sample" -> frameSampleStatsSql,
     "mm_resize_stats" -> resizeStatsSql,

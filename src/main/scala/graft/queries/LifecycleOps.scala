@@ -373,7 +373,56 @@ object LifecycleOps {
       |    AS conv_permille
       |FROM counts ORDER BY stage""".stripMargin
 
+  // ------------------------------------------ bot regularity
+  /** Top-20 most-regular users by interarrival variance: humans are
+    * bursty, schedulers are metronomes — abnormally low gap variance
+    * at meaningful volume is the classic bot/scraper signature a
+    * training-data pipeline filters before user-generated text enters
+    * a corpus. Exact integer variance ((n·Σg² − (Σg)²) DIV n²) over
+    * per-user gap seconds; candidates need ≥ 10 gaps.
+    *
+    * Scale shape: one user-keyed lag window (the sessionize exchange
+    * again) feeding a per-user hash-agg; the ranking is a TakeOrdered
+    * top-k on (variance, user_id) — total work one shuffle + one
+    * bounded sort. */
+  def botRegularity(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    ev(s, d)
+      .withColumn("prev", lag(col("sec"), 1).over(byUser))
+      .filter(col("prev").isNotNull)
+      .withColumn("g", col("sec") - col("prev"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("g")).as("sg"), sum(col("g") * col("g")).as("sg2"))
+      .filter(col("n_gaps") >= 10)
+      .withColumn("mean_gap_sec", expr("sg DIV n_gaps"))
+      .withColumn("var_sec2",
+        expr("(n_gaps * sg2 - sg * sg) DIV (n_gaps * n_gaps)"))
+      .select(col("user_id"), col("n_gaps"), col("mean_gap_sec"),
+        col("var_sec2"))
+      .orderBy(col("var_sec2"), col("user_id"))
+      .limit(20)
+  }
+
+  val botRegularitySql: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+      |      - LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER w AS g
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |a AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |    CAST(SUM(g) AS BIGINT) AS sg, CAST(SUM(g*g) AS BIGINT) AS sg2
+      |  FROM g WHERE g IS NOT NULL GROUP BY 1)
+      |SELECT user_id, n_gaps, sg // n_gaps AS mean_gap_sec,
+      |  (n_gaps * sg2 - sg * sg) // (n_gaps * n_gaps) AS var_sec2
+      |FROM a WHERE n_gaps >= 10
+      |ORDER BY var_sec2, user_id LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_bot_regularity" -> botRegularity,
     "ev_funnel_windowed" -> funnelWindowed,
     "ev_survival_curve" -> survivalCurve,
     "ev_time_to_convert" -> timeToConvert,
@@ -383,6 +432,7 @@ object LifecycleOps {
     "ev_copresence_affinity" -> copresenceAffinity)
 
   val oracle: Map[String, String] = Map(
+    "ev_bot_regularity" -> botRegularitySql,
     "ev_funnel_windowed" -> funnelWindowedSql,
     "ev_survival_curve" -> survivalCurveSql,
     "ev_time_to_convert" -> timeToConvertSql,
