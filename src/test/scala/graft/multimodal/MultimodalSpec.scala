@@ -152,4 +152,32 @@ class MultimodalSpec extends AnyFunSuite {
       (4L, 1L, 1L, 1000L, 1L),
       (7L, 1L, 0L, 0L, 0L)))
   }
+
+  test("phash: identical payloads share a bucket; a few flipped bytes " +
+      "usually do too; redundancy counts add up") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ph").toString
+    // ids 0,3,6 -> kind image. 0 and 3 identical text; 6 differs from
+    // them in ONE character (perceptual robustness: ' '(32) -> '!'(33)
+    // stays far below the sample mean whether or not the position is
+    // sampled) -> all three in one bucket.
+    val base = ("abcz " * 40).trim
+    val oneOff = base.substring(0, 4) + "!" + base.substring(5)
+    Seq(
+      (0L, base, "en", "s", base.length.toLong),
+      (3L, base, "en", "s", base.length.toLong),
+      (6L, oneOff, "en", "s", oneOff.length.toLong),
+      (1L, base.reverse, "en", "s", base.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Multimodal.phashBuckets(spark, tmp)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val img = got("image")
+    // (n_buckets, n_media, n_dup_buckets, n_redundant, max_bucket)
+    assert(img._3 == 3L, s"3 image media expected, got $img")
+    assert(img._2 == 1L && img._4 == 1L && img._5 == 2L && img._6 == 3L,
+      s"one bucket holding all three image payloads expected, got $img")
+    assert(got("audio")._3 == 1L)
+  }
 }

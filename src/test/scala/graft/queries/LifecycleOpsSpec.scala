@@ -99,6 +99,49 @@ class LifecycleOpsSpec extends AnyFunSuite {
     assert(got.map(r => (r._1, r._2, r._3)) == Seq(("a", 2L, 1500L)))
   }
 
+  test("survival curve: suffix counts over lifespans, zero tail") {
+    // user 1 lifespan 0 days; user 2 lifespan 2 days
+    val d = writeEvents(Seq(
+      (1L, ts(100), 1L, "a", 0.0, "{}"),
+      (2L, ts(200), 1L, "a", 0.0, "{}"),
+      (3L, ts(0), 2L, "a", 0.0, "{}"),
+      (4L, ts(2 * 86400), 2L, "a", 0.0, "{}")))
+    val got = LifecycleOps.survivalCurve(spark, d)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.size == 30)
+    assert(got.take(3) == Seq((0L, 2L, 1000L), (1L, 1L, 500L),
+      (2L, 1L, 500L)))
+    assert(got.drop(3).forall(r => r._2 == 0L && r._3 == 0L))
+  }
+
+  test("windowed funnel: 3-day boundary is inclusive, beyond is out") {
+    val day = 86400L
+    val d = writeEvents(Seq(
+      // user 1: click exactly at signup+3d (in), purchase at click+3d (in)
+      (1L, ts(0), 1L, "signup", 0.0, "{}"),
+      (2L, ts(3 * day), 1L, "click", 0.0, "{}"),
+      (3L, ts(6 * day), 1L, "purchase", 0.0, "{}"),
+      // user 2: click one second past the window (out)
+      (4L, ts(0), 2L, "signup", 0.0, "{}"),
+      (5L, ts(3 * day + 1), 2L, "click", 0.0, "{}")))
+    val got = LifecycleOps.funnelWindowed(spark, d)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("1_signup", 2L, 1000L), ("2_click_3d", 1L, 500L),
+      ("3_purchase_3d", 1L, 1000L)))
+  }
+
+  test("bot regularity: a metronome ranks first with zero variance") {
+    val metronome = (0 until 11).map(i =>
+      (100L + i, ts(i * 10L), 1L, "a", 0.0, "{}"))
+    val human = Seq(0L, 7L, 9L, 30L, 31L, 55L, 80L, 81L, 82L, 120L, 200L)
+      .zipWithIndex.map { case (t, i) => (200L + i, ts(t), 2L, "a", 0.0, "{}") }
+    val d = writeEvents(metronome ++ human)
+    val got = LifecycleOps.botRegularity(spark, d)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.head == (1L, 10L, 10L, 0L))
+    assert(got(1)._1 == 2L && got(1)._4 > 0L)
+  }
+
   test("MAD audit: discrete lower median, strict 10x threshold") {
     // cents 100,200,300,400,100000 -> n=5, lower median rn=3 -> 300
     // devs 200,100,0,100,99700 -> sorted 0,100,100,200,99700; med rn=3
