@@ -44,7 +44,9 @@ object PlanCheck {
       "emb_pair_distance_hist", "audit_value_mad",
       "asof_native_forward", "emb_ann_recall_eval", "text_feature_hashing",
       "ev_survival_curve", "emb_dim_covariance",
-      "ev_funnel_windowed", "ev_new_vs_returning", "ev_power_users_pareto")
+      "ev_funnel_windowed", "ev_new_vs_returning", "ev_power_users_pareto",
+      "audit_schema_profile", "emb_ivf_balance", "agg_pivot_multi",
+      "mm_phash_buckets", "ev_bot_regularity")
     val out = new StringBuilder
     out ++= "# PLANS — formatted physical plans for headline queries\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanCheck PLANS.md\"` " +
