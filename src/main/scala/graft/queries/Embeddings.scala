@@ -318,7 +318,10 @@ object Embeddings {
       .select(col("q_id"), col("c_id"), col("rank"))
   }
 
-  val annIvfSql: String = {
+  /** The sign-plane IVF search as DuckDB SQL, parameterized by the
+    * number of margin-ordered bit FLIPS (nProbe = flips + 1). Shared
+    * by annIvfSql (flips = 2) and the recall sweep (flips = 0 vs 2). */
+  def annIvfSqlFlips(flips: Int): String = {
     def dotSql(p: Int): String =
       s"""list_reduce(list_transform(range(1, len(embedding)+1),
          |  i -> CAST(embedding[i] AS DOUBLE) * SIN(CAST(${p * 1000} AS DOUBLE) + (i-1))),
@@ -341,7 +344,7 @@ object Embeddings {
        |    FROM (SELECT q_id, ABS(d0) AS a, 0 AS p, 4 AS m FROM q
        |          UNION ALL SELECT q_id, ABS(d1), 1, 2 FROM q
        |          UNION ALL SELECT q_id, ABS(d2), 2, 1 FROM q) u) rr
-       |  WHERE r <= 2),
+       |  WHERE r <= $flips),
        |probes AS (
        |  SELECT q_id, q_emb, cell FROM q
        |  UNION ALL
@@ -358,6 +361,63 @@ object Embeddings {
        |  FROM cand)
        |SELECT q_id, c_id, rank FROM ranked WHERE rank <= 5
        |ORDER BY q_id, rank""".stripMargin
+  }
+
+  val annIvfSql: String = annIvfSqlFlips(2)
+
+  // ------------------------------------------- recall-vs-nProbe sweep
+  /** The IVF tuning curve as a query: micro-averaged recall@5 against
+    * the exact brute ranking at nProbe = 1 (own cell only) vs
+    * nProbe = 3 (the production setting) — the measurement that
+    * justifies every probe-count knob turn. Composes the same bounded
+    * pieces as emb_ann_recall_eval; the sweep adds one extra
+    * bucket-join probe pass, not a new shape.
+    *
+    * Scale shape: identical to emb_ann_recall_eval — ground truth on
+    * the capped probe sample, per-setting joins on ≤(probes×5)-row
+    * frames. */
+  def annRecallSweep(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    val e = embeddings(s, d)
+    val index = graft.operators.IvfIndex.buildSign(e)
+    val probes = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val brute = cosineTopK(s, d).select(col("q_id"), col("c_id"))
+    def recallOf(nProbe: Int): DataFrame = {
+      val ivf = graft.operators.IvfIndex
+        .searchSign(index, probes, k = 5, nProbe = nProbe,
+          excludeSelf = true)
+        .select(col("q_id").as("i_q"), col("c_id").as("i_c"))
+      val hit = brute.join(ivf,
+          col("q_id") === col("i_q") && col("c_id") === col("i_c"),
+          "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      val tot = brute.agg(count(lit(1)).as("n_total"))
+      hit.crossJoin(broadcast(tot))
+        .select(lit(nProbe).as("nprobe"), col("n_total"), col("n_hit"),
+          expr("n_hit * 1000 DIV n_total").as("recall_permille"))
+    }
+    recallOf(1).unionByName(recallOf(3)).orderBy(col("nprobe"))
+  }
+
+  val annRecallSweepSql: String = {
+    val brute = cosineTopKSql.replace("ORDER BY q_id, rank", "")
+    val ivf1 = annIvfSqlFlips(0).replace("ORDER BY q_id, rank", "")
+    val ivf3 = annIvfSqlFlips(2).replace("ORDER BY q_id, rank", "")
+    s"""WITH brute AS (SELECT q_id, c_id FROM ($brute) tb),
+       |ivf1 AS (SELECT q_id, c_id FROM ($ivf1) t1),
+       |ivf3 AS (SELECT q_id, c_id FROM ($ivf3) t3),
+       |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM brute),
+       |h1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+       |       FROM brute b JOIN ivf1 i ON b.q_id = i.q_id AND b.c_id = i.c_id),
+       |h3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+       |       FROM brute b JOIN ivf3 i ON b.q_id = i.q_id AND b.c_id = i.c_id)
+       |SELECT 1 AS nprobe, t.n_total, h1.n_hit,
+       |  h1.n_hit * 1000 // t.n_total AS recall_permille FROM h1, t
+       |UNION ALL
+       |SELECT 3, t.n_total, h3.n_hit,
+       |  h3.n_hit * 1000 // t.n_total FROM h3, t
+       |ORDER BY nprobe""".stripMargin
   }
 
   // ------------------------------------------------- k-means buckets
@@ -1092,6 +1152,7 @@ object Embeddings {
     "emb_ann_quantized" -> annQuantized,
     "emb_ann_ivf" -> annIvf,
     "emb_ann_recall_eval" -> annRecallEval,
+    "emb_ann_recall_sweep" -> annRecallSweep,
     "emb_label_norms" -> labelCentroidNorm,
     "emb_ann_lsh_buckets" -> annLshBuckets,
     "emb_kmeans_assign" -> kmeansAssign,
@@ -1112,6 +1173,7 @@ object Embeddings {
     "emb_ann_lsh_buckets" -> annLshBucketsSql,
     "emb_ann_ivf" -> annIvfSql,
     "emb_ann_recall_eval" -> annRecallEvalSql,
+    "emb_ann_recall_sweep" -> annRecallSweepSql,
     "emb_kmeans_assign" -> kmeansAssignSql,
     "emb_semantic_dedup" -> semanticDedupSql,
     "emb_outliers_per_cell" -> outliersPerCellSql,

@@ -435,7 +435,64 @@ object ProductAnalytics {
       |    / SUM(n_events) OVER ()) AS BIGINT) AS cum_share_permille
       |FROM dec ORDER BY decile""".stripMargin
 
+  // ------------------------------------ cohort LTV matrix
+  /** Lifetime-value cohorts: users grouped by first-seen week, their
+    * purchase cents summed per week offset, normalized per cohort
+    * member — the revenue twin of the retention matrix
+    * (`ev_retention_cohorts`), answering "how much does a week-N
+    * signup earn by week N+k" on exact integer cents.
+    *
+    * Scale shape: one per-user MIN for the cohort key, one
+    * (cohort, offset) hash-agg over purchases, cohort sizes joined
+    * back broadcast (≤ weeks rows). Buyer counts are per-cell
+    * distincts over the already-bounded (cohort, offset, user)
+    * grid, not over raw events. */
+  def ltvCohorts(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"),
+      expr("CAST(ts AS LONG) DIV 604800").as("week"),
+      col("event_type"), cents(col("value")).cast("long").as("c"))
+    val cohort = ev.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    val sizes = cohort.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    ev.filter(col("event_type") === "purchase")
+      .join(cohort, "user_id")
+      .withColumn("week_offset", col("week") - col("cohort_week"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_buyers"),
+        sum(col("c")).as("cents_sum"))
+      .join(broadcast(sizes), "cohort_week")
+      .withColumn("ltv_cents_per_user", expr("cents_sum DIV cohort_size"))
+      .select(col("cohort_week"), col("week_offset"), col("cohort_size"),
+        col("n_buyers"), col("cents_sum"), col("ltv_cents_per_user"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val ltvCohortsSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id,
+       |    CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 604800 AS week,
+       |    event_type, ${centsSql("value")} AS c
+       |  FROM events),
+       |cohort AS (SELECT user_id, MIN(week) AS cohort_week
+       |           FROM ev GROUP BY 1),
+       |sizes AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT)
+       |            AS cohort_size
+       |          FROM cohort GROUP BY 1),
+       |cells AS (
+       |  SELECT c.cohort_week, e.week - c.cohort_week AS week_offset,
+       |    COUNT(DISTINCT e.user_id) AS n_buyers,
+       |    CAST(SUM(e.c) AS BIGINT) AS cents_sum
+       |  FROM ev e JOIN cohort c USING (user_id)
+       |  WHERE e.event_type = 'purchase'
+       |  GROUP BY 1, 2)
+       |SELECT cohort_week, week_offset, cohort_size, n_buyers,
+       |  cents_sum, cents_sum // cohort_size AS ltv_cents_per_user
+       |FROM cells JOIN sizes USING (cohort_week)
+       |ORDER BY cohort_week, week_offset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_ltv_cohorts" -> ltvCohorts,
     "ev_new_vs_returning" -> newVsReturning,
     "ev_power_users_pareto" -> powerUsersPareto,
     "ev_rolling_active_users" -> rollingActiveUsers,
@@ -445,6 +502,7 @@ object ProductAnalytics {
     "ev_cusum_changepoint" -> cusumChangepoint)
 
   val oracle: Map[String, String] = Map(
+    "ev_ltv_cohorts" -> ltvCohortsSql,
     "ev_new_vs_returning" -> newVsReturningSql,
     "ev_power_users_pareto" -> powerUsersParetoSql,
     "ev_rolling_active_users" -> rollingActiveUsersSql,

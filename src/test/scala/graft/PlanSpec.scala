@@ -164,6 +164,8 @@ class PlanSpec extends AnyFunSuite {
     "emb_ivf_balance",      // 1-row (total, n_cells) broadcast
     "emb_ann_recall_eval",  // inherits emb_cosine_topk's bounded
                             // capped-probe BNLJ as its ground truth
+    "emb_ann_recall_sweep", // same pieces as recall_eval + 1-row
+                            // totals broadcasts per setting
     "ev_survival_curve",    // 30-row day grid x <=30-row lifespan
                             // histogram suffix join — both sides tiny
     "emb_pair_distance_hist") // declared bounded all-pairs on the 1/8
