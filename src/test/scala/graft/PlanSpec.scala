@@ -161,6 +161,7 @@ class PlanSpec extends AnyFunSuite {
     "text_heaps_checkpoints", // 10-row decile-threshold broadcast
     "text_js_divergence",   // <=201-row topK+OOV bucket + 1-row corpus
                             // total broadcasts; grid is |sources|x201
+    "sketch_daily_merge",   // 1-row exact-companion broadcast
     "emb_ivf_balance",      // 1-row (total, n_cells) broadcast
     "emb_ann_recall_eval",  // inherits emb_cosine_topk's bounded
                             // capped-probe BNLJ as its ground truth
