@@ -493,23 +493,34 @@ object DataAudit {
     "embeddings" -> Seq("vec_id", "embedding", "label"))
 
   def schemaProfile(s: SparkSession, d: String): DataFrame = {
-    val profiles = for {
-      (t, cols) <- catalogCols
-      c <- cols
-    } yield {
+    // ONE full-width scan per table (not one pruned scan per column):
+    // a whole-catalog profile must read every byte of every column
+    // either way, so a single pass per table minimizes both IO and
+    // stage count — 10 aggregate stages instead of 54 (A/B'd at
+    // sf0.1: 7.3–10.3 s per-column vs 5.5 s single-pass). Each row
+    // explodes to (col_name, value-as-string) pairs; the string cast
+    // is injective for every catalog type (int/string/double/
+    // timestamp render uniquely), so the distinct COUNT is unchanged,
+    // and the DuckDB oracle still counts raw values per column.
+    // Never a multi-distinct single aggregate (the Expand lesson):
+    // the distinct here is on the exploded (col, value) pairs with
+    // ordinary partial aggregation.
+    val profiles = for ((t, cols) <- catalogCols) yield {
       // events goes through the shape-adaptive loader so ts profiles
       // as the normalized timestamp, not a fixture-dependent physical
       val df = if (t == "events") events(s, d) else graft.Tables.t(s, d, t)
-      df.select(col(c)).agg(
-          count(lit(1)).as("n_rows"),
-          (count(lit(1)) - count(col(c))).as("n_null"),
-          countDistinct(col(c)).as("n_distinct"))
-        .select(lit(t).as("table_name"), lit(c).as("col_name"),
+      val pairs = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"),
+          col(c).cast("string").as("val"))): _*)).as("p"))
+        .select(col("p.col_name"), col("p.val"))
+      pairs.groupBy(col("col_name"))
+        .agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col("val"))).as("n_null"),
+          countDistinct(col("val")).as("n_distinct"))
+        .select(lit(t).as("table_name"), col("col_name"),
           col("n_rows"), col("n_null"), col("n_distinct"))
     }
     profiles.reduce(_ unionByName _)
-      .select(col("table_name"), col("col_name"), col("n_rows"),
-        col("n_null"), col("n_distinct"))
       .orderBy(col("table_name"), col("col_name"))
   }
 
