@@ -39,7 +39,19 @@ object Tables {
       case _ => df
     }
 
-  def events(s: SparkSession, d: String): DataFrame = normalizeEventTs {
+  /** Id-width insurance (the r6 lesson generalized): a regenerated
+    * fixture could ship event_id/user_id as int32, which would break
+    * the LongType contract of the native as-of join while every other
+    * query silently narrowed. Normalize to LONG here — Catalyst
+    * removes the cast when the column is already LONG, so the current
+    * fixtures pay nothing. The DuckDB oracle is unaffected (the
+    * checker canonicalizes integer widths before comparing). */
+  def normalizeEventIds(df: DataFrame): DataFrame =
+    Seq("event_id", "user_id").foldLeft(df)((d, c) =>
+      if (d.columns.contains(c)) d.withColumn(c, col(c).cast("long")) else d)
+
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventIds(normalizeEventTs {
     try t(s, d, "events")
     catch {
       case _: Exception =>
@@ -49,7 +61,7 @@ object Tables {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         t(s, d, "events")
     }
-  }
+  })
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

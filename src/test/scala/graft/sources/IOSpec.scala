@@ -288,4 +288,20 @@ class IOSpec extends AnyFunSuite {
     assert(dt == org.apache.spark.sql.types.TimestampType)
     assert(ts.toInstant == java.time.Instant.parse("2024-01-01T00:00:00.123456Z"))
   }
+
+  test("events loader: int32 ids widen to LONG (as-of join contract)") {
+    // a regenerated fixture shipping narrow ids must not break the
+    // LongType key contract of plans.AsOf — the r6-class fixture break
+    val dir = tmp("evint")
+    spark.sql(s"select timestamp'$instantUs' as ts, " +
+        "cast(7 as int) as event_id, cast(9 as int) as user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val df = graft.Tables.events(spark, dir)
+    assert(df.schema("event_id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(df.schema("user_id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(df.select("event_id", "user_id").collect().head.toSeq ==
+      Seq(7L, 9L))
+  }
 }
