@@ -62,6 +62,20 @@ object Tables {
         t(s, d, "events")
     }
   })
-  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+  /** Same id-width insurance for the other driver-regenerated tables:
+    * no-op casts on the current fixtures, survival if a future
+    * regeneration narrows the ids (doc_id feeds the *2/+1 node
+    * encoding in GraphRank and typed CC columns; vec_id feeds typed
+    * index joins). */
+  def documents(s: SparkSession, d: String): DataFrame = {
+    val df = t(s, d, "documents")
+    Seq("doc_id", "n_chars").foldLeft(df)((x, c) =>
+      if (x.columns.contains(c)) x.withColumn(c, col(c).cast("long")) else x)
+  }
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    val df = t(s, d, "embeddings")
+    if (df.columns.contains("vec_id"))
+      df.withColumn("vec_id", col("vec_id").cast("long"))
+    else df
+  }
 }
