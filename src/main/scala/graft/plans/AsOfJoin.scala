@@ -186,7 +186,16 @@ object AsOf {
     * `direction`: "backward" (latest right time <= left time, the
     * default) or "forward" (earliest right time >= left time).
     * `tolerance`: max |gap| in the time columns' own units; negative =
-    * unlimited. The pandas merge_asof parameter surface. */
+    * unlimited. The pandas merge_asof parameter surface.
+    *
+    * Determinism contract: the build (right) side must be UNIQUE on
+    * (key, time). The exec sorts the build side on (key, time) only,
+    * so with duplicates the match is whichever duplicate that sort
+    * happens to emit first (forward) / last (backward) — unpinned
+    * across runs and partitionings, same as DuckDB ASOF's arbitrary
+    * tie choice. Dedup upstream (one hash-agg picking a deterministic
+    * survivor, as Relational2.uniquePurchases does) rather than paying
+    * a tertiary sort key on every build row here. */
   def join(leftDf: DataFrame, rightDf: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,

@@ -33,6 +33,18 @@ object CorpusStats {
   private def flogSql(e: String): String =
     s"CAST(FLOOR(LN($e) * 1000000) AS BIGINT)"
 
+  /** flog over an argument ALREADY in the double domain — for log
+    * arguments built as products of two counts, where the int64
+    * product would overflow near a few-billion-token corpus but the
+    * double product (exact-rounded IEEE multiply, identical on both
+    * engines) never can. Below 2^53 the double product is exact, so
+    * this is bit-identical to flog-of-int at every test SF. */
+  private def flogD(c: Column): Column =
+    floor(log(c) * lit(1e6)).cast("long")
+
+  private def flogDSql(e: String): String =
+    s"CAST(FLOOR(LN($e) * 1000000) AS BIGINT)"
+
   // ---------------------------------------------- Zipf slope fit
   /** OLS fit of ln(freq) against ln(rank) over the top-100 corpus
     * terms: a healthy natural-language corpus fits slope ≈ −1;
@@ -57,8 +69,16 @@ object CorpusStats {
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"))
+      // milli scaling shrinks the DENOMINATOR, never multiplies the
+      // numerator: num (sx·sy − n·sxy) is ~8.5e15 for a top-100 fit at
+      // slope −1, so num*1000 sits at 92% of int64 and overflows for
+      // any corpus fitting steeper than ≈ −1.08 — exactly the
+      // template-flood corpora this query exists to flag. num DIV
+      // (den DIV 1000) has 1000× headroom (overflow at slope ≈ −1000);
+      // the den truncation loses ≤1e3 of ~1e16, a 1e-13 relative error
+      // far under the milli grid.
       .withColumn("neg_slope_milli",
-        expr("(sx * sy - n_terms * sxy) * 1000 DIV (n_terms * sxx - sx * sx)"))
+        expr("(sx * sy - n_terms * sxy) DIV ((n_terms * sxx - sx * sx) DIV 1000)"))
       .withColumn("intercept_milli",
         expr("(sy * 1000 + neg_slope_milli * sx) DIV (1000 * n_terms)"))
       .select(col("n_terms"), col("neg_slope_milli"), col("intercept_milli"))
@@ -81,10 +101,10 @@ object CorpusStats {
        |    CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx
        |  FROM top)
        |SELECT n_terms,
-       |  CAST((sx*sy - n_terms*sxy) * 1000 // (n_terms*sxx - sx*sx)
+       |  CAST((sx*sy - n_terms*sxy) // ((n_terms*sxx - sx*sx) // 1000)
        |    AS BIGINT) AS neg_slope_milli,
-       |  CAST((sy*1000 + ((sx*sy - n_terms*sxy) * 1000
-       |      // (n_terms*sxx - sx*sx)) * sx) // (1000 * n_terms)
+       |  CAST((sy*1000 + ((sx*sy - n_terms*sxy)
+       |      // ((n_terms*sxx - sx*sx) // 1000)) * sx) // (1000 * n_terms)
        |    AS BIGINT) AS intercept_milli
        |FROM m""".stripMargin
 
@@ -94,8 +114,11 @@ object CorpusStats {
     * terms plus one lumped OOV bucket. JS (unlike KL) is finite and
     * symmetric-bounded, the standard corpus-drift monitor between
     * snapshots/shards. Outputs micro-nats: JS = (KL(p‖m)+KL(q‖m))/2
-    * with m the midpoint; each log term evaluates on integer
-    * cross-products only (p/m = 2·c_sw·n / (c_sw·n + c_w·n_s)).
+    * with m the midpoint; each log term evaluates on count
+    * cross-products (p/m = 2·c_sw·n / (c_sw·n + c_w·n_s)) formed in
+    * the DOUBLE domain — exact below 2^53 and overflow-free above it,
+    * where the int64 product would wrap near a few-billion-token
+    * corpus (see flogD).
     *
     * Scale shape: the corpus-sized work is one (source, word)
     * hash-agg; the distribution compare then runs on a
@@ -130,14 +153,22 @@ object CorpusStats {
       .join(sCounts, Seq("source", "word"), "left")
       .na.fill(0L, Seq("c_sw"))
       .crossJoin(broadcast(nTot))
-      .withColumn("den", col("c_sw") * col("n") + col("c_w") * col("n_s"))
+      // log arguments are count×count products — built in the DOUBLE
+      // domain so a few-billion-token corpus (where c_sw·n tops int64)
+      // can't overflow: each IEEE product/sum is exact-rounded and
+      // identical on both engines, and below 2^53 (every test SF) the
+      // doubles are exact, so the grid values are unchanged
+      .withColumn("den", col("c_sw").cast("double") * col("n").cast("double")
+        + col("c_w").cast("double") * col("n_s").cast("double"))
       .withColumn("klp_term",
         when(col("c_sw") > 0,
-          col("c_sw") * (flog(lit(2) * col("c_sw") * col("n")) - flog(col("den"))))
+          col("c_sw") * (flogD(col("c_sw").cast("double")
+              * col("n").cast("double") * lit(2.0)) - flogD(col("den"))))
           .otherwise(lit(0L)))
       .withColumn("klq_term",
         when(col("c_w") > 0,
-          col("c_w") * (flog(lit(2) * col("c_w") * col("n_s")) - flog(col("den"))))
+          col("c_w") * (flogD(col("c_w").cast("double")
+              * col("n_s").cast("double") * lit(2.0)) - flogD(col("den"))))
           .otherwise(lit(0L)))
       .groupBy(col("source"))
       .agg(max(col("n_s")).as("n_tokens"),
@@ -184,10 +215,12 @@ object CorpusStats {
        |terms AS (
        |  SELECT source, n_s, n,
        |    CASE WHEN c_sw > 0 THEN c_sw *
-       |      (${flogSql("2*c_sw*n")} - ${flogSql("c_sw*n + c_w*n_s")})
+       |      (${flogDSql("CAST(c_sw AS DOUBLE) * CAST(n AS DOUBLE) * 2.0")}
+       |       - ${flogDSql("CAST(c_sw AS DOUBLE) * CAST(n AS DOUBLE) + CAST(c_w AS DOUBLE) * CAST(n_s AS DOUBLE)")})
        |      ELSE 0 END AS klp_term,
        |    CASE WHEN c_w > 0 THEN c_w *
-       |      (${flogSql("2*c_w*n_s")} - ${flogSql("c_sw*n + c_w*n_s")})
+       |      (${flogDSql("CAST(c_w AS DOUBLE) * CAST(n_s AS DOUBLE) * 2.0")}
+       |       - ${flogDSql("CAST(c_sw AS DOUBLE) * CAST(n AS DOUBLE) + CAST(c_w AS DOUBLE) * CAST(n_s AS DOUBLE)")})
        |      ELSE 0 END AS klq_term
        |  FROM grid),
        |agg AS (

@@ -274,7 +274,8 @@ object EmbeddingAudit {
       |  SELECT vec_id, i - 1 AS dim,
       |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT)
       |      AS xe3
-      |  FROM embeddings, (SELECT UNNEST(range(1, 9)) AS i) g),
+      |  FROM embeddings, (SELECT UNNEST(range(1, 9)) AS i) g
+      |  WHERE i <= len(embedding)),
       |p AS (
       |  SELECT a.dim AS di, b.dim AS dj, COUNT(*) AS n,
       |    CAST(SUM(a.xe3) AS BIGINT) AS sx,

@@ -50,16 +50,38 @@ object Relational2 {
       |  ON e.user_id = p.user_id AND e.ts >= p.ts
       |ORDER BY e.event_id""".stripMargin
 
+  /** Purchases deduped to ONE row per (user, time): the as-of build
+    * side MUST be unique on (key, time) for deterministic output —
+    * AsOfJoinExec sorts the build side on (key, time) only, so with
+    * duplicates the matched row would be whichever duplicate the sort
+    * emits first/last, unpinned across runs AND versus DuckDB ASOF's
+    * arbitrary tie choice. min(event_id) is the deterministic
+    * survivor; identity on fixtures with microsecond-unique events.
+    * p_sec is functionally derived from p_us so the dedup is one
+    * hash-agg, no re-join. */
+  private def uniquePurchases(s: SparkSession, d: String): DataFrame =
+    events(s, d).filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_user"),
+        unix_micros(col("ts")).as("p_us"))
+      .agg(min(col("event_id")).as("p_id"))
+      .withColumn("p_sec", expr("p_us DIV 1000000"))
+
+  /** QUALIFY clause mirroring [[uniquePurchases]] in the oracle. */
+  private val uniquePurchasesSql: String =
+    """(SELECT * FROM events WHERE event_type = 'purchase'
+      |    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
+      |                               ORDER BY event_id) = 1)""".stripMargin
+
   /** Same query through the NATIVE AsOfJoinExec (graft.plans): one
-    * shuffle + sort per side, streaming merge, no window state. Same
-    * oracle SQL as the composed variant pins both. */
+    * shuffle + sort per side, streaming merge, no window state. The
+    * build side is pre-deduped to unique (key, time) — the operator's
+    * determinism contract (see [[uniquePurchases]]); the oracle is the
+    * composed variant's SQL with the same QUALIFY dedup. */
   def asofNative(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d).select(col("event_id"), col("user_id"),
       unix_micros(col("ts")).as("us"), col("ts").cast("long").as("sec"))
-    val purchases = events(s, d).filter(col("event_type") === "purchase")
-      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
-        unix_micros(col("ts")).as("p_us"), col("ts").cast("long").as("p_sec"))
-    graft.plans.AsOf.join(ev, purchases, "user_id", "p_user", "us", "p_us")
+    graft.plans.AsOf.join(ev, uniquePurchases(s, d), "user_id", "p_user",
+        "us", "p_us")
       .select(col("event_id"), col("user_id"),
         col("p_id").as("last_purchase_id"),
         (col("sec") - col("p_sec")).as("gap_sec"))
@@ -77,26 +99,33 @@ object Relational2 {
     val TolUs = 7L * 86400L * 1000000L
     val ev = events(s, d).select(col("event_id"), col("user_id"),
       unix_micros(col("ts")).as("us"), col("ts").cast("long").as("sec"))
-    val purchases = events(s, d).filter(col("event_type") === "purchase")
-      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
-        unix_micros(col("ts")).as("p_us"), col("ts").cast("long").as("p_sec"))
-    graft.plans.AsOf.join(ev, purchases, "user_id", "p_user", "us", "p_us",
-        direction = "forward", tolerance = TolUs)
+    graft.plans.AsOf.join(ev, uniquePurchases(s, d), "user_id", "p_user",
+        "us", "p_us", direction = "forward", tolerance = TolUs)
       .select(col("event_id"), col("user_id"),
         col("p_id").as("next_purchase_id"),
         (col("p_sec") - col("sec")).as("gap_sec"))
       .orderBy(col("event_id"))
   }
 
+  val asofNativeSql: String =
+    s"""SELECT e.event_id, e.user_id,
+       |  p.event_id AS last_purchase_id,
+       |  CAST(FLOOR(EPOCH(e.ts)) AS BIGINT)
+       |    - CAST(FLOOR(EPOCH(p.ts)) AS BIGINT) AS gap_sec
+       |FROM events e
+       |ASOF LEFT JOIN $uniquePurchasesSql p
+       |  ON e.user_id = p.user_id AND e.ts >= p.ts
+       |ORDER BY e.event_id""".stripMargin
+
   val asofNativeForwardSql: String =
-    """WITH j AS (
-      |  SELECT e.event_id, e.user_id, p.event_id AS p_id,
-      |    epoch_us(p.ts) - epoch_us(e.ts) AS gap_us,
-      |    CAST(FLOOR(EPOCH(p.ts)) AS BIGINT)
-      |      - CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) AS gap_sec
-      |  FROM events e
-      |  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-      |    ON e.user_id = p.user_id AND p.ts >= e.ts)
+    s"""WITH j AS (
+       |  SELECT e.event_id, e.user_id, p.event_id AS p_id,
+       |    epoch_us(p.ts) - epoch_us(e.ts) AS gap_us,
+       |    CAST(FLOOR(EPOCH(p.ts)) AS BIGINT)
+       |      - CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) AS gap_sec
+       |  FROM events e
+       |  ASOF LEFT JOIN $uniquePurchasesSql p
+       |    ON e.user_id = p.user_id AND p.ts >= e.ts)
       |SELECT event_id, user_id,
       |  CASE WHEN gap_us <= 604800000000 THEN p_id END AS next_purchase_id,
       |  CASE WHEN gap_us <= 604800000000 THEN gap_sec END AS gap_sec
@@ -357,7 +386,7 @@ object Relational2 {
 
   val oracle: Map[String, String] = Map(
     "asof_last_purchase" -> asofLastPurchaseSql,
-    "asof_native" -> asofLastPurchaseSql, // same semantics, native exec
+    "asof_native" -> asofNativeSql, // composed SQL + the dedup QUALIFY
     "asof_native_forward" -> asofNativeForwardSql,
 
     "range_join_followers" -> rangeJoinFollowersSql,
