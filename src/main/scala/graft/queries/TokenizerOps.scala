@@ -244,11 +244,12 @@ object TokenizerOps {
     * re-materialized per round so plans stay flat instead of nesting
     * 8 fold expressions (PageRank's checkpoint discipline).
     *
-    * No SQL oracle — 8 data-dependent argmax rounds are not
-    * expressible as one DuckDB statement; correctness is pinned by
-    * TokenizerOpsSpec's differential test against an in-memory
-    * sequential BPE on the same corpus (the mrsequential.go pattern),
-    * and the driver records a rows-only check. */
+    * Exact SQL oracle: the 8 data-dependent argmax rounds ARE
+    * expressible as one DuckDB statement — see [[bpeTrainSql]] —
+    * so the harness hash-checks this end to end; TokenizerOpsSpec's
+    * differential test against an in-memory sequential BPE (the
+    * mrsequential.go pattern) additionally pins the semantics on
+    * adversarial corpora the fixture doesn't exercise. */
   def bpeTrain(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val Rounds = 8
@@ -290,6 +291,56 @@ object TokenizerOps {
       .orderBy(col("round"))
   }
 
+  /** Generated DuckDB oracle for [[bpeTrain]]: the 8 rounds unrolled
+    * into chained CTEs. Each round r is (pair explode p_r over the
+    * previous vocab) → (argmax m_r, the same (count DESC, a, b)
+    * tie-break) → (rewrite f_r/v_r). The rewrite encodes each word's
+    * symbol list as a space-joined string with sentinel spaces and
+    * iterates replace-all of ' a b '→' ab ' to a FIXPOINT via a
+    * recursive CTE. That fixpoint equals bpeTrain's left-to-right
+    * greedy fold exactly: a merged symbol a+b is strictly longer than
+    * a and than b, so a replacement can never CREATE a new (a,b)
+    * occurrence, and replace-all is itself leftmost-first
+    * non-overlapping — each pass performs a prefix of the fold's
+    * merges and the fixpoint completes the rest (adjacent occurrences
+    * that share a boundary space land in the next pass). Termination:
+    * every pass strictly reduces occurrence count; iterations are
+    * bounded by max occurrences per word. */
+  val bpeTrainSql: String = {
+    val rounds = 8
+    val parts = Seq.newBuilder[String]
+    parts += s"""v0 AS (
+      |  SELECT ' ' || array_to_string(list_transform(range(1, length(word) + 1),
+      |      i -> substring(word, CAST(i AS INT), 1)), ' ') || ' ' AS s, c
+      |  FROM (SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM (
+      |          SELECT UNNEST($toksSql) AS word FROM documents)
+      |        GROUP BY word))""".stripMargin
+    for (r <- 1 to rounds) {
+      val p = r - 1
+      parts += s"""p$r AS (
+        |  SELECT sym[i] AS a, sym[i + 1] AS b, c
+        |  FROM (SELECT string_split(trim(s), ' ') AS sym, c FROM v$p) t,
+        |       UNNEST(range(1, len(sym))) AS u(i))""".stripMargin
+      parts += s"""m$r AS (
+        |  SELECT a, b, CAST(SUM(c) AS BIGINT) AS pc FROM p$r GROUP BY a, b
+        |  ORDER BY pc DESC, a, b LIMIT 1)""".stripMargin
+      parts += s"""f$r AS (
+        |  SELECT v.s, v.c, m.a, m.b FROM v$p v, m$r m
+        |  UNION ALL
+        |  SELECT replace(s, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+        |    c, a, b
+        |  FROM f$r WHERE strpos(s, ' ' || a || ' ' || b || ' ') > 0)""".stripMargin
+      parts += s"""v$r AS (
+        |  SELECT s, c FROM f$r
+        |  WHERE strpos(s, ' ' || a || ' ' || b || ' ') = 0)""".stripMargin
+    }
+    val union = (1 to rounds).map(r =>
+      s"SELECT CAST($r AS INT) AS round, a AS sym_a, b AS sym_b," +
+        s" pc AS pair_count FROM m$r").mkString("\nUNION ALL\n")
+    "WITH RECURSIVE\n" + parts.result().mkString(",\n") +
+      s"\nSELECT * FROM (\n$union\n) ORDER BY round"
+  }
+
   /** Sequential in-memory BPE twin for the differential spec: same
     * argmax/tie-break/merge semantics over a (word, count) list. */
   def bpeTrainSequential(wordCounts: Seq[(String, Long)],
@@ -328,6 +379,7 @@ object TokenizerOps {
     "text_dedup_span_rewrite" -> spanRewrite)
 
   val oracle: Map[String, String] = Map(
+    "text_bpe_train" -> bpeTrainSql,
     "text_bpe_merge_round" -> bpeMergeRoundSql,
     "text_bigram_perplexity" -> bigramPerplexitySql,
     "text_dedup_span_rewrite" -> spanRewriteSql)
