@@ -222,19 +222,42 @@ object LifecycleOps {
     * slot grid is the declared semantics.
     *
     * Scale shape: candidates are generated per (hour, type) bucket, so
-    * pair cost is Σ_bucket actives² — bounded by per-bucket fan-in,
-    * never |users|². At 100 TB a hot bucket (everyone active every
-    * hour) is the skew risk; the mitigation is the same as the LSH
-    * tiers: cap or sub-bucket the hot slot, and the top-k cutoff is
+    * pair cost is Σ_bucket actives² — and each bucket's occupancy is
+    * HARD-CAPPED at K=128 by a deterministic md5-ordered row_number
+    * (the triangle-count discipline, GraphRank.triangleCountOn): the
+    * self-join is then bounded by buckets·C(K,2) no matter how hot a
+    * slot gets — everyone active in one hour is C(128,2) pairs for
+    * that bucket, never |users|². The cap is identity whenever
+    * occupancy ≤ K (max observed occupancy at sf0.1 is 51), and the
+    * constant `n_slots_capped` honesty column reports how many
+    * buckets were sampled (0 = result is exact). Top-k cutoff is
     * decided on (count, user_a, user_b) so ties are deterministic. */
-  def copresenceAffinity(s: SparkSession, d: String): DataFrame = {
-    val slots = ev(s, d)
-      .select(expr("sec DIV 3600").as("hour_idx"), col("event_type"),
-        col("user_id"))
-      .distinct()
-    val a = slots.select(col("hour_idx"), col("event_type"),
+  def copresenceAffinity(s: SparkSession, d: String): DataFrame =
+    copresenceAffinityOn(
+      ev(s, d)
+        .select(expr("sec DIV 3600").as("hour_idx"), col("event_type"),
+          col("user_id"))
+        .distinct())
+
+  private[queries] val SlotCapK = 128
+
+  /** Core over caller-supplied (hour_idx, event_type, user_id) slots —
+    * separated so specs can plant hot buckets and pin capped ≡
+    * uncapped below the occupancy threshold. */
+  def copresenceAffinityOn(slots: DataFrame, capK: Int = SlotCapK)
+      : DataFrame = {
+    val wr = Window.partitionBy(col("hour_idx"), col("event_type"))
+      .orderBy(md5(col("user_id").cast("string")), col("user_id"))
+    val capped = slots.withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= capK)
+      .select(col("hour_idx"), col("event_type"), col("user_id"))
+    val nCapped = slots.groupBy(col("hour_idx"), col("event_type"))
+      .agg(count(lit(1)).as("occ"))
+      .agg(coalesce(sum(when(col("occ") > capK, lit(1L)).otherwise(lit(0L))),
+        lit(0L)).as("n_slots_capped"))
+    val a = capped.select(col("hour_idx"), col("event_type"),
       col("user_id").as("user_a"))
-    val b = slots.select(col("hour_idx"), col("event_type"),
+    val b = capped.select(col("hour_idx"), col("event_type"),
       col("user_id").as("user_b"))
     a.join(b, Seq("hour_idx", "event_type"))
       .filter(col("user_a") < col("user_b"))
@@ -242,21 +265,39 @@ object LifecycleOps {
       .agg(count(lit(1)).as("n_shared_slots"))
       .orderBy(col("n_shared_slots").desc, col("user_a"), col("user_b"))
       .limit(20)
+      .crossJoin(broadcast(nCapped))
+      .orderBy(col("n_shared_slots").desc, col("user_a"), col("user_b"))
   }
 
   val copresenceAffinitySql: String =
     """WITH slots AS (
       |  SELECT DISTINCT CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600 AS hour_idx,
       |    event_type, user_id
-      |  FROM events)
-      |SELECT a.user_id AS user_a, b.user_id AS user_b,
-      |  COUNT(*) AS n_shared_slots
-      |FROM slots a JOIN slots b
-      |  ON a.hour_idx = b.hour_idx AND a.event_type = b.event_type
-      |  AND a.user_id < b.user_id
-      |GROUP BY 1, 2
-      |ORDER BY n_shared_slots DESC, user_a, user_b
-      |LIMIT 20""".stripMargin
+      |  FROM events),
+      |capped AS (
+      |  SELECT hour_idx, event_type, user_id FROM (
+      |    SELECT *, ROW_NUMBER() OVER (
+      |      PARTITION BY hour_idx, event_type
+      |      ORDER BY md5(CAST(user_id AS VARCHAR)), user_id) AS rk
+      |    FROM slots)
+      |  WHERE rk <= 128),
+      |ncap AS (
+      |  SELECT CAST(COALESCE(SUM(CASE WHEN occ > 128 THEN 1 ELSE 0 END), 0)
+      |    AS BIGINT) AS n_slots_capped
+      |  FROM (SELECT COUNT(*) AS occ FROM slots
+      |        GROUP BY hour_idx, event_type)),
+      |top AS (
+      |  SELECT a.user_id AS user_a, b.user_id AS user_b,
+      |    COUNT(*) AS n_shared_slots
+      |  FROM capped a JOIN capped b
+      |    ON a.hour_idx = b.hour_idx AND a.event_type = b.event_type
+      |    AND a.user_id < b.user_id
+      |  GROUP BY 1, 2
+      |  ORDER BY n_shared_slots DESC, user_a, user_b
+      |  LIMIT 20)
+      |SELECT t.user_a, t.user_b, t.n_shared_slots, n.n_slots_capped
+      |FROM top t, ncap n
+      |ORDER BY n_shared_slots DESC, user_a, user_b""".stripMargin
 
   // ------------------------------------------ survival curve
   /** User-retention survival curve: for each day offset k (0–29), the

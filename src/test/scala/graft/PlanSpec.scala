@@ -163,6 +163,7 @@ class PlanSpec extends AnyFunSuite {
                             // total broadcasts; grid is |sources|x201
     "sketch_daily_merge",   // 1-row exact-companion broadcast
     "emb_ivf_balance",      // 1-row (total, n_cells) broadcast
+    "ev_copresence_affinity", // 1-row n_slots_capped honesty broadcast
     "emb_ann_recall_eval",  // inherits emb_cosine_topk's bounded
                             // capped-probe BNLJ as its ground truth
     "emb_ann_recall_sweep", // same pieces as recall_eval + 1-row

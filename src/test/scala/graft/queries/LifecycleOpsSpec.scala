@@ -84,8 +84,35 @@ class LifecycleOpsSpec extends AnyFunSuite {
       (5L, ts(3700), 1L, "view", 0.0, "{}"),
       (6L, ts(3800), 2L, "view", 0.0, "{}")))
     val got = LifecycleOps.copresenceAffinity(spark, d)
-      .as[(Long, Long, Long)].collect().toSeq
-    assert(got == Seq((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L)))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 2L, 0L), (1L, 3L, 1L, 0L), (2L, 3L, 1L, 0L)))
+  }
+
+  test("copresence cap: identity below K, bounded pairs + honesty above") {
+    import org.apache.spark.sql.functions.col
+    // two buckets: a cold 6-user slot and a hot 40-user slot
+    val df = ((1L to 6L).map(u => (0L, "click", u)) ++
+      (1L to 40L).map(u => (1L, "view", u)))
+      .toDF("hour_idx", "event_type", "user_id")
+    val capped = LifecycleOps.copresenceAffinityOn(df, capK = 16)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val open = LifecycleOps.copresenceAffinityOn(df, capK = 1000000)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // honesty column: exactly the one hot bucket reported as capped
+    assert(capped.forall(_._4 == 1L))
+    assert(open.forall(_._4 == 0L))
+    // counts stay within the 2-slot ceiling (cold + hot) in both runs;
+    // the capped run's hot bucket emits at most C(16,2)=120 candidates
+    assert(capped.forall(_._3 <= 2L) && open.forall(_._3 <= 2L))
+    assert(capped.size <= 20 && open.size <= 20)
+    // identity on a frame where NO bucket exceeds K: capped == uncapped
+    val cold = (1L to 6L).map(u => (0L, "click", u))
+      .toDF("hour_idx", "event_type", "user_id")
+    val x = LifecycleOps.copresenceAffinityOn(cold, capK = 16)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val y = LifecycleOps.copresenceAffinityOn(cold, capK = 1000000)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(x == y && x.nonEmpty && x.forall(_._4 == 0L))
   }
 
   test("interarrival quantiles: per-(user,type) gaps, snapped centisec") {
