@@ -171,18 +171,36 @@ object EmbeddingAudit {
     * so bins and counts are exact integers on both engines.
     *
     * Scale shape: the all-pairs form runs on the SAMPLE, never the
-    * corpus — the md5 id-sample bounds the pair count at (n/8)²/2
-    * regardless of corpus growth, and sampling by id (not by pair)
-    * keeps the estimator consistent for distance DISTRIBUTIONS while
-    * doing 64× less work than pair-sampling the full cross product.
-    * The crossJoin is declared and bounded (PlanSpec whitelists it
-    * alongside the other bounded-sample BNLJs). At 100 TB the sample
-    * rate becomes a knob: the histogram needs ~10⁵ pairs for tight
-    * bins, so the rate scales as 1/√n. */
-  def pairDistanceHist(s: SparkSession, d: String): DataFrame = {
-    val sampled = embeddings(s, d)
-      .filter(conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10)
-        .cast("long") % 8 === 0)
+    * corpus — and the md5 id-sample's modulus is ADAPTIVE: m =
+    * max(8, n DIV 250) (one cheap count agg, broadcast), so the
+    * sampled set targets a FIXED ~250 vectors (~3·10⁴ pairs)
+    * regardless of corpus growth — the 1/√n rate the histogram's
+    * fixed pair budget demands; a constant-rate sample would grow
+    * the crossJoin quadratically. The floor of 8 makes the modulus
+    * identical to the historical constant at every test SF (n ≤ 2000
+    * → m = 8), pinning the oracle hashes. Sampling by id (not by
+    * pair) keeps the estimator consistent for distance
+    * DISTRIBUTIONS. The modulus splits across two md5 16-bit fields
+    * (hex 1–4, then 5–8) so it stays exact past m = 65536 (~16M
+    * vectors): sample iff v16 % min(m, 65536) = 0 AND w16 %
+    * ceil(m/65536) = 0 — at m ≤ 65536 the second test is % 1,
+    * bit-identical to the one-field form. The crossJoin is declared
+    * and bounded (PlanSpec whitelists it alongside the other
+    * bounded-sample BNLJs). */
+  def pairDistanceHist(s: SparkSession, d: String): DataFrame =
+    pairDistanceHistOn(embeddings(s, d))
+
+  /** Core over a caller-supplied embeddings frame — separated so the
+    * spec can pin the flat-sample property across corpus sizes. */
+  def pairDistanceHistOn(emb: DataFrame): DataFrame = {
+    val m = emb.agg(greatest(lit(8L), expr("COUNT(*) DIV 250")).as("m"))
+      .select(col("m"), least(col("m"), lit(65536L)).as("m1"),
+        expr("(m + 65535) DIV 65536").as("m2"))
+    val hex = md5(col("vec_id").cast("string"))
+    val sampled = emb.crossJoin(broadcast(m))
+      .filter(
+        conv(substring(hex, 1, 4), 16, 10).cast("long") % col("m1") === 0 &&
+        conv(substring(hex, 5, 4), 16, 10).cast("long") % col("m2") === 0)
       .select(col("vec_id"),
         transform(col("embedding"),
           x => floor(x.cast("double") * 1e6 + 0.5).cast("long")).as("qe6"))
@@ -203,16 +221,23 @@ object EmbeddingAudit {
   }
 
   val pairDistanceHistSql: String =
-    """WITH sampled AS (
+    """WITH mm AS (
+      |  SELECT m, LEAST(m, 65536) AS m1, (m + 65535) // 65536 AS m2
+      |  FROM (SELECT GREATEST(8, COUNT(*) // 250) AS m FROM embeddings)),
+      |sampled AS (
       |  SELECT vec_id,
       |    list_transform(embedding,
       |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
       |      AS qe6
-      |  FROM embeddings
+      |  FROM embeddings, mm
       |  WHERE ((strpos('0123456789abcdef', substring(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) * 4096
       |       + (strpos('0123456789abcdef', substring(md5(CAST(vec_id AS VARCHAR)), 2, 1)) - 1) * 256
       |       + (strpos('0123456789abcdef', substring(md5(CAST(vec_id AS VARCHAR)), 3, 1)) - 1) * 16
-      |       + (strpos('0123456789abcdef', substring(md5(CAST(vec_id AS VARCHAR)), 4, 1)) - 1)) % 8 = 0),
+      |       + (strpos('0123456789abcdef', substring(md5(CAST(vec_id AS VARCHAR)), 4, 1)) - 1)) % m1 = 0
+      |    AND ((strpos('0123456789abcdef', substring(md5(CAST(vec_id AS VARCHAR)), 5, 1)) - 1) * 4096
+      |       + (strpos('0123456789abcdef', substring(md5(CAST(vec_id AS VARCHAR)), 6, 1)) - 1) * 256
+      |       + (strpos('0123456789abcdef', substring(md5(CAST(vec_id AS VARCHAR)), 7, 1)) - 1) * 16
+      |       + (strpos('0123456789abcdef', substring(md5(CAST(vec_id AS VARCHAR)), 8, 1)) - 1)) % m2 = 0),
       |pairs AS (
       |  SELECT a.vec_id AS ia, b.vec_id AS ib,
       |    list_reduce(list_transform(range(1, len(a.qe6) + 1),

@@ -170,10 +170,11 @@ class PlanSpec extends AnyFunSuite {
                             // totals broadcasts per setting
     "ev_survival_curve",    // 30-row day grid x <=30-row lifespan
                             // histogram suffix join — both sides tiny
-    "emb_pair_distance_hist") // declared bounded all-pairs on the 1/8
-                            // md5 id-sample ((n/8)^2/2 pairs) + 1-row
-                            // bounds broadcast; sample rate is the
-                            // 100 TB knob (see Scaladoc)
+    "emb_pair_distance_hist") // declared bounded all-pairs on the
+                            // ADAPTIVE md5 id-sample (m = max(8,
+                            // n DIV 250) -> ~250 vectors, ~3e4 pairs
+                            // at ANY corpus size) + 1-row modulus and
+                            // bounds broadcasts (see Scaladoc)
 
   test("GLOBAL plan lint: no CartesianProduct anywhere; no " +
       "BroadcastNestedLoopJoin outside the bounded-side whitelist") {

@@ -10,6 +10,30 @@ class EmbeddingAuditSpec extends AnyFunSuite {
   import SparkTestSession._
   import spark.implicits._
 
+  test("pair-distance hist: adaptive modulus keeps the sample flat " +
+      "across corpus sizes") {
+    import org.apache.spark.sql.functions.col
+    // 4x corpus growth must NOT grow the pair budget 16x: m scales
+    // with n (m = max(8, n DIV 250)) so both corpora sample ~250
+    // vectors. Recover the sample size k from SUM(n_pairs) = C(k,2).
+    def sampleSize(n: Long): Long = {
+      val df = spark.range(n).select(col("id").as("vec_id"),
+        org.apache.spark.sql.functions.array(
+          (col("id") % 97).cast("float"),
+          (col("id") % 31).cast("float")).as("embedding"))
+      val pairs = EmbeddingAudit.pairDistanceHistOn(df)
+        .selectExpr("SUM(n_pairs)").as[Long].collect().head
+      math.round((1.0 + math.sqrt(1.0 + 8.0 * pairs)) / 2.0)
+    }
+    val k4 = sampleSize(4000L)   // m = 16
+    val k16 = sampleSize(16000L) // m = 64
+    // binomial noise around 250 (sd ~ 16); the property under test is
+    // FLATNESS: 4x corpus, same-order sample
+    assert(k4 > 150 && k4 < 350, s"k4=$k4")
+    assert(k16 > 150 && k16 < 350, s"k16=$k16")
+    assert(math.abs(k16 - k4) < 120, s"sample drifted: $k4 -> $k16")
+  }
+
   test("separated clusters: no boundary vectors; a planted mislabel " +
       "is counted against its (wrong) label") {
     val dir = java.nio.file.Files.createTempDirectory("ea").toString
