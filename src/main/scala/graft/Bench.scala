@@ -39,6 +39,32 @@ object Bench {
       Thread.sleep(250)
       if (ok) dt else -1.0
     }
+    // Host-calibration probe: cross-round totals are host-dominated
+    // (a mid-round reboot once rescaled every query ~1.6x on identical
+    // code — BASELINE.md), so the artifact carries a fixed-work CPU
+    // number future rounds can normalize by. 32 threads of a pinned
+    // xorshift64 loop — pure integer ALU, no allocation, no memory
+    // traffic — measures delivered parallel throughput; min of two
+    // runs after a JIT warm pass. Measured 0.45 s on this host when
+    // healthy (round 8); effective-core loss shows up as a
+    // proportional increase.
+    @volatile var sink = 0L
+    def spin(seed: Long, iters: Long): Long = {
+      var x = seed | 1L; var i = 0L
+      while (i < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      x
+    }
+    def busyProbe(): Double = {
+      val t0 = System.nanoTime()
+      val ts = (1 to 32).map { k =>
+        val th = new Thread(() => { sink += spin(k.toLong, 200000000L) })
+        th.start(); th
+      }
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    sink = spin(99L, 20000000L) // JIT warm
+    val busySec = math.min(busyProbe(), busyProbe())
     exec("q1_pricing_summary") // warm-up: JVM, codegen, file index
     // two passes, report min: first execution of a query shape pays
     // one-time janino codegen (~1-5 s) that is irrelevant at scale.
@@ -70,8 +96,14 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // calibration sits AFTER queries so tail-truncation can't eat it:
+    // busy32_sec is the fixed-work CPU probe above; probe_query_sec is
+    // the canonical q1 min (present on full-surface runs) — the pair
+    // lets any two rounds' numbers be host-normalized
+    val probeQ = results.toMap.getOrElse("q1_pricing_summary", -1.0)
+    val cal = s"""{"busy32_sec":${fmt(busySec)},"probe_query_sec":${fmt(probeQ)}}"""
     val line =
-      s"""{"queries":$qs,"sf":"$sfDir","unit":"sec","metric":"total","value":${fmt(total)}}"""
+      s"""{"queries":$qs,"sf":"$sfDir","calibration":$cal,"unit":"sec","metric":"total","value":${fmt(total)}}"""
     println(line)
     // belt-and-braces: persist the full line where tail-truncation
     // can't lose it (read by later rounds for perf comparisons).
