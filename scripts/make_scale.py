@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Synthesize an N-replica scale-up of the sf0.1 fixtures for local
+scaling rehearsals (SCALING.md's measured-exponent table).
+
+Replication is designed so each quadratic-risk tier scales the way a
+real corpus would:
+- documents: ids offset per replica; every WORD gets a replica-unique
+  LETTER suffix (the tokenizer splits on non-letters, so a digit
+  suffix would collide across replicas), keeping replica vocabularies
+  disjoint — shingle/minhash buckets grow linearly, within-replica
+  duplicate structure is preserved exactly.
+- embeddings: ids offset; dim 0 nudged by k/1000 so replicas are
+  near but not identical in embedding space.
+- events: event/user ids offset, TIMESTAMPS UNCHANGED — per-(hour,
+  type) slot occupancy grows by the replica factor, which is exactly
+  the hot-bucket stress the co-presence cap exists for.
+
+Usage: python3 scripts/make_scale.py [src] [dst] [replicas]
+"""
+import duckdb, os, sys
+
+src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+dst = sys.argv[2] if len(sys.argv) > 2 else "target/scale10"
+k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+os.makedirs(dst, exist_ok=True)
+con = duckdb.connect()
+con.execute(f"CREATE VIEW r AS SELECT UNNEST(range(0, {k})) AS k")
+
+con.execute(f"""
+COPY (
+  SELECT doc_id + r.k * 10000000 AS doc_id,
+         regexp_replace(text, '(\\p{{L}}+)', '\\1zz' || chr(97 + CAST(r.k AS INT)), 'g') AS text,
+         lang, source, n_chars
+  FROM read_parquet('{src}/documents.parquet'), r
+) TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
+
+con.execute(f"""
+COPY (
+  SELECT vec_id + r.k * 10000000 AS vec_id,
+         list_concat(
+           [CAST(embedding[1] + CAST(r.k AS FLOAT) / 1000.0 AS FLOAT)],
+           embedding[2:]) AS embedding,
+         label
+  FROM read_parquet('{src}/embeddings.parquet'), r
+) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)""")
+
+con.execute(f"""
+COPY (
+  SELECT event_id + r.k * 10000000 AS event_id, ts,
+         user_id + r.k * 10000000 AS user_id, event_type, value, props
+  FROM read_parquet('{src}/events.parquet'), r
+) TO '{dst}/events.parquet' (FORMAT PARQUET)""")
+
+for t in ["documents", "embeddings", "events"]:
+    n = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{dst}/{t}.parquet')").fetchone()[0]
+    print(f"{t}: {n} rows")
