@@ -104,6 +104,101 @@ object DistributionAudit {
       |FROM c JOIN t USING (event_type)
       |GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------ PSI drift
+  /** Population Stability Index per event type between the first and
+    * second half of the day range (same split as [[ksDrift]]): value
+    * cents are binned into 10 equi-width bins over the GLOBAL
+    * [min, max] (fixed bin edges — PSI's contract; KS uses the
+    * pointwise CDF instead), shares are snapped to exact parts-per-
+    * million, and PSI = Σ (p−q)·ln(p/q) accumulates in micro-nats:
+    * term = (sa − sb) · (⌊ln(sa)·1e6⌋ − ⌊ln(sb)·1e6⌋) DIV 1e6 over
+    * bins populated on BOTH sides (the standard finite-PSI
+    * convention; n_bins_used reports coverage). The industry-default
+    * retrain tripwire (PSI > 0.2 ⇒ investigate) — complementary to
+    * KS: PSI is magnitude-weighted across the whole distribution, KS
+    * is the single worst CDF gap.
+    *
+    * Scale shape: one corpus-sized hash-agg to (type, bin, half)
+    * cells; [min,max]×[d0,d1] bounds are a 1-row broadcast
+    * (whitelisted), per-type totals join back broadcast; everything
+    * after runs on ≤ |types|·10 rows. Shares are scale-free, so the
+    * integer grid never widens with corpus size. */
+  def psiDrift(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_type"),
+      floor(col("value") * 100 + 0.5).cast("long").as("cents"),
+      to_date(col("ts")).as("day"))
+    val bounds = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"),
+      min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+    val cells = ev.crossJoin(broadcast(bounds))
+      .withColumn("half",
+        when(col("day") <
+          expr("date_add(d0, CAST((datediff(d1, d0) + 1) div 2 AS INT))"),
+          lit("a"))
+          .otherwise(lit("b")))
+      .withColumn("bin",
+        least(lit(9L), expr("(cents - mn) * 10 DIV (mx - mn + 1)")))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(sum(when(col("half") === "a", 1L).otherwise(0L)).as("na"),
+        sum(when(col("half") === "b", 1L).otherwise(0L)).as("nb"))
+    val totals = cells.groupBy(col("event_type"))
+      .agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+    cells.join(broadcast(totals), Seq("event_type"))
+      .withColumn("sa",
+        when(col("ta") > 0, expr("1000000 * na DIV ta")).otherwise(lit(0L)))
+      .withColumn("sb",
+        when(col("tb") > 0, expr("1000000 * nb DIV tb")).otherwise(lit(0L)))
+      .withColumn("term",
+        when(col("sa") > 0 && col("sb") > 0,
+          (col("sa") - col("sb")) *
+            (floor(log(col("sa").cast("double")) * lit(1e6)).cast("long") -
+             floor(log(col("sb").cast("double")) * lit(1e6)).cast("long")))
+          .otherwise(lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(max(col("ta")).as("n_first_half"),
+        max(col("tb")).as("n_second_half"),
+        sum(when(col("sa") > 0 && col("sb") > 0, 1L).otherwise(0L))
+          .as("n_bins_used"),
+        expr("SUM(term) DIV 1000000").as("psi_micronats"))
+      .orderBy(col("event_type"))
+  }
+
+  val psiDriftSql: String =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+      |    CAST(ts AS DATE) AS day
+      |  FROM events),
+      |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1,
+      |        MIN(cents) AS mn, MAX(cents) AS mx FROM ev),
+      |cells AS (
+      |  SELECT event_type,
+      |    LEAST(9, (cents - mn) * 10 // (mx - mn + 1)) AS bin,
+      |    SUM(CASE WHEN day < d0 + CAST((d1 - d0 + 1) // 2 AS INTEGER)
+      |        THEN 1 ELSE 0 END) AS na,
+      |    SUM(CASE WHEN day < d0 + CAST((d1 - d0 + 1) // 2 AS INTEGER)
+      |        THEN 0 ELSE 1 END) AS nb
+      |  FROM ev, b GROUP BY 1, 2),
+      |t AS (SELECT event_type, SUM(na) AS ta, SUM(nb) AS tb
+      |      FROM cells GROUP BY 1),
+      |sh AS (
+      |  SELECT c.event_type, ta, tb,
+      |    CASE WHEN ta > 0 THEN 1000000 * na // ta ELSE 0 END AS sa,
+      |    CASE WHEN tb > 0 THEN 1000000 * nb // tb ELSE 0 END AS sb
+      |  FROM cells c JOIN t USING (event_type)),
+      |terms AS (
+      |  SELECT event_type, ta, tb, sa, sb,
+      |    CASE WHEN sa > 0 AND sb > 0 THEN (sa - sb) *
+      |      (CAST(FLOOR(LN(sa) * 1000000) AS BIGINT)
+      |       - CAST(FLOOR(LN(sb) * 1000000) AS BIGINT))
+      |      ELSE 0 END AS term
+      |  FROM sh)
+      |SELECT event_type, CAST(MAX(ta) AS BIGINT) AS n_first_half,
+      |  CAST(MAX(tb) AS BIGINT) AS n_second_half,
+      |  CAST(SUM(CASE WHEN sa > 0 AND sb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_bins_used,
+      |  CAST(SUM(term) AS BIGINT) // 1000000 AS psi_micronats
+      |FROM terms GROUP BY 1 ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------ Benford audit
   /** Benford first-digit audit on the cents-exact value column: for
     * each leading digit 1–9, the observed frequency vs Benford's law
@@ -158,9 +253,11 @@ object DistributionAudit {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_ks_drift" -> ksDrift,
+    "ev_psi_drift" -> psiDrift,
     "audit_benford" -> benfordDigits)
 
   val oracle: Map[String, String] = Map(
     "ev_ks_drift" -> ksDriftSql,
+    "ev_psi_drift" -> psiDriftSql,
     "audit_benford" -> benfordDigitsSql)
 }

@@ -271,11 +271,115 @@ object GraphRank {
        |FROM node_stats, edge_stats, tested, tri""".stripMargin
   }
 
+  // --------------------------------------- degree assortativity
+  /** Degree assortativity of the LSH candidate graph: the Pearson
+    * correlation of endpoint degrees over all edges (both directions),
+    * in milli units. Positive = duplicate-rich docs link to other
+    * duplicate-rich docs (template floods form dense cores); negative
+    * = hub-and-spoke (one canonical page copied by many singletons).
+    * The graph-audit companion to the triangle closure rate.
+    *
+    * Numerics: moments are computed on MEAN-CENTERED integer degrees
+    * (center = the 1-row broadcast ⌊Σdeg/2E⌋ — truncation identical
+    * on both engines), which keeps every SUM exactly inside int64
+    * (centered Sxx ≤ E·2·maxdeg² ≈ 4e12 here; the RAW second moments
+    * would put n·sxy at ~6e19, past int64, and their double
+    * difference would cancel catastrophically). Only the FINAL ratio
+    * evaluates in doubles — and with centered sums the subtracted
+    * terms are ~1e6× smaller than the leading ones, so there is no
+    * cancellation and the IEEE evaluation is deterministic on both
+    * engines; snap ×1000 (the dimCovariance Pearson stance).
+    *
+    * Scale shape: edges come from the banded LSH join (Σ bucket², the
+    * tier's declared cost); degrees are one hash-agg; the centered
+    * moment pass is one linear scan with map-side combine; the center
+    * is a 1-row broadcast (whitelisted). Nothing is quadratic beyond
+    * the candidate generation every dedup query already pays. */
+  def degreeAssortativity(s: SparkSession, d: String): DataFrame = {
+    val edges = graft.operators.Materialize.eager(
+      Documents.lshCandidatePairs(s, d)
+        .select(col("doc_a").as("u"), col("doc_b").as("v")))
+    val deg = graft.operators.Materialize.eager(
+      edges.select(col("u").as("id")).union(edges.select(col("v").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("dg")))
+    val joined = edges
+      .join(deg.select(col("id").as("u"), col("dg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("dg").as("dv")), "v")
+    // any constant center preserves Pearson exactly (shift-invariant);
+    // ⌊mean node degree⌋ keeps the deviations maxdeg-bounded
+    val center = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(col("dg")).as("sdg"))
+      .select(col("n_nodes"), expr("sdg DIV n_nodes").as("mu"),
+        expr("sdg DIV 2").as("n_edges"))
+    joined.crossJoin(broadcast(center))
+      .select(col("n_nodes"), col("n_edges"),
+        (col("du") - col("mu")).as("x"), (col("dv") - col("mu")).as("y"))
+      .agg(max(col("n_nodes")).as("n_nodes"),
+        max(col("n_edges")).as("n_edges"),
+        count(lit(1)).as("ne"),
+        sum(col("x") + col("y")).as("sx"),
+        sum(col("x") * col("y") * 2).as("sxy"),
+        sum(col("x") * col("x") + col("y") * col("y")).as("sxx"))
+      .withColumn("assortativity_milli", expr(
+        """CASE WHEN CAST(2 * ne AS DOUBLE) * CAST(sxx AS DOUBLE)
+          |  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0D THEN 0L
+          |ELSE CAST(FLOOR((CAST(2 * ne AS DOUBLE) * CAST(sxy AS DOUBLE)
+          |  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          |  / (CAST(2 * ne AS DOUBLE) * CAST(sxx AS DOUBLE)
+          |  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1000 + 0.5)
+          |AS BIGINT) END""".stripMargin))
+      .select(col("n_nodes"), col("n_edges"), col("assortativity_milli"))
+  }
+
+  val degreeAssortativitySql: String = {
+    val sig = Documents.minhashSignaturesSql.replace("ORDER BY doc_id", "")
+    s"""WITH sig AS ($sig),
+       |banded AS (
+       |  SELECT doc_id, 'b0_' || mh0 || '_' || mh1 AS band FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 'b1_' || mh2 || '_' || mh3 AS band FROM sig),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.doc_id < b.doc_id),
+       |deg AS (
+       |  SELECT id, CAST(COUNT(*) AS BIGINT) AS dg FROM (
+       |    SELECT u AS id FROM pairs UNION ALL SELECT v FROM pairs) t
+       |  GROUP BY id),
+       |ctr AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |    CAST(SUM(dg) AS BIGINT) // COUNT(*) AS mu,
+       |    CAST(SUM(dg) // 2 AS BIGINT) AS n_edges
+       |  FROM deg),
+       |mo AS (
+       |  SELECT MAX(n_nodes) AS n_nodes, MAX(n_edges) AS n_edges,
+       |    COUNT(*) AS ne,
+       |    CAST(SUM((du.dg - mu) + (dv.dg - mu)) AS BIGINT) AS sx,
+       |    CAST(SUM((du.dg - mu) * (dv.dg - mu) * 2) AS BIGINT) AS sxy,
+       |    CAST(SUM((du.dg - mu) * (du.dg - mu)
+       |           + (dv.dg - mu) * (dv.dg - mu)) AS BIGINT) AS sxx
+       |  FROM pairs
+       |  JOIN deg du ON du.id = u
+       |  JOIN deg dv ON dv.id = v
+       |  CROSS JOIN ctr)
+       |SELECT n_nodes, n_edges,
+       |  CASE WHEN CAST(2 * ne AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0 THEN 0
+       |  ELSE CAST(FLOOR((CAST(2 * ne AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |    / (CAST(2 * ne AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1000 + 0.5)
+       |  AS BIGINT) END AS assortativity_milli
+       |FROM mo""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank_dups" -> pagerankDupGraph,
-    "graph_triangle_count" -> triangleCount)
+    "graph_triangle_count" -> triangleCount,
+    "graph_degree_assortativity" -> degreeAssortativity)
 
   val oracle: Map[String, String] = Map(
     "graph_pagerank_dups" -> pagerankDupGraphSql,
-    "graph_triangle_count" -> triangleCountSql)
+    "graph_triangle_count" -> triangleCountSql,
+    "graph_degree_assortativity" -> degreeAssortativitySql)
 }

@@ -83,9 +83,123 @@ object Retrieval {
        |  id, lex_rank, sem_rank, rrf_e6
        |FROM fused QUALIFY rank <= 10 ORDER BY rank""".stripMargin
 
+  // ------------------------------------- pseudo-relevance feedback
+  /** Two-pass retrieval with QUERY EXPANSION (pseudo-relevance
+    * feedback, the RM1/Rocchio family): pass 1 retrieves a 10-doc
+    * feedback set for the seed terms, the feedback set's most
+    * discriminative terms (feedback-df × corpus idf, the RM1 score
+    * on the integer grid) expand the query, and pass 2 re-retrieves
+    * with seed ∪ expansion — the recall lever when the seed
+    * vocabulary under-describes the target domain. `is_new` marks
+    * docs pass 1 could not see: the expansion's recall gain.
+    *
+    * Numerics: scoring is tf × idf_bits with idf_bits = bits(N) −
+    * bits(df) on the bit-length ladder (exact ⌊log₂⌋ distance) — the
+    * whole two-pass cascade, term mining included, ranks on pure
+    * BIGINTs with (score, id)/(gain, term) tie-breaks, so both
+    * passes and the expansion choice are engine-identical with no
+    * float snap anywhere.
+    *
+    * Scale shape: ONE corpus-sized (doc, term) tf hash-agg feeds
+    * both passes (materialized); document frequency is a term-keyed
+    * agg of it. Pass 1 filters the weighted table on a literal IN;
+    * the feedback set (10 ids) and the expanded term list (8 terms)
+    * broadcast into equi-joins; the corpus stats row is the usual
+    * 1-row broadcast (whitelisted). Two passes cost two linear
+    * scans of the tf table — nothing quadratic, no re-tokenize. */
+  def queryExpansion(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val seed = Seq("spark", "stream", "vector")
+    val tok = graft.operators.Materialize.eager(
+      documents(s, d)
+        .select(col("doc_id"), explode(Documents.tokens(col("text")))
+          .as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
+    val n = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val dft = tok.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val weighted = tok.join(dft, "term").crossJoin(broadcast(n))
+      .withColumn("w_bits",
+        (length(bin(col("n_docs"))) - length(bin(col("df"))))
+          .cast("long") * col("tf"))
+    val p1 = weighted.filter(col("term").isin(seed: _*))
+      .groupBy(col("doc_id")).agg(sum(col("w_bits")).as("score1"))
+      .orderBy(col("score1").desc, col("doc_id")).limit(10)
+    val fb = p1.select(col("doc_id"))
+    val expTerms = tok.join(broadcast(fb), "doc_id")
+      .filter(!col("term").isin(seed: _*) && length(col("term")) >= 4)
+      .groupBy(col("term")).agg(count(lit(1)).as("fb_df"))
+      .join(dft, "term").crossJoin(broadcast(n))
+      .withColumn("gain",
+        col("fb_df") * (length(bin(col("n_docs"))) - length(bin(col("df"))))
+          .cast("long"))
+      .orderBy(col("gain").desc, col("term")).limit(5)
+    val allTerms = expTerms.select(col("term"))
+      .unionByName(seed.toDF("term"))
+    val p2 = weighted.join(broadcast(allTerms), "term")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_matched"),
+        sum(col("w_bits")).as("score_bits"))
+      .orderBy(col("score_bits").desc, col("doc_id")).limit(15)
+    val w = Window.orderBy(col("score_bits").desc, col("doc_id"))
+    p2.join(broadcast(p1.select(col("doc_id"), lit(1L).as("seen"))),
+        Seq("doc_id"), "left")
+      .withColumn("is_new", when(col("seen").isNull, 1L).otherwise(0L))
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("doc_id"), col("n_terms_matched"),
+        col("score_bits"), col("is_new"))
+      .orderBy(col("rank"))
+  }
+
+  val queryExpansionSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, UNNEST(list_filter(string_split_regex(text, '[^\\p{L}]+'), w -> w <> '')) AS term
+       |        FROM documents)
+       |  GROUP BY doc_id, term),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+       |        FROM tok GROUP BY term),
+       |w AS (
+       |  SELECT doc_id, term,
+       |    CAST(length(bin(n_docs)) - length(bin(df)) AS BIGINT) * tf
+       |      AS w_bits
+       |  FROM tok JOIN dft USING (term) CROSS JOIN n),
+       |p1 AS (
+       |  SELECT doc_id, CAST(SUM(w_bits) AS BIGINT) AS score1
+       |  FROM w WHERE term IN ('spark','stream','vector')
+       |  GROUP BY doc_id ORDER BY score1 DESC, doc_id LIMIT 10),
+       |fb AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS fb_df
+       |  FROM tok JOIN p1 USING (doc_id)
+       |  WHERE term NOT IN ('spark','stream','vector')
+       |    AND length(term) >= 4
+       |  GROUP BY term),
+       |expt AS (
+       |  SELECT term FROM fb JOIN dft USING (term) CROSS JOIN n
+       |  ORDER BY fb_df * CAST(length(bin(n_docs)) - length(bin(df))
+       |    AS BIGINT) DESC, term LIMIT 5),
+       |allt AS (
+       |  SELECT term FROM expt
+       |  UNION ALL
+       |  SELECT UNNEST(['spark','stream','vector']) AS term),
+       |p2 AS (
+       |  SELECT doc_id, COUNT(*) AS n_terms_matched,
+       |    CAST(SUM(w_bits) AS BIGINT) AS score_bits
+       |  FROM w JOIN allt USING (term)
+       |  GROUP BY doc_id ORDER BY score_bits DESC, doc_id LIMIT 15)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_bits DESC, doc_id)
+       |    AS INT) AS rank,
+       |  p2.doc_id, p2.n_terms_matched, p2.score_bits,
+       |  CASE WHEN p1.doc_id IS NULL THEN CAST(1 AS BIGINT)
+       |    ELSE CAST(0 AS BIGINT) END AS is_new
+       |FROM p2 LEFT JOIN p1 USING (doc_id)
+       |ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "retrieval_rrf_fusion" -> rrfFusion)
+    "retrieval_rrf_fusion" -> rrfFusion,
+    "retrieval_query_expansion" -> queryExpansion)
 
   val oracle: Map[String, String] = Map(
-    "retrieval_rrf_fusion" -> rrfFusionSql)
+    "retrieval_rrf_fusion" -> rrfFusionSql,
+    "retrieval_query_expansion" -> queryExpansionSql)
 }

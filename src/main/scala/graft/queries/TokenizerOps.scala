@@ -250,9 +250,13 @@ object TokenizerOps {
     * differential test against an in-memory sequential BPE (the
     * mrsequential.go pattern) additionally pins the semantics on
     * adversarial corpora the fixture doesn't exercise. */
-  def bpeTrain(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val Rounds = 8
+  /** Shared training loop: runs the merge rounds and returns BOTH the
+    * learned merge table and the final vocabulary frame (word →
+    * merged symbol list) — [[bpeTrain]] emits the former,
+    * [[bpeApply]] joins documents against the latter (a trained
+    * tokenizer IS this word→segmentation map for in-vocab words). */
+  private def trainedVocab(s: SparkSession, d: String, rounds: Int)
+      : (DataFrame, Seq[(Int, String, String, Long)]) = {
     // merge adjacent (a, b) occurrences left-to-right, non-overlapping
     def mergeAdj(sym: Column, a: String, b: String): Column =
       aggregate(sym, array().cast("array<string>"), (acc, x) =>
@@ -263,10 +267,11 @@ object TokenizerOps {
       documents(s, d)
         .select(explode(toks(col("text"))).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("c"))
-        .select(filter(split(col("word"), ""), x => x =!= lit(""))
-          .as("sym"), col("c")))
+        .select(col("word"),
+          filter(split(col("word"), ""), x => x =!= lit(""))
+            .as("sym"), col("c")))
     val merges = Seq.newBuilder[(Int, String, String, Long)]
-    for (r <- 1 to Rounds) {
+    for (r <- 1 to rounds) {
       val pairs = vocab
         .filter(size(col("sym")) >= 2)
         .select(col("sym"), col("c"),
@@ -282,13 +287,49 @@ object TokenizerOps {
           top(0).getLong(2))
         merges += ((r, a, b, pc))
         val next = graft.operators.Materialize.eager(
-          vocab.select(mergeAdj(col("sym"), a, b).as("sym"), col("c")))
+          vocab.select(col("word"), mergeAdj(col("sym"), a, b).as("sym"),
+            col("c")))
         vocab = next
       }
     }
-    merges.result()
+    (vocab, merges.result())
+  }
+
+  def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    trainedVocab(s, d, 8)._2
       .toDF("round", "sym_a", "sym_b", "pair_count")
       .orderBy(col("round"))
+  }
+
+  // ------------------------------------------- BPE apply (encode)
+  /** APPLY the trained tokenizer: segment a bounded document set with
+    * the 8-round merge table and report per-doc compression — word
+    * count, character count, BPE token count, and tokens-per-1000-
+    * chars. The encode half of the tokenizer lifecycle ([[bpeTrain]]
+    * learns the merges; this is what a pipeline runs over every
+    * shard afterward): for in-vocab words the trained tokenizer IS
+    * the word→segmentation map the trainer already produced, so
+    * apply is one equi-join on the word — no per-row re-merging.
+    *
+    * Scale shape: training cost is bpeTrain's (corpus-sized work =
+    * one word-count agg); apply is a words→vocab equi-join (vocab
+    * broadcastable at any realistic size) + a doc-keyed hash-agg.
+    * The doc_id < 100 bound keeps the oracle comparison small; the
+    * plan is the full-corpus plan. */
+  def bpeApply(s: SparkSession, d: String): DataFrame = {
+    val (vocab, _) = trainedVocab(s, d, 8)
+    val tok = documents(s, d).filter(col("doc_id") < 100)
+      .select(col("doc_id"), explode(toks(col("text"))).as("word"))
+    tok.join(vocab.select(col("word"), size(col("sym")).cast("long")
+        .as("n_sym")), "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word")).cast("long")).as("n_chars"),
+        sum(col("n_sym")).as("n_tokens_bpe"))
+      .withColumn("compression_permille",
+        expr("n_tokens_bpe * 1000 DIV n_chars"))
+      .orderBy(col("doc_id"))
   }
 
   /** Generated DuckDB oracle for [[bpeTrain]]: the 8 rounds unrolled
@@ -306,11 +347,14 @@ object TokenizerOps {
     * that share a boundary space land in the next pass). Termination:
     * every pass strictly reduces occurrence count; iterations are
     * bounded by max occurrences per word. */
-  val bpeTrainSql: String = {
-    val rounds = 8
+  /** The shared CTE chain v0..v{rounds}/m1..m{rounds}; vN carries each
+    * word's ORIGINAL form (w) alongside its current segmentation so
+    * the apply oracle can join documents against the final vocab. */
+  private def bpeCtes(rounds: Int): String = {
     val parts = Seq.newBuilder[String]
     parts += s"""v0 AS (
-      |  SELECT ' ' || array_to_string(list_transform(range(1, length(word) + 1),
+      |  SELECT word AS w,
+      |    ' ' || array_to_string(list_transform(range(1, length(word) + 1),
       |      i -> substring(word, CAST(i AS INT), 1)), ' ') || ' ' AS s, c
       |  FROM (SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM (
       |          SELECT UNNEST($toksSql) AS word FROM documents)
@@ -325,21 +369,42 @@ object TokenizerOps {
         |  SELECT a, b, CAST(SUM(c) AS BIGINT) AS pc FROM p$r GROUP BY a, b
         |  ORDER BY pc DESC, a, b LIMIT 1)""".stripMargin
       parts += s"""f$r AS (
-        |  SELECT v.s, v.c, m.a, m.b FROM v$p v, m$r m
+        |  SELECT v.w, v.s, v.c, m.a, m.b FROM v$p v, m$r m
         |  UNION ALL
-        |  SELECT replace(s, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+        |  SELECT w, replace(s, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
         |    c, a, b
         |  FROM f$r WHERE strpos(s, ' ' || a || ' ' || b || ' ') > 0)""".stripMargin
       parts += s"""v$r AS (
-        |  SELECT s, c FROM f$r
+        |  SELECT w, s, c FROM f$r
         |  WHERE strpos(s, ' ' || a || ' ' || b || ' ') = 0)""".stripMargin
     }
+    "WITH RECURSIVE\n" + parts.result().mkString(",\n")
+  }
+
+  val bpeTrainSql: String = {
+    val rounds = 8
     val union = (1 to rounds).map(r =>
       s"SELECT CAST($r AS INT) AS round, a AS sym_a, b AS sym_b," +
         s" pc AS pair_count FROM m$r").mkString("\nUNION ALL\n")
-    "WITH RECURSIVE\n" + parts.result().mkString(",\n") +
-      s"\nSELECT * FROM (\n$union\n) ORDER BY round"
+    bpeCtes(rounds) + s"\nSELECT * FROM (\n$union\n) ORDER BY round"
   }
+
+  val bpeApplySql: String =
+    bpeCtes(8) + s""",
+      |seg AS (
+      |  SELECT w AS word, CAST(len(string_split(trim(s), ' ')) AS BIGINT)
+      |    AS n_sym
+      |  FROM v8),
+      |tok AS (
+      |  SELECT doc_id, UNNEST($toksSql) AS word
+      |  FROM documents WHERE doc_id < 100)
+      |SELECT doc_id, COUNT(*) AS n_words,
+      |  CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+      |  CAST(SUM(n_sym) AS BIGINT) AS n_tokens_bpe,
+      |  (CAST(SUM(n_sym) AS BIGINT) * 1000)
+      |    // CAST(SUM(length(word)) AS BIGINT) AS compression_permille
+      |FROM tok JOIN seg USING (word)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Sequential in-memory BPE twin for the differential spec: same
     * argmax/tie-break/merge semantics over a (word, count) list. */
@@ -374,12 +439,14 @@ object TokenizerOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_train" -> bpeTrain,
+    "text_bpe_apply" -> bpeApply,
     "text_bpe_merge_round" -> bpeMergeRound,
     "text_bigram_perplexity" -> bigramPerplexity,
     "text_dedup_span_rewrite" -> spanRewrite)
 
   val oracle: Map[String, String] = Map(
     "text_bpe_train" -> bpeTrainSql,
+    "text_bpe_apply" -> bpeApplySql,
     "text_bpe_merge_round" -> bpeMergeRoundSql,
     "text_bigram_perplexity" -> bigramPerplexitySql,
     "text_dedup_span_rewrite" -> spanRewriteSql)

@@ -164,6 +164,10 @@ class PlanSpec extends AnyFunSuite {
     "sketch_daily_merge",   // 1-row exact-companion broadcast
     "emb_ivf_balance",      // 1-row (total, n_cells) broadcast
     "ev_copresence_affinity", // 1-row n_slots_capped honesty broadcast
+    "ev_psi_drift",         // 1-row [day,cents] bounds broadcast (as KS)
+    "graph_degree_assortativity", // 1-row degree-center broadcast
+    "retrieval_query_expansion", // 1-row n_docs broadcast into the
+                            // tf-weight projection (both passes)
     "emb_ann_recall_eval",  // inherits emb_cosine_topk's bounded
                             // capped-probe BNLJ as its ground truth
     "emb_ann_recall_sweep", // same pieces as recall_eval + 1-row
