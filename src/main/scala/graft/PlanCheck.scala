@@ -47,7 +47,9 @@ object PlanCheck {
       "ev_funnel_windowed", "ev_new_vs_returning", "ev_power_users_pareto",
       "audit_schema_profile", "emb_ivf_balance", "agg_pivot_multi",
       "mm_phash_buckets", "ev_bot_regularity",
-      "ev_ltv_cohorts", "emb_ann_recall_sweep", "sketch_daily_merge")
+      "ev_ltv_cohorts", "emb_ann_recall_sweep", "sketch_daily_merge",
+      "text_bpe_apply", "graph_degree_assortativity", "ev_psi_drift",
+      "retrieval_query_expansion")
     val out = new StringBuilder
     out ++= "# PLANS — formatted physical plans for headline queries\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanCheck PLANS.md\"` " +
