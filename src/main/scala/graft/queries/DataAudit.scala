@@ -304,6 +304,61 @@ object DataAudit {
       |    AS rows_below_k5
       |FROM g GROUP BY segment ORDER BY segment""".stripMargin
 
+  // ------------------------------------------------ l-diversity
+  /** l-diversity audit, the disclosure check k-anonymity misses: a
+    * group can be large (k-anonymous) yet HOMOGENEOUS in its
+    * sensitive attribute — every member shares the secret, so group
+    * membership alone discloses it. Quasi-identifiers here are
+    * (nation, segment); the sensitive attribute is financial distress
+    * (negative account balance). Per segment: group count, the
+    * minimum distinct-sensitive-value count l (l = 1 ⇒ a homogeneous
+    * group exists), how many groups are homogeneous, and how many
+    * rows sit in them — the re-identification exposure surface.
+    *
+    * Scale shape: one hash-agg to (QI, sensitive) cells, one to QI
+    * groups, one to segments — strictly coarsening keys, all
+    * map-side combinable, output |segments| rows. */
+  def lDiversityAudit(s: SparkSession, d: String): DataFrame =
+    lDiversityOn(customer(s, d))
+
+  /** Core over a caller-supplied registry — separated so specs can
+    * plant homogeneous groups. */
+  def lDiversityOn(c: DataFrame): DataFrame = {
+    val cells = c.select(col("c_nationkey").as("nation"),
+        col("c_mktsegment").as("segment"),
+        when(col("c_acctbal") < 0, 1L).otherwise(0L).as("distressed"))
+      .groupBy(col("nation"), col("segment"), col("distressed"))
+      .agg(count(lit(1)).as("n"))
+    val groups = cells.groupBy(col("nation"), col("segment"))
+      .agg(sum(col("n")).as("gsize"), count(lit(1)).as("l"))
+    groups.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("gsize")).cast("long").as("n_rows"),
+        min(col("l")).as("min_l"),
+        sum(when(col("l") === 1, 1L).otherwise(0L)).cast("long")
+          .as("n_homogeneous"),
+        sum(when(col("l") === 1, col("gsize")).otherwise(0L)).cast("long")
+          .as("rows_in_homogeneous"))
+      .orderBy(col("segment"))
+  }
+
+  val lDiversityAuditSql: String =
+    """WITH cells AS (
+      |  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+      |    CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS distressed,
+      |    COUNT(*) AS n
+      |  FROM customer GROUP BY 1, 2, 3),
+      |g AS (
+      |  SELECT nation, segment, SUM(n) AS gsize, COUNT(*) AS l
+      |  FROM cells GROUP BY 1, 2)
+      |SELECT segment, COUNT(*) AS n_groups,
+      |  CAST(SUM(gsize) AS BIGINT) AS n_rows,
+      |  MIN(l) AS min_l,
+      |  CAST(COUNT(*) FILTER (WHERE l = 1) AS BIGINT) AS n_homogeneous,
+      |  CAST(COALESCE(SUM(gsize) FILTER (WHERE l = 1), 0) AS BIGINT)
+      |    AS rows_in_homogeneous
+      |FROM g GROUP BY segment ORDER BY segment""".stripMargin
+
   // ------------------------------------------------ salted skew join
   /** The operators.SkewJoin.saltedJoin topology surfaced end-to-end:
     * lineitem⋈supplier on the supplier key with an 8-way salt —
@@ -542,6 +597,7 @@ object DataAudit {
     "audit_referential" -> referentialAudit,
     "audit_key_skew" -> keySkewAudit,
     "audit_k_anonymity" -> kAnonymityAudit,
+    "audit_l_diversity" -> lDiversityAudit,
     "join_skew_salted" -> joinSkewSalted,
     "link_blocked_fuzzy" -> linkBlockedFuzzy)
 
@@ -552,6 +608,7 @@ object DataAudit {
     "audit_referential" -> referentialAuditSql,
     "audit_key_skew" -> keySkewAuditSql,
     "audit_k_anonymity" -> kAnonymityAuditSql,
+    "audit_l_diversity" -> lDiversityAuditSql,
     "join_skew_salted" -> joinSkewSaltedSql,
     "link_blocked_fuzzy" -> linkBlockedFuzzySql)
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -612,6 +613,101 @@ object TextAnalysis {
        |    - abs(mtl_permille - 4500) // 2) >= 0 AS keep
        |FROM f ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------- classifier calibration
+  /** Calibration of the frozen quality classifier against an
+    * INDEPENDENT outcome — exact-duplicate membership: logits bin
+    * into fixed 250-milli buckets and each bucket reports its
+    * duplicate rate. The curation sanity check behind threshold
+    * picking: if low-quality scores don't concentrate duplicates
+    * (template floods), the classifier threshold and the dedup stage
+    * are fighting different enemies. Fixed absolute bin edges (not
+    * data-derived) so the curve is comparable across corpus
+    * snapshots — the PSI stance, applied to a score.
+    *
+    * Scale shape: logits are [[qualityClassifier]]'s linear pass; the
+    * dup flag is one md5-of-text hash-agg joined back on the hash;
+    * the calibration table is a ≤ 12-row group-by. All corpus-sized
+    * work is linear with map-side combine. */
+  def qualityDupCalibration(s: SparkSession, d: String): DataFrame = {
+    val sig = documents(s, d).select(col("doc_id"), md5(col("text")).as("h"))
+    val cnt = sig.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    val flagged = sig.join(cnt, "h")
+      .select(col("doc_id"), when(col("c") > 1, 1L).otherwise(0L).as("is_dup"))
+    qualityClassifier(s, d)
+      .select(col("doc_id"), col("logit_milli"))
+      .join(flagged, "doc_id")
+      .withColumn("bin",
+        greatest(lit(-6L), least(lit(5L), expr("logit_milli DIV 250"))))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("SUM(logit_milli) DIV COUNT(*)").as("mean_logit_milli"),
+        sum(col("is_dup")).as("n_dups"),
+        expr("1000 * SUM(is_dup) DIV COUNT(*)").as("dup_permille"))
+      .orderBy(col("bin"))
+  }
+
+  val qualityDupCalibrationSql: String = {
+    val logits = qualityClassifierSql.replace("ORDER BY doc_id", "")
+    s"""WITH q AS ($logits),
+       |sig AS (SELECT doc_id, md5(text) AS h FROM documents),
+       |cnt AS (SELECT h, COUNT(*) AS c FROM sig GROUP BY h),
+       |fl AS (
+       |  SELECT doc_id, CASE WHEN c > 1 THEN 1 ELSE 0 END AS is_dup
+       |  FROM sig JOIN cnt USING (h)),
+       |j AS (
+       |  SELECT GREATEST(-6, LEAST(5, logit_milli // 250)) AS bin,
+       |    logit_milli, is_dup
+       |  FROM q JOIN fl USING (doc_id))
+       |SELECT bin, COUNT(*) AS n_docs,
+       |  CAST(SUM(logit_milli) AS BIGINT) // COUNT(*) AS mean_logit_milli,
+       |  CAST(SUM(is_dup) AS BIGINT) AS n_dups,
+       |  1000 * CAST(SUM(is_dup) AS BIGINT) // COUNT(*) AS dup_permille
+       |FROM j GROUP BY bin ORDER BY bin""".stripMargin
+  }
+
+  // ---------------------------------------- memorization leaderboard
+  /** Memorization-risk leaderboard: the corpus's most-repeated word
+    * 3-grams with their document spread — the high-multiplicity
+    * sequences a model is most likely to memorize verbatim (the
+    * "Quantifying Memorization" observation: memorization probability
+    * grows with duplication count). [[TokenizerOps.spanRewrite]]
+    * CUTS cross-doc duplicate grams; this is the triage view that
+    * says how much verbatim-repeat mass exists and where, before any
+    * cut is configured. Top-20 by (occurrences, gram).
+    *
+    * Scale shape: one shingle explode + one gram-keyed hash-agg
+    * (n_docs is a two-column agg on the same key, no second
+    * shuffle); the leaderboard is TakeOrderedAndProject. */
+  def memorizationGrams(s: SparkSession, d: String): DataFrame = {
+    val grams = documents(s, d)
+      .select(col("doc_id"), explode(Documents.shingles3(col("text"))).as("g"))
+    val w = Window.orderBy(col("n_occurrences").desc, col("g"))
+    grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("n_occurrences").desc, col("g")).limit(20)
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("g"), col("n_occurrences"), col("n_docs"))
+      .orderBy(col("rank"))
+  }
+
+  val memorizationGramsSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, $toksSql AS ws FROM documents),
+       |grams AS (
+       |  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+       |  FROM base, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+       |agg AS (
+       |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |  FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) > 1)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, g)
+       |    AS INT) AS rank,
+       |  g, n_occurrences, n_docs
+       |FROM agg
+       |ORDER BY n_occurrences DESC, g LIMIT 20""".stripMargin
+
   // ------------------------------------------- RAKE keyword extraction
   /** RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
     * Extraction from Individual Documents"): candidate phrases are the
@@ -700,6 +796,8 @@ object TextAnalysis {
     "text_keywords_rake" -> keywordsRake,
     "text_char_entropy" -> charEntropy,
     "text_quality_classifier" -> qualityClassifier,
+    "text_quality_dup_calibration" -> qualityDupCalibration,
+    "text_memorization_grams" -> memorizationGrams,
     "text_heavy_hitters" -> heavyHitters,
     "text_bm25_topk" -> bm25TopK,
     "text_tfidf_top_terms" -> tfidfTopTerms,
@@ -713,6 +811,8 @@ object TextAnalysis {
     "text_keywords_rake" -> keywordsRakeSql,
     "text_char_entropy" -> charEntropySql,
     "text_quality_classifier" -> qualityClassifierSql,
+    "text_quality_dup_calibration" -> qualityDupCalibrationSql,
+    "text_memorization_grams" -> memorizationGramsSql,
     "text_heavy_hitters" -> heavyHittersSql,
     "text_bm25_topk" -> bm25TopKSql,
     "text_tfidf_top_terms" -> tfidfTopTermsSql,

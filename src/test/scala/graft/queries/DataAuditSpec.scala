@@ -103,6 +103,26 @@ class DataAuditSpec extends AnyFunSuite {
     assert(out("T") == ((2L, 2L, 1L, 2L, 2L)))
   }
 
+  test("l-diversity: a large-but-homogeneous group is flagged; a " +
+      "mixed group is not") {
+    // segment S, nation 3: 3 rows ALL distressed (k-anonymous at k=3
+    // but l=1 → homogeneous, the disclosure k-anonymity misses);
+    // segment S, nation 4: mixed signs → l=2;
+    // segment T: one mixed group → l=2, no homogeneous groups
+    val c = Seq(
+      (1L, 3, "S", -10.0), (2L, 3, "S", -20.0), (3L, 3, "S", -30.0),
+      (4L, 4, "S", 100.0), (5L, 4, "S", -100.0),
+      (6L, 1, "T", 500.0), (7L, 1, "T", -500.0))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val out = DataAudit.lDiversityOn(c)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // S: 2 groups, 5 rows, min_l=1, 1 homogeneous group of 3 rows
+    assert(out("S") == ((2L, 5L, 1L, 1L, 3L)))
+    // T: 1 group, 2 rows, min_l=2, none homogeneous
+    assert(out("T") == ((1L, 2L, 2L, 0L, 0L)))
+  }
+
   test("key-skew audit: one row per audited key; skew_pm >= 1000 " +
       "(hottest >= mean) and consistent with the table rows") {
     val d = "/root/testdata/sf0.001"
