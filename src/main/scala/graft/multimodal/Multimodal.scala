@@ -445,8 +445,131 @@ object Multimodal {
       |  MAX(sz) AS max_bucket
       |FROM g GROUP BY kind ORDER BY kind""".stripMargin
 
+  // ------------------------------------ perceptual-hash near-dup join
+  /** Near-duplicate MEDIA pairs by banded Hamming join over the
+    * 64-bit perceptual hash: the 4×16-bit bands are the Hamming-space
+    * LSH ([[phashBuckets]] counts only EXACT hash collisions; this
+    * finds pairs within distance 6 — re-encodes, crops, watermarks).
+    * Candidates share a band within their kind; the confirm is
+    * bit_count(xor) over the four band words. Banding guarantees
+    * every pair at distance ≤ 3 (pigeonhole: 3 flipped bits cannot
+    * touch all 4 bands) and is probabilistic up to 6 — the standard
+    * banded-LSH recall contract, stated rather than hidden.
+    *
+    * Scale shape: the hash is the same unrolled codegen projection as
+    * phashBuckets (computed once, materialized — 4 band joins reuse
+    * it); candidate cost is Σ bucket² per 16-bit band within kind —
+    * the dedup tier's declared LSH cost, never n²; the Hamming
+    * confirm is 4 xor+popcount ops per candidate. */
+  def phashNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("kind"))
+    val sampleCols = (0 until 64).map(j => expr(
+      s"ascii(substr(text, CAST(1 + ($j * length(text)) DIV 64 AS INT), 1))")
+      .as(s"s$j"))
+    val withSamples = docs
+      .select(col("doc_id") +: col("kind") +: sampleCols: _*)
+      .withColumn("ssum",
+        (0 until 64).map(j => col(s"s$j").cast("long")).reduce(_ + _))
+      .withColumn("m", expr("ssum DIV 64"))
+    val bandCols = (0 until 4).map(k =>
+      (0 until 16).map(j =>
+        when(col(s"s${k * 16 + j}") > col("m"), lit(1L << j))
+          .otherwise(lit(0L))).reduce(_ + _).as(s"b$k"))
+    val sig = graft.operators.Materialize.eager(
+      withSamples.select(col("doc_id") +: col("kind") +: bandCols: _*))
+    val branches = (0 until 4).map { k =>
+      sig.as("a").join(sig.as("b"),
+          col("a.kind") === col("b.kind") &&
+          col(s"a.b$k") === col(s"b.b$k") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.kind").as("kind"), col("a.doc_id").as("da"),
+          col("b.doc_id").as("db"))
+    }
+    val cand = branches.reduce(_ unionByName _).distinct()
+    val av = sig.select(col("doc_id").as("da"),
+      col("b0").as("ab0"), col("b1").as("ab1"),
+      col("b2").as("ab2"), col("b3").as("ab3"))
+    val bv = sig.select(col("doc_id").as("db"),
+      col("b0").as("bb0"), col("b1").as("bb1"),
+      col("b2").as("bb2"), col("b3").as("bb3"))
+    cand.join(av, "da").join(bv, "db")
+      .withColumn("hd", expr(
+        """bit_count(ab0 ^ bb0) + bit_count(ab1 ^ bb1) +
+          |bit_count(ab2 ^ bb2) + bit_count(ab3 ^ bb3)""".stripMargin)
+        .cast("long"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_candidate_pairs"),
+        sum(when(col("hd") <= 6, 1L).otherwise(0L)).as("n_neardup_pairs"),
+        min(col("hd")).as("min_hamming"))
+      .orderBy(col("kind"))
+  }
+
+  val phashNearDupPairsSql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+      |    list_transform(range(0, 64),
+      |      j -> ord(substr(text, CAST(1 + (j * length(text)) // 64 AS INT), 1)))
+      |      AS samples
+      |  FROM documents),
+      |hm AS (
+      |  SELECT doc_id, kind, samples,
+      |    CAST(list_sum(samples) AS BIGINT) // 64 AS m
+      |  FROM h),
+      |sig AS (
+      |  SELECT doc_id, kind,
+      |    CAST(list_sum(list_transform(range(0, 16),
+      |      j -> CASE WHEN samples[0*16+j+1] > m THEN 1 << j ELSE 0 END))
+      |      AS BIGINT) AS b0,
+      |    CAST(list_sum(list_transform(range(0, 16),
+      |      j -> CASE WHEN samples[1*16+j+1] > m THEN 1 << j ELSE 0 END))
+      |      AS BIGINT) AS b1,
+      |    CAST(list_sum(list_transform(range(0, 16),
+      |      j -> CASE WHEN samples[2*16+j+1] > m THEN 1 << j ELSE 0 END))
+      |      AS BIGINT) AS b2,
+      |    CAST(list_sum(list_transform(range(0, 16),
+      |      j -> CASE WHEN samples[3*16+j+1] > m THEN 1 << j ELSE 0 END))
+      |      AS BIGINT) AS b3
+      |  FROM hm),
+      |cand AS (
+      |  SELECT DISTINCT kind, da, db FROM (
+      |    SELECT a.kind, a.doc_id AS da, b.doc_id AS db
+      |    FROM sig a JOIN sig b ON a.kind = b.kind AND a.b0 = b.b0
+      |      AND a.doc_id < b.doc_id
+      |    UNION ALL
+      |    SELECT a.kind, a.doc_id, b.doc_id
+      |    FROM sig a JOIN sig b ON a.kind = b.kind AND a.b1 = b.b1
+      |      AND a.doc_id < b.doc_id
+      |    UNION ALL
+      |    SELECT a.kind, a.doc_id, b.doc_id
+      |    FROM sig a JOIN sig b ON a.kind = b.kind AND a.b2 = b.b2
+      |      AND a.doc_id < b.doc_id
+      |    UNION ALL
+      |    SELECT a.kind, a.doc_id, b.doc_id
+      |    FROM sig a JOIN sig b ON a.kind = b.kind AND a.b3 = b.b3
+      |      AND a.doc_id < b.doc_id)),
+      |hd AS (
+      |  SELECT c.kind,
+      |    CAST(bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+      |       + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3))
+      |      AS BIGINT) AS hd
+      |  FROM cand c
+      |  JOIN sig sa ON sa.doc_id = c.da
+      |  JOIN sig sb ON sb.doc_id = c.db)
+      |SELECT kind, COUNT(*) AS n_candidate_pairs,
+      |  CAST(SUM(CASE WHEN hd <= 6 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_neardup_pairs,
+      |  MIN(hd) AS min_hamming
+      |FROM hd GROUP BY kind ORDER BY kind""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_phash_buckets" -> phashBuckets,
+    "mm_phash_neardup_pairs" -> phashNearDupPairs,
     "mm_media_stats" -> mediaStats,
     "mm_frame_sample" -> frameSampleStats,
     "mm_resize_stats" -> resizeStats,
@@ -455,6 +578,7 @@ object Multimodal {
 
   val oracle: Map[String, String] = Map(
     "mm_phash_buckets" -> phashBucketsSql,
+    "mm_phash_neardup_pairs" -> phashNearDupPairsSql,
     "mm_media_stats" -> mediaStatsSql,
     "mm_frame_sample" -> frameSampleStatsSql,
     "mm_resize_stats" -> resizeStatsSql,

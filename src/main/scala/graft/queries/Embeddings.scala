@@ -1141,8 +1141,99 @@ object Embeddings {
        |ORDER BY pr.q_id""".stripMargin
   }
 
+  // --------------------------------------- matryoshka truncation recall
+  /** Recall@5 of PREFIX-TRUNCATED cosine search against the full-dim
+    * ground truth, at widths 16 and 32 (64 = the anchor row, recall
+    * 1000 by construction): the go/no-go measurement for the
+    * matryoshka serving pattern — run the cheap prefix scan, rescore
+    * survivors at full width. [[truncationEnergy]] reports how much
+    * NORM the prefix keeps; this reports what actually matters
+    * downstream: how many true neighbors the prefix still finds.
+    *
+    * Scale shape: three brute scans with the same bounded broadcast
+    * query set as emb_cosine_topk (the capped-BNLJ exactness
+    * baseline — the ANN tier is the scale path); per-width recall is
+    * a semi-join of two top-5 lists + one tiny agg. Corpus-sized
+    * work is 3 linear scans, no pairwise stage. */
+  def matryoshkaRecall(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    val e = embeddings(s, d)
+    val queries = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 51200)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cand = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    def topkAt(width: Int): DataFrame = {
+      val (qe, ce) =
+        if (width == 0) (col("q_emb"), col("c_emb"))
+        else (slice(col("q_emb"), 1, width), slice(col("c_emb"), 1, width))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+      cand.join(broadcast(queries), col("q_id") =!= col("c_id"))
+        .select(col("q_id"), col("c_id"),
+          graft.functions.GraftFunctions.cosineSim(qe, ce).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("c_id"))
+    }
+    val truth = graft.operators.Materialize.eager(topkAt(0))
+    def recallRow(width: Int): DataFrame = {
+      val got = topkAt(width)
+        .select(col("q_id").as("g_q"), col("c_id").as("g_c"))
+      truth.join(got,
+          col("q_id") === col("g_q") && col("c_id") === col("g_c"),
+          "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"),
+          countDistinct(col("q_id")).as("n_queries"))))
+        .select(lit(width.toLong).as("width"), col("n_queries"),
+          col("n_hits"),
+          expr("n_hits * 1000 DIV n_truth").as("recall_permille"))
+    }
+    recallRow(16).unionByName(recallRow(32))
+      .unionByName(truth
+        .agg(count(lit(1)).as("n_hits"),
+          countDistinct(col("q_id")).as("n_queries"))
+        .select(lit(64L).as("width"), col("n_queries"), col("n_hits"),
+          lit(1000L).as("recall_permille")))
+      .orderBy(col("width"))
+  }
+
+  val matryoshkaRecallSql: String = {
+    def scored(qe: String, ce: String) =
+      s"""SELECT q_id, c_id FROM (
+         |  SELECT q_id, c_id, ROW_NUMBER() OVER (
+         |    PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+         |  FROM (SELECT q_id, c_id, ${cosFoldSql(qe, ce)} AS cos
+         |        FROM q JOIN c ON q_id <> c_id) sc) rk
+         |WHERE rank <= 5""".stripMargin
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |  WHERE vec_id % 50 = 0 AND vec_id < 51200),
+       |c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
+       |truth AS (${scored("q_emb", "c_emb")}),
+       |t16 AS (${scored("q_emb[1:16]", "c_emb[1:16]")}),
+       |t32 AS (${scored("q_emb[1:32]", "c_emb[1:32]")}),
+       |tt AS (SELECT COUNT(*) AS n_truth,
+       |         COUNT(DISTINCT q_id) AS n_queries FROM truth),
+       |h16 AS (SELECT COUNT(*) AS n_hits FROM truth
+       |        JOIN t16 USING (q_id, c_id)),
+       |h32 AS (SELECT COUNT(*) AS n_hits FROM truth
+       |        JOIN t32 USING (q_id, c_id))
+       |SELECT * FROM (
+       |  SELECT CAST(16 AS BIGINT) AS width, tt.n_queries, h16.n_hits,
+       |    h16.n_hits * 1000 // tt.n_truth AS recall_permille
+       |  FROM h16, tt
+       |  UNION ALL
+       |  SELECT CAST(32 AS BIGINT), tt.n_queries, h32.n_hits,
+       |    h32.n_hits * 1000 // tt.n_truth FROM h32, tt
+       |  UNION ALL
+       |  SELECT CAST(64 AS BIGINT), n_queries, n_truth,
+       |    CAST(1000 AS BIGINT) FROM tt)
+       |ORDER BY width""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "retrieval_mmr" -> mmrRerank,
+    "emb_matryoshka_recall" -> matryoshkaRecall,
     "emb_pq_adc_topk" -> pqAdcTopK,
     "emb_dim_variance" -> dimVariance,
     "emb_jl_distortion" -> jlDistortion,
@@ -1162,6 +1253,7 @@ object Embeddings {
 
   val oracle: Map[String, String] = Map(
     "emb_pq_adc_topk" -> pqAdcTopKSql,
+    "emb_matryoshka_recall" -> matryoshkaRecallSql,
     "emb_dim_variance" -> dimVarianceSql,
     "emb_jl_distortion" -> jlDistortionSql,
     "emb_truncation_energy" -> truncationEnergySql,

@@ -168,6 +168,8 @@ class PlanSpec extends AnyFunSuite {
     "graph_degree_assortativity", // 1-row degree-center broadcast
     "retrieval_query_expansion", // 1-row n_docs broadcast into the
                             // tf-weight projection (both passes)
+    "emb_matryoshka_recall", // emb_cosine_topk's capped broadcast
+                            // query set x3 widths + 1-row truth stats
     "emb_ann_recall_eval",  // inherits emb_cosine_topk's bounded
                             // capped-probe BNLJ as its ground truth
     "emb_ann_recall_sweep", // same pieces as recall_eval + 1-row
