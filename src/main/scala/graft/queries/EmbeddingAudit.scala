@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -318,6 +319,82 @@ object EmbeddingAudit {
       |  AS BIGINT) AS pearson_milli
       |FROM p ORDER BY di, dj""".stripMargin
 
+  // --------------------------------- per-label centroid drift
+  /** Per-label centroid SHIFT between two corpus halves (vec_id
+    * parity as the deterministic snapshot split — embeddings carry no
+    * timestamp; a real deployment splits on ingest date): squared L2
+    * distance between the two halves' centroids on the ×1e3 integer
+    * grid, plus the single most-moved dimension. The embedding-space
+    * analog of doc_snapshot_diff: a re-embedded or drifted encoder
+    * moves label centroids long before recall evals notice.
+    *
+    * Numerics: per-(label, half, dim) sums on the ×1e3 grid (the
+    * dimCovariance overflow stance); centroid components are
+    * truncated integer means (DIV, mirrored by DuckDB //, both
+    * truncate toward zero for the negative components); the shift is
+    * then an exact-integer Σ(ma−mb)² on the e6 grid.
+    *
+    * Scale shape: one posexplode + one (label, half, dim) hash-agg
+    * — 2·|labels|·64 cells regardless of corpus size; everything
+    * after runs on the cell table. */
+  def centroidDrift(s: SparkSession, d: String): DataFrame = {
+    val x = embeddings(s, d)
+      .select(col("label"), (col("vec_id") % 2).as("half"),
+        posexplode(col("embedding")).as(Seq("dim", "xv")))
+      .select(col("label"), col("half"), col("dim"),
+        floor(col("xv").cast("double") * 1e3 + 0.5).cast("long").as("xe3"))
+    val cells = x.groupBy(col("label"), col("half"), col("dim"))
+      .agg(sum(col("xe3")).as("sx"), count(lit(1)).as("nv"))
+      .withColumn("m", expr("sx DIV nv"))
+    val a = cells.filter(col("half") === 0)
+      .select(col("label"), col("dim"), col("m").as("ma"), col("nv").as("nva"))
+    val b = cells.filter(col("half") === 1)
+      .select(col("label"), col("dim"), col("m").as("mb"), col("nv").as("nvb"))
+    val diffs = a.join(b, Seq("label", "dim"))
+      .withColumn("dlt", col("ma") - col("mb"))
+    val agg = diffs.groupBy(col("label"))
+      .agg(max(col("nva")).as("n_a"), max(col("nvb")).as("n_b"),
+        sum(col("dlt") * col("dlt")).as("shift2_e6"))
+    val wr = Window.partitionBy(col("label"))
+      .orderBy(abs(col("dlt")).desc, col("dim"))
+    val top = diffs.withColumn("rn", row_number().over(wr))
+      .filter(col("rn") === 1)
+      .select(col("label"), col("dim").as("top_dim"),
+        col("dlt").as("top_shift_e3"))
+    agg.join(top, "label")
+      .select(col("label"), col("n_a"), col("n_b"), col("shift2_e6"),
+        col("top_dim"), col("top_shift_e3"))
+      .orderBy(col("label"))
+  }
+
+  val centroidDriftSql: String =
+    """WITH x AS (
+      |  SELECT label, vec_id % 2 AS half, i - 1 AS dim,
+      |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+      |      AS xe3
+      |  FROM embeddings, (SELECT UNNEST(range(1, 65)) AS i) g
+      |  WHERE i <= len(embedding)),
+      |cells AS (
+      |  SELECT label, half, dim, CAST(SUM(xe3) AS BIGINT) AS sx,
+      |    CAST(COUNT(*) AS BIGINT) AS nv
+      |  FROM x GROUP BY 1, 2, 3),
+      |m AS (SELECT label, half, dim, sx // nv AS m, nv FROM cells),
+      |d AS (
+      |  SELECT a.label, a.dim, a.m - b.m AS dlt, a.nv AS nva, b.nv AS nvb
+      |  FROM m a JOIN m b ON a.label = b.label AND a.dim = b.dim
+      |    AND a.half = 0 AND b.half = 1),
+      |agg AS (
+      |  SELECT label, MAX(nva) AS n_a, MAX(nvb) AS n_b,
+      |    CAST(SUM(dlt * dlt) AS BIGINT) AS shift2_e6
+      |  FROM d GROUP BY 1),
+      |top AS (
+      |  SELECT label, dim AS top_dim, dlt AS top_shift_e3
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+      |          ORDER BY ABS(dlt) DESC, dim) AS rn FROM d)
+      |  WHERE rn = 1)
+      |SELECT label, n_a, n_b, shift2_e6, top_dim, top_shift_e3
+      |FROM agg JOIN top USING (label) ORDER BY label""".stripMargin
+
   // ------------------------------------- IVF cell-balance audit
   /** Occupancy profile of the sign-plane IVF index: vectors per cell,
     * share in permille, and the hot-cell factor (cell size ×1000 /
@@ -376,12 +453,14 @@ object EmbeddingAudit {
     "emb_pca_power" -> pcaPower,
     "emb_pair_distance_hist" -> pairDistanceHist,
     "emb_dim_covariance" -> dimCovariance,
-    "emb_ivf_balance" -> ivfBalance)
+    "emb_ivf_balance" -> ivfBalance,
+    "emb_centroid_drift" -> centroidDrift)
 
   val oracle: Map[String, String] = Map(
     "emb_centroid_margin" -> centroidMarginSql,
     "emb_pca_power" -> pcaPowerSql,
     "emb_pair_distance_hist" -> pairDistanceHistSql,
     "emb_dim_covariance" -> dimCovarianceSql,
-    "emb_ivf_balance" -> ivfBalanceSql)
+    "emb_ivf_balance" -> ivfBalanceSql,
+    "emb_centroid_drift" -> centroidDriftSql)
 }

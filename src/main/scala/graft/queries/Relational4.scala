@@ -221,7 +221,83 @@ object Relational4 {
       |                      WHERE n_name IN ('NATION_3','NATION_8','NATION_13'))
       |ORDER BY s_suppkey""".stripMargin
 
+  // ------------------------------------------- market-basket lift
+  /** Frequent-itemset mining, pair tier (the association-rules
+    * classic): top-20 part pairs co-ordered in the same order, ranked
+    * by LIFT = P(a,b)/(P(a)·P(b)) in milli units with a minimum
+    * support of 3 orders (sparse TPC-H baskets: the part key space
+    * grows with SF, so absolute pair support FALLS as data grows —
+    * a production run would set support relative to basket count). Support counts are over DISTINCT
+    * (order, part) — a part twice in one order is one basket hit.
+    *
+    * Numerics: lift_milli = (1000·n·supp_ab) DIV (supp_a·supp_b) on
+    * exact integers; with n ≤ ~9e9 baskets and pair support ≤ 1e6
+    * the numerator stays under int64 (documented ceiling — beyond
+    * that, normalize supports to per-million first).
+    *
+    * Scale shape: the pair explode is a per-order self-join — cost
+    * Σ_orders C(items, 2), bounded by the basket-size cap (≤ 17
+    * distinct parts per TPC-H order ⇒ ≤ 136 pairs), linear in
+    * orders; supports are two hash-aggs; the rank is
+    * TakeOrderedAndProject. The same skeleton as the co-presence
+    * join, with the order as the natural bounded bucket. */
+  def marketBasket(s: SparkSession, d: String): DataFrame = {
+    val items = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val suppA = items.groupBy(col("pk")).agg(count(lit(1)).as("supp"))
+    val n = items.select(col("ok")).distinct().agg(count(lit(1)).as("n"))
+    val a = items.select(col("ok"), col("pk").as("part_a"))
+    val b = items.select(col("ok"), col("pk").as("part_b"))
+    val pairs = a.join(b, "ok").filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("supp_ab"))
+      .filter(col("supp_ab") >= 3)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("lift_milli").desc, col("part_a"), col("part_b"))
+    pairs
+      .join(suppA.select(col("pk").as("part_a"), col("supp").as("supp_a")),
+        "part_a")
+      .join(suppA.select(col("pk").as("part_b"), col("supp").as("supp_b")),
+        "part_b")
+      .crossJoin(broadcast(n))
+      .withColumn("lift_milli",
+        expr("(1000 * n * supp_ab) DIV (supp_a * supp_b)"))
+      .orderBy(col("lift_milli").desc, col("part_a"), col("part_b"))
+      .limit(20)
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("part_a"), col("part_b"), col("supp_ab"),
+        col("supp_a"), col("supp_b"), col("lift_milli"))
+      .orderBy(col("rank"))
+  }
+
+  val marketBasketSql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |sa AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS supp
+      |       FROM items GROUP BY pk),
+      |n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM items),
+      |pairs AS (
+      |  SELECT a.pk AS part_a, b.pk AS part_b,
+      |    CAST(COUNT(*) AS BIGINT) AS supp_ab
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      |lifted AS (
+      |  SELECT part_a, part_b, supp_ab,
+      |    x.supp AS supp_a, y.supp AS supp_b,
+      |    (1000 * n.n * supp_ab) // (x.supp * y.supp) AS lift_milli
+      |  FROM pairs
+      |  JOIN sa x ON x.pk = part_a
+      |  JOIN sa y ON y.pk = part_b
+      |  CROSS JOIN n)
+      |SELECT CAST(ROW_NUMBER() OVER (
+      |    ORDER BY lift_milli DESC, part_a, part_b) AS INT) AS rank,
+      |  part_a, part_b, supp_ab, supp_a, supp_b, lift_milli
+      |FROM lifted
+      |ORDER BY lift_milli DESC, part_a, part_b LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_market_basket" -> marketBasket,
     "q8_market_share" -> q8MarketShare,
     "q11_important_value" -> q11ImportantValue,
     "q12_ship_priority" -> q12ShipPriority,
@@ -229,6 +305,7 @@ object Relational4 {
     "q20_dominant_supplier" -> q20DominantSupplier)
 
   val oracle: Map[String, String] = Map(
+    "agg_market_basket" -> marketBasketSql,
     "q8_market_share" -> q8MarketShareSql,
     "q11_important_value" -> q11ImportantValueSql,
     "q12_ship_priority" -> q12ShipPrioritySql,

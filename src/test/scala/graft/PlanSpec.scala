@@ -170,6 +170,7 @@ class PlanSpec extends AnyFunSuite {
                             // tf-weight projection (both passes)
     "emb_matryoshka_recall", // emb_cosine_topk's capped broadcast
                             // query set x3 widths + 1-row truth stats
+    "agg_market_basket",    // 1-row basket-count broadcast (lift denom)
     "emb_ann_recall_eval",  // inherits emb_cosine_topk's bounded
                             // capped-probe BNLJ as its ground truth
     "emb_ann_recall_sweep", // same pieces as recall_eval + 1-row
