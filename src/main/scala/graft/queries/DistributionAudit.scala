@@ -199,6 +199,28 @@ object DistributionAudit {
       |  CAST(SUM(term) AS BIGINT) // 1000000 AS psi_micronats
       |FROM terms GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** Baseline side of the STREAMING drift monitor
+    * (streaming.EventStreams.psiBinnedStream): per-(type, bin) share
+    * in exact ppm over a static historical corpus, with the global
+    * [mn, mx] cents edges carried on every row — at stream time bin
+    * edges must come from the BASELINE, never from the unbounded
+    * stream. Same binning and share grid as [[psiDrift]]. */
+  def psiBaseline(ev: DataFrame): DataFrame = {
+    val cents = ev.select(col("event_type"),
+      floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val bounds = cents.agg(min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+    val binned = cents.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        least(lit(9L), expr("(cents - mn) * 10 DIV (mx - mn + 1)")))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+    val tot = binned.groupBy(col("event_type")).agg(sum(col("n")).as("t"))
+    binned.join(tot, "event_type")
+      .select(col("event_type"), col("bin"),
+        expr("1000000 * n DIV t").as("base_ppm"))
+      .crossJoin(broadcast(bounds))
+  }
+
   // ------------------------------------------------ Benford audit
   /** Benford first-digit audit on the cents-exact value column: for
     * each leading digit 1–9, the observed frequency vs Benford's law

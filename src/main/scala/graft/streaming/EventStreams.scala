@@ -226,6 +226,58 @@ object EventStreams {
       .filter(graft.queries.Events.anomalyPredicate)
       .select(col("event_id"), col("event_type"), col("v"))
 
+  /** Streaming PSI drift monitor, corpus-sized half: arriving events
+    * are binned against a STATIC baseline's cents edges
+    * (queries.DistributionAudit.psiBaseline — edges must come from
+    * the baseline, never the unbounded stream) and counted per
+    * (event-time window, type, bin) under a watermark. State is ≤ 10
+    * bins × |types| per open window — never per-event. The PSI fold
+    * itself runs on the SINK ([[psiOfWindows]], ≤ 10 rows per
+    * window×type): the production metrics-table shape, and it keeps
+    * the plan to one streaming aggregation (chained streaming aggs
+    * are unsupported). */
+  def psiBinnedStream(events: DataFrame, baseline: DataFrame): DataFrame = {
+    val edges = broadcast(
+      baseline.select(col("mn"), col("mx")).distinct())
+    events
+      .select(col("ts"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .crossJoin(edges)
+      .withColumn("bin",
+        least(lit(9L), expr("(cents - mn) * 10 DIV (mx - mn + 1)")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("hour_sec"),
+        col("event_type"), col("bin"), col("n"))
+  }
+
+  /** Batch finisher over the binned sink: per (window, type) PSI in
+    * micro-nats against the baseline shares — the identical
+    * (sa − sb)·(⌊ln sa·1e6⌋ − ⌊ln sb·1e6⌋) DIV 1e6 device as the
+    * batch ev_psi_drift, over bins populated on both sides. */
+  def psiOfWindows(binned: DataFrame, baseline: DataFrame): DataFrame = {
+    // window total, not a self-join: the sink frame joined with an
+    // aggregate of itself trips conflicting-attribute resolution on
+    // memory-table views, and the ≤10-bin partitions cost nothing
+    val wt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hour_sec"), col("event_type"))
+    binned.withColumn("t", sum(col("n")).over(wt))
+      .join(baseline.select(col("event_type"), col("bin"), col("base_ppm")),
+        Seq("event_type", "bin"))
+      .withColumn("sa", expr("1000000 * n DIV t"))
+      .withColumn("term",
+        when(col("sa") > 0 && col("base_ppm") > 0,
+          (col("sa") - col("base_ppm")) *
+            (floor(log(col("sa").cast("double")) * lit(1e6)).cast("long") -
+             floor(log(col("base_ppm").cast("double")) * lit(1e6))
+               .cast("long")))
+          .otherwise(lit(0L)))
+      .groupBy(col("hour_sec"), col("event_type"))
+      .agg(max(col("t")).as("n_events"),
+        expr("SUM(term) DIV 1000000").as("psi_micronats"))
+  }
+
   /** Windowed streaming heavy-hitter candidates: which users dominate
     * each event-time hour (the abuse/bot pre-filter) — the native
     * Misra–Gries aggregate running INSIDE a watermarked streaming

@@ -30,6 +30,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  test("streaming PSI drift bins == batch recomputation; finisher " +
+      "matches the batch device") {
+    val baseline = graft.queries.DistributionAudit.psiBaseline(batchEvents)
+    val stream = EventStreams.readEventStream(spark, eventsPath)
+    EventStreams.runToMemory(spark,
+      EventStreams.psiBinnedStream(stream, baseline), "psibins",
+      OutputMode.Complete())
+    val got = EventStreams
+      .psiOfWindows(spark.table("psibins"), baseline)
+      .orderBy("hour_sec", "event_type").collect().toSeq
+    // batch twin: same baseline edges, same window grid, same finisher
+    val edges = baseline.select(col("mn"), col("mx")).distinct()
+    val binnedBatch = batchEvents
+      .select(date_trunc("hour", col("ts")).cast("long").as("hour_sec"),
+        col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .crossJoin(broadcast(edges))
+      .withColumn("bin",
+        least(lit(9L), expr("(cents - mn) * 10 DIV (mx - mn + 1)")))
+      .groupBy(col("hour_sec"), col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+    val exp = EventStreams.psiOfWindows(binnedBatch, baseline)
+      .orderBy("hour_sec", "event_type").collect().toSeq
+    assert(got.nonEmpty && got == exp)
+    // PSI is a non-negative divergence by construction: each term is
+    // (sa−sb)·(ln sa − ln sb), same-sign factors
+    got.foreach(r => assert(r.getLong(3) >= 0L))
+  }
+
   test("session window stream == batch sessionization") {
     val stream = EventStreams.readEventStream(spark, eventsPath)
     EventStreams.runToMemory(spark,
