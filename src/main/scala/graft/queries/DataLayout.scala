@@ -170,11 +170,66 @@ object DataLayout {
       |  MIN(ingest_win) AS win_min, MAX(ingest_win) AS win_max
       |FROM p GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin
 
+  // --------------------------------------------- shard balance
+  /** Writer-side shard planning audit: hash-assign documents to 16
+    * shards (md5 of doc_id — the same engine-portable key the dedup
+    * tier samples with) and report each shard's doc count, token
+    * mass, and balance vs the ideal uniform share in permille. The
+    * pre-write check behind output partitioning decisions: token-mass
+    * skew above ~10% means downstream training readers stall on the
+    * fat shard, and the fix (salt, or split by token budget —
+    * doc_token_budget_select) is cheap before the write and a rewrite
+    * after.
+    *
+    * Scale shape: one stateless projection (hash + token count) into
+    * a 16-group hash-agg with map-side combine; the totals row
+    * broadcasts back. One linear pass regardless of corpus size. */
+  def shardBalance(s: SparkSession, d: String): DataFrame = {
+    val Shards = 16
+    val t = documents(s, d).select(
+      (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % Shards).as("shard"),
+      size(Documents.tokens(col("text"))).cast("long").as("toks"))
+    val shards = t.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+    val tot = shards.agg(sum(col("n_docs")).as("td"),
+      sum(col("n_tokens")).as("tt"))
+    shards.crossJoin(broadcast(tot))
+      .withColumn("doc_share_pm", expr(s"1000 * $Shards * n_docs DIV td"))
+      .withColumn("token_share_pm", expr(s"1000 * $Shards * n_tokens DIV tt"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        col("doc_share_pm"), col("token_share_pm"))
+      .orderBy(col("shard"))
+  }
+
+  val shardBalanceSql: String =
+    """WITH t AS (
+      |  SELECT ((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+      |       + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+      |       + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+      |       + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 16
+      |      AS shard,
+      |    CAST(len(list_filter(string_split_regex(text, '[^\p{L}]+'),
+      |      w -> w <> '')) AS BIGINT) AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(toks) AS BIGINT) AS n_tokens
+      |  FROM t GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS td,
+      |          CAST(SUM(n_tokens) AS BIGINT) AS tt FROM s)
+      |SELECT shard, n_docs, n_tokens,
+      |  1000 * 16 * n_docs // td AS doc_share_pm,
+      |  1000 * 16 * n_tokens // tt AS token_share_pm
+      |FROM s, tot ORDER BY shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder_stats" -> zorderStats,
-    "layout_compaction_bins" -> compactionBins)
+    "layout_compaction_bins" -> compactionBins,
+    "layout_shard_balance" -> shardBalance)
 
   val oracle: Map[String, String] = Map(
     "layout_zorder_stats" -> zorderStatsSql,
-    "layout_compaction_bins" -> compactionBinsSql)
+    "layout_compaction_bins" -> compactionBinsSql,
+    "layout_shard_balance" -> shardBalanceSql)
 }

@@ -299,6 +299,53 @@ object LifecycleOps {
       |FROM top t, ncap n
       |ORDER BY n_shared_slots DESC, user_a, user_b""".stripMargin
 
+  // ------------------------------------------ activity streaks
+  /** Longest consecutive-day activity streak per user, rolled into a
+    * streak-length histogram (streak_days → n_users) — the classic
+    * gaps-and-islands reduction on the day grid and the retention
+    * primitive behind "7-day streak" product mechanics. Island key =
+    * day_idx − row_number per user: constant within a consecutive
+    * run, strictly decreasing across gaps.
+    *
+    * Scale shape: distinct (user, day) is one hash-agg; the
+    * row_number window partitions BY USER (the parallel unit, never
+    * a global sort); islands and maxima are two more user-keyed
+    * hash-aggs; the histogram is ≤ |days| rows. */
+  def streakLengths(s: SparkSession, d: String): DataFrame = {
+    val days = ev(s, d)
+      .select(col("user_id"), expr("sec DIV 86400").as("day_idx"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day_idx"))
+    val islands = days.withColumn("rn", row_number().over(w))
+      .withColumn("island", col("day_idx") - col("rn"))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("streak_days"))
+    val best = islands.groupBy(col("user_id"))
+      .agg(max(col("streak_days")).as("best_streak"))
+    best.groupBy(col("best_streak").as("streak_days"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("streak_days"))
+  }
+
+  val streakLengthsSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 AS day_idx
+      |  FROM events),
+      |isl AS (
+      |  SELECT user_id,
+      |    day_idx - ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY day_idx) AS island
+      |  FROM days),
+      |runs AS (
+      |  SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS streak_days
+      |  FROM isl GROUP BY 1, 2),
+      |best AS (
+      |  SELECT user_id, MAX(streak_days) AS best_streak
+      |  FROM runs GROUP BY 1)
+      |SELECT best_streak AS streak_days, COUNT(*) AS n_users
+      |FROM best GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------ survival curve
   /** User-retention survival curve: for each day offset k (0–29), the
     * share of users whose observed lifespan (first event → last
@@ -470,7 +517,8 @@ object LifecycleOps {
     "ev_interarrival_quantiles" -> interarrivalQuantiles,
     "ev_value_histogram" -> valueHistogram,
     "ev_markov_entropy" -> markovEntropy,
-    "ev_copresence_affinity" -> copresenceAffinity)
+    "ev_copresence_affinity" -> copresenceAffinity,
+    "ev_streak_lengths" -> streakLengths)
 
   val oracle: Map[String, String] = Map(
     "ev_bot_regularity" -> botRegularitySql,
@@ -480,5 +528,6 @@ object LifecycleOps {
     "ev_interarrival_quantiles" -> interarrivalQuantilesSql,
     "ev_value_histogram" -> valueHistogramSql,
     "ev_markov_entropy" -> markovEntropySql,
-    "ev_copresence_affinity" -> copresenceAffinitySql)
+    "ev_copresence_affinity" -> copresenceAffinitySql,
+    "ev_streak_lengths" -> streakLengthsSql)
 }

@@ -171,6 +171,7 @@ class PlanSpec extends AnyFunSuite {
     "emb_matryoshka_recall", // emb_cosine_topk's capped broadcast
                             // query set x3 widths + 1-row truth stats
     "agg_market_basket",    // 1-row basket-count broadcast (lift denom)
+    "layout_shard_balance", // 1-row totals broadcast (share permille)
     "emb_ann_recall_eval",  // inherits emb_cosine_topk's bounded
                             // capped-probe BNLJ as its ground truth
     "emb_ann_recall_sweep", // same pieces as recall_eval + 1-row
