@@ -373,13 +373,117 @@ object GraphRank {
        |FROM mo""".stripMargin
   }
 
+  // --------------------------------------------- k-core (truncated)
+  /** 3-core of the LSH candidate graph by TRUNCATED iterative peeling:
+    * 8 rounds of "drop every node with degree < k, keep edges whose
+    * both endpoints survive". The k-core is the dense heart of the
+    * duplicate graph — template floods and mirror farms live in it;
+    * singleton-ish near-dups don't. Output is one row: initial/core
+    * node and edge counts plus a `converged` flag (1 = the final
+    * round found nothing below k, i.e. the TRUE k-core was reached).
+    *
+    * The round count is a declared TRUNCATION, not a hidden one:
+    * adversarial chains can need O(n) peels (each round removes one
+    * node), which no fixed unroll covers — so both engines run the
+    * SAME 8 rounds and the converged flag says whether the answer is
+    * exact (it is on every fixture SF; a production run would loop
+    * to fixpoint with the CC-style convergence scalar). The DuckDB
+    * oracle unrolls the identical 8 rounds as chained CTEs — the
+    * bpeTrainSql pattern applied to graph peeling.
+    *
+    * Scale shape: each round is one degree hash-agg + two semi-joins
+    * keyed on node id over the surviving edges — O(edges) per round
+    * with map-side combine, materialized per round (the PageRank
+    * checkpoint discipline, here each intermediate feeds two
+    * consumers). No collect anywhere: the converged flag is computed
+    * in-plan from the final degree table. */
+  def kcore(s: SparkSession, d: String): DataFrame =
+    kcoreOn(Documents.lshCandidatePairs(s, d))
+
+  private[queries] val CoreK = 3
+  private[queries] val CoreRounds = 8
+
+  /** Core over caller-supplied undirected edges — separated so specs
+    * can plant known cores and slow-peeling tails. */
+  def kcoreOn(pairs: DataFrame, k: Int = CoreK, rounds: Int = CoreRounds)
+      : DataFrame = {
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("dg"))
+    var edges = graft.operators.Materialize.eager(
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+    val init = degrees(edges).agg(count(lit(1)).as("n_nodes_initial"))
+      .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges_initial"))))
+    for (_ <- 1 to rounds) {
+      val keep = degrees(edges).filter(col("dg") >= k).select(col("id"))
+      edges = graft.operators.Materialize.eager(
+        edges
+          .join(keep.select(col("id").as("u")), "u")
+          .join(keep.select(col("id").as("v")), "v")
+          .select(col("u"), col("v")))
+    }
+    val fin = degrees(edges)
+      .agg(count(lit(1)).as("n_core_nodes"),
+        coalesce(sum(when(col("dg") < k, 1L).otherwise(0L)), lit(0L))
+          .as("n_below"))
+      .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_core_edges"))))
+    init.crossJoin(broadcast(fin))
+      .select(col("n_nodes_initial"), col("n_edges_initial"),
+        col("n_core_nodes"), col("n_core_edges"),
+        when(col("n_below") === 0, 1L).otherwise(0L).as("converged"))
+  }
+
+  val kcoreSql: String = {
+    val sig = Documents.minhashSignaturesSql.replace("ORDER BY doc_id", "")
+    val peel = (1 to CoreRounds).map { r =>
+      val p = r - 1
+      s"""d$r AS MATERIALIZED (
+         |  SELECT id, COUNT(*) AS dg FROM (
+         |    SELECT u AS id FROM e$p UNION ALL SELECT v FROM e$p) t
+         |  GROUP BY id),
+         |k$r AS MATERIALIZED (SELECT id FROM d$r WHERE dg >= $CoreK),
+         |e$r AS MATERIALIZED (
+         |  SELECT e.u, e.v FROM e$p e
+         |  JOIN k$r a ON e.u = a.id JOIN k$r b ON e.v = b.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sig AS ($sig),
+       |banded AS (
+       |  SELECT doc_id, 'b0_' || mh0 || '_' || mh1 AS band FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 'b1_' || mh2 || '_' || mh3 AS band FROM sig),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.doc_id < b.doc_id),
+       |d0 AS (
+       |  SELECT id, COUNT(*) AS dg FROM (
+       |    SELECT u AS id FROM e0 UNION ALL SELECT v FROM e0) t
+       |  GROUP BY id),
+       |$peel,
+       |dfin AS (
+       |  SELECT id, COUNT(*) AS dg FROM (
+       |    SELECT u AS id FROM e$CoreRounds
+       |    UNION ALL SELECT v FROM e$CoreRounds) t
+       |  GROUP BY id)
+       |SELECT
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM d0) AS n_nodes_initial,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e0) AS n_edges_initial,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM dfin) AS n_core_nodes,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e$CoreRounds) AS n_core_edges,
+       |  CASE WHEN (SELECT COUNT(*) FROM dfin WHERE dg < $CoreK) = 0
+       |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS converged
+       |""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank_dups" -> pagerankDupGraph,
     "graph_triangle_count" -> triangleCount,
-    "graph_degree_assortativity" -> degreeAssortativity)
+    "graph_degree_assortativity" -> degreeAssortativity,
+    "graph_kcore" -> kcore)
 
   val oracle: Map[String, String] = Map(
     "graph_pagerank_dups" -> pagerankDupGraphSql,
     "graph_triangle_count" -> triangleCountSql,
-    "graph_degree_assortativity" -> degreeAssortativitySql)
+    "graph_degree_assortativity" -> degreeAssortativitySql,
+    "graph_kcore" -> kcoreSql)
 }
