@@ -304,6 +304,75 @@ object Documents {
        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
   }
 
+  // -------------------------------------- dedup: cluster density
+  /** Merge-safety audit for transitive dedup: for the 20 largest
+    * clusters, edge density vs the clique ideal (2·E/(n·(n−1)) in
+    * permille) and an is_clique flag. Density near 1000 means the
+    * cluster is pairwise-duplicate (merging is safe); low density
+    * means CHAINS of borderline pairs glued unrelated docs through
+    * transitivity — the exact failure mode the triangle counter
+    * diagnoses globally, here localized to the clusters a pipeline
+    * is about to collapse.
+    *
+    * Scale shape: cluster labels are dedup_clusters' contracted CC
+    * (O(n) edges); candidate edges are the banded join; the density
+    * table is one label join + two cluster-keyed hash-aggs. Both
+    * endpoint labels agree by construction, so ONE join on doc_a
+    * suffices. */
+  def clusterDensity(s: SparkSession, d: String): DataFrame = {
+    val labels = graft.operators.Materialize.eager(
+      dedupClusters(s, d).select(col("doc_id"), col("cluster_rep")))
+    val sizes = labels.groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .filter(col("n_nodes") >= 2)
+    val edges = lshCandidatePairs(s, d)
+      .join(labels.select(col("doc_id").as("doc_a"), col("cluster_rep")),
+        "doc_a")
+      .groupBy(col("cluster_rep")).agg(count(lit(1)).as("n_edges"))
+    sizes.join(edges, Seq("cluster_rep"), "left")
+      .na.fill(0L, Seq("n_edges"))
+      .withColumn("density_pm",
+        expr("2000 * n_edges DIV (n_nodes * (n_nodes - 1))"))
+      .withColumn("is_clique",
+        when(expr("2 * n_edges = n_nodes * (n_nodes - 1)"), 1L)
+          .otherwise(0L))
+      .orderBy(col("n_nodes").desc, col("cluster_rep")).limit(20)
+      .select(col("cluster_rep"), col("n_nodes"), col("n_edges"),
+        col("density_pm"), col("is_clique"))
+      .orderBy(col("n_nodes").desc, col("cluster_rep"))
+  }
+
+  val clusterDensitySql: String = {
+    val sig = minhashSignaturesSql.replace("ORDER BY doc_id", "")
+    s"""WITH labels AS (
+       |  SELECT * FROM ($dedupClustersSql) lt),
+       |sigp AS ($sig),
+       |bandedp AS (
+       |  SELECT doc_id, 'b0_' || mh0 || '_' || mh1 AS band FROM sigp
+       |  UNION ALL
+       |  SELECT doc_id, 'b1_' || mh2 || '_' || mh3 AS band FROM sigp),
+       |pairsp AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bandedp a JOIN bandedp b
+       |    ON a.band = b.band AND a.doc_id < b.doc_id),
+       |sizes AS (
+       |  SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS n_nodes
+       |  FROM labels GROUP BY 1 HAVING COUNT(*) >= 2),
+       |e AS (
+       |  SELECT l.cluster_rep, CAST(COUNT(*) AS BIGINT) AS n_edges
+       |  FROM pairsp p JOIN labels l ON p.doc_a = l.doc_id
+       |  GROUP BY 1)
+       |SELECT s.cluster_rep, s.n_nodes,
+       |  COALESCE(e.n_edges, 0) AS n_edges,
+       |  2000 * COALESCE(e.n_edges, 0) // (s.n_nodes * (s.n_nodes - 1))
+       |    AS density_pm,
+       |  CASE WHEN 2 * COALESCE(e.n_edges, 0)
+       |         = s.n_nodes * (s.n_nodes - 1)
+       |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_clique
+       |FROM sizes s LEFT JOIN e USING (cluster_rep)
+       |ORDER BY s.n_nodes DESC, s.cluster_rep LIMIT 20""".stripMargin
+  }
+
   // -------------------------------------- dedup: incremental batch
   /** Incremental dedup — the daily-ingestion shape: a NEW batch (here
     * every 5th doc by id) is checked against the EXISTING corpus via
@@ -778,6 +847,7 @@ object Documents {
     "dedup_minhash_sig" -> minhashSignatures,
     "dedup_lsh_pairs" -> dedupLshPairs,
     "dedup_clusters" -> dedupClusters,
+    "dedup_cluster_density" -> clusterDensity,
     "dedup_incremental" -> dedupIncremental,
     "dedup_bloom_incremental" -> dedupBloomIncremental,
     "dedup_ngram_jaccard" -> ngramJaccard,
@@ -798,6 +868,7 @@ object Documents {
     "dedup_minhash_sig" -> minhashSignaturesSql,
     "dedup_lsh_pairs" -> dedupLshPairsSql,
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_cluster_density" -> clusterDensitySql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_bloom_incremental" -> dedupBloomIncrementalSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,

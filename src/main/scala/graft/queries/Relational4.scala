@@ -221,6 +221,44 @@ object Relational4 {
       |                      WHERE n_name IN ('NATION_3','NATION_8','NATION_13'))
       |ORDER BY s_suppkey""".stripMargin
 
+  // ------------------------------------------- backlog aging
+  /** Open-order backlog aging report: orders not yet finalized
+    * (status O/P) bucketed by 30-day age bands relative to the
+    * NEWEST order date in the data (the "as of" anchor, so the query
+    * is scale-factor agnostic), per status and priority, with the
+    * backlog value in exact cents. The ops-review staple: old
+    * high-priority backlog is the page-someone number.
+    *
+    * Scale shape: the anchor is a 1-row broadcast (whitelisted); the
+    * rest is one filtered scan into a ≤ 2·5·4-group hash-agg with
+    * map-side combine. */
+  def backlogAging(s: SparkSession, d: String): DataFrame = {
+    val anchor = orders(s, d).agg(max(col("o_orderdate")).as("mxd"))
+    orders(s, d).filter(col("o_orderstatus").isin("O", "P"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("age_days",
+        datediff(col("mxd").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long"))
+      .withColumn("age_bucket", least(lit(3L), expr("age_days DIV 30")))
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"),
+        col("age_bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice")).cast("long")).as("backlog_cents"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"),
+        col("age_bucket"))
+  }
+
+  val backlogAgingSql: String =
+    s"""WITH a AS (SELECT MAX(o_orderdate) AS mxd FROM orders)
+       |SELECT o_orderstatus, o_orderpriority,
+       |  LEAST(3, DATE_DIFF('day', CAST(o_orderdate AS DATE),
+       |    CAST(mxd AS DATE)) // 30) AS age_bucket,
+       |  COUNT(*) AS n_orders,
+       |  CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS backlog_cents
+       |FROM orders, a
+       |WHERE o_orderstatus IN ('O', 'P')
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   // ------------------------------------------- market-basket lift
   /** Frequent-itemset mining, pair tier (the association-rules
     * classic): top-20 part pairs co-ordered in the same order, ranked
@@ -298,6 +336,7 @@ object Relational4 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_market_basket" -> marketBasket,
+    "agg_backlog_aging" -> backlogAging,
     "q8_market_share" -> q8MarketShare,
     "q11_important_value" -> q11ImportantValue,
     "q12_ship_priority" -> q12ShipPriority,
@@ -306,6 +345,7 @@ object Relational4 {
 
   val oracle: Map[String, String] = Map(
     "agg_market_basket" -> marketBasketSql,
+    "agg_backlog_aging" -> backlogAgingSql,
     "q8_market_share" -> q8MarketShareSql,
     "q11_important_value" -> q11ImportantValueSql,
     "q12_ship_priority" -> q12ShipPrioritySql,
