@@ -49,7 +49,12 @@ object PlanCheck {
       "mm_phash_buckets", "ev_bot_regularity",
       "ev_ltv_cohorts", "emb_ann_recall_sweep", "sketch_daily_merge",
       "text_bpe_apply", "graph_degree_assortativity", "ev_psi_drift",
-      "retrieval_query_expansion")
+      "retrieval_query_expansion", "text_quality_dup_calibration",
+      "text_memorization_grams", "audit_l_diversity",
+      "mm_phash_neardup_pairs", "emb_matryoshka_recall",
+      "agg_market_basket", "emb_centroid_drift", "ev_streak_lengths",
+      "layout_shard_balance", "graph_kcore", "agg_backlog_aging",
+      "dedup_cluster_density")
     val out = new StringBuilder
     out ++= "# PLANS — formatted physical plans for headline queries\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanCheck PLANS.md\"` " +
