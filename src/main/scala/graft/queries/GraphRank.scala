@@ -425,14 +425,31 @@ object GraphRank {
       pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
     val init = degrees(edges).agg(count(lit(1)).as("n_nodes_initial"))
       .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges_initial"))))
-    for (_ <- 1 to rounds) {
-      val keep = degrees(edges).filter(col("dg") >= k).select(col("id"))
-      edges = graft.operators.Materialize.eager(
-        edges
-          .join(keep.select(col("id").as("u")), "u")
-          .join(keep.select(col("id").as("v")), "v")
-          .select(col("u"), col("v")))
-    }
+    // early exit on fixpoint: once a round drops no node, every later
+    // round is the identity (e_{r+1} = e_r exactly), so skipping them
+    // cannot change the output — the 8-round DuckDB unroll computes
+    // the same no-ops and stays bit-equal. The per-round survivor
+    // count is ONE bounded scalar to the driver (the CC convergence
+    // discipline); without it the dense candidate graph pays 8 full
+    // edge-join rounds for a peel that converges in 2 (A/B at sf0.1:
+    // 24.1 s in-suite → the post-convergence rounds were ~3/4 of it).
+    var prevNodes = -1L
+    var r = 0
+    while (r < rounds && {
+      val keep = graft.operators.Materialize.eager(
+        degrees(edges).filter(col("dg") >= k).select(col("id")))
+      val nKeep = keep.count()
+      val changed = nKeep != prevNodes
+      if (changed) {
+        prevNodes = nKeep
+        edges = graft.operators.Materialize.eager(
+          edges
+            .join(keep.select(col("id").as("u")), "u")
+            .join(keep.select(col("id").as("v")), "v")
+            .select(col("u"), col("v")))
+      }
+      changed
+    }) r += 1
     val fin = degrees(edges)
       .agg(count(lit(1)).as("n_core_nodes"),
         coalesce(sum(when(col("dg") < k, 1L).otherwise(0L)), lit(0L))
