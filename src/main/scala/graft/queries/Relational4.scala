@@ -232,9 +232,14 @@ object Relational4 {
     * Scale shape: the anchor is a 1-row broadcast (whitelisted); the
     * rest is one filtered scan into a ≤ 2·5·4-group hash-agg with
     * map-side combine. */
-  def backlogAging(s: SparkSession, d: String): DataFrame = {
-    val anchor = orders(s, d).agg(max(col("o_orderdate")).as("mxd"))
-    orders(s, d).filter(col("o_orderstatus").isin("O", "P"))
+  def backlogAging(s: SparkSession, d: String): DataFrame =
+    backlogAgingOn(orders(s, d))
+
+  /** Core over a caller-supplied orders frame — separated so specs
+    * can plant exact age-band fixtures. */
+  def backlogAgingOn(o: DataFrame): DataFrame = {
+    val anchor = o.agg(max(col("o_orderdate")).as("mxd"))
+    o.filter(col("o_orderstatus").isin("O", "P"))
       .crossJoin(broadcast(anchor))
       .withColumn("age_days",
         datediff(col("mxd").cast("date"), col("o_orderdate").cast("date"))
@@ -279,10 +284,15 @@ object Relational4 {
     * orders; supports are two hash-aggs; the rank is
     * TakeOrderedAndProject. The same skeleton as the co-presence
     * join, with the order as the natural bounded bucket. */
-  def marketBasket(s: SparkSession, d: String): DataFrame = {
-    val items = lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
+  def marketBasket(s: SparkSession, d: String): DataFrame =
+    marketBasketOn(lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
+
+  /** Core over caller-supplied (ok, pk) basket items — separated so
+    * specs can plant known lift orderings. */
+  def marketBasketOn(rawItems: DataFrame, minSupport: Long = 3)
+      : DataFrame = {
+    val items = rawItems.distinct()
     val suppA = items.groupBy(col("pk")).agg(count(lit(1)).as("supp"))
     val n = items.select(col("ok")).distinct().agg(count(lit(1)).as("n"))
     val a = items.select(col("ok"), col("pk").as("part_a"))
@@ -290,7 +300,7 @@ object Relational4 {
     val pairs = a.join(b, "ok").filter(col("part_a") < col("part_b"))
       .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("supp_ab"))
-      .filter(col("supp_ab") >= 3)
+      .filter(col("supp_ab") >= minSupport)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("lift_milli").desc, col("part_a"), col("part_b"))
     pairs

@@ -39,6 +39,43 @@ class DistributionAuditSpec extends AnyFunSuite {
     assert(got == Seq(("x", 2L, 2L, 0L), ("y", 2L, 2L, 1000L)))
   }
 
+  test("psi drift: identical halves score 0; disjoint supports use " +
+      "no bins (finite-PSI convention); an overlapping shift is " +
+      "positive and matches the hand formula") {
+    val day1 = 86400L
+    val d = writeEvents(Seq(
+      // type x: same multiset both days → every shared bin equal → 0
+      (1L, ts(10), 1L, "x", 1.00, "{}"),
+      (2L, ts(20), 1L, "x", 2.00, "{}"),
+      (3L, ts(day1 + 10), 1L, "x", 1.00, "{}"),
+      (4L, ts(day1 + 20), 1L, "x", 2.00, "{}"),
+      // type y: halves live in DISJOINT bins → no bin counted on
+      // both sides → n_bins_used 0, psi 0 by the finite convention
+      (5L, ts(30), 1L, "y", 0.01, "{}"),
+      (6L, ts(day1 + 30), 1L, "y", 2.00, "{}"),
+      // type z: 3:1 vs 1:3 across the two extreme bins
+      (7L, ts(40), 1L, "z", 0.01, "{}"),
+      (8L, ts(50), 1L, "z", 0.01, "{}"),
+      (9L, ts(60), 1L, "z", 0.01, "{}"),
+      (10L, ts(70), 1L, "z", 2.00, "{}"),
+      (11L, ts(day1 + 40), 1L, "z", 0.01, "{}"),
+      (12L, ts(day1 + 50), 1L, "z", 2.00, "{}"),
+      (13L, ts(day1 + 60), 1L, "z", 2.00, "{}"),
+      (14L, ts(day1 + 70), 1L, "z", 2.00, "{}")))
+    val got = DistributionAudit.psiDrift(spark, d)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+      .map(r => r._1 -> r).toMap
+    assert(got("x") == (("x", 2L, 2L, 2L, 0L)))
+    assert(got("y") == (("y", 1L, 1L, 0L, 0L)))
+    // z: shares 750000/250000 flip across the two bins; hand formula:
+    // Σ (sa−sb)·(⌊ln(sa)e6⌋−⌊ln(sb)e6⌋) DIV 1e6 over both bins
+    def flog(x: Long) = math.floor(math.log(x.toDouble) * 1e6).toLong
+    // both bins contribute the SAME term by symmetry of the flip
+    val term = (750000L - 250000L) * (flog(750000L) - flog(250000L))
+    val psi = (term * 2) / 1000000L
+    assert(got("z")._4 == 2L && got("z")._5 == psi && psi > 0L)
+  }
+
   test("ks drift: a single-day corpus (empty first half) reports 0, " +
       "not a division error") {
     val d = writeEvents(Seq(

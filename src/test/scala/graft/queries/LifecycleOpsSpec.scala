@@ -115,6 +115,26 @@ class LifecycleOpsSpec extends AnyFunSuite {
     assert(x == y && x.nonEmpty && x.forall(_._4 == 0L))
   }
 
+  test("streaks: consecutive-day islands; repeats within a day don't " +
+      "extend; the BEST streak per user feeds the histogram") {
+    val day = 86400L
+    val d = writeEvents(Seq(
+      // u1: days 0,1,2 then 5 → best 3 (two events on day 1 = one day)
+      (1L, ts(10), 1L, "a", 0.0, "{}"),
+      (2L, ts(day + 10), 1L, "a", 0.0, "{}"),
+      (3L, ts(day + 20), 1L, "a", 0.0, "{}"),
+      (4L, ts(2 * day + 10), 1L, "a", 0.0, "{}"),
+      (5L, ts(5 * day + 10), 1L, "a", 0.0, "{}"),
+      // u2: one day → best 1
+      (6L, ts(10 * day), 2L, "a", 0.0, "{}"),
+      // u3: days 3,4 → best 2
+      (7L, ts(3 * day), 3L, "a", 0.0, "{}"),
+      (8L, ts(4 * day), 3L, "a", 0.0, "{}")))
+    val got = LifecycleOps.streakLengths(spark, d)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
   test("interarrival quantiles: per-(user,type) gaps, snapped centisec") {
     // user 1 type a at 0,10,30 -> gaps 10,20; p50 = 15 s = 1500 centisec
     val d = writeEvents(Seq(

@@ -1,0 +1,57 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Planted-fixture pins for the round-8 Relational4 additions:
+  * market-basket lift ordering and backlog age-band bucketing. */
+class Relational4Spec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("market basket: lift ranks a rare-but-always-together pair " +
+      "above a common independent one; min support filters") {
+    // parts 1,2 co-occur in ALL and ONLY baskets 1-3 (perfect lift);
+    // parts 3 (7 baskets) and 4 (5 baskets) are common, together in
+    // 4 — near independence; parts 5,6 together only twice (below
+    // the support floor of 3)
+    val items = Seq(
+      (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 2L),
+      (4L, 3L), (4L, 4L), (5L, 3L), (5L, 4L), (6L, 3L), (6L, 4L),
+      (7L, 3L), (7L, 4L), (8L, 3L), (1L, 3L), (2L, 4L), (3L, 3L),
+      (6L, 5L), (6L, 6L), (7L, 5L), (7L, 6L))
+      .toDF("ok", "pk")
+    val got = Relational4.marketBasketOn(items)
+      .as[(Int, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val byPair = got.map(r => (r._2, r._3) -> r).toMap
+    // n baskets = 8; (1,2): supp_ab=3, supp_1=3, supp_2=3
+    //   lift = 1000*8*3/(3*3) = 2666
+    assert(byPair((1L, 2L))._7 == 2666L)
+    // (3,4): supp_ab=4, supp_3=7, supp_4=5 → 1000*8*4 DIV 35 = 914
+    assert(byPair((3L, 4L))._7 == 914L)
+    // rank: perfect-lift pair first
+    assert(got.head._2 == 1L && got.head._3 == 2L)
+    // (5,6) has support 2 < 3 → filtered out
+    assert(!byPair.contains((5L, 6L)))
+  }
+
+  test("backlog aging: buckets are 30-day bands from the newest " +
+      "order; finalized orders are excluded") {
+    def ts(day: Long) = new java.sql.Timestamp(day * 86400L * 1000L)
+    val orders = Seq(
+      // (key, cust, status, total, date, priority)
+      (1L, 1L, "O", 100.0, ts(100), "1-URGENT"), // age 0  → bucket 0
+      (2L, 1L, "O", 200.0, ts(71), "1-URGENT"),  // age 29 → bucket 0
+      (3L, 1L, "P", 300.0, ts(70), "1-URGENT"),  // age 30 → bucket 1
+      (4L, 1L, "P", 400.0, ts(5), "1-URGENT"),   // age 95 → capped 3
+      (5L, 1L, "F", 500.0, ts(5), "1-URGENT"))   // finalized: excluded
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val got = Relational4.backlogAgingOn(orders)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("O", "1-URGENT", 0L, 2L, 30000L),
+      ("P", "1-URGENT", 1L, 1L, 30000L),
+      ("P", "1-URGENT", 3L, 1L, 40000L)))
+  }
+}
