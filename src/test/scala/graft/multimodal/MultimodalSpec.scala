@@ -180,4 +180,30 @@ class MultimodalSpec extends AnyFunSuite {
       s"one bucket holding all three image payloads expected, got $img")
     assert(got("audio")._3 == 1L)
   }
+
+  test("phash near-dup pairs: identical payloads collide at Hamming " +
+      "0 within their kind") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ph").toString
+    val base = "the quick brown fox jumps over the lazy dog " * 4
+    // doc_ids 0 and 3 are both kind 'image' (id % 3 == 0) and share
+    // the exact text -> identical phash -> a Hamming-0 near-dup pair;
+    // 6 (image) and 1,4 (audio) carry unrelated long texts
+    val other1 = "zebra quartz jolt vex wump flog bling crwth " * 4
+    val other2 = "mimsy borogove rath outgrabe tove wabe gyre " * 4
+    Seq((0L, base), (3L, base), (6L, other1), (1L, other2), (4L, base))
+      .map { case (id, t) => (id, t, "en", s"s$id", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Multimodal.phashNearDupPairs(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // image kind: the identical pair (0,3) is a candidate at distance
+    // 0; kinds never mix, so doc 4's identical text (audio) cannot
+    // pair with 0 or 3
+    assert(got.contains("image"))
+    assert(got("image")._3 >= 1L, "identical pair must confirm")
+    assert(got("image")._4 == 0L, "identical payloads are Hamming 0")
+    assert(!got.contains("video"), "single-doc kinds emit no pairs")
+  }
 }

@@ -34,6 +34,22 @@ class EmbeddingAuditSpec extends AnyFunSuite {
     assert(math.abs(k16 - k4) < 120, s"sample drifted: $k4 -> $k16")
   }
 
+  test("centroid drift: parity halves with a known shift; the most-" +
+      "moved dimension wins the tie-break") {
+    val dir = java.nio.file.Files.createTempDirectory("cd").toString
+    // label 0: even ids (half 0) at [1.0, 0.5], odd ids (half 1) at
+    // [2.0, 0.5] → dim-0 centroid shift −1000 on the e3 grid, dim-1
+    // shift 0 → shift2 = 1e6, top_dim 0
+    val rows: Seq[(Long, Array[Float], Int)] = Seq(
+      (0L, Array(1.0f, 0.5f), 0), (2L, Array(1.0f, 0.5f), 0),
+      (1L, Array(2.0f, 0.5f), 0), (3L, Array(2.0f, 0.5f), 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = EmbeddingAudit.centroidDrift(spark, dir)
+      .as[(Int, Long, Long, Long, Int, Long)].collect().toSeq
+    assert(got == Seq((0, 2L, 2L, 1000000L, 0, -1000L)))
+  }
+
   test("separated clusters: no boundary vectors; a planted mislabel " +
       "is counted against its (wrong) label") {
     val dir = java.nio.file.Files.createTempDirectory("ea").toString

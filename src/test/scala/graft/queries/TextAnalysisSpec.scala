@@ -166,4 +166,33 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(3)))
     assert(rows.toSeq == Seq((1L, 0, 3), (2L, 0, 64)))
   }
+
+  test("memorization grams: only cross-doc repeated 3-grams rank; " +
+      "occurrences count every instance") {
+    val dir = writeDocs(Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma epsilon"),
+      (3L, "zeta eta theta iota")))
+    val got = TextAnalysis.memorizationGrams(spark, dir)
+      .as[(Int, String, Long, Long)].collect().toSeq
+    // "alpha beta gamma" spans docs 1 and 2; every other gram is
+    // single-doc and filtered
+    assert(got == Seq((1, "alpha beta gamma", 2L, 2L)))
+  }
+
+  test("quality-dup calibration: totals conserve and the duplicated " +
+      "docs' bin carries the dup mass") {
+    val longUnique = (1 to 60).map(i => s"word$i unique").mkString(" ")
+    val dir = writeDocs(Seq(
+      (1L, "tiny dup text"), (2L, "tiny dup text"), // exact dups
+      (3L, longUnique + " three"),
+      (4L, longUnique + " four")))
+    val rows = TextAnalysis.qualityDupCalibration(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._2).sum == 4L, "every doc lands in one bin")
+    assert(rows.map(_._4).sum == 2L, "exactly the two dups counted")
+    val dupBins = rows.filter(_._4 > 0)
+    assert(dupBins.nonEmpty && dupBins.forall(r =>
+      r._5 == 1000L * r._4 / r._2))
+  }
 }
