@@ -275,6 +275,95 @@ object ProductAnalytics {
        |FROM touched WHERE event_type = 'purchase'
        |GROUP BY 1 ORDER BY attributed""".stripMargin
 
+  // --------------------------------- time-decay multi-touch credit
+  /** Multi-touch attribution with TIME-DECAY weighting: every
+    * non-purchase touch in the 2 days before a purchase shares its
+    * revenue, weighted 1024 >> age_days (half-life one day on an
+    * exact power-of-two ladder — no float decay). The complement to
+    * [[attributionLastTouch]]'s winner-take-all: campaigns that
+    * assist early stop being invisible. Purchases with no touch in
+    * the window report under 'none' at full weight. Credits are
+    * exact integer cents (cents·w DIV Σw per purchase), so the split
+    * conserves revenue up to the per-purchase DIV remainder, which
+    * stays with no channel — the documented rounding convention.
+    *
+    * Scale shape: the touch↔purchase pairing is the bucketed
+    * range-join discipline (range_join_followers): touches map to
+    * their 2-day bucket AND the next, the join is an equi-join on
+    * (user, bucket) with a residual time predicate — shuffle-bounded,
+    * never touches × purchases. Per-purchase weight totals are one
+    * purchase-keyed window over the matched pairs. */
+  def attributionTimeDecay(s: SparkSession, d: String): DataFrame = {
+    val W = 172800000000L // 2 days in micros
+    val ev = events(s, d).select(col("event_id"), col("user_id"),
+      col("event_type"), unix_micros(col("ts")).as("us"), col("value"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_type").as("channel"),
+        col("us").as("t_us"))
+      .withColumn("tb", explode(array(expr(s"t_us DIV $W"),
+        expr(s"t_us DIV $W + 1"))))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("us").as("p_us"), cents(col("value")).cast("long").as("cts"))
+      .withColumn("tb", expr(s"p_us DIV $W"))
+    val pairs = purch.join(touches, Seq("user_id", "tb"))
+      .filter(col("p_us") > col("t_us") && col("p_us") - col("t_us") <= W)
+      .withColumn("w", expr(
+        """CASE (p_us - t_us) DIV 86400000000 WHEN 0 THEN 1024L
+          |WHEN 1 THEN 512L ELSE 256L END""".stripMargin))
+    val byP = Window.partitionBy(col("p_id"))
+    val credited = pairs
+      .withColumn("sw", sum(col("w")).over(byP))
+      .withColumn("credit_cents", expr("cts * w DIV sw"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("p_id")).as("n_purchases"),
+        sum(col("credit_cents")).as("credit_cents"))
+    val untouched = purch.join(
+        pairs.select(col("p_id")).distinct(), Seq("p_id"), "left_anti")
+      .agg(count(lit(1)).as("n_touches"), count(lit(1)).as("n_purchases"),
+        coalesce(sum(col("cts")), lit(0L)).as("credit_cents"))
+      .select(lit("none").as("channel"), col("n_touches"),
+        col("n_purchases"), col("credit_cents"))
+      .filter(col("n_purchases") > 0)
+    credited.unionByName(untouched).orderBy(col("channel"))
+  }
+
+  val attributionTimeDecaySql: String =
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us, value
+       |  FROM events),
+       |touches AS (
+       |  SELECT user_id, event_type AS channel, us AS t_us,
+       |    UNNEST([us // 172800000000, us // 172800000000 + 1]) AS tb
+       |  FROM ev WHERE event_type <> 'purchase'),
+       |purch AS (
+       |  SELECT user_id, event_id AS p_id, us AS p_us,
+       |    ${centsSql("value")} AS cts, us // 172800000000 AS tb
+       |  FROM ev WHERE event_type = 'purchase'),
+       |pairs AS (
+       |  SELECT p.p_id, p.cts, t.channel,
+       |    CAST(CASE (p.p_us - t.t_us) // 86400000000 WHEN 0 THEN 1024
+       |      WHEN 1 THEN 512 ELSE 256 END AS BIGINT) AS w
+       |  FROM purch p JOIN touches t
+       |    ON p.user_id = t.user_id AND p.tb = t.tb
+       |    AND p.p_us > t.t_us AND p.p_us - t.t_us <= 172800000000),
+       |credited AS (
+       |  SELECT channel, COUNT(*) AS n_touches,
+       |    COUNT(DISTINCT p_id) AS n_purchases,
+       |    CAST(SUM(cts * w // sw) AS BIGINT) AS credit_cents
+       |  FROM (SELECT *, SUM(w) OVER (PARTITION BY p_id) AS sw FROM pairs)
+       |  GROUP BY 1),
+       |untouched AS (
+       |  SELECT 'none' AS channel, COUNT(*) AS n_touches,
+       |    COUNT(*) AS n_purchases,
+       |    CAST(COALESCE(SUM(cts), 0) AS BIGINT) AS credit_cents
+       |  FROM purch WHERE p_id NOT IN (SELECT p_id FROM pairs)
+       |  HAVING COUNT(*) > 0)
+       |SELECT channel, n_touches, n_purchases, credit_cents
+       |FROM (SELECT * FROM credited UNION ALL SELECT * FROM untouched)
+       |ORDER BY channel""".stripMargin
+
   // ------------------------------------ CUSUM change-point detection
   /** Page's CUSUM over per-type daily revenue — the drift detector
     * behind "did this metric shift?" alerts. The textbook recursion
@@ -551,6 +640,7 @@ object ProductAnalytics {
     "ev_concurrency_curve" -> concurrencyCurve,
     "ev_rfm_segments" -> rfmSegments,
     "ev_attribution_last_touch" -> attributionLastTouch,
+    "ev_attribution_time_decay" -> attributionTimeDecay,
     "ev_cusum_changepoint" -> cusumChangepoint)
 
   val oracle: Map[String, String] = Map(
@@ -562,5 +652,6 @@ object ProductAnalytics {
     "ev_concurrency_curve" -> concurrencyCurveSql,
     "ev_rfm_segments" -> rfmSegmentsSql,
     "ev_attribution_last_touch" -> attributionLastTouchSql,
+    "ev_attribution_time_decay" -> attributionTimeDecaySql,
     "ev_cusum_changepoint" -> cusumChangepointSql)
 }
