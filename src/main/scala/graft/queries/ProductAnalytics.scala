@@ -631,8 +631,73 @@ object ProductAnalytics {
       |  TRUE AS overlap_ok
       |FROM daily""".stripMargin
 
+  // ------------------------------ sketch pair-overlap (incl-excl)
+  /** Audience overlap between every event-type pair, answered TWO
+    * ways: exact |A∩B| from the distinct (user, type) frame, and the
+    * sketch route — est(A) + est(B) − est(A∪B) by inclusion-
+    * exclusion over per-type HLL sketches merged pairwise
+    * (`hll_union`). The production question ("how much do these two
+    * audiences overlap?") served from |types| precomputed sketches
+    * instead of |types|² raw scans; the in-query certification bounds
+    * the IE estimate within 5% of the exact UNION size (IE error
+    * scales with the union, not the intersection — the honest bound).
+    *
+    * Scale shape: the raw scan happens once into the distinct
+    * (user, type) frame (materialized: it feeds the sketch agg AND
+    * the exact-overlap join); exact overlap is a user-keyed self-join
+    * costing Σ_user types² ≤ 25 per user — linear; the pair algebra
+    * runs on a |types|-row frame (the tiny non-equi self-join is a
+    * declared bounded BNLJ, whitelisted). */
+  def sketchPairOverlap(s: SparkSession, d: String): DataFrame = {
+    val ut = graft.operators.Materialize.eager(
+      events(s, d).select(col("event_type").as("t"), col("user_id"))
+        .distinct())
+    val perType = ut.groupBy(col("t"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"),
+        count(lit(1)).as("nu"))
+    val a = perType.select(col("t").as("type_a"), col("sk").as("sk_a"),
+      col("nu").as("users_a"))
+    val b = perType.select(col("t").as("type_b"), col("sk").as("sk_b"),
+      col("nu").as("users_b"))
+    val overlap = ut.select(col("t").as("type_a"), col("user_id"))
+      .join(ut.select(col("t").as("type_b"), col("user_id")), "user_id")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("exact_overlap"))
+    a.join(b, col("type_a") < col("type_b"))
+      .join(overlap, Seq("type_a", "type_b"), "left")
+      .na.fill(0L, Seq("exact_overlap"))
+      .withColumn("ie_est", col("users_a") + col("users_b") -
+        expr("hll_sketch_estimate(hll_union(sk_a, sk_b))"))
+      .withColumn("exact_union",
+        col("users_a") + col("users_b") - col("exact_overlap"))
+      .select(col("type_a"), col("type_b"), col("users_a"),
+        col("users_b"), col("exact_overlap"),
+        (abs(col("ie_est") - col("exact_overlap")) <=
+          col("exact_union") * 0.05).as("ie_ok"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val sketchPairOverlapSql: String =
+    """WITH ut AS (
+      |  SELECT DISTINCT event_type AS t, user_id FROM events),
+      |pt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS nu FROM ut GROUP BY 1),
+      |ov AS (
+      |  SELECT a.t AS type_a, b.t AS type_b,
+      |    CAST(COUNT(*) AS BIGINT) AS exact_overlap
+      |  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.t < b.t
+      |  GROUP BY 1, 2)
+      |SELECT a.t AS type_a, b.t AS type_b,
+      |  a.nu AS users_a, b.nu AS users_b,
+      |  COALESCE(ov.exact_overlap, 0) AS exact_overlap,
+      |  TRUE AS ie_ok
+      |FROM pt a JOIN pt b ON a.t < b.t
+      |LEFT JOIN ov ON ov.type_a = a.t AND ov.type_b = b.t
+      |ORDER BY type_a, type_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_daily_merge" -> sketchDailyMerge,
+    "sketch_pair_overlap" -> sketchPairOverlap,
     "ev_ltv_cohorts" -> ltvCohorts,
     "ev_new_vs_returning" -> newVsReturning,
     "ev_power_users_pareto" -> powerUsersPareto,
@@ -645,6 +710,7 @@ object ProductAnalytics {
 
   val oracle: Map[String, String] = Map(
     "sketch_daily_merge" -> sketchDailyMergeSql,
+    "sketch_pair_overlap" -> sketchPairOverlapSql,
     "ev_ltv_cohorts" -> ltvCohortsSql,
     "ev_new_vs_returning" -> newVsReturningSql,
     "ev_power_users_pareto" -> powerUsersParetoSql,

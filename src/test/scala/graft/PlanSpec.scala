@@ -174,6 +174,8 @@ class PlanSpec extends AnyFunSuite {
     "agg_market_basket",    // 1-row basket-count broadcast (lift denom)
     "layout_shard_balance", // 1-row totals broadcast (share permille)
     "agg_backlog_aging",    // 1-row as-of anchor broadcast
+    "sketch_pair_overlap",  // |types|-row (5) sketch-frame non-equi
+                            // self-join — declared bounded pair algebra
     "emb_ann_recall_eval",  // inherits emb_cosine_topk's bounded
                             // capped-probe BNLJ as its ground truth
     "emb_ann_recall_sweep", // same pieces as recall_eval + 1-row
