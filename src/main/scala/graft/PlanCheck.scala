@@ -54,7 +54,8 @@ object PlanCheck {
       "mm_phash_neardup_pairs", "emb_matryoshka_recall",
       "agg_market_basket", "emb_centroid_drift", "ev_streak_lengths",
       "layout_shard_balance", "graph_kcore", "agg_backlog_aging",
-      "dedup_cluster_density")
+      "dedup_cluster_density", "ev_attribution_time_decay",
+      "sketch_pair_overlap")
     val out = new StringBuilder
     out ++= "# PLANS — formatted physical plans for headline queries\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanCheck PLANS.md\"` " +
