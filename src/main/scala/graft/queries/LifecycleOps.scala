@@ -390,6 +390,84 @@ object LifecycleOps {
       |LEFT JOIN hist h ON h.lifespan_days >= g.day_k
       |GROUP BY g.day_k ORDER BY g.day_k""".stripMargin
 
+  // ------------------------------------- censored hazard table
+  /** Right-censored hazard table — the Kaplan–Meier INPUT the naive
+    * closed-window curve ([[survivalCurve]]) cannot produce: users
+    * still active near the observation edge (last event within 3
+    * days of the corpus max) are CENSORED, not dead, so they leave
+    * the at-risk set at their observed lifespan without counting as
+    * churn. Per day offset k: n_at_risk (lifespan ≥ k), n_deaths
+    * (uncensored lifespan = k), n_censored (censored lifespan = k),
+    * and the discrete hazard 1000·d/n — exact integers; the survival
+    * product Π(1 − d_k/n_k) is the consumer's one fold over 30 rows.
+    *
+    * Scale shape: users reduce to one (first, last, censored) row
+    * (single hash-agg); the corpus max is a 1-row broadcast
+    * (whitelisted); the table is a ≤30-row lifespan histogram
+    * suffix-joined against a broadcast 30-row day grid — the
+    * survivalCurve topology with the censoring split. */
+  def hazardCensored(s: SparkSession, d: String): DataFrame = {
+    val mx = ev(s, d).agg(max(col("sec")).as("mx_sec"))
+    val per = ev(s, d).groupBy(col("user_id"))
+      .agg(min(col("sec")).as("first_sec"), max(col("sec")).as("last_sec"))
+      .crossJoin(broadcast(mx))
+      .select(expr("(last_sec - first_sec) DIV 86400").as("lifespan_days"),
+        when(col("last_sec") > col("mx_sec") - 3L * 86400L, 1L)
+          .otherwise(0L).as("censored"))
+    val hist = per.groupBy(col("lifespan_days"))
+      .agg(sum(lit(1) - col("censored")).as("d"),
+        sum(col("censored")).as("c"))
+    val grid = per.agg(count(lit(1)).as("n_total"))
+      .select(explode(sequence(lit(0L), lit(29L))).as("day_k"))
+    val atRisk = grid.join(broadcast(hist),
+        col("lifespan_days") >= col("day_k"), "left")
+      .groupBy(col("day_k"))
+      .agg(coalesce(sum(col("d") + col("c")), lit(0L)).as("n_at_risk"))
+    val events_k = grid.join(broadcast(hist),
+        col("lifespan_days") === col("day_k"), "left")
+      .groupBy(col("day_k"))
+      .agg(coalesce(sum(col("d")), lit(0L)).as("n_deaths"),
+        coalesce(sum(col("c")), lit(0L)).as("n_censored"))
+    atRisk.join(events_k, "day_k")
+      .withColumn("hazard_pm",
+        when(col("n_at_risk") > 0,
+          expr("1000 * n_deaths DIV n_at_risk")).otherwise(lit(0L)))
+      .select(col("day_k"), col("n_at_risk"), col("n_deaths"),
+        col("n_censored"), col("hazard_pm"))
+      .orderBy(col("day_k"))
+  }
+
+  val hazardCensoredSql: String =
+    """WITH mx AS (
+      |  SELECT MAX(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) AS mx_sec FROM events),
+      |per AS (
+      |  SELECT (MAX(CAST(FLOOR(EPOCH(ts)) AS BIGINT))
+      |      - MIN(CAST(FLOOR(EPOCH(ts)) AS BIGINT))) // 86400
+      |      AS lifespan_days,
+      |    CASE WHEN MAX(CAST(FLOOR(EPOCH(ts)) AS BIGINT))
+      |      > (SELECT mx_sec FROM mx) - 259200 THEN 1 ELSE 0 END
+      |      AS censored
+      |  FROM events GROUP BY user_id),
+      |hist AS (
+      |  SELECT lifespan_days, CAST(SUM(1 - censored) AS BIGINT) AS d,
+      |    CAST(SUM(censored) AS BIGINT) AS c
+      |  FROM per GROUP BY 1),
+      |grid AS (SELECT UNNEST(generate_series(0, 29)) AS day_k),
+      |ar AS (
+      |  SELECT g.day_k,
+      |    CAST(COALESCE(SUM(h.d + h.c), 0) AS BIGINT) AS n_at_risk
+      |  FROM grid g LEFT JOIN hist h ON h.lifespan_days >= g.day_k
+      |  GROUP BY 1),
+      |ek AS (
+      |  SELECT g.day_k, CAST(COALESCE(SUM(h.d), 0) AS BIGINT) AS n_deaths,
+      |    CAST(COALESCE(SUM(h.c), 0) AS BIGINT) AS n_censored
+      |  FROM grid g LEFT JOIN hist h ON h.lifespan_days = g.day_k
+      |  GROUP BY 1)
+      |SELECT ar.day_k, ar.n_at_risk, ek.n_deaths, ek.n_censored,
+      |  CASE WHEN ar.n_at_risk > 0
+      |    THEN 1000 * ek.n_deaths // ar.n_at_risk ELSE 0 END AS hazard_pm
+      |FROM ar JOIN ek USING (day_k) ORDER BY day_k""".stripMargin
+
   // ------------------------------------------ windowed funnel
   /** Conversion funnel with PER-STEP windows: signup → first click
     * within 3 days → first purchase within 3 days OF THAT CLICK.
@@ -518,7 +596,8 @@ object LifecycleOps {
     "ev_value_histogram" -> valueHistogram,
     "ev_markov_entropy" -> markovEntropy,
     "ev_copresence_affinity" -> copresenceAffinity,
-    "ev_streak_lengths" -> streakLengths)
+    "ev_streak_lengths" -> streakLengths,
+    "ev_hazard_censored" -> hazardCensored)
 
   val oracle: Map[String, String] = Map(
     "ev_bot_regularity" -> botRegularitySql,
@@ -529,5 +608,6 @@ object LifecycleOps {
     "ev_value_histogram" -> valueHistogramSql,
     "ev_markov_entropy" -> markovEntropySql,
     "ev_copresence_affinity" -> copresenceAffinitySql,
-    "ev_streak_lengths" -> streakLengthsSql)
+    "ev_streak_lengths" -> streakLengthsSql,
+    "ev_hazard_censored" -> hazardCensoredSql)
 }

@@ -176,6 +176,8 @@ class PlanSpec extends AnyFunSuite {
     "agg_backlog_aging",    // 1-row as-of anchor broadcast
     "sketch_pair_overlap",  // |types|-row (5) sketch-frame non-equi
                             // self-join — declared bounded pair algebra
+    "ev_hazard_censored",   // 1-row corpus-max broadcast + 30-row
+                            // grid x <=30-row histogram suffix join
     "emb_ann_recall_eval",  // inherits emb_cosine_topk's bounded
                             // capped-probe BNLJ as its ground truth
     "emb_ann_recall_sweep", // same pieces as recall_eval + 1-row
