@@ -55,7 +55,7 @@ object PlanCheck {
       "agg_market_basket", "emb_centroid_drift", "ev_streak_lengths",
       "layout_shard_balance", "graph_kcore", "agg_backlog_aging",
       "dedup_cluster_density", "ev_attribution_time_decay",
-      "sketch_pair_overlap")
+      "sketch_pair_overlap", "ev_hazard_censored")
     val out = new StringBuilder
     out ++= "# PLANS — formatted physical plans for headline queries\n\n"
     out ++= "Regenerate: `sbt \"runMain graft.PlanCheck PLANS.md\"` " +
