@@ -460,7 +460,18 @@ object Multimodal {
     * phashBuckets (computed once, materialized — 4 band joins reuse
     * it); candidate cost is Σ bucket² per 16-bit band within kind —
     * the dedup tier's declared LSH cost, never n²; the Hamming
-    * confirm is 4 xor+popcount ops per candidate. */
+    * confirm is 4 xor+popcount ops per candidate.
+    *
+    * BMP-only byte-sampling assumption (stand-in for real codec
+    * bytes): Spark `ascii()` reads the first UTF-16 code unit while
+    * the DuckDB oracle's `ord()` reads the Unicode codepoint — they
+    * agree on every BMP character (all fixtures) but would diverge if
+    * a supplementary-plane character (emoji, rare CJK) landed exactly
+    * on a sampled position. A production port feeding real media
+    * bytes reads uint8 from the binary column and never hits this;
+    * if non-BMP text corpora enter scope, switch the sampler to the
+    * md5-hex ladder used by the dedup tier (codepoint-stable on both
+    * engines). */
   def phashNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"),

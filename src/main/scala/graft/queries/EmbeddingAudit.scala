@@ -372,8 +372,9 @@ object EmbeddingAudit {
       |  SELECT label, vec_id % 2 AS half, i - 1 AS dim,
       |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT)
       |      AS xe3
-      |  FROM embeddings, (SELECT UNNEST(range(1, 65)) AS i) g
-      |  WHERE i <= len(embedding)),
+      |  FROM (SELECT label, vec_id, embedding,
+      |          UNNEST(range(1, len(embedding) + 1)) AS i
+      |        FROM embeddings) g),
       |cells AS (
       |  SELECT label, half, dim, CAST(SUM(xe3) AS BIGINT) AS sx,
       |    CAST(COUNT(*) AS BIGINT) AS nv

@@ -671,10 +671,22 @@ object ProductAnalytics {
         expr("hll_sketch_estimate(hll_union(sk_a, sk_b))"))
       .withColumn("exact_union",
         col("users_a") + col("users_b") - col("exact_overlap"))
+      .withColumn("ie_ok",
+        abs(col("ie_est") - col("exact_overlap")) <=
+          col("exact_union") * 0.05)
+      // failure diagnosability: ie_ok is a designed tripwire (the
+      // oracle pins TRUE, so a sketch drifting past the 5% bound
+      // surfaces as a hash mismatch) — this column makes the
+      // mismatch READABLE: 0 while certified (both engines agree),
+      // and on a failure the engine-side parquet dump carries the
+      // excess error in permille instead of just a flipped boolean
+      .withColumn("ie_excess_pm",
+        when(col("ie_ok"), lit(0L)).otherwise(greatest(lit(1L),
+          ceil(abs(col("ie_est") - col("exact_overlap")) * 1000 /
+            greatest(col("exact_union"), lit(1))).cast("long") - 50)))
       .select(col("type_a"), col("type_b"), col("users_a"),
-        col("users_b"), col("exact_overlap"),
-        (abs(col("ie_est") - col("exact_overlap")) <=
-          col("exact_union") * 0.05).as("ie_ok"))
+        col("users_b"), col("exact_overlap"), col("ie_ok"),
+        col("ie_excess_pm"))
       .orderBy(col("type_a"), col("type_b"))
   }
 
@@ -690,7 +702,8 @@ object ProductAnalytics {
       |SELECT a.t AS type_a, b.t AS type_b,
       |  a.nu AS users_a, b.nu AS users_b,
       |  COALESCE(ov.exact_overlap, 0) AS exact_overlap,
-      |  TRUE AS ie_ok
+      |  TRUE AS ie_ok,
+      |  CAST(0 AS BIGINT) AS ie_excess_pm
       |FROM pt a JOIN pt b ON a.t < b.t
       |LEFT JOIN ov ON ov.type_a = a.t AND ov.type_b = b.t
       |ORDER BY type_a, type_b""".stripMargin
