@@ -20,7 +20,7 @@ object SparkEntry {
       ProductAnalytics.queries ++ TextModeling.queries ++
       EmbeddingAudit.queries ++ AudienceOps.queries ++
       DistributionAudit.queries ++ PrefixFilterJoin.queries ++
-      LifecycleOps.queries ++ CorpusStats.queries
+      LifecycleOps.queries ++ CorpusStats.queries ++ PipelineE2E.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +35,5 @@ object SparkEntry {
       ProductAnalytics.oracle ++ TextModeling.oracle ++
       EmbeddingAudit.oracle ++ AudienceOps.oracle ++
       DistributionAudit.oracle ++ PrefixFilterJoin.oracle ++
-      LifecycleOps.oracle ++ CorpusStats.oracle
+      LifecycleOps.oracle ++ CorpusStats.oracle ++ PipelineE2E.oracle
 }

@@ -184,6 +184,9 @@ class PlanSpec extends AnyFunSuite {
                             // totals broadcasts per setting
     "ev_survival_curve",    // 30-row day grid x <=30-row lifespan
                             // histogram suffix join — both sides tiny
+    "pipeline_corpus_build", // eight 1-row funnel-audit aggregate
+                            // broadcasts (stage counts) on the
+                            // per-sequence output
     "emb_pair_distance_hist") // declared bounded all-pairs on the
                             // ADAPTIVE md5 id-sample (m = max(8,
                             // n DIV 250) -> ~250 vectors, ~3e4 pairs
