@@ -237,7 +237,12 @@ object ProductAnalytics {
     * so at 100 TB this is one shuffle by user_id, the minimum any
     * per-user ordering needs. The 48 h cutoff is integer-micros
     * arithmetic, exact cross-engine. */
-  def attributionLastTouch(s: SparkSession, d: String): DataFrame = {
+  /** Per-purchase attribution rows before the rollup — exposed so the
+    * streaming twin (EventStreams.attributionJoinStream's left-outer
+    * interval join, reduced winner-take-all) can be asserted
+    * replay-equal purchase by purchase, not just in aggregate. */
+  private[graft] def attributionPerPurchase(
+      s: SparkSession, d: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -252,11 +257,14 @@ object ProductAnalytics {
       .withColumn("attributed", coalesce(
         when(unix_micros(col("ts")) - col("touch_us") <= 172800000000L,
           col("touch_type")), lit("none")))
+  }
+
+  def attributionLastTouch(s: SparkSession, d: String): DataFrame =
+    attributionPerPurchase(s, d)
       .groupBy(col("attributed"))
       .agg(count(lit(1)).as("n_purchases"),
         sum(cents(col("value"))).cast("long").as("revenue_cents"))
       .orderBy(col("attributed"))
-  }
 
   val attributionLastTouchSql: String =
     s"""WITH touched AS (

@@ -116,6 +116,56 @@ object EventStreams {
         (col("p_ts").cast("long") - col("c_ts").cast("long")).as("lead_sec"))
   }
 
+  /** Stream-stream LEFT-OUTER time-interval join in the attribution
+    * shape: every purchase joined to the same user's candidate
+    * touches (non-purchase events) in its 48-hour lookback — the
+    * streaming half of ev_attribution_last_touch. Unlike
+    * [[purchaseClickJoin]] (inner), the OUTER side exercises
+    * watermark-held null emission: a purchase with no touch in window
+    * surfaces as one null-touch row once the touch-side watermark
+    * passes its event time (the 'none' bucket, delivered exactly
+    * once, never early).
+    *
+    * The join condition mirrors the batch window's (ts, event_id)
+    * ROW order, not just the timestamps: a touch at the same ts as
+    * the purchase counts when its event_id is smaller — without the
+    * tie clause the two engines would disagree on same-timestamp
+    * touches. State bound: touches are held 48 h of event time past
+    * the watermark (the declared lookback), purchases only until the
+    * touch watermark passes their own ts.
+    *
+    * Downstream winner-take-all (max (t_ts, t_id) per purchase) is
+    * left to the consumer: chaining another stateful aggregation
+    * after an outer interval join inside one streaming query is the
+    * one composition Structured Streaming still restricts, so the
+    * honest library surface is the join (all candidate touches, the
+    * production "touchpoint log"), with the reduction running batch
+    * on the sink — asserted replay-equal to the registered batch
+    * query, purchase by purchase, in StreamingSpec. */
+  def attributionJoinStream(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    val touches = events.filter(col("event_type") =!= "purchase")
+      .select(col("event_id").as("t_id"), col("user_id").as("t_user"),
+        col("ts").as("t_ts"), col("event_type").as("touch_type"))
+      .withWatermark("t_ts", "1 hour")
+    // the time RANGE must appear as bare conjuncts (lower and upper
+    // bound) for the analyzer to derive the outer side's state
+    // watermark — an OR around the upper bound defeats the interval
+    // detection, so the (ts, event_id) tie-break rides as a separate
+    // non-range conjunct under t_ts <= p_ts
+    purchases.join(touches,
+      col("t_user") === col("p_user") &&
+        col("t_ts") >= col("p_ts") - expr("INTERVAL 48 HOURS") &&
+        col("t_ts") <= col("p_ts") &&
+        (col("t_ts") < col("p_ts") || col("t_id") < col("p_id")),
+      "left_outer")
+      .select(col("p_id"), col("p_user").as("user_id"), col("p_ts"),
+        col("value"), col("t_id"), col("t_ts"), col("touch_type"))
+  }
+
   /** Custom state via mapGroupsWithState: running per-user event count
     * and running max value — the KeyValueGroupedDataset state surface
     * (update-mode output, one row per user per micro-batch). */

@@ -115,6 +115,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == exp)
   }
 
+  test("stream-stream LEFT-OUTER interval join: replayed last-touch " +
+      "attribution equals the batch query per purchase") {
+    val stream = EventStreams.readEventStream(spark, eventsPath)
+    EventStreams.runToMemory(spark,
+      EventStreams.attributionJoinStream(stream), "ssattr",
+      OutputMode.Append())
+    val sunk = spark.table("ssattr")
+    // winner-take-all reduction of the streamed touchpoint log: max
+    // (t_ts, t_id) per purchase, the batch window's tie order
+    val won = sunk.filter(col("t_id").isNotNull)
+      .groupBy(col("p_id"))
+      .agg(max(struct(col("t_ts"), col("t_id"), col("touch_type")))
+        .as("w"))
+      .select(col("p_id"), col("w.touch_type").as("attributed"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val noneIds = sunk.filter(col("t_id").isNull)
+      .select(col("p_id")).collect().map(_.getLong(0)).toSet
+    // a purchase is EITHER matched or held-then-nulled, never both
+    assert(noneIds.intersect(won.keySet).isEmpty)
+    val batchPer = graft.queries.ProductAnalytics
+      .attributionPerPurchase(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("attributed"), col("ts").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val batchAttr = batchPer.collect {
+      case (id, a, _) if a != "none" => id -> a
+    }.toMap
+    // matched purchases: exact equality, including same-timestamp
+    // touch tie-breaks
+    assert(won == batchAttr)
+    // 'none' purchases surface via the outer side only after the
+    // touch watermark (max ts − 1 h) passes their event time; inside
+    // that horizon the row is still legitimately in state
+    val wmCutoff =
+      batchEvents.agg(max(col("ts").cast("long"))).head.getLong(0) - 3600
+    val batchNone = batchPer.collect { case (id, "none", ts) => (id, ts) }
+    assert(noneIds.subsetOf(batchNone.map(_._1).toSet))
+    val due = batchNone.collect { case (id, ts) if ts < wmCutoff => id }
+    assert(due.toSet.subsetOf(noneIds))
+    assert(won.nonEmpty && noneIds.nonEmpty)
+  }
+
   test("flatMapGroupsWithState custom sessions == batch sessions that closed") {
     val stream = EventStreams.readEventStream(spark, eventsPath)
     val q = EventStreams.customSessions(spark, stream)
