@@ -511,7 +511,89 @@ object CorpusCuration {
        |GROUP BY 1, 2 HAVING COUNT(*) >= 3
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------- boilerplate shingles
+  /** Per-source BOILERPLATE detection: a word 4-gram appearing
+    * verbatim in ≥ 2 distinct documents of the SAME source is a
+    * boilerplate candidate (headers, footers, licence blocks,
+    * navigation chrome — the text a crawler re-ingests with every
+    * page of a site). Reported per source: boilerplate shingle
+    * count, the worst shingle's document count, affected documents,
+    * and affected share in permille — the "which provider needs a
+    * boilerplate strip pass" ledger that precedes span-level removal
+    * (text_duplicate_spans locates the spans; this ranks sources).
+    *
+    * Source-scoped on purpose: cross-SOURCE repetition is the dedup
+    * tier's business; boilerplate is a per-provider template
+    * artifact, and scoping the gram key to (source, shingle) keeps
+    * every aggregation's hash key bounded by one provider's
+    * vocabulary.
+    *
+    * Scale shape: one explode (linear in tokens), two hash-aggs
+    * keyed on (source, shingle) with map-side combine, one
+    * gram-keyed equi-join for affected docs — never doc × doc; the
+    * per-source rollup is |sources| rows. */
+  def boilerplateShingles(s: SparkSession, d: String): DataFrame = {
+    val t = documents(s, d).select(col("doc_id"), col("source"),
+      toks(col("text")).as("ws"))
+    val sh = graft.operators.Materialize.eager(
+      t.select(col("doc_id"), col("source"),
+        explode(expr(
+          """CASE WHEN size(ws) >= 4
+            |THEN transform(sequence(1, size(ws) - 3),
+            |       i -> array_join(slice(ws, i, 4), ' '))
+            |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+          .as("sh")).distinct())
+    val bp = graft.operators.Materialize.eager(
+      sh.groupBy(col("source"), col("sh"))
+        .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2))
+    val perSrcBp = bp.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_shingles"), max(col("cnt")).as("max_cnt"))
+    val aff = sh.join(bp.select(col("source"), col("sh")), Seq("source", "sh"))
+      .select(col("source"), col("doc_id")).distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n_affected"))
+    documents(s, d).groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(perSrcBp, Seq("source"), "left")
+      .join(aff, Seq("source"), "left")
+      .na.fill(0L, Seq("n_shingles", "max_cnt", "n_affected"))
+      .withColumn("affected_pm", expr("n_affected * 1000 DIV n_docs"))
+      .orderBy(col("source"))
+  }
+
+  val boilerplateShinglesSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, $toksSql AS ws FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, source,
+       |    array_to_string(ws[i:i+3], ' ') AS sh
+       |  FROM t, UNNEST(range(1, len(ws) - 2)) AS u(i)
+       |  WHERE len(ws) >= 4),
+       |bp AS (
+       |  SELECT source, sh, COUNT(*) AS cnt FROM sh
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |per_src AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       |    CAST(MAX(cnt) AS BIGINT) AS max_cnt
+       |  FROM bp GROUP BY 1),
+       |aff AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_affected FROM (
+       |    SELECT DISTINCT s.source, s.doc_id FROM sh s
+       |    JOIN bp b ON b.source = s.source AND b.sh = s.sh) t
+       |  GROUP BY 1),
+       |src AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM documents GROUP BY 1)
+       |SELECT src.source, src.n_docs,
+       |  COALESCE(p.n_shingles, 0) AS n_shingles,
+       |  COALESCE(p.max_cnt, 0) AS max_cnt,
+       |  COALESCE(a.n_affected, 0) AS n_affected,
+       |  COALESCE(a.n_affected, 0) * 1000 // src.n_docs AS affected_pm
+       |FROM src
+       |LEFT JOIN per_src p ON p.source = src.source
+       |LEFT JOIN aff a ON a.source = src.source
+       |ORDER BY src.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_boilerplate_shingles" -> boilerplateShingles,
     "text_winnowing_pairs" -> winnowingPairs,
     "doc_source_overlap" -> sourceOverlap,
     "text_duplicate_spans" -> duplicateSpans,
@@ -521,6 +603,7 @@ object CorpusCuration {
     "dedup_lsh_precision" -> lshPrecision)
 
   val oracle: Map[String, String] = Map(
+    "doc_boilerplate_shingles" -> boilerplateShinglesSql,
     "text_winnowing_pairs" -> winnowingPairsSql,
     "doc_source_overlap" -> sourceOverlapSql,
     "text_duplicate_spans" -> duplicateSpansSql,

@@ -449,7 +449,53 @@ object EmbeddingAudit {
        |FROM g, tot t ORDER BY g.cell""".stripMargin
   }
 
+  // --------------------------------------------- hubness audit
+  /** k-occurrence (hubness) audit of the embedding space: how often
+    * each vector appears in other points' exact top-5 neighbor lists.
+    * In high dimensions the k-occurrence distribution skews — a few
+    * "hub" vectors dominate everyone's neighbor lists while many
+    * "antihubs" appear in none — which silently degrades ANN recall,
+    * k-NN classification, and dedup-by-neighbor pipelines (the
+    * well-documented hubness phenomenon from the public k-NN
+    * literature). Output: the full k-occurrence histogram
+    * (occurrence count → number of vectors), including the
+    * antihub row at occurrence 0, so the skew is read directly:
+    * healthy spaces hum near the mean occurrence, hubby spaces grow
+    * a long tail and a fat zero row.
+    *
+    * Scale shape: neighbor lists come from emb_cosine_topk's capped
+    * broadcast query sample (≤1024 queries, O(sample · n) — linear
+    * in corpus, never n²), so the audit inherits its cost contract;
+    * on top of it: two hash-aggs and two 1-row stat broadcasts for
+    * the antihub complement. The histogram is at most 5·|sample|
+    * distinct occurrence values — broadcast-sized forever. */
+  def hubnessAudit(s: SparkSession, d: String): DataFrame = {
+    val top = Embeddings.cosineTopK(s, d)
+    val occ = top.groupBy(col("c_id")).agg(count(lit(1)).as("occ"))
+    val hist = occ.groupBy(col("occ")).agg(count(lit(1)).as("n_vectors"))
+    val zero = embeddings(s, d).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(occ.agg(count(lit(1)).as("seen"))))
+      .select(lit(0L).as("occ"), (col("n") - col("seen")).as("n_vectors"))
+    hist.unionByName(zero).orderBy(col("occ"))
+  }
+
+  val hubnessAuditSql: String = {
+    val topk = Embeddings.cosineTopKSql.replace("ORDER BY q_id, rank", "")
+    s"""WITH topk AS ($topk),
+       |occ AS (SELECT c_id, COUNT(*) AS occ FROM topk GROUP BY 1),
+       |hist AS (
+       |  SELECT CAST(occ AS BIGINT) AS occ,
+       |    CAST(COUNT(*) AS BIGINT) AS n_vectors
+       |  FROM occ GROUP BY 1)
+       |SELECT occ, n_vectors FROM hist
+       |UNION ALL
+       |SELECT CAST(0 AS BIGINT),
+       |  (SELECT COUNT(*) FROM embeddings) - (SELECT COUNT(*) FROM occ)
+       |ORDER BY occ""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_hubness_audit" -> hubnessAudit,
     "emb_centroid_margin" -> centroidMargin,
     "emb_pca_power" -> pcaPower,
     "emb_pair_distance_hist" -> pairDistanceHist,
@@ -458,6 +504,7 @@ object EmbeddingAudit {
     "emb_centroid_drift" -> centroidDrift)
 
   val oracle: Map[String, String] = Map(
+    "emb_hubness_audit" -> hubnessAuditSql,
     "emb_centroid_margin" -> centroidMarginSql,
     "emb_pca_power" -> pcaPowerSql,
     "emb_pair_distance_hist" -> pairDistanceHistSql,

@@ -514,13 +514,133 @@ object GraphRank {
        |""".stripMargin
   }
 
+  // ------------------------------------- label propagation (LPA)
+  /** Community detection on the LSH candidate graph by DETERMINISTIC
+    * synchronous label propagation: every doc starts as its own
+    * label; each round a node adopts the most frequent label among
+    * its neighbors PLUS itself, ties to the smallest label. The
+    * self-inclusion damps the classic synchronous-LPA oscillation
+    * (a swap-partner pair ties with itself and settles on the min),
+    * and the (count desc, label asc) argmax makes every round a pure
+    * function of the previous labels — no RNG, no visit order, so
+    * Spark and the unrolled DuckDB oracle agree bit-for-bit even
+    * when the budget ends mid-oscillation. Communities differ from
+    * dedup_clusters' connected components: CC merges through any
+    * chain; LPA keeps sparsely-bridged dense blobs apart — the
+    * community question vs the reachability question.
+    *
+    * Output: one row — node/edge counts, community count, largest
+    * community, singleton count, and a `converged` flag (last round
+    * changed nothing; like kcore, post-fixpoint rounds are provably
+    * identity so the fixed-budget oracle stays bit-equal).
+    *
+    * Scale shape: each round is one edge-keyed equi-join (neighbor
+    * label lookup), one (node, label) hash-agg with map-side
+    * combine, and one per-node argmax window — O(E) per round,
+    * materialized per round with lineage truncation (the PageRank /
+    * CC checkpoint discipline); the per-round change count is ONE
+    * bounded scalar to the driver. */
+  private[queries] val LpaRounds = 8
+
+  def labelPropagation(s: SparkSession, d: String): DataFrame =
+    labelPropagationOn(
+      graft.Tables.documents(s, d).select(col("doc_id")),
+      Documents.lshCandidatePairs(s, d))
+
+  def labelPropagationOn(docs: DataFrame, pairs: DataFrame,
+      rounds: Int = LpaRounds): DataFrame = {
+    val edges = graft.operators.Materialize.eager(
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v"))))
+    var labels = graft.operators.Materialize.eagerCheckpoint(
+      docs.select(col("doc_id").as("id"), col("doc_id").as("label")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+      .orderBy(col("cnt").desc, col("label"))
+    var converged = false
+    var r = 0
+    while (r < rounds && !converged) {
+      val nbr = edges
+        .join(labels.select(col("id").as("u"), col("label")), "u")
+        .select(col("v").as("id"), col("label"))
+      val next = graft.operators.Materialize.eagerCheckpoint(
+        nbr.union(labels)
+          .groupBy(col("id"), col("label")).agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("id"), col("label")))
+      val changed = next.as("n")
+        .join(labels.as("p"), col("n.id") === col("p.id"))
+        .filter(col("n.label") =!= col("p.label")).count()
+      labels = next
+      converged = changed == 0
+      r += 1
+    }
+    val comm = labels.groupBy(col("label")).agg(count(lit(1)).as("sz"))
+    val stats = comm.agg(count(lit(1)).as("n_communities"),
+      max(col("sz")).as("largest_community"),
+      coalesce(sum(when(col("sz") === 1, 1L).otherwise(0L)), lit(0L))
+        .as("n_singletons"))
+    docs.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(broadcast(edges.agg((count(lit(1)) / 2).cast("long")
+        .as("n_edges"))))
+      .crossJoin(broadcast(stats))
+      .withColumn("converged", lit(if (converged) 1L else 0L))
+  }
+
+  val labelPropagationSql: String = {
+    val sig = Documents.minhashSignaturesSql.replace("ORDER BY doc_id", "")
+    val roundsSql = (1 to LpaRounds).map { r =>
+      val p = r - 1
+      s"""nb$r AS MATERIALIZED (
+         |  SELECT e.v AS id, l.label FROM e
+         |  JOIN l$p l ON l.id = e.u
+         |  UNION ALL SELECT id, label FROM l$p),
+         |c$r AS MATERIALIZED (
+         |  SELECT id, label, COUNT(*) AS cnt FROM nb$r GROUP BY 1, 2),
+         |l$r AS MATERIALIZED (
+         |  SELECT id, label FROM (
+         |    SELECT id, label, ROW_NUMBER() OVER (PARTITION BY id
+         |      ORDER BY cnt DESC, label) AS rn FROM c$r) t
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val R = LpaRounds; val P = LpaRounds - 1
+    s"""WITH sig AS ($sig),
+       |banded AS (
+       |  SELECT doc_id, 'b0_' || mh0 || '_' || mh1 AS band FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 'b1_' || mh2 || '_' || mh3 AS band FROM sig),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.doc_id < b.doc_id),
+       |e AS MATERIALIZED (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |l0 AS (SELECT doc_id AS id, doc_id AS label FROM documents),
+       |$roundsSql,
+       |comm AS (SELECT label, COUNT(*) AS sz FROM l$R GROUP BY 1)
+       |SELECT
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_nodes,
+       |  (SELECT CAST(COUNT(*) / 2 AS BIGINT) FROM e) AS n_edges,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM comm) AS n_communities,
+       |  (SELECT CAST(MAX(sz) AS BIGINT) FROM comm) AS largest_community,
+       |  (SELECT CAST(COALESCE(SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END), 0)
+       |     AS BIGINT) FROM comm) AS n_singletons,
+       |  CASE WHEN (SELECT COUNT(*) FROM l$R a JOIN l$P b
+       |      ON a.id = b.id AND a.label <> b.label) = 0
+       |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS converged
+       |""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_label_propagation" -> labelPropagation,
     "graph_pagerank_dups" -> pagerankDupGraph,
     "graph_triangle_count" -> triangleCount,
     "graph_degree_assortativity" -> degreeAssortativity,
     "graph_kcore" -> kcore)
 
   val oracle: Map[String, String] = Map(
+    "graph_label_propagation" -> labelPropagationSql,
     "graph_pagerank_dups" -> pagerankDupGraphSql,
     "graph_triangle_count" -> triangleCountSql,
     "graph_degree_assortativity" -> degreeAssortativitySql,

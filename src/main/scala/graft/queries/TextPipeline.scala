@@ -416,7 +416,103 @@ object TextPipeline {
       |    AS pos
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- packing efficiency
+  /** Sequence-packing BUDGET SWEEP: the greedy fold of
+    * [[packSequences]] evaluated at three context budgets (128 / 256
+    * / 512 tokens) in ONE sorted pass per shard — the capacity-
+    * planning question ("what context length wastes the least
+    * padding on THIS corpus?") answered without re-scanning per
+    * candidate. Per budget: sequence count, packed tokens, capacity
+    * (oversized single-doc sequences count at their own length — the
+    * no-truncation convention), padding waste and utilization in
+    * permille, and the overflow-doc count.
+    *
+    * Scale shape: identical to packSequences — one
+    * flatMapSortedGroups pass per shard, except the fold carries
+    * |budgets| (seq, acc) registers instead of one, so the sweep
+    * costs one corpus pass total, not one per budget; the rollup is
+    * |budgets| rows. Oracle: one recursive CTE keyed on
+    * (budget, shard) — the packSequencesSql recursion with the
+    * budget lifted into the key. */
+  private[queries] val SweepBudgets = Seq(128L, 256L, 512L)
+  def packEfficiency(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val budgets = SweepBudgets
+    val assigned = documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % NShards).as("shard"),
+        size(filter(split(col("text"), "[^\\p{L}]+"), t => length(t) > 0))
+          .cast("long").as("n_tokens"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._2)
+      .flatMapSortedGroups($"doc_id".asc) { (_, it) =>
+        val seqs = Array.fill(budgets.length)(0L)
+        val accs = Array.fill(budgets.length)(0L)
+        it.flatMap { case (_, sh, t) =>
+          budgets.indices.map { k =>
+            if (accs(k) > 0 && accs(k) + t > budgets(k)) {
+              seqs(k) += 1; accs(k) = 0L
+            }
+            accs(k) += t
+            (budgets(k), sh, seqs(k), t)
+          }
+        }
+      }
+      .toDF("budget", "shard", "seq_id", "n_tokens")
+    val perSeq = assigned.groupBy(col("budget"), col("shard"), col("seq_id"))
+      .agg(sum(col("n_tokens")).as("st"))
+    perSeq.groupBy(col("budget"))
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col("st")).as("packed_tokens"),
+        sum(greatest(col("budget"), col("st"))).as("capacity"),
+        sum(when(col("st") > col("budget"), 1L).otherwise(0L))
+          .as("n_overflow"))
+      .withColumn("util_pm", expr("packed_tokens * 1000 DIV capacity"))
+      .withColumn("waste_pm",
+        expr("(capacity - packed_tokens) * 1000 DIV capacity"))
+      .orderBy(col("budget"))
+  }
+
+  val packEfficiencySql: String = {
+    val bl = SweepBudgets.mkString(", ")
+    s"""WITH RECURSIVE budgets AS (SELECT UNNEST([$bl]) AS budget),
+       |toks AS (
+       |  SELECT b.budget, doc_id, doc_id % $NShards AS shard,
+       |    CAST(len(list_filter(string_split_regex(text, '[^\\p{L}]+'),
+       |        w -> w <> '')) AS BIGINT) AS n_tokens,
+       |    ROW_NUMBER() OVER (PARTITION BY b.budget, doc_id % $NShards
+       |                       ORDER BY doc_id) AS rn
+       |  FROM documents, budgets b),
+       |rec AS (
+       |  SELECT budget, shard, rn, doc_id, n_tokens,
+       |    CAST(0 AS BIGINT) AS seq_id, n_tokens AS acc
+       |  FROM toks WHERE rn = 1
+       |  UNION ALL
+       |  SELECT t.budget, t.shard, t.rn, t.doc_id, t.n_tokens,
+       |    CASE WHEN r.acc > 0 AND r.acc + t.n_tokens > t.budget
+       |         THEN r.seq_id + 1 ELSE r.seq_id END,
+       |    CASE WHEN r.acc > 0 AND r.acc + t.n_tokens > t.budget
+       |         THEN t.n_tokens ELSE r.acc + t.n_tokens END
+       |  FROM rec r JOIN toks t ON t.budget = r.budget
+       |    AND t.shard = r.shard AND t.rn = r.rn + 1),
+       |per_seq AS (
+       |  SELECT budget, shard, seq_id, CAST(SUM(n_tokens) AS BIGINT) AS st
+       |  FROM rec GROUP BY 1, 2, 3)
+       |SELECT CAST(budget AS BIGINT) AS budget,
+       |  CAST(COUNT(*) AS BIGINT) AS n_seqs,
+       |  CAST(SUM(st) AS BIGINT) AS packed_tokens,
+       |  CAST(SUM(GREATEST(budget, st)) AS BIGINT) AS capacity,
+       |  CAST(SUM(CASE WHEN st > budget THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_overflow,
+       |  CAST(SUM(st) AS BIGINT) * 1000
+       |    // CAST(SUM(GREATEST(budget, st)) AS BIGINT) AS util_pm,
+       |  (CAST(SUM(GREATEST(budget, st)) AS BIGINT)
+       |    - CAST(SUM(st) AS BIGINT)) * 1000
+       |    // CAST(SUM(GREATEST(budget, st)) AS BIGINT) AS waste_pm
+       |FROM per_seq GROUP BY budget ORDER BY budget""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pack_efficiency" -> packEfficiency,
     "doc_split_assignment" -> splitAssignment,
     "doc_global_shuffle" -> globalShuffle,
     "text_pii_scrub" -> piiScrub,
@@ -431,6 +527,7 @@ object TextPipeline {
       graft.operators.TopK.topOrdersPerCustomer(s, d)))
 
   val oracle: Map[String, String] = Map(
+    "text_pack_efficiency" -> packEfficiencySql,
     "doc_split_assignment" -> splitAssignmentSql,
     "doc_global_shuffle" -> globalShuffleSql,
     "text_pii_scrub" -> piiScrubSql,

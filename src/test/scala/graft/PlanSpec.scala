@@ -167,6 +167,8 @@ class PlanSpec extends AnyFunSuite {
     "ev_psi_drift",         // 1-row [day,cents] bounds broadcast (as KS)
     "graph_degree_assortativity", // 1-row degree-center broadcast
     "graph_kcore",          // two 1-row init/final stat broadcasts
+    "graph_label_propagation", // two 1-row stat broadcasts (edges,
+                            // community rollup)
     "retrieval_query_expansion", // 1-row n_docs broadcast into the
                             // tf-weight projection (both passes)
     "emb_matryoshka_recall", // emb_cosine_topk's capped broadcast

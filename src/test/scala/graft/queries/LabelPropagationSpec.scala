@@ -1,0 +1,54 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Pins deterministic synchronous LPA on planted motifs — above all
+  * the property that separates it from connected components: a
+  * sparse bridge between two dense blobs does NOT merge them. */
+class LabelPropagationSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def run(ids: Seq[Long], edges: Seq[(Long, Long)], rounds: Int = 8) =
+    GraphRank.labelPropagationOn(
+      ids.toDF("doc_id"), edges.toDF("doc_a", "doc_b"), rounds)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+
+  test("two 4-cliques over one bridge: LPA keeps TWO communities " +
+      "(where CC would merge to one)") {
+    def clique(v: Seq[Long]) =
+      for { a <- v; b <- v if a < b } yield (a, b)
+    val edges = clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(11L, 12L, 13L, 14L)) :+ (4L, 11L)
+    val (n, e, comms, largest, singles, conv) =
+      run(Seq(1L, 2L, 3L, 4L, 11L, 12L, 13L, 14L), edges)
+    assert(n == 8L && e == 13L)
+    assert(comms == 2L && largest == 4L && singles == 0L && conv == 1L)
+  }
+
+  test("self-inclusion damps the 2-cycle: an isolated pair settles " +
+      "on the min label instead of oscillating") {
+    val (_, _, comms, largest, _, conv) =
+      run(Seq(1L, 2L), Seq((1L, 2L)))
+    assert(comms == 1L && largest == 2L && conv == 1L)
+  }
+
+  test("isolated node is its own singleton community") {
+    val (n, e, comms, _, singles, conv) =
+      run(Seq(1L, 2L, 99L), Seq((1L, 2L)))
+    assert(n == 3L && e == 1L)
+    assert(comms == 2L && singles == 1L && conv == 1L)
+  }
+
+  test("budget truncation is visible: a long path under 1 round " +
+      "reports converged = 0") {
+    val path = (1L until 10L).map(i => (i, i + 1))
+    val short = run((1L to 10L).toSeq, path, rounds = 1)
+    assert(short._6 == 0L, "one round cannot settle a 10-path")
+    // the min label walks ONE hop per round, so a 10-path needs ~11
+    // rounds to drain + settle — 32 covers it with room
+    val long = run((1L to 10L).toSeq, path, rounds = 32)
+    assert(long._6 == 1L)
+  }
+}
