@@ -434,6 +434,7 @@ object GraphRank {
         .groupBy(col("id")).agg(count(lit(1)).as("dg"))
     var edges = graft.operators.Materialize.eager(
       pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+    val nInit = degrees(edges).count()
     val init = degrees(edges).agg(count(lit(1)).as("n_nodes_initial"))
       .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges_initial"))))
     // early exit on fixpoint: once a round drops no node, every later
@@ -444,7 +445,12 @@ object GraphRank {
     // discipline); without it the dense candidate graph pays 8 full
     // edge-join rounds for a peel that converges in 2 (A/B at sf0.1:
     // 24.1 s in-suite → the post-convergence rounds were ~3/4 of it).
-    var prevNodes = -1L
+    // prevNodes starts at the INITIAL node count (not a sentinel):
+    // a graph that is already a k-core then exits before paying a
+    // single identity edge-join round, and `rounds_used` counts
+    // exactly the rounds that dropped something — the definition the
+    // oracle's count-transition sum mirrors
+    var prevNodes = nInit
     var r = 0
     while (r < rounds && {
       val keep = graft.operators.Materialize.eager(
@@ -469,11 +475,24 @@ object GraphRank {
     init.crossJoin(broadcast(fin))
       .select(col("n_nodes_initial"), col("n_edges_initial"),
         col("n_core_nodes"), col("n_core_edges"),
-        when(col("n_below") === 0, 1L).otherwise(0L).as("converged"))
+        when(col("n_below") === 0, 1L).otherwise(0L).as("converged"),
+        // rounds that actually dropped a node — the honesty column
+        // that decomposes wall-clock into rounds x O(E) in the
+        // scaling rehearsal (post-convergence rounds cost nothing)
+        lit(r.toLong).as("rounds_used"))
   }
 
   val kcoreSql: String = {
     val sig = Documents.minhashSignaturesSql.replace("ORDER BY doc_id", "")
+    // rounds that dropped a node = transitions in the surviving-node
+    // count (peeling is monotone, so count-equal <=> no drop); c0 is
+    // the full node set, c_r the round-r keep set
+    val roundsUsedSql = (1 to CoreRounds).map { r =>
+      val prev = if (r == 1) "(SELECT COUNT(*) FROM d0)"
+        else s"(SELECT COUNT(*) FROM k${r - 1})"
+      s"""CASE WHEN (SELECT COUNT(*) FROM k$r) <> $prev
+         |    THEN 1 ELSE 0 END""".stripMargin
+    }.mkString("(", " +\n", ")")
     val peel = (1 to CoreRounds).map { r =>
       val p = r - 1
       s"""d$r AS MATERIALIZED (
@@ -510,7 +529,8 @@ object GraphRank {
        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM dfin) AS n_core_nodes,
        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e$CoreRounds) AS n_core_edges,
        |  CASE WHEN (SELECT COUNT(*) FROM dfin WHERE dg < $CoreK) = 0
-       |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS converged
+       |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS converged,
+       |  CAST($roundsUsedSql AS BIGINT) AS rounds_used
        |""".stripMargin
   }
 
@@ -585,6 +605,11 @@ object GraphRank {
         .as("n_edges"))))
       .crossJoin(broadcast(stats))
       .withColumn("converged", lit(if (converged) 1L else 0L))
+      // rounds that changed a label (the final verifying round does
+      // not count) — decomposes the rehearsal's wall ratio into
+      // rounds x O(E) with in-artifact numbers
+      .withColumn("rounds_used",
+        lit(if (converged) (r - 1).toLong else r.toLong))
   }
 
   val labelPropagationSql: String = {
@@ -604,6 +629,13 @@ object GraphRank {
          |  WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
     val R = LpaRounds; val P = LpaRounds - 1
+    // rounds that changed at least one label (label tables are
+    // id-complete every round, so an inner diff join is exact)
+    val changedSumSql = (1 to LpaRounds).map { r =>
+      s"""CASE WHEN (SELECT COUNT(*) FROM l$r a JOIN l${r - 1} b
+         |    ON a.id = b.id AND a.label <> b.label) > 0
+         |    THEN 1 ELSE 0 END""".stripMargin
+    }.mkString("(", " +\n", ")")
     s"""WITH sig AS ($sig),
        |banded AS (
        |  SELECT doc_id, 'b0_' || mh0 || '_' || mh1 AS band FROM sig
@@ -628,7 +660,8 @@ object GraphRank {
        |     AS BIGINT) FROM comm) AS n_singletons,
        |  CASE WHEN (SELECT COUNT(*) FROM l$R a JOIN l$P b
        |      ON a.id = b.id AND a.label <> b.label) = 0
-       |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS converged
+       |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS converged,
+       |  CAST($changedSumSql AS BIGINT) AS rounds_used
        |""".stripMargin
   }
 

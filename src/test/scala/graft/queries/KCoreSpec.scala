@@ -12,7 +12,7 @@ class KCoreSpec extends AnyFunSuite {
 
   private def run(edges: Seq[(Long, Long)], k: Int, rounds: Int) =
     GraphRank.kcoreOn(edges.toDF("doc_a", "doc_b"), k, rounds)
-      .as[(Long, Long, Long, Long, Long)].collect().head
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
 
   test("5-clique with a pendant tail: the clique IS the 3-core") {
     val clique = for {
@@ -20,9 +20,11 @@ class KCoreSpec extends AnyFunSuite {
     } yield (a, b)
     // tail 5-10-11-12 hangs off node 5; all tail degrees < 3
     val edges = clique ++ Seq((5L, 10L), (10L, 11L), (11L, 12L))
-    val (n0, e0, nCore, eCore, conv) = run(edges, k = 3, rounds = 8)
+    val (n0, e0, nCore, eCore, conv, rounds) = run(edges, k = 3, rounds = 8)
     assert(n0 == 8L && e0 == 13L)
     assert(nCore == 5L && eCore == 10L && conv == 1L)
+    // ONE round drops every below-k node (10, 11, 12 together)
+    assert(rounds == 1L)
   }
 
   test("k=2 path peels one endpoint pair per round: a short budget " +
@@ -37,8 +39,9 @@ class KCoreSpec extends AnyFunSuite {
   }
 
   test("empty graph: all-zero row, converged") {
-    val (n0, e0, nCore, eCore, conv) =
+    val (n0, e0, nCore, eCore, conv, rounds) =
       run(Seq.empty[(Long, Long)], k = 3, rounds = 2)
     assert(n0 == 0L && e0 == 0L && nCore == 0L && eCore == 0L && conv == 1L)
+    assert(rounds == 0L, "an empty graph must not pay a peel round")
   }
 }

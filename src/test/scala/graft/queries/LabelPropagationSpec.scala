@@ -13,7 +13,7 @@ class LabelPropagationSpec extends AnyFunSuite {
   private def run(ids: Seq[Long], edges: Seq[(Long, Long)], rounds: Int = 8) =
     GraphRank.labelPropagationOn(
       ids.toDF("doc_id"), edges.toDF("doc_a", "doc_b"), rounds)
-      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
 
   test("two 4-cliques over one bridge: LPA keeps TWO communities " +
       "(where CC would merge to one)") {
@@ -21,7 +21,7 @@ class LabelPropagationSpec extends AnyFunSuite {
       for { a <- v; b <- v if a < b } yield (a, b)
     val edges = clique(Seq(1L, 2L, 3L, 4L)) ++
       clique(Seq(11L, 12L, 13L, 14L)) :+ (4L, 11L)
-    val (n, e, comms, largest, singles, conv) =
+    val (n, e, comms, largest, singles, conv, _) =
       run(Seq(1L, 2L, 3L, 4L, 11L, 12L, 13L, 14L), edges)
     assert(n == 8L && e == 13L)
     assert(comms == 2L && largest == 4L && singles == 0L && conv == 1L)
@@ -29,13 +29,14 @@ class LabelPropagationSpec extends AnyFunSuite {
 
   test("self-inclusion damps the 2-cycle: an isolated pair settles " +
       "on the min label instead of oscillating") {
-    val (_, _, comms, largest, _, conv) =
+    val (_, _, comms, largest, _, conv, rounds) =
       run(Seq(1L, 2L), Seq((1L, 2L)))
     assert(comms == 1L && largest == 2L && conv == 1L)
+    assert(rounds == 1L, "node 2 flips to label 1 in round one, done")
   }
 
   test("isolated node is its own singleton community") {
-    val (n, e, comms, _, singles, conv) =
+    val (n, e, comms, _, singles, conv, _) =
       run(Seq(1L, 2L, 99L), Seq((1L, 2L)))
     assert(n == 3L && e == 1L)
     assert(comms == 2L && singles == 1L && conv == 1L)
