@@ -868,7 +868,174 @@ object Documents {
       |  SUBSTRING(md5(text), 1, 8) AS short_fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------- LSH band sweep
+  /** MinHash-LSH BAND-PARAMETER SWEEP: the four signature hashes
+    * arranged as (b=4, r=1), (b=2, r=2 — the production banding every
+    * dedup_* query uses), and (b=1, r=4), each reporting its
+    * candidate-verification cost (Σ C(bucket, 2) — the LSH cost
+    * metric, counted without materializing a single pair) and a
+    * deterministically-sampled exact-Jaccard precision@0.5. This is
+    * the measurement behind choosing r and b: looser bands (r=1)
+    * recall more at quadratically more verification work and lower
+    * precision; stricter (r=4) invert the trade — the curve the
+    * cluster-density audit's chain-gluing diagnosis asks for.
+    *
+    * Scale shape: bucket stats are one (band)-keyed hash-agg per
+    * config — candidates_checked comes from the closed form, so the
+    * sweep never pays the pair join it is costing out. The precision
+    * estimator is DOUBLY bounded: buckets are md5-sampled with an
+    * adaptive modulus (m = max(1, active_buckets DIV 32) → ~32
+    * buckets at any corpus size; identity at test SFs) and each
+    * sampled bucket contributes at most 32 md5-ordered members —
+    * ≤ 32·C(32,2) ≈ 16k verified pairs FOREVER, the
+    * copresence-cap discipline applied to LSH tuning. A sampled
+    * pair with no common token never reaches the intersection join
+    * and counts as imprecise, which is exactly right. */
+  def bandSweep(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.expressions.Window
+    val sig = graft.operators.Materialize.eager(
+      minhashSignatures(s, d))
+    val tok = graft.operators.Materialize.eager(
+      documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+        .distinct())
+    val card = graft.operators.Materialize.eager(
+      tok.groupBy(col("doc_id")).agg(count(lit(1)).as("nw")))
+    def config(bands: Column, b: Int, r: Int): DataFrame = {
+      val banded = graft.operators.Materialize.eager(
+        sig.select(col("doc_id"), explode(bands).as("band")))
+      val buckets = graft.operators.Materialize.eager(
+        banded.groupBy(col("band")).agg(count(lit(1)).as("sz"))
+          .filter(col("sz") >= 2))
+      val stats = buckets.agg(
+        count(lit(1)).as("n_active_buckets"),
+        coalesce(max(col("sz")), lit(0L)).as("max_bucket"),
+        coalesce(sum(expr("sz * (sz - 1) DIV 2")), lit(0L))
+          .as("candidates_checked"))
+      val m = buckets.agg(
+        greatest(lit(1L), expr("COUNT(*) DIV 32")).as("m"))
+      val sampled = buckets.crossJoin(broadcast(m))
+        .filter(conv(substring(md5(col("band")), 1, 4), 16, 10)
+          .cast("long") % col("m") === 0)
+        .select(col("band"))
+      val members = graft.operators.Materialize.eager(
+        banded.join(sampled, "band")
+          .withColumn("rk", row_number().over(Window.partitionBy(col("band"))
+            .orderBy(md5(concat(col("doc_id").cast("string"), col("band"))))))
+          .filter(col("rk") <= 32).select(col("band"), col("doc_id")))
+      val pairs = graft.operators.Materialize.eager(
+        members.as("x").join(members.as("y"),
+            col("x.band") === col("y.band") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct())
+      val inter = pairs
+        .join(tok.select(col("doc_id").as("doc_a"), col("word")), "doc_a")
+        .join(tok.select(col("doc_id").as("doc_b"), col("word")),
+          Seq("doc_b", "word"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ni"))
+      val precise = inter
+        .join(card.select(col("doc_id").as("doc_a"), col("nw").as("nwa")),
+          "doc_a")
+        .join(card.select(col("doc_id").as("doc_b"), col("nw").as("nwb")),
+          "doc_b")
+        .filter(expr("(ni * 1000) DIV (nwa + nwb - ni) >= 500"))
+      val prec = pairs.agg(count(lit(1)).as("n_sampled_pairs"))
+        .crossJoin(broadcast(precise.agg(count(lit(1)).as("n_precise"))))
+      stats.crossJoin(broadcast(prec))
+        .select(lit(b.toLong).as("n_bands"), lit(r.toLong).as("rows_per_band"),
+          col("n_active_buckets"), col("max_bucket"),
+          col("candidates_checked"), col("n_sampled_pairs"),
+          col("n_precise"),
+          expr("n_precise * 1000 DIV GREATEST(n_sampled_pairs, 1)")
+            .as("precision_pm"))
+    }
+    val r1 = config(array(
+      concat(lit("a_"), col("mh0")), concat(lit("b_"), col("mh1")),
+      concat(lit("c_"), col("mh2")), concat(lit("d_"), col("mh3"))), 4, 1)
+    val r2 = config(array(
+      concat(lit("a_"), col("mh0"), col("mh1")),
+      concat(lit("b_"), col("mh2"), col("mh3"))), 2, 2)
+    val r4 = config(array(
+      concat(lit("a_"), col("mh0"), col("mh1"), col("mh2"), col("mh3"))),
+      1, 4)
+    r1.unionByName(r2).unionByName(r4).orderBy(col("rows_per_band"))
+  }
+
+  val bandSweepSql: String = {
+    val sig = minhashSignaturesSql.replace("ORDER BY doc_id", "")
+    def nib(x: String, i: Int) =
+      s"(strpos('0123456789abcdef', substring(md5($x), $i, 1)) - 1)"
+    def hash16(x: String) =
+      s"(${nib(x, 1)} * 4096 + ${nib(x, 2)} * 256 + " +
+        s"${nib(x, 3)} * 16 + ${nib(x, 4)})"
+    def cfg(p: String, bandsSql: String) =
+      s"""${p}_banded AS (
+         |  SELECT doc_id, UNNEST($bandsSql) AS band FROM sig),
+         |${p}_buckets AS (
+         |  SELECT band, COUNT(*) AS sz FROM ${p}_banded
+         |  GROUP BY 1 HAVING COUNT(*) >= 2),
+         |${p}_m AS (SELECT GREATEST(1, COUNT(*) // 32) AS m
+         |  FROM ${p}_buckets),
+         |${p}_sampled AS (
+         |  SELECT band FROM ${p}_buckets, ${p}_m
+         |  WHERE ${hash16("band")} % m = 0),
+         |${p}_members AS (
+         |  SELECT band, doc_id FROM (
+         |    SELECT b.band, b.doc_id, ROW_NUMBER() OVER (
+         |      PARTITION BY b.band
+         |      ORDER BY md5(CAST(b.doc_id AS VARCHAR) || b.band)) AS rk
+         |    FROM ${p}_banded b JOIN ${p}_sampled s ON b.band = s.band) t
+         |  WHERE rk <= 32),
+         |${p}_pairs AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM ${p}_members x JOIN ${p}_members y
+         |    ON x.band = y.band AND x.doc_id < y.doc_id),
+         |${p}_inter AS (
+         |  SELECT pp.doc_a, pp.doc_b, COUNT(*) AS ni
+         |  FROM ${p}_pairs pp JOIN tok ta ON ta.doc_id = pp.doc_a
+         |  JOIN tok tb ON tb.doc_id = pp.doc_b AND ta.word = tb.word
+         |  GROUP BY 1, 2),
+         |${p}_prec AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_precise
+         |  FROM ${p}_inter i JOIN card ca ON ca.doc_id = i.doc_a
+         |  JOIN card cb ON cb.doc_id = i.doc_b
+         |  WHERE (i.ni * 1000) // (ca.nw + cb.nw - i.ni) >= 500)""".stripMargin
+    def row(p: String, b: Int, r: Int) =
+      s"""SELECT CAST($b AS BIGINT) AS n_bands,
+         |  CAST($r AS BIGINT) AS rows_per_band,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ${p}_buckets)
+         |    AS n_active_buckets,
+         |  (SELECT CAST(COALESCE(MAX(sz), 0) AS BIGINT) FROM ${p}_buckets)
+         |    AS max_bucket,
+         |  (SELECT CAST(COALESCE(SUM(sz * (sz - 1) // 2), 0) AS BIGINT)
+         |    FROM ${p}_buckets) AS candidates_checked,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ${p}_pairs)
+         |    AS n_sampled_pairs,
+         |  (SELECT n_precise FROM ${p}_prec) AS n_precise,
+         |  (SELECT n_precise FROM ${p}_prec) * 1000
+         |    // GREATEST((SELECT COUNT(*) FROM ${p}_pairs), 1)
+         |    AS precision_pm""".stripMargin
+    s"""WITH sig AS ($sig),
+       |tok AS (
+       |  SELECT DISTINCT doc_id, w AS word FROM (
+       |    SELECT doc_id, UNNEST(string_split_regex(text, '[^\\p{L}]+')) AS w
+       |    FROM documents) t WHERE w <> ''),
+       |card AS (SELECT doc_id, COUNT(*) AS nw FROM tok GROUP BY 1),
+       |${cfg("c1", "['a_' || mh0, 'b_' || mh1, 'c_' || mh2, 'd_' || mh3]")},
+       |${cfg("c2", "['a_' || mh0 || mh1, 'b_' || mh2 || mh3]")},
+       |${cfg("c4", "['a_' || mh0 || mh1 || mh2 || mh3]")}
+       |${row("c1", 4, 1)}
+       |UNION ALL
+       |${row("c2", 2, 2)}
+       |UNION ALL
+       |${row("c4", 1, 4)}
+       |ORDER BY rows_per_band""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_band_sweep" -> bandSweep,
     "doc_wordcount" -> wordCount,
     "doc_inverted_index" -> invertedIndex,
     "doc_filter_group_count" -> filterGroupCount,
@@ -891,6 +1058,7 @@ object Documents {
 
   val oracle: Map[String, String] = Map(
     "doc_wordcount" -> wordCountSql,
+    "dedup_band_sweep" -> bandSweepSql,
     "doc_inverted_index" -> invertedIndexSql,
     "doc_filter_group_count" -> filterGroupCountSql,
     "doc_metadata_agg" -> metadataAggSql,

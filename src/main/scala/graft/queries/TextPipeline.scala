@@ -212,6 +212,94 @@ object TextPipeline {
       |WHERE s.split = 'train'
       |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------- contamination sweep
+  /** Decontamination THRESHOLD CURVE: [[decontaminate]]'s flag count
+    * evaluated at shingle widths 3 / 5 / 8 / 13 in one query — the
+    * tuning measurement behind choosing a production n-gram width.
+    * Too short (3) flags nearly every train doc on common phrases;
+    * too long stops catching paraphrased leaks; the knee of this
+    * curve is where real benchmark overlap separates from incidental
+    * phrase sharing (on these fixtures: 373 → 16 → 10 → 9 of 373
+    * train docs, the long-n residue being genuine cross-split
+    * near-duplicates). Output per width: distinct eval shingles,
+    * contaminated train docs, and the contamination rate in
+    * permille.
+    *
+    * Scale shape: the token-array projection is computed once and
+    * materialized; each width adds one explode + one distinct + one
+    * shingle-keyed equi-join (the decontaminate discipline — never
+    * train × eval); totals are 1-row broadcasts. Cost is Σ_width
+    * O(tokens), a constant factor over single-width decon. */
+  def contaminationSweep(s: SparkSession, d: String): DataFrame = {
+    val widths = Seq(3, 5, 8, 13)
+    val sw = graft.operators.Materialize.eager(
+      documents(s, d).select(col("doc_id"), splitCol.as("split"),
+        Documents.tokens(col("text")).as("ws")))
+    val trainTotal = sw.filter(col("split") === "train")
+      .agg(count(lit(1)).as("n_train"))
+    val rows = widths.map { n =>
+      val sh = graft.operators.Materialize.eager(
+        sw.select(col("doc_id"), col("split"),
+          explode(expr(
+            s"""CASE WHEN size(ws) >= $n
+               |THEN transform(sequence(1, size(ws) - ${n - 1}),
+               |       i -> array_join(slice(ws, i, $n), ' '))
+               |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+            .as("sh")).distinct())
+      val evalSh = graft.operators.Materialize.eager(
+        sh.filter(col("split") =!= "train").select(col("sh")).distinct())
+      val cont = sh.filter(col("split") === "train")
+        .join(evalSh, "sh").select(col("doc_id")).distinct()
+      cont.agg(count(lit(1)).as("n_contaminated"))
+        .crossJoin(broadcast(
+          evalSh.agg(count(lit(1)).as("n_eval_shingles"))))
+        .withColumn("ngram", lit(n.toLong))
+    }
+    rows.reduce(_ unionByName _)
+      .crossJoin(broadcast(trainTotal))
+      .withColumn("contaminated_pm",
+        expr("n_contaminated * 1000 DIV n_train"))
+      .select(col("ngram"), col("n_train"), col("n_eval_shingles"),
+        col("n_contaminated"), col("contaminated_pm"))
+      .orderBy(col("ngram"))
+  }
+
+  val contaminationSweepSql: String = {
+    val widths = Seq(3, 5, 8, 13)
+    val branches = widths.map { n =>
+      s"""sh$n AS (
+         |  SELECT DISTINCT doc_id, split,
+         |    array_to_string(ws[i:i+${n - 1}], ' ') AS sh
+         |  FROM t, UNNEST(range(1, len(ws) - ${n - 2})) AS u(i)
+         |  WHERE len(ws) >= $n),
+         |ev$n AS (SELECT DISTINCT sh FROM sh$n WHERE split <> 'train'),
+         |ct$n AS (
+         |  SELECT CAST(COUNT(DISTINCT s.doc_id) AS BIGINT) AS n_contaminated
+         |  FROM sh$n s JOIN ev$n e ON s.sh = e.sh
+         |  WHERE s.split = 'train')""".stripMargin
+    }.mkString(",\n")
+    val selects = widths.map { n =>
+      s"""SELECT CAST($n AS BIGINT) AS ngram,
+         |  (SELECT n_train FROM tr) AS n_train,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ev$n) AS n_eval_shingles,
+         |  (SELECT n_contaminated FROM ct$n) AS n_contaminated,
+         |  (SELECT n_contaminated FROM ct$n) * 1000
+         |    // (SELECT n_train FROM tr) AS contaminated_pm""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    $splitCaseSql AS split,
+       |    list_filter(string_split_regex(text, '[^\\p{L}]+'),
+       |                w -> w <> '') AS ws
+       |  FROM documents),
+       |tr AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_train FROM t
+       |  WHERE split = 'train'),
+       |$branches
+       |$selects
+       |ORDER BY ngram""".stripMargin
+  }
+
   // ------------------------------------------- mixture sampling
   /** Deterministic weighted mixture sampling — the "data recipe" step
     * that up/down-samples sources into a training mix. Keep decision =
@@ -512,6 +600,7 @@ object TextPipeline {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_contamination_sweep" -> contaminationSweep,
     "text_pack_efficiency" -> packEfficiency,
     "doc_split_assignment" -> splitAssignment,
     "doc_global_shuffle" -> globalShuffle,
@@ -527,6 +616,7 @@ object TextPipeline {
       graft.operators.TopK.topOrdersPerCustomer(s, d)))
 
   val oracle: Map[String, String] = Map(
+    "doc_contamination_sweep" -> contaminationSweepSql,
     "text_pack_efficiency" -> packEfficiencySql,
     "doc_split_assignment" -> splitAssignmentSql,
     "doc_global_shuffle" -> globalShuffleSql,

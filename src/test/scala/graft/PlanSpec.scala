@@ -186,6 +186,13 @@ class PlanSpec extends AnyFunSuite {
                             // totals broadcasts per setting
     "ev_survival_curve",    // 30-row day grid x <=30-row lifespan
                             // histogram suffix join — both sides tiny
+    "emb_hubness_audit",    // inherits emb_cosine_topk's capped-query
+                            // BNLJ + two 1-row antihub-complement
+                            // broadcasts
+    "dedup_band_sweep",     // per-config 1-row stat/modulus/precision
+                            // broadcasts; pair work doubly capped
+    "doc_contamination_sweep", // per-width 1-row count broadcasts
+                            // (eval shingles, train total)
     "pipeline_corpus_build", // eight 1-row funnel-audit aggregate
                             // broadcasts (stage counts) on the
                             // per-sequence output
