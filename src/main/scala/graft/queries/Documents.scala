@@ -1034,7 +1034,110 @@ object Documents {
        |ORDER BY rows_per_band""".stripMargin
   }
 
+  // ------------------------------------------ threshold sweep
+  /** Near-dup CONFIRM-THRESHOLD SWEEP: the pipeline_corpus_build
+    * survivorship rule ("drop a doc with a confirmed earlier
+    * duplicate", capped at 16 md5-ordered candidates per doc)
+    * evaluated at Jaccard thresholds 0.5 / 0.7 / 0.85 / 0.95 from
+    * ONE capped-confirm pass — the measurement behind the pipeline's
+    * 0.85 constant: confirmed-pair volume and corpus drop-rate per
+    * threshold. Drop counts are the capped estimator's (conservative
+    * -keep, same as the pipeline), stated rather than hidden.
+    *
+    * Scale shape: candidates and the 16-per-doc cap are the
+    * pipeline's bounded stage 3 (one banded join + one rank window);
+    * the Jaccard table is computed ONCE (O(docs · 16 · tokens)) and
+    * the four thresholds are four tiny aggregations over it. */
+  def thresholdSweep(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sig2 = graft.operators.Materialize.eager(
+      bandedSigs(s, d).repartition(s.sparkContext.defaultParallelism))
+    val cand = lshCandidatePairsFromSig(sig2)
+    val wCap = Window.partitionBy(col("doc_b")).orderBy(
+      md5(concat(col("doc_a").cast("string"), lit("_"),
+        col("doc_b").cast("string"))))
+    val capped = cand.withColumn("rk", row_number().over(wCap))
+      .filter(col("rk") <= 16).select(col("doc_a"), col("doc_b"))
+    val tok = graft.operators.Materialize.eager(
+      documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+        .distinct())
+    val card = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
+    val jac = graft.operators.Materialize.eager(capped
+      .join(tok.select(col("doc_id").as("doc_a"), col("word")), "doc_a")
+      .join(tok.select(col("doc_id").as("doc_b"), col("word")),
+        Seq("doc_b", "word"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ni"))
+      .join(card.select(col("doc_id").as("doc_a"), col("nw").as("nwa")),
+        "doc_a")
+      .join(card.select(col("doc_id").as("doc_b"), col("nw").as("nwb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("(ni * 1000) DIV (nwa + nwb - ni)").as("jac_pm")))
+    val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val rows = Seq(500L, 700L, 850L, 950L).map { t =>
+      val conf = jac.filter(col("jac_pm") >= t)
+      conf.agg(count(lit(1)).as("n_confirmed_pairs"))
+        .crossJoin(broadcast(conf.select(col("doc_b")).distinct()
+          .agg(count(lit(1)).as("n_docs_dropped"))))
+        .withColumn("threshold_pm", lit(t))
+    }
+    rows.reduce(_ unionByName _)
+      .crossJoin(broadcast(nDocs))
+      .withColumn("drop_pm", expr("n_docs_dropped * 1000 DIV n_docs"))
+      .select(col("threshold_pm"), col("n_confirmed_pairs"),
+        col("n_docs_dropped"), col("drop_pm"))
+      .orderBy(col("threshold_pm"))
+  }
+
+  val thresholdSweepSql: String = {
+    val sig = minhashSignaturesSql.replace("ORDER BY doc_id", "")
+    val rows = Seq(500, 700, 850, 950).map { t =>
+      s"""SELECT CAST($t AS BIGINT) AS threshold_pm,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM jac WHERE jac_pm >= $t)
+         |    AS n_confirmed_pairs,
+         |  (SELECT CAST(COUNT(DISTINCT doc_b) AS BIGINT) FROM jac
+         |    WHERE jac_pm >= $t) AS n_docs_dropped,
+         |  (SELECT COUNT(DISTINCT doc_b) FROM jac WHERE jac_pm >= $t)
+         |    * 1000 // (SELECT COUNT(*) FROM documents) AS drop_pm"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH sig AS ($sig),
+       |banded AS (
+       |  SELECT doc_id, 'b0_' || mh0 || '_' || mh1 AS band FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 'b1_' || mh2 || '_' || mh3 AS band FROM sig),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.doc_id < b.doc_id),
+       |capped AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT doc_a, doc_b, ROW_NUMBER() OVER (PARTITION BY doc_b
+       |      ORDER BY md5(CAST(doc_a AS VARCHAR) || '_' ||
+       |                   CAST(doc_b AS VARCHAR))) AS rk
+       |    FROM pairs) t WHERE rk <= 16),
+       |tok AS (
+       |  SELECT DISTINCT doc_id, w AS word FROM (
+       |    SELECT doc_id, UNNEST(string_split_regex(text, '[^\\p{L}]+')) AS w
+       |    FROM documents) t WHERE w <> ''),
+       |card AS (SELECT doc_id, COUNT(*) AS nw FROM tok GROUP BY 1),
+       |inter AS (
+       |  SELECT p.doc_a, p.doc_b, COUNT(*) AS ni
+       |  FROM capped p JOIN tok a ON a.doc_id = p.doc_a
+       |  JOIN tok b ON b.doc_id = p.doc_b AND a.word = b.word
+       |  GROUP BY 1, 2),
+       |jac AS (
+       |  SELECT i.doc_a, i.doc_b,
+       |    (i.ni * 1000) // (ca.nw + cb.nw - i.ni) AS jac_pm
+       |  FROM inter i JOIN card ca ON ca.doc_id = i.doc_a
+       |  JOIN card cb ON cb.doc_id = i.doc_b)
+       |$rows
+       |ORDER BY threshold_pm""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_threshold_sweep" -> thresholdSweep,
     "dedup_band_sweep" -> bandSweep,
     "doc_wordcount" -> wordCount,
     "doc_inverted_index" -> invertedIndex,
@@ -1059,6 +1162,7 @@ object Documents {
   val oracle: Map[String, String] = Map(
     "doc_wordcount" -> wordCountSql,
     "dedup_band_sweep" -> bandSweepSql,
+    "dedup_threshold_sweep" -> thresholdSweepSql,
     "doc_inverted_index" -> invertedIndexSql,
     "doc_filter_group_count" -> filterGroupCountSql,
     "doc_metadata_agg" -> metadataAggSql,

@@ -406,6 +406,56 @@ object TokenizerOps {
       |FROM tok JOIN seg USING (word)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- tokenizer fertility
+  /** Tokenizer FERTILITY by source: pieces-per-word (milli) and
+    * chars-per-piece (milli) of the 8-round trained BPE vocabulary,
+    * per provider — the tokenizer-evaluation metric behind "which
+    * sources will inflate my token bill / context usage". A source
+    * whose fertility is far above the corpus norm is poorly served
+    * by the vocabulary (different domain, different language) — the
+    * signal that routes it to vocab retraining or re-weighting.
+    * Every corpus word is in the trained vocab by construction, so
+    * the join is total and no OOV branch is needed.
+    *
+    * Scale shape: training cost is bpe_train's (corpus-sized work =
+    * one word-count agg; merges on the distinct vocab); the apply
+    * side is one broadcast vocab equi-join + a per-source hash-agg —
+    * text_bpe_apply's shape rolled up by provider instead of
+    * per-doc. */
+  def tokenizerFertility(s: SparkSession, d: String): DataFrame = {
+    val (vocab, _) = trainedVocab(s, d, 8)
+    val tok = documents(s, d)
+      .select(col("source"), explode(toks(col("text"))).as("word"))
+    tok.join(vocab.select(col("word"),
+        size(col("sym")).cast("long").as("n_sym")), "word")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sym")).as("n_pieces"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+      .withColumn("fertility_milli", expr("n_pieces * 1000 DIV n_words"))
+      .withColumn("chars_per_piece_milli",
+        expr("n_chars * 1000 DIV n_pieces"))
+      .orderBy(col("source"))
+  }
+
+  val tokenizerFertilitySql: String =
+    bpeCtes(8) + s""",
+      |seg AS (
+      |  SELECT w AS word, CAST(len(string_split(trim(s), ' ')) AS BIGINT)
+      |    AS n_sym
+      |  FROM v8),
+      |tok AS (
+      |  SELECT source, UNNEST($toksSql) AS word FROM documents)
+      |SELECT source, COUNT(*) AS n_words,
+      |  CAST(SUM(n_sym) AS BIGINT) AS n_pieces,
+      |  CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+      |  (CAST(SUM(n_sym) AS BIGINT) * 1000) // CAST(COUNT(*) AS BIGINT)
+      |    AS fertility_milli,
+      |  (CAST(SUM(length(word)) AS BIGINT) * 1000)
+      |    // CAST(SUM(n_sym) AS BIGINT) AS chars_per_piece_milli
+      |FROM tok JOIN seg USING (word)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   /** Sequential in-memory BPE twin for the differential spec: same
     * argmax/tie-break/merge semantics over a (word, count) list. */
   def bpeTrainSequential(wordCounts: Seq[(String, Long)],
@@ -438,6 +488,7 @@ object TokenizerOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokenizer_fertility" -> tokenizerFertility,
     "text_bpe_train" -> bpeTrain,
     "text_bpe_apply" -> bpeApply,
     "text_bpe_merge_round" -> bpeMergeRound,
@@ -446,6 +497,7 @@ object TokenizerOps {
 
   val oracle: Map[String, String] = Map(
     "text_bpe_train" -> bpeTrainSql,
+    "text_tokenizer_fertility" -> tokenizerFertilitySql,
     "text_bpe_apply" -> bpeApplySql,
     "text_bpe_merge_round" -> bpeMergeRoundSql,
     "text_bigram_perplexity" -> bigramPerplexitySql,

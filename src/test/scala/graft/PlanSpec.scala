@@ -189,6 +189,8 @@ class PlanSpec extends AnyFunSuite {
     "emb_hubness_audit",    // inherits emb_cosine_topk's capped-query
                             // BNLJ + two 1-row antihub-complement
                             // broadcasts
+    "dedup_threshold_sweep", // four 1-row threshold-count broadcasts
+                            // over ONE capped-confirm jaccard table
     "dedup_band_sweep",     // per-config 1-row stat/modulus/precision
                             // broadcasts; pair work doubly capped
     "doc_contamination_sweep", // per-width 1-row count broadcasts
