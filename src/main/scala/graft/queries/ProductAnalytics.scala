@@ -301,6 +301,91 @@ object ProductAnalytics {
     * (user, bucket) with a residual time predicate — shuffle-bounded,
     * never touches × purchases. Per-purchase weight totals are one
     * purchase-keyed window over the matched pairs. */
+  // ------------------------------------ attribution touchpoint log
+  /** Per-purchase TOUCHPOINT ROLLUP: how many candidate touches each
+    * purchase has in its 48-hour lookback and which one wins
+    * last-touch, with the same (ts, event_id) tie order everywhere —
+    * the REGISTERED batch twin of the streaming left-outer interval
+    * join (EventStreams.attributionJoinStream): same join predicate,
+    * same tie-break, purchases with no in-window touch surface as
+    * ('none', -1) exactly like the stream's watermark-held null rows.
+    * Three independent devices now pin one semantic: this bucketed
+    * range join, the per-user window idiom
+    * ([[attributionPerPurchase]] — equality asserted in
+    * ProductAnalyticsSpec), and the streaming join (StreamingSpec).
+    *
+    * Scale shape: the 2-day bucket scheme of [[attributionTimeDecay]]
+    * (each touch explodes to 2 bucket keys, each purchase to 1, so
+    * the join is a plain equi-join on (user, bucket) and every
+    * in-window pair matches exactly once); the winner is an argmax
+    * hash-agg (max over struct — map-side combine, no window sort);
+    * the 'none' completion is one left join on purchase id. */
+  def attributionTouchpoints(s: SparkSession, d: String): DataFrame = {
+    val W = 172800000000L
+    val ev = events(s, d).select(col("event_id"), col("user_id"),
+      col("event_type"), unix_micros(col("ts")).as("us"), col("value"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_id").as("t_id"),
+        col("event_type").as("channel"), col("us").as("t_us"))
+      .withColumn("tb", explode(array(expr(s"t_us DIV $W"),
+        expr(s"t_us DIV $W + 1"))))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("us").as("p_us"), cents(col("value")).cast("long").as("cts"))
+      .withColumn("tb", expr(s"p_us DIV $W"))
+    val pairs = purch.join(touches, Seq("user_id", "tb"))
+      .filter(col("p_us") - col("t_us") <= W &&
+        (col("t_us") < col("p_us") ||
+          (col("t_us") === col("p_us") && col("t_id") < col("p_id"))))
+    val per = pairs.groupBy(col("p_id"))
+      .agg(count(lit(1)).as("n_touches"),
+        max(struct(col("t_us"), col("t_id"), col("channel"))).as("w"))
+      .select(col("p_id"), col("n_touches"),
+        col("w.channel").as("last_touch"), col("w.t_id").as("last_touch_id"))
+    purch.select(col("p_id"), col("user_id"), col("cts"))
+      .join(per, Seq("p_id"), "left")
+      .na.fill(0L, Seq("n_touches", "last_touch_id"))
+      .na.fill(Map("last_touch" -> "none"))
+      .withColumn("last_touch_id",
+        when(col("last_touch") === "none", -1L).otherwise(col("last_touch_id")))
+      .select(col("p_id"), col("user_id"), col("n_touches"),
+        col("last_touch"), col("last_touch_id"),
+        col("cts").as("revenue_cents"))
+      .orderBy(col("p_id"))
+  }
+
+  val attributionTouchpointsSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us, value
+       |  FROM events),
+       |touches AS (
+       |  SELECT user_id, event_id AS t_id, event_type AS channel,
+       |    us AS t_us,
+       |    UNNEST([us // 172800000000, us // 172800000000 + 1]) AS tb
+       |  FROM ev WHERE event_type <> 'purchase'),
+       |purch AS (
+       |  SELECT user_id, event_id AS p_id, us AS p_us,
+       |    ${centsSql("value")} AS cts, us // 172800000000 AS tb
+       |  FROM ev WHERE event_type = 'purchase'),
+       |pairs AS (
+       |  SELECT p.p_id, t.t_us, t.t_id, t.channel
+       |  FROM purch p JOIN touches t
+       |    ON p.user_id = t.user_id AND p.tb = t.tb
+       |    AND p.p_us - t.t_us <= 172800000000
+       |    AND (t.t_us < p.p_us OR (t.t_us = p.p_us AND t.t_id < p.p_id))),
+       |per AS (
+       |  SELECT p_id, CAST(COUNT(*) AS BIGINT) AS n_touches,
+       |    MAX(struct_pack(t_us := t_us, t_id := t_id, channel := channel))
+       |      AS w
+       |  FROM pairs GROUP BY 1)
+       |SELECT p.p_id, p.user_id,
+       |  COALESCE(per.n_touches, 0) AS n_touches,
+       |  COALESCE(w['channel'], 'none') AS last_touch,
+       |  COALESCE(w['t_id'], -1) AS last_touch_id,
+       |  p.cts AS revenue_cents
+       |FROM purch p LEFT JOIN per ON per.p_id = p.p_id
+       |ORDER BY p.p_id""".stripMargin
+
   def attributionTimeDecay(s: SparkSession, d: String): DataFrame = {
     val W = 172800000000L // 2 days in micros
     val ev = events(s, d).select(col("event_id"), col("user_id"),
@@ -726,6 +811,7 @@ object ProductAnalytics {
     "ev_concurrency_curve" -> concurrencyCurve,
     "ev_rfm_segments" -> rfmSegments,
     "ev_attribution_last_touch" -> attributionLastTouch,
+    "ev_attribution_touchpoints" -> attributionTouchpoints,
     "ev_attribution_time_decay" -> attributionTimeDecay,
     "ev_cusum_changepoint" -> cusumChangepoint)
 
@@ -739,6 +825,7 @@ object ProductAnalytics {
     "ev_concurrency_curve" -> concurrencyCurveSql,
     "ev_rfm_segments" -> rfmSegmentsSql,
     "ev_attribution_last_touch" -> attributionLastTouchSql,
+    "ev_attribution_touchpoints" -> attributionTouchpointsSql,
     "ev_attribution_time_decay" -> attributionTimeDecaySql,
     "ev_cusum_changepoint" -> cusumChangepointSql)
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestSession
 
@@ -107,5 +108,21 @@ class ProductAnalyticsSpec extends AnyFunSuite {
     val got = ProductAnalytics.rfmSegments(spark, d)
       .as[(String, Long, Long, Long)].collect().toSeq
     assert(got == Seq(("111", 1L, 1234L, 1L)))
+  }
+
+  test("touchpoints' last_touch equals the window-idiom attribution " +
+      "per purchase (bucketed range join vs ordered window, whole " +
+      "sf0.001 fixture)") {
+    val d = "/root/testdata/sf0.001"
+    val viaJoin = ProductAnalytics.attributionTouchpoints(spark, d)
+      .select(col("p_id"), col("last_touch"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaWindow = ProductAnalytics.attributionPerPurchase(spark, d)
+      .select(col("event_id"), col("attributed"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaJoin == viaWindow)
+    assert(viaJoin.valuesIterator.contains("none") &&
+      viaJoin.valuesIterator.exists(_ != "none"),
+      "fixture must exercise both branches")
   }
 }
