@@ -590,7 +590,95 @@ object DataAudit {
       }
     }.mkString("", "\nUNION ALL ", "\nORDER BY table_name, col_name")
 
+  // ------------------------------------- functional-dependency audit
+  /** Approximate-FD discovery over a declared candidate catalog: for
+    * each candidate `A → B`, the g3 error — the MINIMUM number of
+    * rows to delete for the dependency to hold exactly (Kivinen &
+    * Mannila's measure; the one TANE-family profilers report). A
+    * lake uses this to find denormalization opportunities (g3 = 0:
+    * B can live in an A-keyed dimension) and silent constraint rot
+    * (a "should-hold" FD whose g3 drifts up release over release).
+    *
+    * Per FD: determinant group count, row count, groups with >1
+    * distinct dependent value, rows_to_fix = Σ_a (cnt(a) −
+    * max_b cnt(a,b)), and g3_pm on the permille grid. The catalog
+    * mixes key-implied FDs (positive controls, g3 = 0 by
+    * construction) with plausibly-false ones, so the audit output
+    * exercises both branches.
+    *
+    * Scale shape: each FD is two chained hash-aggs — (A,B) counts
+    * with map-side combine, then a per-A reduction — exactly the
+    * LPA argmax discipline; no window, no join, output O(|catalog|)
+    * rows. Branches are independent scans that parallelize across
+    * the cluster; a 100 TB fact table costs one shuffle of its
+    * (A,B) distinct-ish profile, not a sort. */
+  def fdViolations(s: SparkSession, d: String): DataFrame = {
+    def fd(name: String, df: DataFrame, a: String, b: String): DataFrame =
+      df.filter(col(a).isNotNull)
+        .groupBy(col(a).as("ka"), col(b).as("kb"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("ka"))
+        .agg(sum(col("cnt")).as("rows_a"), count(lit(1)).as("n_b"),
+          max(col("cnt")).as("max_b"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("rows_a")).cast("long").as("n_rows"),
+          coalesce(sum(when(col("n_b") > 1, 1L).otherwise(0L)), lit(0L))
+            .as("n_violating_groups"),
+          (sum(col("rows_a")) - sum(col("max_b"))).cast("long")
+            .as("rows_to_fix"))
+        .select(lit(name).as("fd"), col("n_groups"), col("n_rows"),
+          col("n_violating_groups"), col("rows_to_fix"),
+          expr("rows_to_fix * 1000 DIV n_rows").as("g3_pm"))
+    fd("customer.c_nationkey->c_mktsegment", customer(s, d),
+        "c_nationkey", "c_mktsegment")
+      .unionByName(fd("events.user_id->event_type", events(s, d),
+        "user_id", "event_type"))
+      .unionByName(fd("lineitem.l_partkey->l_suppkey", lineitem(s, d),
+        "l_partkey", "l_suppkey"))
+      .unionByName(fd("nation.n_nationkey->n_regionkey", nation(s, d),
+        "n_nationkey", "n_regionkey"))
+      .unionByName(fd("orders.o_custkey->o_orderpriority", orders(s, d),
+        "o_custkey", "o_orderpriority"))
+      .unionByName(fd("orders.o_orderkey->o_orderstatus", orders(s, d),
+        "o_orderkey", "o_orderstatus"))
+      .unionByName(fd("part.p_brand->p_type", part(s, d),
+        "p_brand", "p_type"))
+      .orderBy(col("fd"))
+  }
+
+  val fdViolationsSql: String = {
+    def fd(name: String, table: String, a: String, b: String): String =
+      s"""SELECT '$name' AS fd, COUNT(*) AS n_groups,
+         |  CAST(SUM(rows_a) AS BIGINT) AS n_rows,
+         |  CAST(COALESCE(SUM(CASE WHEN n_b > 1 THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS n_violating_groups,
+         |  CAST(SUM(rows_a) - SUM(max_b) AS BIGINT) AS rows_to_fix,
+         |  CAST(SUM(rows_a) - SUM(max_b) AS BIGINT) * 1000
+         |    // CAST(SUM(rows_a) AS BIGINT) AS g3_pm
+         |FROM (
+         |  SELECT ka, SUM(cnt) AS rows_a, COUNT(*) AS n_b,
+         |    MAX(cnt) AS max_b
+         |  FROM (SELECT $a AS ka, $b AS kb, COUNT(*) AS cnt FROM $table
+         |        WHERE $a IS NOT NULL GROUP BY 1, 2) g
+         |  GROUP BY ka) h""".stripMargin
+    Seq(
+      fd("customer.c_nationkey->c_mktsegment", "customer",
+        "c_nationkey", "c_mktsegment"),
+      fd("events.user_id->event_type", "events", "user_id", "event_type"),
+      fd("lineitem.l_partkey->l_suppkey", "lineitem",
+        "l_partkey", "l_suppkey"),
+      fd("nation.n_nationkey->n_regionkey", "nation",
+        "n_nationkey", "n_regionkey"),
+      fd("orders.o_custkey->o_orderpriority", "orders",
+        "o_custkey", "o_orderpriority"),
+      fd("orders.o_orderkey->o_orderstatus", "orders",
+        "o_orderkey", "o_orderstatus"),
+      fd("part.p_brand->p_type", "part", "p_brand", "p_type")
+    ).mkString("", "\nUNION ALL ", "\nORDER BY fd")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "audit_fd_violations" -> fdViolations,
     "audit_schema_profile" -> schemaProfile,
     "audit_value_mad" -> valueMadOutliers,
     "audit_null_profile" -> nullProfile,
@@ -602,6 +690,7 @@ object DataAudit {
     "link_blocked_fuzzy" -> linkBlockedFuzzy)
 
   val oracle: Map[String, String] = Map(
+    "audit_fd_violations" -> fdViolationsSql,
     "audit_schema_profile" -> schemaProfileSql,
     "audit_value_mad" -> valueMadOutliersSql,
     "audit_null_profile" -> nullProfileSql,
