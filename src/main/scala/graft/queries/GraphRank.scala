@@ -668,7 +668,137 @@ object GraphRank {
        |""".stripMargin
   }
 
+  // --------------------------------------- neighbor-set Jaccard
+  /** Link-prediction audit of the LSH candidate graph: for each
+    * existing candidate edge (u,v), the Jaccard similarity of the
+    * two endpoints' neighbor sets — |N(u)∩N(v)| / |N(u)∪N(v)| in
+    * milli units, top 20 by (jaccard desc, u, v). High-Jaccard edges
+    * sit inside tight duplicate families (structurally confirmed:
+    * the endpoints agree on who else they match); a low-Jaccard edge
+    * is a lone bridge whose survival depends on one band collision —
+    * the per-EDGE refinement of the global closure_pm diagnostic.
+    *
+    * Scale shape: neighbor-set intersection via self-join on the
+    * shared neighbor is quadratic in the hottest neighbor's
+    * OCCURRENCE count, so the adjacency is DOUBLY capped at K=64 by
+    * md5 order — first per node (list length, the triangle-count
+    * discipline, with the same deterministic Bernoulli pre-thin
+    * sharing one digest projection), then per neighbor VALUE
+    * (occurrence count, bounding the self-join at O(n·K²) rows).
+    * Both caps are identity whenever the relevant degree ≤ K — all
+    * spec motifs — and the double cap keeps the arithmetic
+    * consistent: common(u,v) counts neighbors surviving BOTH
+    * endpoints' capped rows, so common ≤ min(deg_u, deg_v) and the
+    * union denominator deg_u + deg_v − common is always positive.
+    * Emitted degrees ARE the capped degrees (the sampled-estimator
+    * stance: exact below the cap, declared sample above it). */
+  def neighborJaccard(s: SparkSession, d: String): DataFrame =
+    neighborJaccardOn(Documents.lshCandidatePairs(s, d))
+
+  /** Core audit over caller-supplied undirected edges (doc_a <
+    * doc_b, distinct) — separated so specs can plant known motifs. */
+  def neighborJaccardOn(pairs: DataFrame): DataFrame = {
+    val edges = graft.operators.Materialize.eager(
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+    val directed = edges
+      .select(col("u").as("node"), col("v").as("nbr"))
+      .union(edges.select(col("v").as("node"), col("u").as("nbr")))
+    val deg = directed.groupBy(col("node")).agg(count(lit(1)).as("dg"))
+    // one digest shared by the pre-thin filter and BOTH cap windows
+    val hashed = directed.join(deg, "node")
+      .withColumn("m", md5(concat(col("node").cast("string"), lit("|"),
+        col("nbr").cast("string"))))
+    val thinned = hashed
+      .filter(conv(substring(col("m"), 1, 4), 16, 10).cast("long") *
+        col("dg") < lit(2L * CapK * 65536L))
+      .select(col("node"), col("nbr"), col("m"))
+    val wNode = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node")).orderBy(col("m"), col("nbr"))
+    val wNbr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("nbr")).orderBy(col("m"), col("node"))
+    val capped2 = graft.operators.Materialize.eager(
+      thinned.withColumn("rk", row_number().over(wNode))
+        .filter(col("rk") <= CapK)
+        .withColumn("rk2", row_number().over(wNbr))
+        .filter(col("rk2") <= CapK)
+        .select(col("node"), col("nbr")))
+    val deg2 = capped2.groupBy(col("node")).agg(count(lit(1)).as("cdg"))
+    val a = capped2.as("a"); val b = capped2.as("b")
+    val inter = a.join(b,
+        col("a.nbr") === col("b.nbr") && col("a.node") < col("b.node"))
+      .select(col("a.node").as("u"), col("b.node").as("v"))
+    inter.join(edges, Seq("u", "v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("common_nbrs"))
+      .join(deg2.select(col("node").as("u"), col("cdg").as("deg_u")), "u")
+      .join(deg2.select(col("node").as("v"), col("cdg").as("deg_v")), "v")
+      .select(col("u"), col("v"), col("common_nbrs"),
+        col("deg_u"), col("deg_v"),
+        expr("common_nbrs * 1000 DIV (deg_u + deg_v - common_nbrs)")
+          .as("jaccard_milli"))
+      .orderBy(col("jaccard_milli").desc, col("u"), col("v"))
+      .limit(20)
+  }
+
+  val neighborJaccardSql: String = {
+    val sig = Documents.minhashSignaturesSql.replace("ORDER BY doc_id", "")
+    s"""WITH sig AS ($sig),
+       |banded AS (
+       |  SELECT doc_id, 'b0_' || mh0 || '_' || mh1 AS band FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 'b1_' || mh2 || '_' || mh3 AS band FROM sig),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.doc_id < b.doc_id),
+       |directed AS (
+       |  SELECT u AS node, v AS nbr FROM pairs
+       |  UNION ALL SELECT v, u FROM pairs),
+       |deg AS (
+       |  SELECT node, COUNT(*) AS dg FROM directed GROUP BY node),
+       |hashed AS (
+       |  SELECT d.node, d.nbr, g.dg,
+       |    md5(CAST(d.node AS VARCHAR) || '|' ||
+       |        CAST(d.nbr AS VARCHAR)) AS m
+       |  FROM directed d JOIN deg g ON g.node = d.node),
+       |thinned AS (
+       |  SELECT node, nbr, m FROM hashed
+       |  WHERE ((strpos('0123456789abcdef', substring(m, 1, 1)) - 1) * 4096
+       |       + (strpos('0123456789abcdef', substring(m, 2, 1)) - 1) * 256
+       |       + (strpos('0123456789abcdef', substring(m, 3, 1)) - 1) * 16
+       |       + (strpos('0123456789abcdef', substring(m, 4, 1)) - 1))
+       |      * dg < ${2L * 64 * 65536L}),
+       |capped AS (
+       |  SELECT node, nbr, m FROM (
+       |    SELECT node, nbr, m, ROW_NUMBER() OVER (PARTITION BY node
+       |      ORDER BY m, nbr) AS rk
+       |    FROM thinned) r WHERE rk <= 64),
+       |capped2 AS (
+       |  SELECT node, nbr FROM (
+       |    SELECT node, nbr, ROW_NUMBER() OVER (PARTITION BY nbr
+       |      ORDER BY m, node) AS rk2
+       |    FROM capped) r WHERE rk2 <= 64),
+       |deg2 AS (
+       |  SELECT node, COUNT(*) AS cdg FROM capped2 GROUP BY node),
+       |common AS (
+       |  SELECT i.u, i.v, COUNT(*) AS common_nbrs FROM (
+       |    SELECT a.node AS u, b.node AS v
+       |    FROM capped2 a JOIN capped2 b
+       |      ON a.nbr = b.nbr AND a.node < b.node) i
+       |  JOIN pairs e ON i.u = e.u AND i.v = e.v
+       |  GROUP BY i.u, i.v)
+       |SELECT c.u, c.v, c.common_nbrs,
+       |  du.cdg AS deg_u, dv.cdg AS deg_v,
+       |  c.common_nbrs * 1000 // (du.cdg + dv.cdg - c.common_nbrs)
+       |    AS jaccard_milli
+       |FROM common c
+       |JOIN deg2 du ON du.node = c.u
+       |JOIN deg2 dv ON dv.node = c.v
+       |ORDER BY jaccard_milli DESC, c.u, c.v
+       |LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_neighbor_jaccard" -> neighborJaccard,
     "graph_label_propagation" -> labelPropagation,
     "graph_pagerank_dups" -> pagerankDupGraph,
     "graph_triangle_count" -> triangleCount,
@@ -676,6 +806,7 @@ object GraphRank {
     "graph_kcore" -> kcore)
 
   val oracle: Map[String, String] = Map(
+    "graph_neighbor_jaccard" -> neighborJaccardSql,
     "graph_label_propagation" -> labelPropagationSql,
     "graph_pagerank_dups" -> pagerankDupGraphSql,
     "graph_triangle_count" -> triangleCountSql,
