@@ -567,8 +567,13 @@ object GraphRank {
       graft.Tables.documents(s, d).select(col("doc_id")),
       Documents.lshCandidatePairs(s, d))
 
-  def labelPropagationOn(docs: DataFrame, pairs: DataFrame,
-      rounds: Int = LpaRounds): DataFrame = {
+  /** The shared LPA core: runs the synchronous rounds and returns
+    * (labels, directed edges, converged, rounds that changed a
+    * label). Both graph_label_propagation and graph_modularity build
+    * on this — identical ops, so the LPA query's output is
+    * bit-unchanged by the extraction. */
+  private[queries] def lpaLabelsOn(docs: DataFrame, pairs: DataFrame,
+      rounds: Int): (DataFrame, DataFrame, Boolean, Int) = {
     val edges = graft.operators.Materialize.eager(
       pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
         .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v"))))
@@ -598,6 +603,14 @@ object GraphRank {
       converged = changed == 0
       r += 1
     }
+    val roundsUsed = if (converged) r - 1 else r
+    (labels, edges, converged, roundsUsed)
+  }
+
+  def labelPropagationOn(docs: DataFrame, pairs: DataFrame,
+      rounds: Int = LpaRounds): DataFrame = {
+    val (labels, edges, converged, roundsUsed) =
+      lpaLabelsOn(docs, pairs, rounds)
     val comm = labels.groupBy(col("label")).agg(count(lit(1)).as("sz"))
     val stats = comm.agg(count(lit(1)).as("n_communities"),
       max(col("sz")).as("largest_community"),
@@ -611,11 +624,77 @@ object GraphRank {
       // rounds that changed a label (the final verifying round does
       // not count) — decomposes the rehearsal's wall ratio into
       // rounds x O(E) with in-artifact numbers
-      .withColumn("rounds_used",
-        lit(if (converged) (r - 1).toLong else r.toLong))
+      .withColumn("rounds_used", lit(roundsUsed.toLong))
   }
 
-  val labelPropagationSql: String = {
+  // ------------------------------------------------- modularity
+  /** Newman modularity Q of the LPA community partition on the LSH
+    * candidate graph, in milli units: Q = Σ_c [e_c/m − (d_c/2m)²]
+    * = internal/m − Σd_c²/4m². The single-number answer to "did the
+    * communities LPA found actually capture the edge mass, or is the
+    * partition arbitrary?" — Q near 0 means the banding's duplicate
+    * families are no better than random groupings (band params too
+    * loose); Q well above 0 certifies the families are real edge
+    * concentrations a survivorship pass can safely collapse.
+    *
+    * Numerics: internal-edge count and Σd_c² are exact integers
+    * (Σd_c² ≤ (2m)² stays inside int64 until ~1.5e9 edges — beyond
+    * that the term moves to a downscaled grid, a declared cliff far
+    * above the rehearsal scale); only the final two-term ratio
+    * evaluates in doubles, where both terms are exact-integer-derived
+    * and the expression order is fixed, so the IEEE result is
+    * deterministic on both engines — snap ⌊×1000+0.5⌋ (the
+    * assortativity stance).
+    *
+    * Scale shape: the LPA rounds (O(E) each, shared core) dominate;
+    * on top sit one edge-level label join (internal count), one
+    * node-level label join + two hash-aggs (Σd_c²), and a broadcast
+    * assembly of four 1-row aggregates. Nothing quadratic. */
+  def modularity(s: SparkSession, d: String): DataFrame =
+    modularityOn(
+      graft.Tables.documents(s, d).select(col("doc_id")),
+      Documents.lshCandidatePairs(s, d))
+
+  def modularityOn(docs: DataFrame, pairs: DataFrame,
+      rounds: Int = LpaRounds): DataFrame = {
+    val (labels, edges, converged, roundsUsed) =
+      lpaLabelsOn(docs, pairs, rounds)
+    val internal = edges
+      .join(labels.select(col("id").as("u"), col("label").as("lu")), "u")
+      .join(labels.select(col("id").as("v"), col("label").as("lv")), "v")
+      .filter(col("lu") === col("lv"))
+      .agg((count(lit(1)) / 2).cast("long").as("internal_edges"))
+    // directed edges: per-node out-count IS the undirected degree
+    val sumd2 = edges.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+      .join(labels.select(col("id").as("u"), col("label")), "u")
+      .groupBy(col("label")).agg(sum(col("dg")).as("d_c"))
+      .agg(coalesce(sum(col("d_c") * col("d_c")), lit(0L)).cast("long")
+        .as("sum_d2"))
+    val nComm = labels.groupBy(col("label")).agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_communities"))
+    docs.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(broadcast(edges.agg((count(lit(1)) / 2).cast("long")
+        .as("n_edges"))))
+      .crossJoin(broadcast(nComm))
+      .crossJoin(broadcast(internal))
+      .crossJoin(broadcast(sumd2))
+      .select(col("n_nodes"), col("n_edges"), col("n_communities"),
+        col("internal_edges"),
+        when(col("n_edges") === 0, lit(0L)).otherwise(expr(
+          """CAST(FLOOR((CAST(internal_edges AS DOUBLE)
+            |  / CAST(n_edges AS DOUBLE)
+            |  - CAST(sum_d2 AS DOUBLE)
+            |  / (4.0D * CAST(n_edges AS DOUBLE)
+            |     * CAST(n_edges AS DOUBLE))) * 1000 + 0.5)
+            |AS BIGINT)""".stripMargin)).as("modularity_milli"),
+        lit(if (converged) 1L else 0L).as("converged"),
+        lit(roundsUsed.toLong).as("rounds_used"))
+  }
+
+  /** The shared LPA oracle prefix: every CTE through the final label
+    * table l<LpaRounds> — factored so graph_label_propagation and
+    * graph_modularity mirror the SAME unrolled rounds. */
+  private def lpaSqlCtes: String = {
     val sig = Documents.minhashSignaturesSql.replace("ORDER BY doc_id", "")
     val roundsSql = (1 to LpaRounds).map { r =>
       val p = r - 1
@@ -631,15 +710,7 @@ object GraphRank {
          |      ORDER BY cnt DESC, label) AS rn FROM c$r) t
          |  WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    val R = LpaRounds; val P = LpaRounds - 1
-    // rounds that changed at least one label (label tables are
-    // id-complete every round, so an inner diff join is exact)
-    val changedSumSql = (1 to LpaRounds).map { r =>
-      s"""CASE WHEN (SELECT COUNT(*) FROM l$r a JOIN l${r - 1} b
-         |    ON a.id = b.id AND a.label <> b.label) > 0
-         |    THEN 1 ELSE 0 END""".stripMargin
-    }.mkString("(", " +\n", ")")
-    s"""WITH sig AS ($sig),
+    s"""sig AS ($sig),
        |banded AS (
        |  SELECT doc_id, 'b0_' || mh0 || '_' || mh1 AS band FROM sig
        |  UNION ALL
@@ -652,7 +723,21 @@ object GraphRank {
        |  SELECT doc_a AS u, doc_b AS v FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
        |l0 AS (SELECT doc_id AS id, doc_id AS label FROM documents),
-       |$roundsSql,
+       |$roundsSql""".stripMargin
+  }
+
+  // rounds that changed at least one label (label tables are
+  // id-complete every round, so an inner diff join is exact)
+  private def lpaChangedSumSql: String = (1 to LpaRounds).map { r =>
+    s"""CASE WHEN (SELECT COUNT(*) FROM l$r a JOIN l${r - 1} b
+       |    ON a.id = b.id AND a.label <> b.label) > 0
+       |    THEN 1 ELSE 0 END""".stripMargin
+  }.mkString("(", " +\n", ")")
+
+  val labelPropagationSql: String = {
+    val R = LpaRounds; val P = LpaRounds - 1
+    val changedSumSql = lpaChangedSumSql
+    s"""WITH $lpaSqlCtes,
        |comm AS (SELECT label, COUNT(*) AS sz FROM l$R GROUP BY 1)
        |SELECT
        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_nodes,
@@ -797,8 +882,47 @@ object GraphRank {
        |LIMIT 20""".stripMargin
   }
 
+  val modularitySql: String = {
+    val R = LpaRounds; val P = LpaRounds - 1
+    s"""WITH $lpaSqlCtes,
+       |deg AS (SELECT u AS node, COUNT(*) AS dg FROM e GROUP BY u),
+       |m AS (SELECT CAST(COUNT(*) / 2 AS BIGINT) AS n_edges FROM e),
+       |intl AS (
+       |  SELECT CAST(COUNT(*) / 2 AS BIGINT) AS internal_edges
+       |  FROM e
+       |  JOIN l$R lu ON lu.id = e.u
+       |  JOIN l$R lv ON lv.id = e.v
+       |  WHERE lu.label = lv.label),
+       |dc AS (
+       |  SELECT l.label, CAST(SUM(d.dg) AS BIGINT) AS d_c
+       |  FROM deg d JOIN l$R l ON l.id = d.node GROUP BY l.label),
+       |sd AS (
+       |  SELECT CAST(COALESCE(SUM(d_c * d_c), 0) AS BIGINT) AS sum_d2
+       |  FROM dc)
+       |SELECT
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_nodes,
+       |  (SELECT n_edges FROM m) AS n_edges,
+       |  (SELECT CAST(COUNT(DISTINCT label) AS BIGINT) FROM l$R)
+       |    AS n_communities,
+       |  (SELECT internal_edges FROM intl) AS internal_edges,
+       |  CASE WHEN (SELECT n_edges FROM m) = 0 THEN CAST(0 AS BIGINT)
+       |  ELSE CAST(FLOOR((
+       |      CAST((SELECT internal_edges FROM intl) AS DOUBLE)
+       |        / CAST((SELECT n_edges FROM m) AS DOUBLE)
+       |      - CAST((SELECT sum_d2 FROM sd) AS DOUBLE)
+       |        / (4.0 * CAST((SELECT n_edges FROM m) AS DOUBLE)
+       |           * CAST((SELECT n_edges FROM m) AS DOUBLE))
+       |    ) * 1000 + 0.5) AS BIGINT) END AS modularity_milli,
+       |  CASE WHEN (SELECT COUNT(*) FROM l$R a JOIN l$P b
+       |      ON a.id = b.id AND a.label <> b.label) = 0
+       |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS converged,
+       |  CAST($lpaChangedSumSql AS BIGINT) AS rounds_used
+       |""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_neighbor_jaccard" -> neighborJaccard,
+    "graph_modularity" -> modularity,
     "graph_label_propagation" -> labelPropagation,
     "graph_pagerank_dups" -> pagerankDupGraph,
     "graph_triangle_count" -> triangleCount,
@@ -807,6 +931,7 @@ object GraphRank {
 
   val oracle: Map[String, String] = Map(
     "graph_neighbor_jaccard" -> neighborJaccardSql,
+    "graph_modularity" -> modularitySql,
     "graph_label_propagation" -> labelPropagationSql,
     "graph_pagerank_dups" -> pagerankDupGraphSql,
     "graph_triangle_count" -> triangleCountSql,

@@ -169,6 +169,8 @@ class PlanSpec extends AnyFunSuite {
     "graph_kcore",          // two 1-row init/final stat broadcasts
     "graph_label_propagation", // two 1-row stat broadcasts (edges,
                             // community rollup)
+    "graph_modularity",     // four 1-row stat broadcasts (edges,
+                            // communities, internal, sum_d2)
     "retrieval_query_expansion", // 1-row n_docs broadcast into the
                             // tf-weight projection (both passes)
     "emb_matryoshka_recall", // emb_cosine_topk's capped broadcast
