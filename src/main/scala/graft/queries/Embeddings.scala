@@ -477,6 +477,91 @@ object Embeddings {
        |  MIN(id) AS min_id, MAX(id) AS max_id
        |FROM best GROUP BY cid ORDER BY cid""".stripMargin
 
+  // ------------------------------------------ simplified silhouette
+  /** Simplified (centroid-based) silhouette per k-means cell — the
+    * cluster-quality gate that answers "are these cells real, or is
+    * the quantizer slicing one blob?" before the IVF index or the
+    * stratified sampler trusts them. Per point: a = distance to its
+    * own (nearest) center, b = distance to the runner-up center;
+    * s = 1 − a/b ∈ [0,1] (the max(a,b) denominator of the classic
+    * formula collapses because assignment makes b ≥ a). Full-pairwise
+    * silhouette is O(n²) — the centroid form is the standard linear
+    * substitute (Vendramin et al. 2010) and uses the same broadcast
+    * n×k assign every cell consumer here pays.
+    *
+    * Determinism: d2 is the bit-exact in-order fold; sqrt is
+    * IEEE-correctly-rounded on both engines; the per-point score is
+    * snapped to the milli grid with ONE fixed expression shape
+    * (1 − sqrt(a2)/sqrt(b2) — NOT sqrt(a2/b2), which differs in the
+    * last ulp), then cells aggregate pure integers: mean = sum DIV n,
+    * the weakest point (min), and the near-boundary count (s < 0.1,
+    * the reassignment-risk diagnostic). */
+  def silhouette(s: SparkSession, d: String): DataFrame =
+    silhouetteOn(embeddings(s, d))
+
+  /** Core over a caller-supplied (vec_id, embedding, …) table —
+    * separated so specs can plant points at hand-computable
+    * distances from the seed centers. */
+  def silhouetteOn(e: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("d2"), col("cid"))
+    val ab = pointsOf(e).crossJoin(broadcast(seedCenters(e)))
+      .select(col("id"), col("cid"),
+        graft.operators.KMeans.sqDist(col("vec"), col("cvec")).as("d2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy(col("id"))
+      .agg(max(when(col("rn") === 1, col("cid"))).as("cid"),
+        max(when(col("rn") === 1, col("d2"))).as("a2"),
+        max(when(col("rn") === 2, col("d2"))).as("b2"))
+    ab.select(col("cid"),
+        when(col("b2").isNull || col("b2") === 0.0, 0L)
+          .otherwise(expr(
+            "CAST(FLOOR((1.0D - sqrt(a2) / sqrt(b2)) * 1000 + 0.5) AS BIGINT)"))
+          .as("sm"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_points"),
+        expr("CAST(SUM(sm) AS BIGINT) DIV COUNT(*)")
+          .as("mean_silhouette_milli"),
+        min(col("sm")).as("min_silhouette_milli"),
+        coalesce(sum(when(col("sm") < 100, 1L).otherwise(0L)), lit(0L))
+          .as("n_ambiguous"))
+      .select(col("cid").as("cell"), col("n_points"),
+        col("mean_silhouette_milli"), col("min_silhouette_milli"),
+        col("n_ambiguous"))
+      .orderBy(col("cell"))
+  }
+
+  val silhouetteSql: String =
+    s"""WITH $seedCentersCte,
+       |a AS (
+       |  SELECT p.vec_id AS id, c.cid,
+       |    ${sqFoldSql("p.embedding", "c.cvec")} AS d2
+       |  FROM embeddings p CROSS JOIN c),
+       |ranked AS (
+       |  SELECT id, cid, d2,
+       |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+       |  FROM a),
+       |ab AS (
+       |  SELECT id,
+       |    MAX(CASE WHEN rn = 1 THEN cid END) AS cid,
+       |    MAX(CASE WHEN rn = 1 THEN d2 END) AS a2,
+       |    MAX(CASE WHEN rn = 2 THEN d2 END) AS b2
+       |  FROM ranked WHERE rn <= 2 GROUP BY id),
+       |s AS (
+       |  SELECT cid,
+       |    CASE WHEN b2 IS NULL OR b2 = 0
+       |      THEN CAST(0 AS BIGINT)
+       |      ELSE CAST(FLOOR((1.0 - sqrt(a2) / sqrt(b2)) * 1000 + 0.5)
+       |        AS BIGINT) END AS sm
+       |  FROM ab)
+       |SELECT cid AS cell, COUNT(*) AS n_points,
+       |  CAST(SUM(sm) AS BIGINT) // COUNT(*) AS mean_silhouette_milli,
+       |  MIN(sm) AS min_silhouette_milli,
+       |  CAST(COALESCE(SUM(CASE WHEN sm < 100 THEN 1 ELSE 0 END), 0)
+       |    AS BIGINT) AS n_ambiguous
+       |FROM s GROUP BY cid ORDER BY cell""".stripMargin
+
   // ---------------------------------------------- outlier detection
   /** Per-cluster outlier candidates: the 3 points FARTHEST from their
     * assigned center — the quality-filter pass that surfaces likely
@@ -1247,6 +1332,7 @@ object Embeddings {
     "emb_label_norms" -> labelCentroidNorm,
     "emb_ann_lsh_buckets" -> annLshBuckets,
     "emb_kmeans_assign" -> kmeansAssign,
+    "emb_silhouette" -> silhouette,
     "emb_semantic_dedup" -> semanticDedup,
     "emb_outliers_per_cell" -> outliersPerCell,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh)
@@ -1267,6 +1353,7 @@ object Embeddings {
     "emb_ann_recall_eval" -> annRecallEvalSql,
     "emb_ann_recall_sweep" -> annRecallSweepSql,
     "emb_kmeans_assign" -> kmeansAssignSql,
+    "emb_silhouette" -> silhouetteSql,
     "emb_semantic_dedup" -> semanticDedupSql,
     "emb_outliers_per_cell" -> outliersPerCellSql,
     "dedup_embedding_lsh" -> dedupEmbeddingLshSql)

@@ -148,6 +148,7 @@ class PlanSpec extends AnyFunSuite {
     "q22_global_sales",     // 1-row global avg acctbal (scalar subquery)
     "subquery_scalar",      // the scalar-subquery demo itself (1 row)
     "emb_kmeans_assign",    // k-row centers table broadcast
+    "emb_silhouette",       // same k-row centers broadcast
     "layout_zorder_stats",  // 1-row min/max bounds broadcast (Morton key)
     "graph_triangle_count", // two 1-row stat aggregates broadcast
     "ev_rolling_active_users", // 1-row max-day broadcast (window clip)

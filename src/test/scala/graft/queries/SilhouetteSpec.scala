@@ -1,0 +1,40 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Pins the simplified silhouette on planted 2-d points at
+  * hand-computable distances from the seed centers (vec_id 0 and 64
+  * under the every-64th-below-512 seeding rule): the s = 1 − a/b
+  * milli snap, the equidistant tie (s = 0, counted ambiguous), the
+  * centers themselves (s = 1000), and the integer mean. */
+class SilhouetteSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("planted two-center corpus: exact milli scores per cell") {
+    // centers: 0 → (0,0), 64 → (10,0)
+    // id 1 (1,0): a=1, b=9  → 1 − 1/9  = 0.8889 → 889
+    // id 2 (5,0): a=b=5 (tie → cell 0) → 0 (ambiguous)
+    // id 3 (4,0): a=4, b=6  → 1 − 4/6  = 0.3333 → 333
+    // centers score 1000 in their own cells
+    val e = Seq(
+      (0L, Array(0f, 0f)), (64L, Array(10f, 0f)),
+      (1L, Array(1f, 0f)), (2L, Array(5f, 0f)), (3L, Array(4f, 0f))
+    ).toDF("vec_id", "embedding")
+    val r = Embeddings.silhouetteOn(e)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      // cell 0: sm {1000, 889, 0, 333} → mean 2222 DIV 4 = 555
+      (0L, 4L, 555L, 0L, 1L),
+      (64L, 1L, 1000L, 1000L, 0L)))
+  }
+
+  test("single center: b is undefined, every score guards to 0") {
+    val e = Seq((0L, Array(0f, 0f)), (1L, Array(3f, 4f)))
+      .toDF("vec_id", "embedding")
+    val r = Embeddings.silhouetteOn(e)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq((0L, 2L, 0L, 0L, 2L)))
+  }
+}
