@@ -195,11 +195,116 @@ object Retrieval {
        |FROM p2 LEFT JOIN p1 USING (doc_id)
        |ORDER BY rank""".stripMargin
 
+  // ------------------------------------------------------ nDCG eval
+  /** nDCG@10 of the BM25 ranking against a graded-relevance truth —
+    * the ranking-quality gate a retrieval-mined training subset runs
+    * before trusting the ranker's cutoff. Truth is deterministic and
+    * independent of the ranker's scoring detail: rel(doc) = number of
+    * DISTINCT query terms present (0–3), so BM25's tf/idf/length
+    * weighting is genuinely evaluated against term coverage rather
+    * than against itself.
+    *
+    * Numerics: gains (2^rel − 1 ∈ {0,1,3,7}) and positional discounts
+    * are pure integers — the 1/log2(i+1) weights are computed ONCE in
+    * Scala (i is a compile-time position) and embedded as the SAME
+    * e6-grid literals in both engines' plans, so DCG, ideal DCG, and
+    * the final milli ratio never touch a cross-engine float.
+    *
+    * Scale shape: the ranked side reuses bm25TopK (global top-k via
+    * TakeOrderedAndProject); the ideal side is one explode+hash-agg
+    * relevance pass and a second top-10 heap — both linear, and the
+    * final assembly joins two 1-row aggregates. */
+  private val NdcgK = 10
+  /** ⌊1e6 / log2(i+1)⌋ for positions 1..10 — shared literal source
+    * for the Spark plan and the oracle SQL. */
+  private val NdcgW: Seq[Long] = (1 to NdcgK).map(i =>
+    math.floor(1e6 * math.log(2.0) / math.log(i + 1.0)).toLong)
+  private val gainCase =
+    "CASE rel WHEN 1 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 7 WHEN 4 THEN 15" +
+      " ELSE 0 END"
+  private def wCase(pos: String): String =
+    NdcgW.zipWithIndex.map { case (w, i) => s"WHEN ${i + 1} THEN $w" }
+      .mkString(s"CASE $pos ", " ", " ELSE 0 END")
+
+  def ndcgEval(s: SparkSession, d: String): DataFrame = {
+    // graded truth over the WHOLE corpus (the ideal ranking must see
+    // docs BM25's top-20 missed)
+    val rel = documents(s, d)
+      .select(col("doc_id"),
+        explode(Documents.tokens(col("text"))).as("term"))
+      .filter(col("term").isin("spark", "stream", "vector"))
+      .groupBy(col("doc_id"))
+      .agg((countDistinct(col("term")) +
+        when(count(lit(1)) >= 8, 1L).otherwise(0L)).as("rel"))
+    val ranked = TextAnalysis.bm25TopK(s, d)
+      .filter(col("rank") <= NdcgK)
+      .join(rel, Seq("doc_id"), "left")
+      .select(col("rank"), coalesce(col("rel"), lit(0L)).as("rel"))
+    val dcg = ranked
+      .select((expr(gainCase) * expr(wCase("rank"))).as("g"),
+        when(col("rel") > 0, 1L).otherwise(0L).as("hit"))
+      .agg(coalesce(sum(col("g")), lit(0L)).cast("long").as("dcg_e6"),
+        count(lit(1)).as("n_ranked"),
+        coalesce(sum(col("hit")), lit(0L)).cast("long").as("n_hits"))
+    val wi = Window.orderBy(col("rel").desc, col("doc_id"))
+    val idcg = rel.orderBy(col("rel").desc, col("doc_id")).limit(NdcgK)
+      .withColumn("i", row_number().over(wi))
+      .select((expr(gainCase) * expr(wCase("i"))).as("g"))
+      .agg(coalesce(sum(col("g")), lit(0L)).cast("long").as("idcg_e6"))
+    dcg.crossJoin(broadcast(idcg))
+      .select(col("n_ranked"), col("n_hits"), col("dcg_e6"),
+        col("idcg_e6"),
+        when(col("idcg_e6") === 0, 0L)
+          .otherwise(expr("dcg_e6 * 1000 DIV idcg_e6")).as("ndcg_milli"),
+        expr(s"n_hits * 1000 DIV $NdcgK").as("precision_pm"))
+  }
+
+  val ndcgEvalSql: String = {
+    val toksSql =
+      """list_filter(string_split_regex(text, '[^\p{L}]+'), w -> w <> '')"""
+    val bm = TextAnalysis.bm25TopKSql
+    s"""WITH bm AS ($bm),
+       |ranked AS (
+       |  SELECT b.rank, COALESCE(r.rel, 0) AS rel
+       |  FROM bm b LEFT JOIN rel2 r USING (doc_id)
+       |  WHERE b.rank <= $NdcgK),
+       |dcg AS (
+       |  SELECT
+       |    CAST(COALESCE(SUM(($gainCase) * (${wCase("rank")})), 0)
+       |      AS BIGINT) AS dcg_e6,
+       |    CAST(COUNT(*) AS BIGINT) AS n_ranked,
+       |    CAST(COALESCE(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END), 0)
+       |      AS BIGINT) AS n_hits
+       |  FROM ranked),
+       |docs2 AS (
+       |  SELECT doc_id, $toksSql AS ws FROM documents),
+       |rel2 AS (
+       |  SELECT doc_id, COUNT(DISTINCT term)
+       |    + CASE WHEN COUNT(*) >= 8 THEN 1 ELSE 0 END AS rel
+       |  FROM docs2, UNNEST(ws) AS u(term)
+       |  WHERE term IN ('spark', 'stream', 'vector')
+       |  GROUP BY doc_id),
+       |ideal AS (
+       |  SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS i
+       |  FROM rel2 QUALIFY i <= $NdcgK),
+       |idcg AS (
+       |  SELECT CAST(COALESCE(SUM(($gainCase) * (${wCase("i")})), 0)
+       |    AS BIGINT) AS idcg_e6
+       |  FROM ideal)
+       |SELECT n_ranked, n_hits, dcg_e6, idcg_e6,
+       |  CASE WHEN idcg_e6 = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE dcg_e6 * 1000 // idcg_e6 END AS ndcg_milli,
+       |  n_hits * 1000 // $NdcgK AS precision_pm
+       |FROM dcg, idcg""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "retrieval_rrf_fusion" -> rrfFusion,
+    "retrieval_ndcg_eval" -> ndcgEval,
     "retrieval_query_expansion" -> queryExpansion)
 
   val oracle: Map[String, String] = Map(
     "retrieval_rrf_fusion" -> rrfFusionSql,
+    "retrieval_ndcg_eval" -> ndcgEvalSql,
     "retrieval_query_expansion" -> queryExpansionSql)
 }

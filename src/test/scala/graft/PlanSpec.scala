@@ -140,6 +140,7 @@ class PlanSpec extends AnyFunSuite {
     "text_heavy_hitters",   // 1-row n + <=48-row candidate broadcasts
     "ev_anomaly_3sigma",    // 1-row global mean/stddev broadcast
     "retrieval_rrf_fusion", // 1-row query-vector + 1-row stats broadcast
+    "retrieval_ndcg_eval",  // 1-row DCG x 1-row ideal-DCG assembly
     "doc_importance_score", // 1-row model-stats broadcast
     "doc_mixture_sample",   // per-source weight table broadcast
     "quantiles_exact",      // 1-row exact-quantile cutoffs broadcast
