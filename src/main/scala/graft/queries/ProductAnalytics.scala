@@ -801,7 +801,110 @@ object ProductAnalytics {
       |LEFT JOIN ov ON ov.type_a = a.t AND ov.type_b = b.t
       |ORDER BY type_a, type_b""".stripMargin
 
+  // --------------------------------------------- holdout A/B uplift
+  /** Two-proportion holdout readout: users split into control/
+    * treatment by id parity (the fixture-stable stand-in for an
+    * assignment hash), per-arm conversion (a REPEAT-purchaser bar:
+    * ≥14 purchases — any-purchase saturates at 100% on this fixture
+    * at every SF, so the readout would never discriminate; 14 is the
+    * corpus median, splitting ~half the users) and revenue,
+    * uplift in permille, and the pooled two-proportion z-score — the
+    * "is this uplift noise?" number an experimentation readout leads
+    * with. A real assignment column would replace the parity split
+    * without touching the shape.
+    *
+    * Numerics: every input to the z-score (arm sizes, conversions)
+    * is an exact integer from ONE hash-agg pass; rates and uplift
+    * stay on the integer permille grid; only z itself evaluates in
+    * doubles with a fixed expression order (pooled p̂, then the
+    * variance product, one sqrt), snapped ⌊×1000+0.5⌋ — the
+    * assortativity stance. Degenerate splits (empty arm, 0% or 100%
+    * pooled conversion) guard to 0.
+    *
+    * Scale shape: one user-keyed hash-agg with map-side combine,
+    * then a 1-row reduction — no join, no window, no shuffle beyond
+    * the user grouping every lifecycle query already pays. */
+  def holdoutAb(s: SparkSession, d: String): DataFrame =
+    events(s, d).groupBy(col("user_id"))
+      .agg(when(sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)) >= 14, 1L).otherwise(0L).as("conv"),
+        coalesce(sum(when(col("event_type") === "purchase",
+          cents(col("value"))).otherwise(0L)), lit(0L)).as("rev_cents"))
+      .withColumn("arm", col("user_id") % 2)
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_control"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_treat"),
+        sum(when(col("arm") === 0, col("conv")).otherwise(0L))
+          .as("conv_control"),
+        sum(when(col("arm") === 1, col("conv")).otherwise(0L))
+          .as("conv_treat"),
+        sum(when(col("arm") === 0, col("rev_cents")).otherwise(0L))
+          .cast("long").as("rev_control_cents"),
+        sum(when(col("arm") === 1, col("rev_cents")).otherwise(0L))
+          .cast("long").as("rev_treat_cents"))
+      .select(col("n_control"), col("n_treat"),
+        col("conv_control"), col("conv_treat"),
+        expr("conv_control * 1000 DIV n_control").as("rate_control_pm"),
+        expr("conv_treat * 1000 DIV n_treat").as("rate_treat_pm"),
+        (expr("conv_treat * 1000 DIV n_treat") -
+          expr("conv_control * 1000 DIV n_control")).as("uplift_pm"),
+        expr(AbZExpr).as("z_milli"),
+        col("rev_control_cents"), col("rev_treat_cents"))
+
+  /** The shared z-score expression — one string, both engines. */
+  private val AbZExpr: String =
+    """CASE WHEN n_control = 0 OR n_treat = 0
+      |    OR conv_control + conv_treat = 0
+      |    OR conv_control + conv_treat = n_control + n_treat
+      |  THEN CAST(0 AS BIGINT)
+      |ELSE CAST(FLOOR((
+      |    CAST(conv_treat AS DOUBLE) / CAST(n_treat AS DOUBLE)
+      |    - CAST(conv_control AS DOUBLE) / CAST(n_control AS DOUBLE))
+      |  / sqrt(
+      |    (CAST(conv_control + conv_treat AS DOUBLE)
+      |      / CAST(n_control + n_treat AS DOUBLE))
+      |    * (1.0 - CAST(conv_control + conv_treat AS DOUBLE)
+      |      / CAST(n_control + n_treat AS DOUBLE))
+      |    * (1.0 / CAST(n_treat AS DOUBLE)
+      |      + 1.0 / CAST(n_control AS DOUBLE)))
+      |  * 1000 + 0.5) AS BIGINT) END""".stripMargin
+
+  val holdoutAbSql: String =
+    s"""WITH per_user AS (
+       |  SELECT user_id, user_id % 2 AS arm,
+       |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1
+       |      ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS conv,
+       |    CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+       |      THEN ${centsSql("value")} ELSE 0 END), 0) AS BIGINT)
+       |      AS rev_cents
+       |  FROM events GROUP BY user_id),
+       |arms AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_control,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_treat,
+       |    CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+       |      AS conv_control,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+       |      AS conv_treat,
+       |    CAST(SUM(CASE WHEN arm = 0 THEN rev_cents ELSE 0 END)
+       |      AS BIGINT) AS rev_control_cents,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN rev_cents ELSE 0 END)
+       |      AS BIGINT) AS rev_treat_cents
+       |  FROM per_user)
+       |SELECT n_control, n_treat, conv_control, conv_treat,
+       |  conv_control * 1000 // n_control AS rate_control_pm,
+       |  conv_treat * 1000 // n_treat AS rate_treat_pm,
+       |  conv_treat * 1000 // n_treat
+       |    - conv_control * 1000 // n_control AS uplift_pm,
+       |  $AbZExpr
+       |    AS z_milli,
+       |  rev_control_cents, rev_treat_cents
+       |FROM arms""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_holdout_ab" -> holdoutAb,
     "sketch_daily_merge" -> sketchDailyMerge,
     "sketch_pair_overlap" -> sketchPairOverlap,
     "ev_ltv_cohorts" -> ltvCohorts,
@@ -816,6 +919,7 @@ object ProductAnalytics {
     "ev_cusum_changepoint" -> cusumChangepoint)
 
   val oracle: Map[String, String] = Map(
+    "ev_holdout_ab" -> holdoutAbSql,
     "sketch_daily_merge" -> sketchDailyMergeSql,
     "sketch_pair_overlap" -> sketchPairOverlapSql,
     "ev_ltv_cohorts" -> ltvCohortsSql,
