@@ -339,13 +339,63 @@ object CorpusStats {
       |  COUNT(*) AS tf, COUNT(DISTINCT word) AS n_terms
       |FROM tok GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------- lexical richness by source
+  /** Type-token ratio, hapax share, and mean word length per source —
+    * the lexical-richness fingerprint that separates organic prose
+    * (high TTR, fat hapax tail) from template floods and keyword spam
+    * (tiny TTR: the same tokens over and over) BEFORE any dedup pass;
+    * a source whose TTR collapses release-over-release is the
+    * earliest template-rot alarm. Complements Zipf/Heaps (corpus-
+    * global laws) with the per-source breakdown a mixture designer
+    * weights on.
+    *
+    * All-integer: one (source, word) hash-agg with map-side combine,
+    * then a per-source reduction; ratios on the permille/milli grids.
+    * Scale shape: work ∝ tokens; state ∝ per-source vocabulary —
+    * the wc substrate, two levels of combine, no window, no join. */
+  def ttrBySource(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("source"), explode(Documents.tokens(col("text"))).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        coalesce(sum(when(col("cnt") === 1, 1L).otherwise(0L)), lit(0L))
+          .as("n_hapax"),
+        sum(length(col("word")).cast("long") * col("cnt")).cast("long")
+          .as("n_chars"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        expr("n_types * 1000 DIV n_tokens").as("ttr_pm"),
+        expr("n_hapax * 1000 DIV n_types").as("hapax_pm"),
+        expr("n_chars * 1000 DIV n_tokens").as("mean_word_len_milli"))
+      .orderBy(col("source"))
+
+  val ttrBySourceSql: String =
+    """WITH wc AS (
+      |  SELECT source, word, COUNT(*) AS cnt FROM (
+      |    SELECT source, UNNEST(list_filter(
+      |      string_split_regex(text, '[^\p{L}]+'), t -> t <> '')) AS word
+      |    FROM documents)
+      |  GROUP BY source, word)
+      |SELECT source,
+      |  CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+      |  COUNT(*) AS n_types,
+      |  COUNT(*) * 1000 // CAST(SUM(cnt) AS BIGINT) AS ttr_pm,
+      |  CAST(COALESCE(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END), 0)
+      |    AS BIGINT) * 1000 // COUNT(*) AS hapax_pm,
+      |  CAST(SUM(length(word) * cnt) AS BIGINT) * 1000
+      |    // CAST(SUM(cnt) AS BIGINT) AS mean_word_len_milli
+      |FROM wc GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ttr_by_source" -> ttrBySource,
     "text_zipf_slope" -> zipfSlope,
     "text_js_divergence" -> jsDivergence,
     "text_heaps_checkpoints" -> heapsCheckpoints,
     "text_feature_hashing" -> featureHashing)
 
   val oracle: Map[String, String] = Map(
+    "text_ttr_by_source" -> ttrBySourceSql,
     "text_zipf_slope" -> zipfSlopeSql,
     "text_js_divergence" -> jsDivergenceSql,
     "text_heaps_checkpoints" -> heapsCheckpointsSql,

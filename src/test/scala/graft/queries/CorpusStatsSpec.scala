@@ -82,6 +82,20 @@ class CorpusStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("ttr: all-distinct vs one-word sources hit exact permille grid") {
+    // "rich": 4 tokens, 4 types, 4 hapax -> ttr=1000pm, hapax=1000pm
+    // "spam": 5 tokens of one word -> ttr=200pm, hapax=0; both have
+    // 2-char words so mean_word_len_milli = 2000 for each.
+    val d = writeDocs(Seq(
+      (0L, "aa bb cc dd", "en", "rich", 11L),
+      (1L, "zz zz zz zz zz", "en", "spam", 14L)))
+    val got = CorpusStats.ttrBySource(spark, d)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("rich", 4L, 4L, 1000L, 1000L, 2000L),
+      ("spam", 5L, 1L, 200L, 0L, 2000L)))
+  }
+
   test("pair-distance hist: md5 sample membership is deterministic") {
     // compute which ids 0..63 pass the 1/8 md5 gate, plant vectors so
     // sampled pair distances are known; with >=2 sampled ids the hist
