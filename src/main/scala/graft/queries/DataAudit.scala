@@ -359,6 +359,116 @@ object DataAudit {
       |    AS rows_in_homogeneous
       |FROM g GROUP BY segment ORDER BY segment""".stripMargin
 
+  // ------------------------------------------------ t-closeness
+  /** t-closeness audit — the third rung of the disclosure ladder
+    * (k-anonymity: groups big enough; l-diversity: groups not
+    * homogeneous; t-closeness: each group's SENSITIVE DISTRIBUTION
+    * stays within t of the global one, so membership leaks no more
+    * than the table itself already discloses). Quasi-identifiers are
+    * the l-diversity ones (nation, segment); the sensitive attribute
+    * is the ordered account-balance band ladder (6 bands of 2000
+    * currency units), and distance is the ordered-category Earth
+    * Mover's Distance: EMD = Σᵢ|cum(p−q)ᵢ| / (m−1) over the band
+    * prefix sums (Li/Li/Venkatasubramanian 2007's formula for
+    * numeric attributes).
+    *
+    * Numerics: exact rationals throughout — the cumulative term is
+    * Σ(n·N − n_b·gsize) so no per-band division ever happens; the
+    * final permille snap divides once by gsize·N·(m−1). The products
+    * sit in int64 comfortably below ~2e9 audited rows (gsize·N·1000
+    * ≤ 9.2e18); beyond that cliff the q side moves to a declared
+    * micro-share grid (the modularity stance). m ≤ 6 by the ladder.
+    *
+    * Scale shape: one (QI, band) hash-agg with map-side combine;
+    * the grid completion is groups × a ≤6-row broadcast band table
+    * (cells missing a band still owe |0 − q| mass — the left join
+    * restores them); the prefix sum is a ≤6-row window per group.
+    * Nothing scales beyond the cell count. */
+  def tClosenessAudit(s: SparkSession, d: String): DataFrame =
+    tClosenessOn(customer(s, d))
+
+  /** Core over a caller-supplied registry — separated so specs can
+    * plant groups with known shifted distributions. */
+  def tClosenessOn(c: DataFrame): DataFrame = {
+    val cells = c.select(col("c_nationkey").as("nation"),
+        col("c_mktsegment").as("segment"),
+        expr("(CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) + 100000)" +
+          " DIV 200000").as("band"))
+      .groupBy(col("nation"), col("segment"), col("band"))
+      .agg(count(lit(1)).as("n"))
+    val bands = cells.groupBy(col("band"))
+      .agg(sum(col("n")).cast("long").as("nb"))
+    val tot = cells.agg(sum(col("n")).cast("long").as("big_n"),
+      countDistinct(col("band")).as("m"))
+    val groups = cells.groupBy(col("nation"), col("segment"))
+      .agg(sum(col("n")).cast("long").as("gsize"))
+    val grid = groups.crossJoin(broadcast(bands))
+      .join(cells, Seq("nation", "segment", "band"), "left")
+      .select(col("nation"), col("segment"), col("gsize"), col("band"),
+        col("nb"), coalesce(col("n"), lit(0L)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("nation"), col("segment")).orderBy(col("band"))
+    val cum = grid.crossJoin(broadcast(tot))
+      .withColumn("cumd",
+        sum(col("n") * col("big_n") - col("nb") * col("gsize")).over(w))
+    val emd = cum
+      .groupBy(col("nation"), col("segment"), col("gsize"), col("big_n"),
+        col("m"))
+      .agg(sum(abs(col("cumd"))).cast("long").as("s_abs"))
+      .select(col("nation"), col("segment"), col("gsize"),
+        expr("""CASE WHEN m <= 1 THEN CAST(0 AS BIGINT)
+          |ELSE s_abs * 1000 DIV (gsize * big_n * (m - 1)) END"""
+          .stripMargin).as("emd_pm"))
+    emd.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("gsize")).cast("long").as("n_rows"),
+        max(col("emd_pm")).as("max_emd_pm"),
+        sum(when(col("emd_pm") >= 200, 1L).otherwise(0L)).cast("long")
+          .as("n_over_t200"),
+        sum(when(col("emd_pm") >= 200, col("gsize")).otherwise(0L))
+          .cast("long").as("rows_over_t200"))
+      .orderBy(col("segment"))
+  }
+
+  val tClosenessAuditSql: String =
+    """WITH cells AS (
+      |  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+      |    ((CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) + 100000)
+      |      // 200000) AS band,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM customer GROUP BY 1, 2, 3),
+      |bands AS (SELECT band, CAST(SUM(n) AS BIGINT) AS nb
+      |  FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS big_n,
+      |  CAST(COUNT(DISTINCT band) AS BIGINT) AS m FROM cells),
+      |grp AS (SELECT nation, segment, CAST(SUM(n) AS BIGINT) AS gsize
+      |  FROM cells GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT g.nation, g.segment, g.gsize, b.band, b.nb,
+      |    COALESCE(c.n, 0) AS n
+      |  FROM grp g CROSS JOIN bands b
+      |  LEFT JOIN cells c ON c.nation = g.nation
+      |    AND c.segment = g.segment AND c.band = b.band),
+      |cum AS (
+      |  SELECT nation, segment, gsize, big_n, m,
+      |    SUM(n * big_n - nb * gsize) OVER (PARTITION BY nation, segment
+      |      ORDER BY band) AS cumd
+      |  FROM grid CROSS JOIN tot),
+      |emd AS (
+      |  SELECT nation, segment, gsize,
+      |    CASE WHEN m <= 1 THEN CAST(0 AS BIGINT)
+      |      ELSE CAST(SUM(ABS(cumd)) AS BIGINT) * 1000
+      |        // (gsize * big_n * (m - 1)) END AS emd_pm
+      |  FROM cum GROUP BY nation, segment, gsize, big_n, m)
+      |SELECT segment, COUNT(*) AS n_groups,
+      |  CAST(SUM(gsize) AS BIGINT) AS n_rows,
+      |  MAX(emd_pm) AS max_emd_pm,
+      |  CAST(COUNT(*) FILTER (WHERE emd_pm >= 200) AS BIGINT)
+      |    AS n_over_t200,
+      |  CAST(COALESCE(SUM(gsize) FILTER (WHERE emd_pm >= 200), 0)
+      |    AS BIGINT) AS rows_over_t200
+      |FROM emd GROUP BY segment ORDER BY segment""".stripMargin
+
   // ------------------------------------------------ salted skew join
   /** The operators.SkewJoin.saltedJoin topology surfaced end-to-end:
     * lineitem⋈supplier on the supplier key with an 8-way salt —
@@ -686,6 +796,7 @@ object DataAudit {
     "audit_key_skew" -> keySkewAudit,
     "audit_k_anonymity" -> kAnonymityAudit,
     "audit_l_diversity" -> lDiversityAudit,
+    "audit_t_closeness" -> tClosenessAudit,
     "join_skew_salted" -> joinSkewSalted,
     "link_blocked_fuzzy" -> linkBlockedFuzzy)
 
@@ -698,6 +809,7 @@ object DataAudit {
     "audit_key_skew" -> keySkewAuditSql,
     "audit_k_anonymity" -> kAnonymityAuditSql,
     "audit_l_diversity" -> lDiversityAuditSql,
+    "audit_t_closeness" -> tClosenessAuditSql,
     "join_skew_salted" -> joinSkewSaltedSql,
     "link_blocked_fuzzy" -> linkBlockedFuzzySql)
 }

@@ -148,6 +148,8 @@ class PlanSpec extends AnyFunSuite {
     "q11_important_value",  // 1-row global threshold (scalar subquery)
     "q22_global_sales",     // 1-row global avg acctbal (scalar subquery)
     "subquery_scalar",      // the scalar-subquery demo itself (1 row)
+    "audit_t_closeness",    // <=6-row band ladder + 1-row (N, m)
+                            // totals broadcast (grid completion)
     "emb_kmeans_assign",    // k-row centers table broadcast
     "emb_silhouette",       // same k-row centers broadcast
     "layout_zorder_stats",  // 1-row min/max bounds broadcast (Morton key)

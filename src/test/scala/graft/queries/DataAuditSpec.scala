@@ -123,6 +123,38 @@ class DataAuditSpec extends AnyFunSuite {
     assert(out("T") == ((1L, 2L, 2L, 0L, 0L)))
   }
 
+  test("t-closeness: opposite-band groups hit EMD=500pm exactly; " +
+      "global-matching groups are 0") {
+    // bands: 0.0 → band 0, 1500.0 → band 1. Segment S: group A all
+    // band0, group B all band1; global q=(.5,.5), so each group's
+    // ordered EMD = .5 → 500 pm exactly on the integer grid.
+    // Segment-T-free check of the zero case is the next test.
+    val c = Seq(
+      (1L, 1, "S", 0.0), (2L, 1, "S", 0.0),
+      (3L, 2, "S", 1500.0), (4L, 2, "S", 1500.0))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val out = DataAudit.tClosenessOn(c)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("S", 2L, 4L, 500L, 2L, 4L)))
+  }
+
+  test("t-closeness: groups mirroring the global mix score 0; a " +
+      "single global band degenerates to 0 without dividing") {
+    val mixed = Seq(
+      (1L, 1, "S", 0.0), (2L, 1, "S", 1500.0),
+      (3L, 2, "S", 0.0), (4L, 2, "S", 1500.0))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val outM = DataAudit.tClosenessOn(mixed)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(outM == Seq(("S", 2L, 4L, 0L, 0L, 0L)))
+    // every row in band 0 → m=1 → the m<=1 guard, not a div-by-zero
+    val mono = Seq((1L, 1, "S", 0.0), (2L, 2, "S", 10.0))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val outG = DataAudit.tClosenessOn(mono)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(outG == Seq(("S", 2L, 2L, 0L, 0L, 0L)))
+  }
+
   test("key-skew audit: one row per audited key; skew_pm >= 1000 " +
       "(hottest >= mean) and consistent with the table rows") {
     val d = "/root/testdata/sf0.001"
