@@ -334,6 +334,79 @@ object TextPipeline {
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------------- mixture plan solver
+  /** The mixture PLANNING step upstream of [[mixtureSample]]: given
+    * measured per-source token masses and a target recipe (uniform
+    * share here — the flat-rebalance baseline every mixture search
+    * starts from), solve the per-source sampling rate, the mass the
+    * plan actually achieves, and the honest shortfall. Rates above
+    * 1000 pm mean multi-epoch repetition of a scarce source, capped
+    * at 4 epochs (4000 pm) — past a few epochs repeated text stops
+    * buying loss (the standard data-constrained-scaling result), so
+    * the planner declares the deficit instead of silently looping a
+    * tiny source forever. A flagged row tells the recipe owner to
+    * either source more data or renormalize the target.
+    *
+    * All-integer: masses are exact token counts, the target is
+    * T DIV S, rates live on the permille grid, and planned mass is
+    * n_tokens·rate DIV 1000 — so Σ planned is reproducible to the
+    * token, which is what makes two runs of the downstream sampler
+    * comparable at all.
+    *
+    * Scale shape: ONE per-source hash-agg over token counts (the wc
+    * substrate with map-side combine) + a 1-row totals broadcast —
+    * output is |sources| rows; nothing else scales with the corpus. */
+  def mixturePlan(s: SparkSession, d: String): DataFrame = {
+    val perSource = documents(s, d)
+      .select(col("source"),
+        size(Documents.tokens(col("text"))).cast("long").as("tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+    val tot = perSource.agg(
+      sum(col("n_tokens")).cast("long").as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    perSource.crossJoin(broadcast(tot))
+      .withColumn("target_tokens",
+        expr("total_tokens DIV n_sources"))
+      .withColumn("rate_pm", expr(
+        """CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+          |ELSE LEAST(CAST(4000 AS BIGINT),
+          |  target_tokens * 1000 DIV n_tokens) END""".stripMargin))
+      .withColumn("planned_tokens",
+        expr("n_tokens * rate_pm DIV 1000"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("target_tokens"), col("rate_pm"), col("planned_tokens"),
+        expr("GREATEST(CAST(0 AS BIGINT), target_tokens - planned_tokens)")
+          .as("deficit_tokens"),
+        (col("rate_pm") === 4000L).as("epoch_capped"))
+      .orderBy(col("source"))
+  }
+
+  val mixturePlanSql: String =
+    """WITH ps AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(len(list_filter(
+      |      string_split_regex(text, '[^\p{L}]+'), t -> t <> '')))
+      |      AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (
+      |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS n_sources FROM ps),
+      |plan AS (
+      |  SELECT source, n_docs, n_tokens,
+      |    total_tokens // n_sources AS target_tokens,
+      |    CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+      |      ELSE LEAST(CAST(4000 AS BIGINT),
+      |        (total_tokens // n_sources) * 1000 // n_tokens) END
+      |      AS rate_pm
+      |  FROM ps CROSS JOIN tot)
+      |SELECT source, n_docs, n_tokens, target_tokens, rate_pm,
+      |  n_tokens * rate_pm // 1000 AS planned_tokens,
+      |  GREATEST(CAST(0 AS BIGINT),
+      |    target_tokens - n_tokens * rate_pm // 1000) AS deficit_tokens,
+      |  rate_pm = 4000 AS epoch_capped
+      |FROM plan ORDER BY source""".stripMargin
+
   // ------------------------------------------- stratified sample
   /** Deterministic stratified sampling: exactly min(k, |cell|) docs
     * per (lang, source) cell, chosen by md5 order — the quota-based
@@ -608,6 +681,7 @@ object TextPipeline {
     "text_clean_corpus" -> cleanCorpus,
     "text_pack_sequences" -> packSequences,
     "doc_mixture_sample" -> mixtureSample,
+    "corpus_mixture_plan" -> mixturePlan,
     "doc_stratified_sample" -> stratifiedSample,
     "doc_weighted_sample" -> weightedSample,
     "doc_token_budget_select" -> tokenBudgetSelect,
@@ -624,6 +698,7 @@ object TextPipeline {
     "text_clean_corpus" -> cleanCorpusSql,
     "text_pack_sequences" -> packSequencesSql,
     "doc_mixture_sample" -> mixtureSampleSql,
+    "corpus_mixture_plan" -> mixturePlanSql,
     "doc_stratified_sample" -> stratifiedSampleSql,
     "doc_weighted_sample" -> weightedSampleSql,
     "doc_token_budget_select" -> tokenBudgetSelectSql,

@@ -143,6 +143,7 @@ class PlanSpec extends AnyFunSuite {
     "retrieval_ndcg_eval",  // 1-row DCG x 1-row ideal-DCG assembly
     "doc_importance_score", // 1-row model-stats broadcast
     "doc_mixture_sample",   // per-source weight table broadcast
+    "corpus_mixture_plan",  // 1-row (total_tokens, n_sources) broadcast
     "quantiles_exact",      // 1-row exact-quantile cutoffs broadcast
     "sketch_profile",       // 1-row exact-companion broadcast
     "q11_important_value",  // 1-row global threshold (scalar subquery)

@@ -172,4 +172,25 @@ class TextPipelineSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("mixture_plan: abundant source downsampled to target, scarce " +
+      "source epoch-capped with declared deficit") {
+    import spark.implicits._
+    // big: 80 tokens, tiny: 4 → T=84, S=2, target=42.
+    // big: rate 42000/80=525 pm, planned 80*525/1000=42, deficit 0.
+    // tiny: uncapped rate 10500 → capped 4000 (4 epochs), planned 16,
+    // deficit 26, epoch_capped=true.
+    val dir = java.nio.file.Files.createTempDirectory("mix").toString
+    Seq(
+      (0L, Seq.fill(80)("aa").mkString(" "), "en", "big", 239L),
+      (1L, "bb bb bb bb", "en", "tiny", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextPipeline.mixturePlan(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("big", 1L, 80L, 42L, 525L, 42L, 0L, false),
+      ("tiny", 1L, 4L, 42L, 4000L, 16L, 26L, true)))
+  }
 }
