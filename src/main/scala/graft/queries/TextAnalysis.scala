@@ -792,7 +792,78 @@ object TextAnalysis {
        |  FROM phrases) r
        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  // ------------------------------------------------- readability
+  /** Per-source Flesch–Kincaid grade on the milli grid — the
+    * audience-level fingerprint a mixture designer reads next to
+    * TTR: a source whose grade sits far from its declared register
+    * (children's content scoring graduate-level, or vice versa) is
+    * mislabeled or machine-generated. Syllables use the standard
+    * cheap proxy — vowel-group runs ([aeiouy]+) — which biases all
+    * sources identically, so the CROSS-source comparison this query
+    * exists for is unbiased even though absolute grades shift.
+    *
+    * All-integer: per-doc counts are exact (sentence runs [.!?]+
+    * floored at 1 per doc, word tokens, vowel groups); per-source
+    * ratios snap to milli; the FK affine map 0.39·wps + 11.8·spw −
+    * 15.59 evaluates as (390·wps_milli + 11800·spw_milli) DIV 1000
+    * − 15590 — one floor, same expression both engines.
+    *
+    * Scale shape: one scan, three regexp counters per row, one
+    * per-source hash-agg with map-side combine — the wc substrate;
+    * output is |sources| rows. */
+  def readability(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("source"),
+        greatest(lit(1L),
+          size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+            .cast("long")).as("sents"),
+        size(Documents.tokens(col("text"))).cast("long").as("words"),
+        size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"),
+          lit(0))).cast("long").as("syls"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("sents")).cast("long").as("n_sentences"),
+        sum(col("words")).cast("long").as("n_words"),
+        sum(col("syls")).cast("long").as("n_syllable_groups"))
+      .select(col("source"), col("n_docs"), col("n_sentences"),
+        col("n_words"), col("n_syllable_groups"),
+        expr("n_words * 1000 DIV n_sentences").as("wps_milli"),
+        expr("""CASE WHEN n_words = 0 THEN CAST(0 AS BIGINT)
+          |ELSE n_syllable_groups * 1000 DIV n_words END""".stripMargin)
+          .as("spw_milli"),
+        expr("""CASE WHEN n_words = 0 THEN CAST(0 AS BIGINT)
+          |ELSE (390 * (n_words * 1000 DIV n_sentences)
+          |  + 11800 * (n_syllable_groups * 1000 DIV n_words))
+          |  DIV 1000 - 15590 END""".stripMargin).as("fk_grade_milli"))
+      .orderBy(col("source"))
+
+  val readabilitySql: String =
+    """WITH per_doc AS (
+      |  SELECT source,
+      |    GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))
+      |      AS sents,
+      |    len(list_filter(string_split_regex(text, '[^\p{L}]+'),
+      |      t -> t <> '')) AS words,
+      |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syls
+      |  FROM documents),
+      |src AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(sents) AS BIGINT) AS n_sentences,
+      |    CAST(SUM(words) AS BIGINT) AS n_words,
+      |    CAST(SUM(syls) AS BIGINT) AS n_syllable_groups
+      |  FROM per_doc GROUP BY source)
+      |SELECT source, n_docs, n_sentences, n_words, n_syllable_groups,
+      |  n_words * 1000 // n_sentences AS wps_milli,
+      |  CASE WHEN n_words = 0 THEN CAST(0 AS BIGINT)
+      |    ELSE n_syllable_groups * 1000 // n_words END AS spw_milli,
+      |  CASE WHEN n_words = 0 THEN CAST(0 AS BIGINT)
+      |    ELSE (390 * (n_words * 1000 // n_sentences)
+      |      + 11800 * (n_syllable_groups * 1000 // n_words))
+      |      // 1000 - 15590 END AS fk_grade_milli
+      |FROM src ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_readability" -> readability,
     "text_keywords_rake" -> keywordsRake,
     "text_char_entropy" -> charEntropy,
     "text_quality_classifier" -> qualityClassifier,
@@ -808,6 +879,7 @@ object TextAnalysis {
     "doc_chunk_windows" -> chunkWindows)
 
   val oracle: Map[String, String] = Map(
+    "text_readability" -> readabilitySql,
     "text_keywords_rake" -> keywordsRakeSql,
     "text_char_entropy" -> charEntropySql,
     "text_quality_classifier" -> qualityClassifierSql,

@@ -195,4 +195,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(dupBins.nonEmpty && dupBins.forall(r =>
       r._5 == 1000L * r._4 / r._2))
   }
+
+  test("readability: hand-counted FK grade on the milli grid; " +
+      "wordless docs hit the guards, not a division") {
+    // doc 1: 2 sentence runs, 8 words, 8 vowel groups →
+    // wps=4000, spw=1000, fk = (390*4000 + 11800*1000)/1000 − 15590
+    // = −2230. doc 2 ("???"): sentences floored at 1, 0 words →
+    // all ratio columns 0.
+    val dir = writeDocs(Seq(
+      (1L, "See the dog run. The dog runs fast!"),
+      (2L, "???")))
+    val got = TextAnalysis.readability(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("src1", 1L, 2L, 8L, 8L, 4000L, 1000L, -2230L),
+      ("src2", 1L, 1L, 0L, 0L, 0L, 0L, 0L)))
+  }
 }
