@@ -359,6 +359,61 @@ object DataAudit {
       |    AS rows_in_homogeneous
       |FROM g GROUP BY segment ORDER BY segment""".stripMargin
 
+  // ------------------------------------------------ id-gap audit
+  /** Surrogate-key sequence integrity: how much of [min,max] the id
+    * column actually covers, how many contiguous islands it splits
+    * into, and whether any id repeats — the ingestion forensic that
+    * distinguishes "dense sequence" (1 island), "deliberately sparse
+    * generator" (stable coverage), and "a loader dropped a range"
+    * (island count jumps release-over-release). Run on the orders
+    * key, whose TPC-H generator is sparse BY DESIGN — the audit
+    * measures that design instead of assuming density.
+    *
+    * Scale shape: the textbook island trick (id − row_number) needs
+    * a GLOBAL sort — a single-task window at 100 TB. This instead
+    * counts island STARTS: a key k starts an island iff k−1 is
+    * absent, i.e. one LEFT ANTI hash-join of the key set against
+    * itself shifted by one — shuffle on the key, no order-by
+    * anywhere. Dup detection rides the same distinct agg. */
+  def idGapsAudit(s: SparkSession, d: String): DataFrame =
+    idGapsOn(orders(s, d).select(col("o_orderkey").cast("long").as("id")))
+
+  /** Core over a caller-supplied id column — separated so specs can
+    * plant gaps, dups, and single-island sequences. */
+  def idGapsOn(ids: DataFrame): DataFrame = {
+    val keys = ids.groupBy(col("id")).agg(count(lit(1)).as("cnt"))
+    val islands = keys.select(col("id"))
+      .join(keys.select((col("id") + 1).as("id")), Seq("id"), "left_anti")
+      .agg(count(lit(1)).as("n_islands"))
+    keys.agg(sum(col("cnt")).cast("long").as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        min(col("id")).as("min_key"), max(col("id")).as("max_key"))
+      .crossJoin(broadcast(islands))
+      .select(col("n_rows"), col("n_keys"),
+        (col("n_rows") - col("n_keys")).as("n_dup_rows"),
+        col("min_key"), col("max_key"),
+        expr("n_keys * 1000 DIV (max_key - min_key + 1)")
+          .as("coverage_pm"),
+        col("n_islands"))
+  }
+
+  val idGapsAuditSql: String =
+    """WITH k AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS id, COUNT(*) AS cnt
+      |  FROM orders GROUP BY 1),
+      |isl AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_islands
+      |  FROM k LEFT JOIN (SELECT id + 1 AS id2 FROM k) p ON p.id2 = k.id
+      |  WHERE p.id2 IS NULL)
+      |SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |  CAST(SUM(cnt) - COUNT(*) AS BIGINT) AS n_dup_rows,
+      |  MIN(id) AS min_key, MAX(id) AS max_key,
+      |  CAST(COUNT(*) AS BIGINT) * 1000 // (MAX(id) - MIN(id) + 1)
+      |    AS coverage_pm,
+      |  (SELECT n_islands FROM isl) AS n_islands
+      |FROM k""".stripMargin
+
   // ------------------------------------------------ t-closeness
   /** t-closeness audit — the third rung of the disclosure ladder
     * (k-anonymity: groups big enough; l-diversity: groups not
@@ -797,6 +852,7 @@ object DataAudit {
     "audit_k_anonymity" -> kAnonymityAudit,
     "audit_l_diversity" -> lDiversityAudit,
     "audit_t_closeness" -> tClosenessAudit,
+    "audit_id_gaps" -> idGapsAudit,
     "join_skew_salted" -> joinSkewSalted,
     "link_blocked_fuzzy" -> linkBlockedFuzzy)
 
@@ -810,6 +866,7 @@ object DataAudit {
     "audit_k_anonymity" -> kAnonymityAuditSql,
     "audit_l_diversity" -> lDiversityAuditSql,
     "audit_t_closeness" -> tClosenessAuditSql,
+    "audit_id_gaps" -> idGapsAuditSql,
     "join_skew_salted" -> joinSkewSaltedSql,
     "link_blocked_fuzzy" -> linkBlockedFuzzySql)
 }

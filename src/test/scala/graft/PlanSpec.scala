@@ -151,6 +151,7 @@ class PlanSpec extends AnyFunSuite {
     "subquery_scalar",      // the scalar-subquery demo itself (1 row)
     "audit_t_closeness",    // <=6-row band ladder + 1-row (N, m)
                             // totals broadcast (grid completion)
+    "audit_id_gaps",        // 1-row island-count broadcast
     "emb_kmeans_assign",    // k-row centers table broadcast
     "emb_silhouette",       // same k-row centers broadcast
     "layout_zorder_stats",  // 1-row min/max bounds broadcast (Morton key)

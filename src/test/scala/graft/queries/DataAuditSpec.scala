@@ -123,6 +123,21 @@ class DataAuditSpec extends AnyFunSuite {
     assert(out("T") == ((1L, 2L, 2L, 0L, 0L)))
   }
 
+  test("id gaps: islands counted by absent predecessors, dups and " +
+      "coverage exact") {
+    // keys {1,2,3,7,8,10} with 10 twice: 3 islands (1, 7, 10 start),
+    // coverage 6/10 = 600 pm, 1 dup row
+    val ids = Seq(1L, 2L, 3L, 7L, 8L, 10L, 10L).toDF("id")
+    val got = DataAudit.idGapsOn(ids)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((7L, 6L, 1L, 1L, 10L, 600L, 3L)))
+    // dense run: one island, full coverage, no dups
+    val dense = Seq(5L, 6L, 7L).toDF("id")
+    val got2 = DataAudit.idGapsOn(dense)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got2 == Seq((3L, 3L, 0L, 5L, 7L, 1000L, 1L)))
+  }
+
   test("t-closeness: opposite-band groups hit EMD=500pm exactly; " +
       "global-matching groups are 0") {
     // bands: 0.0 → band 0, 1500.0 → band 1. Segment S: group A all
