@@ -578,7 +578,70 @@ object Multimodal {
       |  MIN(hd) AS min_hamming
       |FROM hd GROUP BY kind ORDER BY kind""".stripMargin
 
+  // --------------------------------------- aspect-ratio bucketing
+  /** Aspect-ratio bucketed batching (the SDXL-style training trick:
+    * batch images of like aspect so per-batch resize hits one target
+    * shape and padding waste stays low): assign every image to the
+    * log-nearest rung of a fixed 7-rung AR ladder (1:8 … 8:1 in
+    * powers of two) and report per-rung occupancy plus the padding
+    * waste an aspect-preserving fit into that rung costs. A rung
+    * with high avg waste means the ladder is too coarse for the
+    * corpus; empty rungs mean wasted batch shapes.
+    *
+    * All-integer: ar = w·1000 DIV h; "log-nearest rung" needs no
+    * logs — the decision boundaries are the geometric midpoints
+    * √(bᵢ·bᵢ₊₁), pre-verified integer thresholds (t² < bᵢ·bᵢ₊₁ <
+    * (t+1)² for each), so assignment is one CASE ladder per row —
+    * no join, no explode, no window. Waste of fitting ar into rung
+    * b is 1000 − 1000·min(ar,b) DIV max(ar,b) (the uncovered area
+    * share of the rung rectangle, exact for the same-area ladder).
+    *
+    * Scale shape: the decode pass every mm_ query pays, then one
+    * scalar CASE + a ≤7-group hash-agg — output O(ladder). */
+  def aspectBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val meta = decodeMeta(spark, mediaTable(spark, dir))
+    meta.filter(col("kind") === "image")
+      .select(expr("width * 1000 DIV height").as("ar"))
+      .select(col("ar"), expr(
+        """CASE WHEN ar <= 176 THEN 125 WHEN ar <= 353 THEN 250
+          |WHEN ar <= 707 THEN 500 WHEN ar <= 1414 THEN 1000
+          |WHEN ar <= 2828 THEN 2000 WHEN ar <= 5656 THEN 4000
+          |ELSE 8000 END""".stripMargin).cast("long")
+          .as("bucket_ar_milli"))
+      .withColumn("waste_pm", expr(
+        "1000 - LEAST(ar, bucket_ar_milli) * 1000" +
+          " DIV GREATEST(ar, bucket_ar_milli)"))
+      .groupBy(col("bucket_ar_milli"))
+      .agg(count(lit(1)).as("n_images"),
+        expr("SUM(waste_pm) DIV COUNT(*)").as("avg_waste_pm"),
+        max(col("waste_pm")).as("max_waste_pm"))
+      .orderBy(col("bucket_ar_milli"))
+  }
+
+  val aspectBucketsSql: String =
+    """WITH img AS (
+      |  SELECT (CAST(64 + (doc_id % 16) * 32 AS BIGINT) * 1000)
+      |      // CAST(64 + (n_chars % 16) * 32 AS BIGINT) AS ar
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |b AS (
+      |  SELECT ar,
+      |    CAST(CASE WHEN ar <= 176 THEN 125 WHEN ar <= 353 THEN 250
+      |      WHEN ar <= 707 THEN 500 WHEN ar <= 1414 THEN 1000
+      |      WHEN ar <= 2828 THEN 2000 WHEN ar <= 5656 THEN 4000
+      |      ELSE 8000 END AS BIGINT) AS bucket_ar_milli
+      |  FROM img),
+      |w AS (
+      |  SELECT bucket_ar_milli,
+      |    1000 - LEAST(ar, bucket_ar_milli) * 1000
+      |      // GREATEST(ar, bucket_ar_milli) AS waste_pm
+      |  FROM b)
+      |SELECT bucket_ar_milli, COUNT(*) AS n_images,
+      |  CAST(SUM(waste_pm) // COUNT(*) AS BIGINT) AS avg_waste_pm,
+      |  MAX(waste_pm) AS max_waste_pm
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_aspect_buckets" -> aspectBuckets,
     "mm_phash_buckets" -> phashBuckets,
     "mm_phash_neardup_pairs" -> phashNearDupPairs,
     "mm_media_stats" -> mediaStats,
@@ -588,6 +651,7 @@ object Multimodal {
     "mm_audio_vad" -> ((s, d) => audioVad(s, d)))
 
   val oracle: Map[String, String] = Map(
+    "mm_aspect_buckets" -> aspectBucketsSql,
     "mm_phash_buckets" -> phashBucketsSql,
     "mm_phash_neardup_pairs" -> phashNearDupPairsSql,
     "mm_media_stats" -> mediaStatsSql,

@@ -206,4 +206,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got("image")._4 == 0L, "identical payloads are Hamming 0")
     assert(!got.contains("video"), "single-doc kinds emit no pairs")
   }
+
+  test("aspect buckets: geometric-midpoint boundaries assign the " +
+      "log-nearest rung; square images waste nothing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ar").toString
+    // widths from doc_id%16, heights from n_chars%16 (stub header
+    // arithmetic): ar=166 is below the 176 midpoint -> rung 125;
+    // ar=181 is above it -> rung 250; 160x160 -> rung 1000, waste 0
+    Seq((0L, "a", 10L),   // w=64,  h=384 -> ar 166
+        (48L, "b", 9L),   // w=64,  h=352 -> ar 181
+        (3L, "c", 3L))    // w=160, h=160 -> ar 1000
+      .map { case (id, t, nc) => (id, t, "en", s"s$id", nc) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Multimodal.aspectBuckets(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (125L, 1L, 247L, 247L),
+      (250L, 1L, 276L, 276L),
+      (1000L, 1L, 0L, 0L)))
+  }
 }
