@@ -344,7 +344,85 @@ object Relational4 {
       |FROM lifted
       |ORDER BY lift_milli DESC, part_a, part_b LIMIT 20""".stripMargin
 
+  // ------------------------------------------- price elasticity
+  /** Per-brand log-log demand regression — the grouped-OLS operator:
+    * elasticity = d ln(qty) / d ln(price) estimated per p_brand over
+    * every lineitem, the per-segment price-sensitivity table a
+    * merchandising team reads (TPC-H's uniform generator makes the
+    * true slope ~0; the operator — grouped regression over a fact⋈dim
+    * join — is what's being engineered, and the spec plants a known
+    * slope to pin it).
+    *
+    * Numerics: the assortativity stance lifted to per-GROUP moments —
+    * x, y land on the milli-nat grid (⌊ln·1000⌋, the portable log
+    * device), each brand's moments are computed on deviations from
+    * its own ⌊mean⌋ (a per-group integer shift; Pearson/OLS slopes
+    * are shift-invariant, and centering keeps Σxc·yc bounded by
+    * n·spread² ≈ 2e11 at sf0.1 — raw n·Σxy would graze int64), and
+    * the slope snaps once: Σxcyc·1e6 DIV Σxc². Signed DIV truncates
+    * toward zero identically on both engines.
+    *
+    * Scale shape: one fact⋈dim equi-join (brand is all we keep —
+    * AQE broadcasts part's 2-column projection), one per-brand agg
+    * for the centers, a |brands|-row broadcast join back, one
+    * centered-moment agg with map-side combine. Two linear passes,
+    * output |brands| rows. */
+  def priceElasticity(s: SparkSession, d: String): DataFrame =
+    priceElasticityOn(lineitem(s, d), part(s, d))
+
+  /** Core over caller-supplied frames — separated so specs can plant
+    * an exact power-law demand curve. */
+  def priceElasticityOn(li: DataFrame, p: DataFrame): DataFrame = {
+    val base = li
+      .join(p.select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        expr("""CAST(FLOOR(LN(CAST(FLOOR(l_extendedprice*100 + 0.5)
+          |AS BIGINT)) * 1000) AS BIGINT)""".stripMargin).as("x"),
+        expr("CAST(FLOOR(LN(CAST(l_quantity AS BIGINT)) * 1000)" +
+          " AS BIGINT)").as("y"))
+    val mu = base.groupBy(col("brand"))
+      .agg(count(lit(1)).as("n"),
+        expr("SUM(x) DIV COUNT(*)").as("mux"),
+        expr("SUM(y) DIV COUNT(*)").as("muy"))
+    base.join(broadcast(mu), "brand")
+      .select(col("brand"), col("n"),
+        (col("x") - col("mux")).as("xc"), (col("y") - col("muy")).as("yc"))
+      .groupBy(col("brand"))
+      .agg(max(col("n")).as("n_obs"),
+        sum(col("xc") * col("yc")).as("sxy"),
+        sum(col("xc") * col("xc")).as("sxx"))
+      .select(col("brand"), col("n_obs"),
+        expr("""CASE WHEN sxx = 0 THEN CAST(0 AS BIGINT)
+          |ELSE sxy * 1000000 DIV sxx END""".stripMargin)
+          .as("elasticity_micro"))
+      .orderBy(col("brand"))
+  }
+
+  val priceElasticitySql: String =
+    """WITH base AS (
+      |  SELECT p.p_brand AS brand,
+      |    CAST(FLOOR(LN(CAST(FLOOR(l.l_extendedprice*100 + 0.5)
+      |      AS BIGINT)) * 1000) AS BIGINT) AS x,
+      |    CAST(FLOOR(LN(CAST(l.l_quantity AS BIGINT)) * 1000)
+      |      AS BIGINT) AS y
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      |mu AS (
+      |  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) // COUNT(*) AS mux,
+      |    CAST(SUM(y) AS BIGINT) // COUNT(*) AS muy
+      |  FROM base GROUP BY brand),
+      |cm AS (
+      |  SELECT b.brand, m.n, b.x - m.mux AS xc, b.y - m.muy AS yc
+      |  FROM base b JOIN mu m ON b.brand = m.brand)
+      |SELECT brand, MAX(n) AS n_obs,
+      |  CASE WHEN CAST(SUM(xc*xc) AS BIGINT) = 0 THEN CAST(0 AS BIGINT)
+      |    ELSE CAST(SUM(xc*yc) AS BIGINT) * 1000000
+      |      // CAST(SUM(xc*xc) AS BIGINT) END AS elasticity_micro
+      |FROM cm GROUP BY brand ORDER BY brand""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_price_elasticity" -> priceElasticity,
     "agg_market_basket" -> marketBasket,
     "agg_backlog_aging" -> backlogAging,
     "q8_market_share" -> q8MarketShare,
@@ -354,6 +432,7 @@ object Relational4 {
     "q20_dominant_supplier" -> q20DominantSupplier)
 
   val oracle: Map[String, String] = Map(
+    "agg_price_elasticity" -> priceElasticitySql,
     "agg_market_basket" -> marketBasketSql,
     "agg_backlog_aging" -> backlogAgingSql,
     "q8_market_share" -> q8MarketShareSql,

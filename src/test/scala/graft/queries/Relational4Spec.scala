@@ -54,4 +54,24 @@ class Relational4Spec extends AnyFunSuite {
       ("P", "1-URGENT", 1L, 1L, 30000L),
       ("P", "1-URGENT", 3L, 1L, 40000L)))
   }
+
+  test("price elasticity: a planted qty=C/price curve recovers slope " +
+      "-1 within grid error; constant price guards to 0") {
+    // brand E1: (price $, qty) on an exact power law qty = 320/price
+    // over prices 10/20/40/80 — true ln-ln slope is exactly -1, the
+    // milli-nat grid perturbs the OLS by < 1 milli.
+    // brand E2: one price, varying qty -> sxx=0 -> guarded 0.
+    val li = Seq(
+      (1L, 10.0, 32.0), (1L, 20.0, 16.0), (1L, 40.0, 8.0),
+      (1L, 80.0, 4.0),
+      (2L, 10.0, 5.0), (2L, 10.0, 9.0))
+      .toDF("l_partkey", "l_extendedprice", "l_quantity")
+    val p = Seq((1L, "E1"), (2L, "E2")).toDF("p_partkey", "p_brand")
+    val got = Relational4.priceElasticityOn(li, p)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) == Seq(("E1", 4L), ("E2", 2L)))
+    assert(math.abs(got.head._3 + 1000000L) <= 1000L,
+      s"E1 slope ${got.head._3} not within 1 milli of -1e6")
+    assert(got(1)._3 == 0L)
+  }
 }
