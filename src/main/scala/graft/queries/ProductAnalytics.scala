@@ -903,7 +903,108 @@ object ProductAnalytics {
        |  rev_control_cents, rev_treat_cents
        |FROM arms""".stripMargin
 
+  // ------------------------------------- difference-in-differences
+  /** Difference-in-differences uplift — the causal companion to
+    * [[holdoutAb]]: where the two-proportion test assumes the arms
+    * were exchangeable, DiD nets out a PRE-EXISTING level difference
+    * by differencing each arm against its own pre-period. Arms reuse
+    * the holdout split (user_id % 2); the pre/post boundary is the
+    * data's own midpoint day ((min+max+1) DIV 2 — the backlog-aging
+    * as-of-anchor stance); the outcome is purchases per user per
+    * period. did = (post_t − pre_t) − (post_c − pre_c) over the
+    * per-arm user means on the milli grid — a parallel-trends
+    * estimate the A/B z-score cannot give when treatment assignment
+    * correlates with baseline activity.
+    *
+    * All-integer: cell sums are exact counts over a fixed user
+    * denominator per arm (every user with any event, both periods —
+    * the balanced-panel convention), means snap to milli once, and
+    * the DiD is a difference of four already-snapped means — same
+    * expression both engines.
+    *
+    * Scale shape: one 1-row bounds broadcast, one user-keyed
+    * hash-agg with map-side combine, one 1-row assembly. */
+  def didUplift(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"), col("event_type"),
+      expr("CAST(date_trunc('day', ts) AS LONG) DIV 86400").as("day"))
+    val bounds = ev.agg(min(col("day")).as("min_day"),
+        max(col("day")).as("max_day"))
+      .select(expr("(min_day + max_day + 1) DIV 2").as("mid_day"))
+    ev.crossJoin(broadcast(bounds))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "purchase" &&
+          col("day") < col("mid_day"), 1L).otherwise(0L)).as("pre_p"),
+        sum(when(col("event_type") === "purchase" &&
+          col("day") >= col("mid_day"), 1L).otherwise(0L)).as("post_p"))
+      .withColumn("arm", col("user_id") % 2)
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_control"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_treat"),
+        sum(when(col("arm") === 0, col("pre_p")).otherwise(0L))
+          .cast("long").as("pre_control"),
+        sum(when(col("arm") === 0, col("post_p")).otherwise(0L))
+          .cast("long").as("post_control"),
+        sum(when(col("arm") === 1, col("pre_p")).otherwise(0L))
+          .cast("long").as("pre_treat"),
+        sum(when(col("arm") === 1, col("post_p")).otherwise(0L))
+          .cast("long").as("post_treat"))
+      .select(col("n_control"), col("n_treat"),
+        col("pre_control"), col("post_control"),
+        col("pre_treat"), col("post_treat"),
+        expr(DidExpr).as("did_milli"))
+  }
+
+  /** The shared DiD expression — one string, both engines (`DIV` is
+    * rewritten to `//` for the oracle). */
+  private val DidExpr: String =
+    """CASE WHEN n_control = 0 OR n_treat = 0 THEN CAST(0 AS BIGINT)
+      |ELSE (post_treat * 1000 DIV n_treat
+      |    - pre_treat * 1000 DIV n_treat)
+      |  - (post_control * 1000 DIV n_control
+      |    - pre_control * 1000 DIV n_control) END""".stripMargin
+
+  val didUpliftSql: String = {
+    val didSql = DidExpr.replace("DIV", "//")
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type,
+       |    CAST(FLOOR(EPOCH(DATE_TRUNC('day', ts))) AS BIGINT) // 86400
+       |      AS day
+       |  FROM events),
+       |b AS (
+       |  SELECT (MIN(day) + MAX(day) + 1) // 2 AS mid_day FROM ev),
+       |per_user AS (
+       |  SELECT user_id,
+       |    CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+       |      AND day < mid_day THEN 1 ELSE 0 END), 0) AS BIGINT)
+       |      AS pre_p,
+       |    CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+       |      AND day >= mid_day THEN 1 ELSE 0 END), 0) AS BIGINT)
+       |      AS post_p
+       |  FROM ev CROSS JOIN b GROUP BY user_id),
+       |cells AS (
+       |  SELECT
+       |    CAST(COUNT(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT)
+       |      AS n_control,
+       |    CAST(COUNT(*) FILTER (WHERE user_id % 2 = 1) AS BIGINT)
+       |      AS n_treat,
+       |    CAST(COALESCE(SUM(pre_p) FILTER (WHERE user_id % 2 = 0), 0)
+       |      AS BIGINT) AS pre_control,
+       |    CAST(COALESCE(SUM(post_p) FILTER (WHERE user_id % 2 = 0), 0)
+       |      AS BIGINT) AS post_control,
+       |    CAST(COALESCE(SUM(pre_p) FILTER (WHERE user_id % 2 = 1), 0)
+       |      AS BIGINT) AS pre_treat,
+       |    CAST(COALESCE(SUM(post_p) FILTER (WHERE user_id % 2 = 1), 0)
+       |      AS BIGINT) AS post_treat
+       |  FROM per_user)
+       |SELECT n_control, n_treat, pre_control, post_control,
+       |  pre_treat, post_treat,
+       |  $didSql AS did_milli
+       |FROM cells""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_did_uplift" -> didUplift,
     "ev_holdout_ab" -> holdoutAb,
     "sketch_daily_merge" -> sketchDailyMerge,
     "sketch_pair_overlap" -> sketchPairOverlap,
@@ -919,6 +1020,7 @@ object ProductAnalytics {
     "ev_cusum_changepoint" -> cusumChangepoint)
 
   val oracle: Map[String, String] = Map(
+    "ev_did_uplift" -> didUpliftSql,
     "ev_holdout_ab" -> holdoutAbSql,
     "sketch_daily_merge" -> sketchDailyMergeSql,
     "sketch_pair_overlap" -> sketchPairOverlapSql,

@@ -152,6 +152,7 @@ class PlanSpec extends AnyFunSuite {
     "audit_t_closeness",    // <=6-row band ladder + 1-row (N, m)
                             // totals broadcast (grid completion)
     "audit_id_gaps",        // 1-row island-count broadcast
+    "ev_did_uplift",        // 1-row midpoint-day bounds broadcast
     "emb_kmeans_assign",    // k-row centers table broadcast
     "emb_silhouette",       // same k-row centers broadcast
     "layout_zorder_stats",  // 1-row min/max bounds broadcast (Morton key)

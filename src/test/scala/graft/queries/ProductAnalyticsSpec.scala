@@ -125,4 +125,25 @@ class ProductAnalyticsSpec extends AnyFunSuite {
       viaJoin.valuesIterator.exists(_ != "none"),
       "fixture must exercise both branches")
   }
+
+  test("did uplift: treat-arm post jump nets out the flat control " +
+      "arm; midpoint anchors from the data") {
+    // days 0..3 -> mid_day 2; pre {0,1}, post {2,3}.
+    // control (even ids): u0 1 pre + 1 post purchase, u2 views only.
+    // treat (odd ids): u1 2 post, u3 1 pre + 1 post.
+    // did = (3000/2 - 1000/2) - (1000/2 - 1000/2) = 1000 milli.
+    val day = 86400L
+    val d = writeEvents(Seq(
+      (1L, ts(0L), 0L, "purchase", 1.0, "{}"),
+      (2L, ts(2 * day), 0L, "purchase", 1.0, "{}"),
+      (3L, ts(1 * day), 2L, "view", 0.0, "{}"),
+      (4L, ts(3 * day), 2L, "view", 0.0, "{}"),
+      (5L, ts(2 * day), 1L, "purchase", 1.0, "{}"),
+      (6L, ts(3 * day), 1L, "purchase", 1.0, "{}"),
+      (7L, ts(0L), 3L, "purchase", 1.0, "{}"),
+      (8L, ts(3 * day), 3L, "purchase", 1.0, "{}")))
+    val got = ProductAnalytics.didUplift(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 2L, 1L, 1L, 1L, 3L, 1000L)))
+  }
 }
