@@ -387,7 +387,62 @@ object CorpusStats {
       |    // CAST(SUM(cnt) AS BIGINT) AS mean_word_len_milli
       |FROM wc GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------- vocab coverage checkpoints
+  /** Token-mass coverage at vocab-size checkpoints — the tokenizer
+    * sizing curve: what share of all running tokens do the top 100 /
+    * 1k / 10k word types cover? The knee of this curve is where a
+    * word-level vocab stops paying and byte/BPE fallback takes over;
+    * read next to Heaps (vocab growth) and Zipf (tail law), it turns
+    * "what vocab size?" from a guess into a measurement.
+    *
+    * Scale shape: ONE (word, count) hash-agg (the wc substrate,
+    * materialized once), then three TakeOrdered(k) passes over the
+    * VOCABULARY (≪ corpus; k ≤ 10k bounds each heap) and a 1-row
+    * assembly of broadcast scalars — no vocab-wide window, no
+    * global sort. Exact integers; shares on the permille grid. */
+  def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val wc = graft.operators.Materialize.eager(
+      documents(s, d)
+        .select(explode(Documents.tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("c")))
+    def topMass(k: Int) =
+      wc.orderBy(col("c").desc, col("word")).limit(k)
+        .agg(coalesce(sum(col("c")), lit(0L)).cast("long").as(s"cov$k"))
+    wc.agg(sum(col("c")).cast("long").as("total_tokens"),
+        count(lit(1)).as("vocab_size"))
+      .crossJoin(broadcast(topMass(100)))
+      .crossJoin(broadcast(topMass(1000)))
+      .crossJoin(broadcast(topMass(10000)))
+      .select(col("total_tokens"), col("vocab_size"),
+        expr("cov100 * 1000 DIV total_tokens").as("cov100_pm"),
+        expr("cov1000 * 1000 DIV total_tokens").as("cov1000_pm"),
+        expr("cov10000 * 1000 DIV total_tokens").as("cov10000_pm"))
+  }
+
+  val vocabCoverageSql: String =
+    """WITH wc AS (
+      |  SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM (
+      |    SELECT UNNEST(list_filter(
+      |      string_split_regex(text, '[^\p{L}]+'), t -> t <> '')) AS word
+      |    FROM documents)
+      |  GROUP BY word),
+      |r AS (
+      |  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, word) AS rn
+      |  FROM wc),
+      |tot AS (
+      |  SELECT CAST(SUM(c) AS BIGINT) AS total_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS vocab_size FROM wc)
+      |SELECT total_tokens, vocab_size,
+      |  CAST((SELECT COALESCE(SUM(c), 0) FROM r WHERE rn <= 100)
+      |    AS BIGINT) * 1000 // total_tokens AS cov100_pm,
+      |  CAST((SELECT COALESCE(SUM(c), 0) FROM r WHERE rn <= 1000)
+      |    AS BIGINT) * 1000 // total_tokens AS cov1000_pm,
+      |  CAST((SELECT COALESCE(SUM(c), 0) FROM r WHERE rn <= 10000)
+      |    AS BIGINT) * 1000 // total_tokens AS cov10000_pm
+      |FROM tot""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_vocab_coverage" -> vocabCoverage,
     "text_ttr_by_source" -> ttrBySource,
     "text_zipf_slope" -> zipfSlope,
     "text_js_divergence" -> jsDivergence,
@@ -395,6 +450,7 @@ object CorpusStats {
     "text_feature_hashing" -> featureHashing)
 
   val oracle: Map[String, String] = Map(
+    "text_vocab_coverage" -> vocabCoverageSql,
     "text_ttr_by_source" -> ttrBySourceSql,
     "text_zipf_slope" -> zipfSlopeSql,
     "text_js_divergence" -> jsDivergenceSql,

@@ -153,6 +153,7 @@ class PlanSpec extends AnyFunSuite {
                             // totals broadcast (grid completion)
     "audit_id_gaps",        // 1-row island-count broadcast
     "ev_did_uplift",        // 1-row midpoint-day bounds broadcast
+    "text_vocab_coverage",  // three 1-row top-k mass broadcasts
     "emb_kmeans_assign",    // k-row centers table broadcast
     "emb_silhouette",       // same k-row centers broadcast
     "layout_zorder_stats",  // 1-row min/max bounds broadcast (Morton key)

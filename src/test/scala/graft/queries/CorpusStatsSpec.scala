@@ -96,6 +96,21 @@ class CorpusStatsSpec extends AnyFunSuite {
       ("spam", 5L, 1L, 200L, 0L, 2000L)))
   }
 
+  test("vocab coverage: top-100 mass counted over a 151-type corpus, " +
+      "larger checkpoints saturate at 1000") {
+    // "aa" x50 + 150 distinct singletons: top-100 = aa + 99 singles
+    // = 149 of 200 tokens -> 745 pm; 1k/10k cover everything.
+    val singles = (0 until 150).map(i =>
+      "" + ('b' + i / 26).toChar + ('a' + i % 26).toChar)
+    assert(singles.distinct.size == 150 && !singles.contains("aa"))
+    val d = writeDocs(Seq(
+      (0L, Seq.fill(50)("aa").mkString(" "), "en", "s", 149L),
+      (1L, singles.mkString(" "), "en", "s", 449L)))
+    val got = CorpusStats.vocabCoverage(spark, d)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((200L, 151L, 745L, 1000L, 1000L)))
+  }
+
   test("pair-distance hist: md5 sample membership is deterministic") {
     // compute which ids 0..63 pass the 1/8 md5 gate, plant vectors so
     // sampled pair distances are known; with >=2 sampled ids the hist
