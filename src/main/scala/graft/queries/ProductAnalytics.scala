@@ -1003,7 +1003,91 @@ object ProductAnalytics {
        |FROM cells""".stripMargin
   }
 
+  // --------------------------------------------- power analysis
+  /** Experiment design table — the third leg of the A/B toolkit
+    * (holdoutAb measures, didUplift de-biases, THIS says whether the
+    * experiment could ever have detected anything): given the
+    * current arm sizes and pooled baseline conversion, the minimum
+    * detectable effect at α=.05 two-sided / 80% power, and the
+    * per-arm n a 10-permille uplift would need. An uplift_pm smaller
+    * than mde_pm in ev_holdout_ab's output is noise by design, not
+    * a finding — this query makes that call mechanical.
+    *
+    * Numerics: inputs are the same exact integers holdoutAb
+    * aggregates; the two closed forms (z_α+z_β)·√(p(1−p)(1/n_t+1/n_c))
+    * and (z_α+z_β)²·2p(1−p)/d² evaluate in doubles with ONE fixed
+    * expression shape and snap once (⌊·1000+.5⌋ / ⌈·⌉) — the
+    * z-score stance. Degenerate arms (empty, 0% or 100% baseline)
+    * guard to 0.
+    *
+    * Scale shape: one user-keyed hash-agg + a 1-row reduction —
+    * identical to holdoutAb's. */
+  def mdePower(s: SparkSession, d: String): DataFrame =
+    events(s, d).groupBy(col("user_id"))
+      .agg(when(sum(when(col("event_type") === "purchase", 1L)
+        .otherwise(0L)) >= 14, 1L).otherwise(0L).as("conv"))
+      .withColumn("arm", col("user_id") % 2)
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_control"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_treat"),
+        sum(col("conv")).cast("long").as("conv_pooled"))
+      .select(col("n_control"), col("n_treat"), col("conv_pooled"),
+        expr("""CASE WHEN n_control + n_treat = 0 THEN CAST(0 AS BIGINT)
+          |ELSE conv_pooled * 1000 DIV (n_control + n_treat) END"""
+          .stripMargin).as("rate_pooled_pm"),
+        expr(MdeExpr).as("mde_pm"),
+        expr(NReqExpr).as("n_per_arm_for_10pm"))
+
+  // z_.025 + z_.20 = 1.959964 + 0.841621; shared strings, both engines
+  private val MdeExpr: String =
+    """CASE WHEN n_control = 0 OR n_treat = 0 OR conv_pooled = 0
+      |    OR conv_pooled = n_control + n_treat THEN CAST(0 AS BIGINT)
+      |ELSE CAST(FLOOR(2.801585 * sqrt(
+      |    (CAST(conv_pooled AS DOUBLE)
+      |      / CAST(n_control + n_treat AS DOUBLE))
+      |    * (1.0 - CAST(conv_pooled AS DOUBLE)
+      |      / CAST(n_control + n_treat AS DOUBLE))
+      |    * (1.0 / CAST(n_treat AS DOUBLE)
+      |      + 1.0 / CAST(n_control AS DOUBLE)))
+      |  * 1000 + 0.5) AS BIGINT) END""".stripMargin
+
+  private val NReqExpr: String =
+    """CASE WHEN n_control = 0 OR n_treat = 0 OR conv_pooled = 0
+      |    OR conv_pooled = n_control + n_treat THEN CAST(0 AS BIGINT)
+      |ELSE CAST(CEIL(2.801585 * 2.801585 * 2.0
+      |    * (CAST(conv_pooled AS DOUBLE)
+      |      / CAST(n_control + n_treat AS DOUBLE))
+      |    * (1.0 - CAST(conv_pooled AS DOUBLE)
+      |      / CAST(n_control + n_treat AS DOUBLE))
+      |    / 0.0001) AS BIGINT) END""".stripMargin
+
+  val mdePowerSql: String = {
+    val mde = MdeExpr
+    val nreq = NReqExpr
+    s"""WITH per_user AS (
+       |  SELECT user_id,
+       |    CASE WHEN COALESCE(SUM(CASE WHEN event_type = 'purchase'
+       |      THEN 1 ELSE 0 END), 0) >= 14 THEN 1 ELSE 0 END AS conv
+       |  FROM events GROUP BY user_id),
+       |arms AS (
+       |  SELECT
+       |    CAST(COUNT(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT)
+       |      AS n_control,
+       |    CAST(COUNT(*) FILTER (WHERE user_id % 2 = 1) AS BIGINT)
+       |      AS n_treat,
+       |    CAST(COALESCE(SUM(conv), 0) AS BIGINT) AS conv_pooled
+       |  FROM per_user)
+       |SELECT n_control, n_treat, conv_pooled,
+       |  CASE WHEN n_control + n_treat = 0 THEN CAST(0 AS BIGINT)
+       |    ELSE conv_pooled * 1000 // (n_control + n_treat) END
+       |    AS rate_pooled_pm,
+       |  $mde AS mde_pm,
+       |  $nreq AS n_per_arm_for_10pm
+       |FROM arms""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_mde_power" -> mdePower,
     "ev_did_uplift" -> didUplift,
     "ev_holdout_ab" -> holdoutAb,
     "sketch_daily_merge" -> sketchDailyMerge,
@@ -1020,6 +1104,7 @@ object ProductAnalytics {
     "ev_cusum_changepoint" -> cusumChangepoint)
 
   val oracle: Map[String, String] = Map(
+    "ev_mde_power" -> mdePowerSql,
     "ev_did_uplift" -> didUpliftSql,
     "ev_holdout_ab" -> holdoutAbSql,
     "sketch_daily_merge" -> sketchDailyMergeSql,

@@ -146,4 +146,28 @@ class ProductAnalyticsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
     assert(got == Seq((2L, 2L, 1L, 1L, 1L, 3L, 1000L)))
   }
+
+  test("mde power: pooled p=1/4 over 2+2 users yields the closed-form " +
+      "MDE and required n exactly") {
+    // user 0 converts (14 purchases), users 1..3 don't: p = 0.25
+    // (exact in binary), arms 2/2 — the doubles below mirror the
+    // engine expression term-for-term.
+    val rows = (0 until 14).map(i =>
+      (100L + i, ts(i * 3600L), 0L, "purchase", 1.0, "{}")) ++ Seq(
+      (1L, ts(0L), 1L, "view", 0.0, "{}"),
+      (2L, ts(0L), 2L, "view", 0.0, "{}"),
+      (3L, ts(0L), 3L, "view", 0.0, "{}"))
+    val d = writeEvents(rows)
+    val got = ProductAnalytics.mdePower(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    val p = 1.0 / 4.0
+    val mde = math.floor(2.801585 *
+      math.sqrt(p * (1.0 - p) * (1.0 / 2.0 + 1.0 / 2.0)) * 1000 + 0.5)
+      .toLong
+    val nreq = math.ceil(
+      2.801585 * 2.801585 * 2.0 * p * (1.0 - p) / 0.0001).toLong
+    assert(got == ((2L, 2L, 1L, 250L, mde, nreq)))
+    assert(mde == 1213L && nreq == 29434L,
+      s"closed forms moved: mde=$mde nreq=$nreq")
+  }
 }
