@@ -477,6 +477,99 @@ object Embeddings {
        |  MIN(id) AS min_id, MAX(id) AS max_id
        |FROM best GROUP BY cid ORDER BY cid""".stripMargin
 
+  // ------------------------------------ incremental index maintenance
+  /** IVF index freshness audit — what happens when yesterday's
+    * centroids meet today's ingest batch: vectors with vec_id%10==9
+    * play the NEW batch, the rest the indexed corpus; both assign to
+    * centers seeded from the OLD side only (re-training per batch is
+    * exactly what an incremental index avoids), and the per-cell
+    * old/new occupancy shares say whether the batch is drifting mass
+    * into cells the index sized for less — the trigger for a
+    * re-balance before probe latencies skew. The cell-level
+    * companion to emb_centroid_drift (which watches the centroids
+    * themselves move).
+    *
+    * All-integer outputs: occupancy counts, per-side permille
+    * shares against the side's own total (a 1-row broadcast), and
+    * the share shift. Exact d2 fold for assignment (the kmeans
+    * stance).
+    *
+    * Scale shape: two broadcast-centers assigns (O(n·k), the
+    * discipline every cell consumer pays), two cell hash-aggs, a
+    * full-outer cell join (≤k rows), a 1-row totals broadcast. The
+    * new-batch side is the only per-ingest cost — ∝ batch, the
+    * incremental-dedup stance. */
+  def ivfIncrementalAssign(s: SparkSession, d: String): DataFrame =
+    ivfIncrementalAssignOn(embeddings(s, d))
+
+  /** Core over a caller-supplied registry — separated so specs can
+    * plant a drifting ingest batch. */
+  def ivfIncrementalAssignOn(e: DataFrame): DataFrame = {
+    val old = e.filter(col("vec_id") % 10 =!= 9)
+    val fresh = e.filter(col("vec_id") % 10 === 9)
+    val centers = seedCenters(old)
+    val oldCells = graft.operators.KMeans.assign(pointsOf(old), centers)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_old"))
+    val newCells = graft.operators.KMeans.assign(pointsOf(fresh), centers)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_new"))
+    val cells = oldCells.join(newCells, Seq("cid"), "full_outer")
+      .select(col("cid"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val tot = cells.agg(sum(col("n_old")).cast("long").as("t_old"),
+      sum(col("n_new")).cast("long").as("t_new"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("cid"), col("n_old"), col("n_new"),
+        expr("""CASE WHEN t_old = 0 THEN CAST(0 AS BIGINT)
+          |ELSE n_old * 1000 DIV t_old END""".stripMargin)
+          .as("old_share_pm"),
+        expr("""CASE WHEN t_new = 0 THEN CAST(0 AS BIGINT)
+          |ELSE n_new * 1000 DIV t_new END""".stripMargin)
+          .as("new_share_pm"))
+      .withColumn("shift_pm", col("new_share_pm") - col("old_share_pm"))
+      .orderBy(col("cid"))
+  }
+
+  val ivfIncrementalAssignSql: String =
+    s"""WITH c AS (
+       |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+       |  WHERE vec_id % 64 = 0 AND vec_id < 512 AND vec_id % 10 <> 9),
+       |ao AS (
+       |  SELECT p.vec_id AS id, c.cid,
+       |    ${sqFoldSql("p.embedding", "c.cvec")} AS d2
+       |  FROM embeddings p CROSS JOIN c WHERE p.vec_id % 10 <> 9),
+       |bo AS (
+       |  SELECT id, cid FROM ao
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) = 1),
+       |an AS (
+       |  SELECT p.vec_id AS id, c.cid,
+       |    ${sqFoldSql("p.embedding", "c.cvec")} AS d2
+       |  FROM embeddings p CROSS JOIN c WHERE p.vec_id % 10 = 9),
+       |bn AS (
+       |  SELECT id, cid FROM an
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) = 1),
+       |oc AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_old
+       |  FROM bo GROUP BY cid),
+       |nc AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_new
+       |  FROM bn GROUP BY cid),
+       |cells AS (
+       |  SELECT COALESCE(oc.cid, nc.cid) AS cid,
+       |    COALESCE(oc.n_old, 0) AS n_old, COALESCE(nc.n_new, 0) AS n_new
+       |  FROM oc FULL JOIN nc ON oc.cid = nc.cid),
+       |tot AS (
+       |  SELECT CAST(SUM(n_old) AS BIGINT) AS t_old,
+       |    CAST(SUM(n_new) AS BIGINT) AS t_new FROM cells)
+       |SELECT cid, n_old, n_new,
+       |  CASE WHEN t_old = 0 THEN CAST(0 AS BIGINT)
+       |    ELSE n_old * 1000 // t_old END AS old_share_pm,
+       |  CASE WHEN t_new = 0 THEN CAST(0 AS BIGINT)
+       |    ELSE n_new * 1000 // t_new END AS new_share_pm,
+       |  CASE WHEN t_new = 0 THEN CAST(0 AS BIGINT)
+       |    ELSE n_new * 1000 // t_new END
+       |  - CASE WHEN t_old = 0 THEN CAST(0 AS BIGINT)
+       |    ELSE n_old * 1000 // t_old END AS shift_pm
+       |FROM cells CROSS JOIN tot ORDER BY cid""".stripMargin
+
   // ------------------------------------------ simplified silhouette
   /** Simplified (centroid-based) silhouette per k-means cell — the
     * cluster-quality gate that answers "are these cells real, or is
@@ -1332,6 +1425,7 @@ object Embeddings {
     "emb_label_norms" -> labelCentroidNorm,
     "emb_ann_lsh_buckets" -> annLshBuckets,
     "emb_kmeans_assign" -> kmeansAssign,
+    "emb_ivf_incremental" -> ivfIncrementalAssign,
     "emb_silhouette" -> silhouette,
     "emb_semantic_dedup" -> semanticDedup,
     "emb_outliers_per_cell" -> outliersPerCell,
@@ -1353,6 +1447,7 @@ object Embeddings {
     "emb_ann_recall_eval" -> annRecallEvalSql,
     "emb_ann_recall_sweep" -> annRecallSweepSql,
     "emb_kmeans_assign" -> kmeansAssignSql,
+    "emb_ivf_incremental" -> ivfIncrementalAssignSql,
     "emb_silhouette" -> silhouetteSql,
     "emb_semantic_dedup" -> semanticDedupSql,
     "emb_outliers_per_cell" -> outliersPerCellSql,

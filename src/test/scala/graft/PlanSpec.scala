@@ -156,6 +156,8 @@ class PlanSpec extends AnyFunSuite {
     "text_vocab_coverage",  // three 1-row top-k mass broadcasts
     "emb_kmeans_assign",    // k-row centers table broadcast
     "emb_silhouette",       // same k-row centers broadcast
+    "emb_ivf_incremental",  // same k-row centers broadcast (twice)
+                            // + 1-row occupancy totals
     "layout_zorder_stats",  // 1-row min/max bounds broadcast (Morton key)
     "graph_triangle_count", // two 1-row stat aggregates broadcast
     "ev_rolling_active_users", // 1-row max-day broadcast (window clip)

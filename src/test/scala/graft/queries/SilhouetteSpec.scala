@@ -37,4 +37,24 @@ class SilhouetteSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
     assert(r == Seq((0L, 2L, 0L, 0L, 2L)))
   }
+
+  test("ivf incremental: a drifting ingest batch shifts share into " +
+      "the cell it lands in, exactly") {
+    // centers (old-side seeds): 0 → (0,0), 64 → (100,0).
+    // old: ids 0,1,2 near center 0; 64,65,66 near center 64 → 3/3,
+    // shares 500/500. new batch (ids %10==9): 9,19,29 all near center
+    // 64 → 0/3, shares 0/1000 → shift −500/+500.
+    val e = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(1f, 0f)), (2L, Array(2f, 0f)),
+      (64L, Array(100f, 0f)), (65L, Array(99f, 0f)),
+      (66L, Array(101f, 0f)),
+      (9L, Array(98f, 0f)), (19L, Array(102f, 0f)),
+      (29L, Array(100f, 1f))
+    ).toDF("vec_id", "embedding")
+    val r = Embeddings.ivfIncrementalAssignOn(e)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (0L, 3L, 0L, 500L, 0L, -500L),
+      (64L, 3L, 3L, 500L, 1000L, 500L)))
+  }
 }
