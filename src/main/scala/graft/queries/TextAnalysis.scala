@@ -398,6 +398,116 @@ object TextAnalysis {
        |FROM tok JOIN cnts USING (word) CROSS JOIN tot
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------ perplexity filter sweep
+  /** Perplexity-threshold curation curve (the CCNet knob): how many
+    * documents and how much token mass survive at each cut of the
+    * per-doc mean unigram surprisal? Low surprisal ≈ fluent,
+    * in-distribution text; the sweep shows what a given threshold
+    * actually costs in corpus mass BEFORE anyone commits to it —
+    * the same measured-not-guessed stance as dedup_threshold_sweep,
+    * applied to the quality axis.
+    *
+    * Thresholds SELF-ANCHOR at the corpus's token-weighted mean
+    * surprisal (+0/125/250/500 millibits): an absolute grid would be
+    * fixture-coupled — this corpus's per-doc means span just
+    * 5000–5416 — while offsets from the corpus's own center measure
+    * the right-tail mass at any scale, and the resolved absolute
+    * cutoffs are emitted so the report stays self-describing.
+    *
+    * Reuses [[unigramSurprisal]]'s bit-length ladder verbatim (one
+    * definition of "surprisal" across the engine), so the sweep is
+    * exact integers end-to-end: one corpus LM pass, one per-doc agg,
+    * a 1-row anchor broadcast, then a single 1-row aggregate with
+    * four conditional sums stack()ed into the report — adding a
+    * threshold costs one column, never a scan.
+    *
+    * Scale shape: the unigram join every surprisal consumer pays
+    * (token ⋈ vocab equi-join + broadcast 1-row total), one doc
+    * hash-agg, two 1-row reductions. */
+  def perplexityFilterSweep(s: SparkSession, d: String): DataFrame = {
+    val per = unigramSurprisal(s, d)
+      .select(col("n_tokens"), col("surprisal_bits"),
+        col("mean_millibits"))
+    val anchor = per.agg(expr(
+      "(1000 * SUM(surprisal_bits)) DIV SUM(n_tokens)").as("am"))
+    def kd(off: Int) = sum(when(
+      col("mean_millibits") <= col("am") + off, 1L).otherwise(0L))
+      .cast("long")
+    def kt(off: Int) = sum(when(
+      col("mean_millibits") <= col("am") + off, col("n_tokens"))
+      .otherwise(0L)).cast("long")
+    per.crossJoin(broadcast(anchor))
+      .agg(count(lit(1)).as("nd"),
+        sum(col("n_tokens")).cast("long").as("nt"),
+        max(col("am")).as("am"),
+        kd(0).as("k0"), kd(125).as("k125"),
+        kd(250).as("k250"), kd(500).as("k500"),
+        kt(0).as("t0"), kt(125).as("t125"),
+        kt(250).as("t250"), kt(500).as("t500"))
+      .select(expr(
+        """stack(4,
+          |  am, k0, k0 * 1000 DIV nd, t0, t0 * 1000 DIV nt,
+          |  am + 125, k125, k125 * 1000 DIV nd,
+          |    t125, t125 * 1000 DIV nt,
+          |  am + 250, k250, k250 * 1000 DIV nd,
+          |    t250, t250 * 1000 DIV nt,
+          |  am + 500, k500, k500 * 1000 DIV nd,
+          |    t500, t500 * 1000 DIV nt)
+          |AS (threshold_millibits, n_docs_kept, docs_share_pm,
+          |    tokens_kept, tokens_share_pm)""".stripMargin))
+      .orderBy(col("threshold_millibits"))
+  }
+
+  val perplexityFilterSweepSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, UNNEST($toksSql) AS word FROM documents),
+       |cnts AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+       |         FROM tok GROUP BY word),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnts),
+       |per AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(length(bin(n)) - length(bin(c))) AS BIGINT)
+       |      AS surprisal_bits,
+       |    (1000 * CAST(SUM(length(bin(n)) - length(bin(c))) AS BIGINT))
+       |      // COUNT(*) AS mean_millibits
+       |  FROM tok JOIN cnts USING (word) CROSS JOIN tot
+       |  GROUP BY doc_id),
+       |anchor AS (
+       |  SELECT (1000 * CAST(SUM(surprisal_bits) AS BIGINT))
+       |    // CAST(SUM(n_tokens) AS BIGINT) AS am FROM per),
+       |a AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS nt, MAX(am) AS am,
+       |    CAST(COALESCE(SUM(n_tokens) FILTER (
+       |      WHERE mean_millibits <= am), 0) AS BIGINT) AS t0,
+       |    CAST(COALESCE(SUM(n_tokens) FILTER (
+       |      WHERE mean_millibits <= am + 125), 0) AS BIGINT) AS t125,
+       |    CAST(COALESCE(SUM(n_tokens) FILTER (
+       |      WHERE mean_millibits <= am + 250), 0) AS BIGINT) AS t250,
+       |    CAST(COALESCE(SUM(n_tokens) FILTER (
+       |      WHERE mean_millibits <= am + 500), 0) AS BIGINT) AS t500,
+       |    CAST(COUNT(*) FILTER (WHERE mean_millibits <= am)
+       |      AS BIGINT) AS k0,
+       |    CAST(COUNT(*) FILTER (WHERE mean_millibits <= am + 125)
+       |      AS BIGINT) AS k125,
+       |    CAST(COUNT(*) FILTER (WHERE mean_millibits <= am + 250)
+       |      AS BIGINT) AS k250,
+       |    CAST(COUNT(*) FILTER (WHERE mean_millibits <= am + 500)
+       |      AS BIGINT) AS k500
+       |  FROM per CROSS JOIN anchor)
+       |SELECT * FROM (
+       |  SELECT am AS threshold_millibits,
+       |    k0 AS n_docs_kept, k0 * 1000 // nd AS docs_share_pm,
+       |    t0 AS tokens_kept, t0 * 1000 // nt AS tokens_share_pm
+       |  FROM a
+       |  UNION ALL SELECT am + 125, k125, k125 * 1000 // nd,
+       |    t125, t125 * 1000 // nt FROM a
+       |  UNION ALL SELECT am + 250, k250, k250 * 1000 // nd,
+       |    t250, t250 * 1000 // nt FROM a
+       |  UNION ALL SELECT am + 500, k500, k500 * 1000 // nd,
+       |    t500, t500 * 1000 // nt FROM a)
+       |ORDER BY threshold_millibits""".stripMargin
+
   // ------------------------------------------------- collocations
   /** PMI collocation mining: adjacent word pairs whose observed
     * frequency beats independence by a lift margin — the phrase /
@@ -875,6 +985,7 @@ object TextAnalysis {
     "text_repetition_quality" -> repetitionQuality,
     "text_vocab_oov" -> vocabOov,
     "text_unigram_surprisal" -> unigramSurprisal,
+    "text_perplexity_filter_sweep" -> perplexityFilterSweep,
     "text_collocations" -> collocations,
     "doc_chunk_windows" -> chunkWindows)
 
@@ -891,6 +1002,7 @@ object TextAnalysis {
     "text_repetition_quality" -> repetitionQualitySql,
     "text_vocab_oov" -> vocabOovSql,
     "text_unigram_surprisal" -> unigramSurprisalSql,
+    "text_perplexity_filter_sweep" -> perplexityFilterSweepSql,
     "text_collocations" -> collocationsSql,
     "doc_chunk_windows" -> chunkWindowsSql)
 }

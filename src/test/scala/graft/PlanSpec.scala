@@ -135,6 +135,8 @@ class PlanSpec extends AnyFunSuite {
     "text_bm25_topk",       // 1-row (N, avgdl) corpus stats broadcast
     "text_tfidf_top_terms", // 1-row N broadcast
     "text_unigram_surprisal", // 1-row total broadcast
+    "text_perplexity_filter_sweep", // surprisal's 1-row total + a
+                            // 1-row anchor broadcast
     "text_bigram_perplexity" , // (via bm25 shape) 1-row totals
     "text_collocations",    // two 1-row grand-total broadcasts
     "text_heavy_hitters",   // 1-row n + <=48-row candidate broadcasts

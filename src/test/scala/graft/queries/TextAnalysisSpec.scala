@@ -212,4 +212,22 @@ class TextAnalysisSpec extends AnyFunSuite {
       ("src1", 1L, 2L, 8L, 8L, 4000L, 1000L, -2230L),
       ("src2", 1L, 1L, 0L, 0L, 0L, 0L, 0L)))
   }
+
+  test("perplexity sweep: anchors at the corpus mean and admits the " +
+      "rare-word doc only at the widest offset") {
+    // vocab: aa x14 (bits 1), 2 singletons (bits 4), N=16.
+    // doc 1 (8x aa): mean 1000 mb; doc 2 (6 aa + 2 rare): 1750 mb.
+    // anchor = (8 + 14) * 1000 / 16 = 1375 -> cuts 1375/1500/1625
+    // keep doc 1 only; 1875 admits doc 2.
+    val dir = writeDocs(Seq(
+      (1L, Seq.fill(8)("aa").mkString(" ")),
+      (2L, (Seq.fill(6)("aa") ++ Seq("qq", "zz")).mkString(" "))))
+    val got = TextAnalysis.perplexityFilterSweep(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1375L, 1L, 500L, 8L, 500L),
+      (1500L, 1L, 500L, 8L, 500L),
+      (1625L, 1L, 500L, 8L, 500L),
+      (1875L, 2L, 1000L, 16L, 1000L)))
+  }
 }
