@@ -77,17 +77,15 @@ object SimHashDedup {
     * nibble bit i%4. Sign the 64 vote sums into a BIGINT and compare
     * all pairs at hamming <= 3 (O(n²) is fine for the oracle; the
     * Spark plan is the banded one, pigeonhole-equal per SimHashSpec). */
-  val dedupSimhashSql: String = {
+  /** tok + votes CTEs — the DuckDB twin of the native simhash64's
+    * per-bit vote accumulation, shared by every simhash oracle. */
+  private val tokVotesCte: String = {
     val votes = (0 until 64).map { i =>
       val ch = 16 - i / 4 // 1-indexed hex char holding bit i
       val bit = 1 << (i % 4)
       s"CAST(SUM(CASE WHEN ((strpos('0123456789abcdef', substring(m, $ch, 1)) - 1) & $bit) <> 0 THEN 1 ELSE -1 END) AS BIGINT) AS s$i"
     }.mkString(",\n    ")
-    val sig = (0 until 63)
-      .map(i => s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END")
-      .mkString(" +\n      ") +
-      " +\n      CASE WHEN s63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END"
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT doc_id, md5(word) AS m
        |  FROM (SELECT doc_id,
        |          UNNEST(string_split_regex(text, '[^\\p{L}]+')) AS word
@@ -96,7 +94,15 @@ object SimHashDedup {
        |votes AS (
        |  SELECT doc_id,
        |    $votes
-       |  FROM tok GROUP BY doc_id),
+       |  FROM tok GROUP BY doc_id)""".stripMargin
+  }
+
+  val dedupSimhashSql: String = {
+    val sig = (0 until 63)
+      .map(i => s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END")
+      .mkString(" +\n      ") +
+      " +\n      CASE WHEN s63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END"
+    s"""WITH $tokVotesCte,
        |sig AS (
        |  SELECT d.doc_id, CAST($sig AS BIGINT) AS sh
        |  FROM documents d LEFT JOIN votes v ON d.doc_id = v.doc_id)
@@ -105,6 +111,51 @@ object SimHashDedup {
        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.sh, b.sh)) <= $HammingThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // --------------------------------------------- bit-balance audit
+  /** SimHash fingerprint health: the 1-share of each of the 64 bits
+    * across the corpus. A healthy simhash population sits near
+    * 500 pm per bit; a bit pinned toward 0 or 1000 carries ~no
+    * entropy, so the effective fingerprint is SHORTER than 64 bits
+    * and every Hamming threshold silently loosens (more collisions
+    * at the same cutoff). This is the index-health check to read
+    * before trusting dedup_simhash's threshold semantics on a new
+    * corpus — the simhash twin of emb_ivf_balance.
+    *
+    * Scale shape: the fingerprint projection every simhash consumer
+    * pays, then ONE 65-column aggregate (64 codegen'd bit sums +
+    * count) stack()ed into 64 rows — no join, no shuffle beyond the
+    * single-row agg. */
+  def simhashBitBalance(s: SparkSession, d: String): DataFrame = {
+    val sig = signatures(s, d)
+    val aggs = (0 until 64).map(i =>
+      sum(shiftrightunsigned(col("sh"), i).bitwiseAND(lit(1L)))
+        .cast("long").as(s"b$i"))
+    val stackArgs = (0 until 64).map(i =>
+      s"CAST($i AS BIGINT), b$i, b$i * 1000 DIV n_docs").mkString(",\n")
+    sig.agg(count(lit(1)).as("n_docs"), aggs: _*)
+      .select(expr(
+        s"stack(64,\n$stackArgs)\nAS (bit_idx, n_ones, share_pm)"))
+      .orderBy(col("bit_idx"))
+  }
+
+  val simhashBitBalanceSql: String = {
+    val ones = (0 until 64).map(i =>
+      s"CAST(COALESCE(SUM(CASE WHEN v.s$i > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS o$i")
+      .mkString(",\n    ")
+    val rows = (0 until 64).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS bit_idx, o$i AS n_ones, " +
+        s"o$i * 1000 // n AS share_pm FROM a")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $tokVotesCte,
+       |a AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    $ones
+       |  FROM documents d LEFT JOIN votes v ON d.doc_id = v.doc_id)
+       |SELECT * FROM (
+       |  $rows)
+       |ORDER BY bit_idx""".stripMargin
   }
 
   // --------------------------------------- cross-method agreement
@@ -158,9 +209,11 @@ object SimHashDedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_simhash" -> dedupSimhash,
+    "dedup_simhash_bit_balance" -> simhashBitBalance,
     "dedup_method_agreement" -> methodAgreement)
 
   val oracle: Map[String, String] = Map(
     "dedup_simhash" -> dedupSimhashSql,
+    "dedup_simhash_bit_balance" -> simhashBitBalanceSql,
     "dedup_method_agreement" -> methodAgreementSql)
 }

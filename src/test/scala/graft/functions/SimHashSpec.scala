@@ -51,4 +51,22 @@ class SimHashSpec extends AnyFunSuite {
     assert(banded.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))) ==
       brute.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))))
   }
+
+  test("bit balance: per-bit ones match the collected signature " +
+      "population bit-for-bit") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val shs = graft.queries.SimHashDedup.signatures(spark, d)
+      .select(col("sh")).as[Long].collect()
+    val got = graft.queries.SimHashDedup.simhashBitBalance(spark, d)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == (0L until 64L))
+    got.foreach { case (i, ones, sharePm) =>
+      val expected = shs.count(sh => ((sh >>> i.toInt) & 1L) == 1L).toLong
+      assert(ones == expected, s"bit $i: $ones != $expected")
+      assert(sharePm == ones * 1000 / shs.length)
+    }
+    assert(got.map(_._2).sum ==
+      shs.map(java.lang.Long.bitCount(_).toLong).sum)
+  }
 }
