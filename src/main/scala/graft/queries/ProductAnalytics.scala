@@ -1086,7 +1086,88 @@ object ProductAnalytics {
        |FROM arms""".stripMargin
   }
 
+  // --------------------------------------------- tier migration
+  /** Customer value-tier migration matrix — the lifecycle question
+    * RFM's static snapshot can't answer: who moved? Users are tiered
+    * 1..3 by purchase cents WITHIN each half of the observed window
+    * (the DiD midpoint anchor), tier 0 = absent that half, and the
+    * (pre, post) matrix counts users per cell with the post-half
+    * revenue each cell now carries. The 0→n row is acquisition, the
+    * n→0 row is churn-by-value-tier, off-diagonals are up/downgrades
+    * — the input to any retention-spend allocation.
+    *
+    * Numerics: cents are exact longs; tiers are NTILE(3) over
+    * (cents desc, user_id) — a total order, engine-identical. The
+    * global NTILE is the declared audit form (the rfm_segments
+    * stance): the monitoring form at extreme user counts would swap
+    * in fixed cent thresholds, changing only the tier rule.
+    *
+    * Scale shape: one purchase scan + 1-row bounds broadcast, two
+    * per-(user, half) hash-aggs, one full-outer user join, a ≤16-row
+    * matrix agg. */
+  def rfmMigration(s: SparkSession, d: String): DataFrame = {
+    val p = events(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id"), cents(col("value")).as("c"),
+        expr("CAST(date_trunc('day', ts) AS LONG) DIV 86400").as("day"))
+    val bounds = p.agg(min(col("day")).as("min_day"),
+        max(col("day")).as("max_day"))
+      .select(expr("(min_day + max_day + 1) DIV 2").as("mid_day"))
+    val withHalf = p.crossJoin(broadcast(bounds))
+    def tiered(pre: Boolean): DataFrame = {
+      val half = withHalf.filter(
+        if (pre) col("day") < col("mid_day")
+        else col("day") >= col("mid_day"))
+        .groupBy(col("user_id")).agg(sum(col("c")).cast("long").as("cents"))
+      val w = Window.orderBy(col("cents").desc, col("user_id").asc)
+      half.withColumn("tier", ntile(3).over(w).cast("long"))
+    }
+    tiered(pre = true)
+      .select(col("user_id"), col("tier").as("tier_pre"))
+      .join(tiered(pre = false)
+        .select(col("user_id"), col("tier").as("tier_post"),
+          col("cents").as("post_cents")), Seq("user_id"), "full_outer")
+      .select(coalesce(col("tier_pre"), lit(0L)).as("tier_pre"),
+        coalesce(col("tier_post"), lit(0L)).as("tier_post"),
+        coalesce(col("post_cents"), lit(0L)).as("pc"))
+      .groupBy(col("tier_pre"), col("tier_post"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("pc")).cast("long").as("post_cents"))
+      .orderBy(col("tier_pre"), col("tier_post"))
+  }
+
+  val rfmMigrationSql: String =
+    s"""WITH p AS (
+       |  SELECT user_id, ${centsSql("value")} AS c,
+       |    CAST(FLOOR(EPOCH(DATE_TRUNC('day', ts))) AS BIGINT) // 86400
+       |      AS day
+       |  FROM events WHERE event_type = 'purchase'),
+       |b AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS mid_day FROM p),
+       |pre AS (
+       |  SELECT user_id, CAST(SUM(c) AS BIGINT) AS cents
+       |  FROM p CROSS JOIN b WHERE day < mid_day GROUP BY user_id),
+       |post AS (
+       |  SELECT user_id, CAST(SUM(c) AS BIGINT) AS cents
+       |  FROM p CROSS JOIN b WHERE day >= mid_day GROUP BY user_id),
+       |tpre AS (
+       |  SELECT user_id, CAST(NTILE(3) OVER (
+       |    ORDER BY cents DESC, user_id ASC) AS BIGINT) AS tier_pre
+       |  FROM pre),
+       |tpost AS (
+       |  SELECT user_id, CAST(NTILE(3) OVER (
+       |    ORDER BY cents DESC, user_id ASC) AS BIGINT) AS tier_post,
+       |    cents AS post_cents
+       |  FROM post),
+       |m AS (
+       |  SELECT COALESCE(a.tier_pre, 0) AS tier_pre,
+       |    COALESCE(o.tier_post, 0) AS tier_post,
+       |    COALESCE(o.post_cents, 0) AS pc
+       |  FROM tpre a FULL JOIN tpost o ON a.user_id = o.user_id)
+       |SELECT tier_pre, tier_post, COUNT(*) AS n_users,
+       |  CAST(SUM(pc) AS BIGINT) AS post_cents
+       |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_rfm_migration" -> rfmMigration,
     "ev_mde_power" -> mdePower,
     "ev_did_uplift" -> didUplift,
     "ev_holdout_ab" -> holdoutAb,
@@ -1104,6 +1185,7 @@ object ProductAnalytics {
     "ev_cusum_changepoint" -> cusumChangepoint)
 
   val oracle: Map[String, String] = Map(
+    "ev_rfm_migration" -> rfmMigrationSql,
     "ev_mde_power" -> mdePowerSql,
     "ev_did_uplift" -> didUpliftSql,
     "ev_holdout_ab" -> holdoutAbSql,

@@ -164,6 +164,7 @@ class PlanSpec extends AnyFunSuite {
     "graph_triangle_count", // two 1-row stat aggregates broadcast
     "ev_rolling_active_users", // 1-row max-day broadcast (window clip)
     "ev_rfm_segments",      // 1-row max-day broadcast (recency anchor)
+    "ev_rfm_migration",     // 1-row midpoint-day bounds broadcast
     "text_kneser_ney",      // 1-row bigram-type total broadcast
     "agg_countmin_confirm", // 1-row token total broadcast (threshold)
     "emb_pca_power",        // two 1-row max-|component| renorm broadcasts

@@ -170,4 +170,26 @@ class ProductAnalyticsSpec extends AnyFunSuite {
     assert(mde == 1213L && nreq == 29434L,
       s"closed forms moved: mde=$mde nreq=$nreq")
   }
+
+  test("rfm migration: stay, churn, and acquisition land in their " +
+      "matrix cells with post-half revenue") {
+    // days 0..3, mid 2. pre: u1 $300 > u2 $200 > u3 $100 (tiers
+    // 1/2/3); post: u1 $300 > u4 $200 > u3 $100. u2 churns (2->0),
+    // u4 is acquired (0->2), u1 and u3 hold their tiers.
+    val day = 86400L
+    val d = writeEvents(Seq(
+      (1L, ts(0L), 1L, "purchase", 300.0, "{}"),
+      (2L, ts(day), 2L, "purchase", 200.0, "{}"),
+      (3L, ts(0L), 3L, "purchase", 100.0, "{}"),
+      (4L, ts(2 * day), 1L, "purchase", 300.0, "{}"),
+      (5L, ts(3 * day), 3L, "purchase", 100.0, "{}"),
+      (6L, ts(2 * day), 4L, "purchase", 200.0, "{}")))
+    val got = ProductAnalytics.rfmMigration(spark, d)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 1L, 20000L),
+      (1L, 1L, 1L, 30000L),
+      (2L, 0L, 1L, 0L),
+      (3L, 3L, 1L, 10000L)))
+  }
 }
