@@ -421,7 +421,58 @@ object Relational4 {
       |      // CAST(SUM(xc*xc) AS BIGINT) END AS elasticity_micro
       |FROM cm GROUP BY brand ORDER BY brand""".stripMargin
 
+  // ------------------------------------------- lead-time profile
+  /** Order-to-ship lead time percentiles per order priority — the
+    * fulfillment SLA table: does URGENT actually ship faster, and
+    * what does the p99 tail look like per class? Exact p50/p90/p99
+    * (the declared audit form, quantiles_exact stance;
+    * approx_percentile is the monitoring form) over integer
+    * lead-time days, snapped to the centi-day grid (Spark
+    * `percentile` ≡ DuckDB `quantile_cont` on integer inputs).
+    *
+    * Scale shape: one lineitem⋈orders equi-join on the order key
+    * (THE big shuffle, AQE-planned), then a 5-group sort-based
+    * percentile agg — each priority sorts independently. */
+  def leadtimePercentiles(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).select(col("l_orderkey"),
+        expr("CAST(FLOOR(unix_timestamp(l_shipdate)) AS BIGINT) DIV 86400")
+          .as("ship_day"))
+      .join(orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+        expr("CAST(FLOOR(unix_timestamp(o_orderdate)) AS BIGINT) DIV 86400")
+          .as("order_day")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        (col("ship_day") - col("order_day")).as("lead_days"))
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n_lines"),
+        expr("CAST(FLOOR(percentile(lead_days, 0.5)*100 + 0.5) AS BIGINT)")
+          .as("p50_centidays"),
+        expr("CAST(FLOOR(percentile(lead_days, 0.9)*100 + 0.5) AS BIGINT)")
+          .as("p90_centidays"),
+        expr("CAST(FLOOR(percentile(lead_days, 0.99)*100 + 0.5) AS BIGINT)")
+          .as("p99_centidays"),
+        expr("SUM(lead_days) DIV COUNT(*)").as("mean_days_floor"))
+      .orderBy(col("priority"))
+
+  val leadtimePercentilesSql: String =
+    """WITH lt AS (
+      |  SELECT o.o_orderpriority AS priority,
+      |    CAST(FLOOR(EPOCH(l.l_shipdate)) AS BIGINT) // 86400
+      |      - CAST(FLOOR(EPOCH(o.o_orderdate)) AS BIGINT) // 86400
+      |      AS lead_days
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+      |SELECT priority, COUNT(*) AS n_lines,
+      |  CAST(FLOOR(quantile_cont(lead_days, 0.5)*100 + 0.5) AS BIGINT)
+      |    AS p50_centidays,
+      |  CAST(FLOOR(quantile_cont(lead_days, 0.9)*100 + 0.5) AS BIGINT)
+      |    AS p90_centidays,
+      |  CAST(FLOOR(quantile_cont(lead_days, 0.99)*100 + 0.5) AS BIGINT)
+      |    AS p99_centidays,
+      |  CAST(SUM(lead_days) AS BIGINT) // COUNT(*) AS mean_days_floor
+      |FROM lt GROUP BY priority ORDER BY priority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_leadtime_percentiles" -> leadtimePercentiles,
     "agg_price_elasticity" -> priceElasticity,
     "agg_market_basket" -> marketBasket,
     "agg_backlog_aging" -> backlogAging,
@@ -432,6 +483,7 @@ object Relational4 {
     "q20_dominant_supplier" -> q20DominantSupplier)
 
   val oracle: Map[String, String] = Map(
+    "agg_leadtime_percentiles" -> leadtimePercentilesSql,
     "agg_price_elasticity" -> priceElasticitySql,
     "agg_market_basket" -> marketBasketSql,
     "agg_backlog_aging" -> backlogAgingSql,

@@ -74,4 +74,22 @@ class Relational4Spec extends AnyFunSuite {
       s"E1 slope ${got.head._3} not within 1 milli of -1e6")
     assert(got(1)._3 == 0L)
   }
+
+  test("leadtime percentiles: two-point interpolation lands on the " +
+      "centi-day grid exactly") {
+    // order day 0, ships at day 10 and day 20: p50=15, p90=19,
+    // p99=19.9 -> 1500/1900/1990 centi-days, floor-mean 15
+    val day = 86400L
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val li = Seq((1L, t(10 * day)), (1L, t(20 * day)))
+      .toDF("l_orderkey", "l_shipdate")
+    val o = Seq((1L, "1-URGENT", t(0L)))
+      .toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+    val dir = java.nio.file.Files.createTempDirectory("lt").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    o.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Relational4.leadtimePercentiles(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("1-URGENT", 2L, 1500L, 1900L, 1990L, 15L)))
+  }
 }
