@@ -1166,7 +1166,55 @@ object ProductAnalytics {
        |  CAST(SUM(pc) AS BIGINT) AS post_cents
        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------- sample-ratio mismatch
+  /** SRM check — the A/B guardrail that runs BEFORE any uplift is
+    * read: under a 50/50 assignment the arm-size difference is a
+    * binomial z = (n_t − n_c)/√n; |z| ≥ 3 means the assignment or
+    * logging pipeline is dropping one arm's users (redirect bugs,
+    * bot filters firing asymmetrically) and every downstream metric
+    * is poisoned regardless of its own p-value. The industry-standard
+    * hygiene gate for the holdout/DiD/MDE toolkit.
+    *
+    * Numerics: arm counts are exact; z evaluates once in doubles
+    * with a fixed shape and snaps to milli (the z-score stance).
+    *
+    * Scale shape: one user-keyed distinct-agg + 1-row reduction. */
+  def abSrm(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(col("user_id")).distinct()
+      .agg(
+        sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L))
+          .as("n_control"),
+        sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L))
+          .as("n_treat"))
+      .select(col("n_control"), col("n_treat"),
+        (col("n_treat") - col("n_control")).as("delta"),
+        expr(SrmZExpr).as("z_milli"))
+      .withColumn("srm_detected",
+        abs(col("z_milli")) >= 3000L)
+
+  private val SrmZExpr: String =
+    """CASE WHEN n_control + n_treat = 0 THEN CAST(0 AS BIGINT)
+      |ELSE CAST(FLOOR(
+      |    CAST(n_treat - n_control AS DOUBLE)
+      |    / sqrt(CAST(n_treat + n_control AS DOUBLE))
+      |  * 1000 + 0.5) AS BIGINT) END""".stripMargin
+
+  val abSrmSql: String =
+    s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+       |arms AS (
+       |  SELECT
+       |    CAST(COUNT(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT)
+       |      AS n_control,
+       |    CAST(COUNT(*) FILTER (WHERE user_id % 2 = 1) AS BIGINT)
+       |      AS n_treat
+       |  FROM u)
+       |SELECT n_control, n_treat, n_treat - n_control AS delta,
+       |  $SrmZExpr AS z_milli,
+       |  ABS($SrmZExpr) >= 3000 AS srm_detected
+       |FROM arms""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_ab_srm" -> abSrm,
     "ev_rfm_migration" -> rfmMigration,
     "ev_mde_power" -> mdePower,
     "ev_did_uplift" -> didUplift,
@@ -1185,6 +1233,7 @@ object ProductAnalytics {
     "ev_cusum_changepoint" -> cusumChangepoint)
 
   val oracle: Map[String, String] = Map(
+    "ev_ab_srm" -> abSrmSql,
     "ev_rfm_migration" -> rfmMigrationSql,
     "ev_mde_power" -> mdePowerSql,
     "ev_did_uplift" -> didUpliftSql,

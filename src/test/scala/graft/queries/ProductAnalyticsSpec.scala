@@ -192,4 +192,22 @@ class ProductAnalyticsSpec extends AnyFunSuite {
       (2L, 0L, 1L, 0L),
       (3L, 3L, 1L, 10000L)))
   }
+
+  test("ab srm: an all-treat split trips the 3-sigma gate; a mild " +
+      "imbalance does not") {
+    // 16 odd users, 0 even: z = 16/4 = 4.000 -> detected
+    val allTreat = writeEvents((0 until 16).map(i =>
+      (i.toLong, ts(i * 60L), 2L * i + 1, "view", 0.0, "{}")))
+    val got = ProductAnalytics.abSrm(spark, allTreat)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq((0L, 16L, 16L, 4000L, true)))
+    // 1 control vs 10 treat: z = 9/sqrt(11) = 2.714 -> below the gate
+    val mild = writeEvents(
+      (0 until 10).map(i =>
+        (i.toLong, ts(i * 60L), 2L * i + 1, "view", 0.0, "{}")) :+
+      (99L, ts(0L), 2L, "view", 0.0, "{}"))
+    val got2 = ProductAnalytics.abSrm(spark, mild)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got2 == Seq((1L, 10L, 9L, 2714L, false)))
+  }
 }
