@@ -1213,7 +1213,92 @@ object ProductAnalytics {
        |  ABS($SrmZExpr) >= 3000 AS srm_detected
        |FROM arms""".stripMargin
 
+  // --------------------------------------------- growth accounting
+  /** Weekly growth accounting — the standard decomposition of "actives
+    * went up/down" into the four flows that explain it: NEW (first
+    * week ever), RETAINED (also active the week before), RESURRECTED
+    * (active before, but not last week), and CHURNED (active last
+    * week, gone this week; attributed to the week they went missing).
+    * The identity actives(w) = new + retained + resurrected and
+    * churned(w) = actives(w−1) − retained(w) holds row-by-row, and
+    * the quick ratio (new+resurrected)/churned says whether growth is
+    * acquisition or leak-plugging.
+    *
+    * Scale shape: one (user, week) distinct, a per-user lag window
+    * (the user is the parallel unit), a per-week hash-agg, then a
+    * weeks-sized window for the churn lag — weeks ≪ users, so the
+    * only wide state is the distinct. All exact integers; quick
+    * ratio on the milli grid.
+    *
+    * First week: every user is NEW and churned is 0 by definition
+    * (no prior week to lose anyone from). */
+  def growthAccounting(s: SparkSession, d: String): DataFrame = {
+    val uw = events(s, d).select(col("user_id"),
+        expr("CAST(date_trunc('day', ts) AS LONG) DIV (86400 * 7)")
+          .as("week"))
+      .distinct()
+    val lagW = Window.partitionBy(col("user_id")).orderBy(col("week"))
+    val classed = uw
+      .withColumn("prev_w", lag(col("week"), 1).over(lagW))
+      .select(col("week"),
+        when(col("prev_w").isNull, "new")
+          .when(col("prev_w") === col("week") - 1, "retained")
+          .otherwise("resurrected").as("cls"))
+    val perWeek = classed.groupBy(col("week"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("cls") === "retained", 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("cls") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"))
+    val wW = Window.orderBy(col("week"))
+    perWeek
+      .withColumn("n_churned",
+        coalesce(lag(col("n_active"), 1).over(wW), lit(0L))
+          - col("n_retained"))
+      .withColumn("quick_ratio_milli", expr(
+        """CASE WHEN n_churned <= 0 THEN CAST(0 AS BIGINT)
+          |ELSE (n_new + n_resurrected) * 1000 DIV n_churned END"""
+          .stripMargin))
+      .orderBy(col("week"))
+  }
+
+  val growthAccountingSql: String =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(FLOOR(EPOCH(DATE_TRUNC('day', ts))) AS BIGINT)
+      |      // (86400 * 7) AS week
+      |  FROM events),
+      |classed AS (
+      |  SELECT week,
+      |    CASE WHEN LAG(week) OVER (PARTITION BY user_id ORDER BY week)
+      |           IS NULL THEN 'new'
+      |         WHEN LAG(week) OVER (PARTITION BY user_id ORDER BY week)
+      |           = week - 1 THEN 'retained'
+      |         ELSE 'resurrected' END AS cls
+      |  FROM uw),
+      |per_week AS (
+      |  SELECT week, CAST(COUNT(*) AS BIGINT) AS n_active,
+      |    CAST(COUNT(*) FILTER (WHERE cls = 'new') AS BIGINT) AS n_new,
+      |    CAST(COUNT(*) FILTER (WHERE cls = 'retained') AS BIGINT)
+      |      AS n_retained,
+      |    CAST(COUNT(*) FILTER (WHERE cls = 'resurrected') AS BIGINT)
+      |      AS n_resurrected
+      |  FROM classed GROUP BY week),
+      |flows AS (
+      |  SELECT week, n_active, n_new, n_retained, n_resurrected,
+      |    COALESCE(LAG(n_active) OVER (ORDER BY week), 0) - n_retained
+      |      AS n_churned
+      |  FROM per_week)
+      |SELECT week, n_active, n_new, n_retained, n_resurrected,
+      |  n_churned,
+      |  CASE WHEN n_churned <= 0 THEN CAST(0 AS BIGINT)
+      |    ELSE (n_new + n_resurrected) * 1000 // n_churned END
+      |    AS quick_ratio_milli
+      |FROM flows ORDER BY week""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_growth_accounting" -> growthAccounting,
     "ev_ab_srm" -> abSrm,
     "ev_rfm_migration" -> rfmMigration,
     "ev_mde_power" -> mdePower,
@@ -1233,6 +1318,7 @@ object ProductAnalytics {
     "ev_cusum_changepoint" -> cusumChangepoint)
 
   val oracle: Map[String, String] = Map(
+    "ev_growth_accounting" -> growthAccountingSql,
     "ev_ab_srm" -> abSrmSql,
     "ev_rfm_migration" -> rfmMigrationSql,
     "ev_mde_power" -> mdePowerSql,

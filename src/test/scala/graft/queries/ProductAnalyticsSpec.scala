@@ -210,4 +210,29 @@ class ProductAnalyticsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
     assert(got2 == Seq((1L, 10L, 9L, 2714L, false)))
   }
+
+  test("growth accounting: new/retained/resurrected classified per " +
+      "week, churn attributed to the week users go missing") {
+    // u1 wk0-3 (retained), u2 wk0 only, u3 wk0+wk2 (resurrected),
+    // u4 wk1 only
+    val wk = 7 * 86400L
+    val d = writeEvents(Seq(
+      (1L, ts(0L), 1L, "view", 0.0, "{}"),
+      (2L, ts(wk), 1L, "view", 0.0, "{}"),
+      (3L, ts(2 * wk), 1L, "view", 0.0, "{}"),
+      (4L, ts(3 * wk), 1L, "view", 0.0, "{}"),
+      (5L, ts(0L), 2L, "view", 0.0, "{}"),
+      (6L, ts(0L), 3L, "view", 0.0, "{}"),
+      (7L, ts(2 * wk), 3L, "view", 0.0, "{}"),
+      (8L, ts(wk), 4L, "view", 0.0, "{}")))
+    val got = ProductAnalytics.growthAccounting(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 3L, 3L, 0L, 0L, 0L, 0L),
+      (1L, 2L, 1L, 1L, 0L, 2L, 500L),
+      (2L, 2L, 0L, 1L, 1L, 1L, 1000L),
+      (3L, 1L, 0L, 1L, 0L, 1L, 0L)))
+    // the accounting identity holds row-by-row
+    got.foreach { case (_, a, n, r, res, _, _) => assert(a == n + r + res) }
+  }
 }
