@@ -441,7 +441,59 @@ object CorpusStats {
       |    AS BIGINT) * 1000 // total_tokens AS cov10000_pm
       |FROM tot""".stripMargin
 
+  // ------------------------------------------------- burstiness
+  /** Word burstiness (Church/Gale): a word's occurrences per
+    * CONTAINING document, with the single-doc concentration share.
+    * Uniform function words land near 1000 milli (once per doc that
+    * has them); a word at 5× that with half its mass in ONE document
+    * is template boilerplate or memorized spam — exactly the terms a
+    * stop-fingerprint list or a dedup investigation should start
+    * from. Complements doc_boilerplate_shingles (verbatim n-grams)
+    * at the single-word level.
+    *
+    * All-integer: tf, df, max per-doc tf are exact; burst =
+    * tf·1000 DIV df; concentration = max_tf·1000 DIV tf. df ≥ 5
+    * floors out one-doc noise words; top 20 by (burst desc, word).
+    *
+    * Scale shape: one (doc, word) hash-agg with map-side combine,
+    * one word-keyed reduction, TakeOrdered(20) — the wc substrate
+    * plus one bounded heap. */
+  def burstiness(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), explode(Documents.tokens(col("text")))
+        .as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+      .groupBy(col("word"))
+      .agg(sum(col("c")).cast("long").as("tf"),
+        count(lit(1)).as("df"),
+        max(col("c")).cast("long").as("max_tf"))
+      .filter(col("df") >= 5)
+      .select(col("word"), col("tf"), col("df"),
+        expr("tf * 1000 DIV df").as("burst_milli"),
+        col("max_tf"),
+        expr("max_tf * 1000 DIV tf").as("top_doc_share_pm"))
+      .orderBy(col("burst_milli").desc, col("word"))
+      .limit(20)
+
+  val burstinessSql: String =
+    """WITH dw AS (
+      |  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS c FROM (
+      |    SELECT doc_id, UNNEST(list_filter(
+      |      string_split_regex(text, '[^\p{L}]+'), t -> t <> '')) AS word
+      |    FROM documents)
+      |  GROUP BY doc_id, word),
+      |w AS (
+      |  SELECT word, CAST(SUM(c) AS BIGINT) AS tf,
+      |    CAST(COUNT(*) AS BIGINT) AS df,
+      |    CAST(MAX(c) AS BIGINT) AS max_tf
+      |  FROM dw GROUP BY word)
+      |SELECT word, tf, df, tf * 1000 // df AS burst_milli, max_tf,
+      |  max_tf * 1000 // tf AS top_doc_share_pm
+      |FROM w WHERE df >= 5
+      |ORDER BY burst_milli DESC, word LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_burstiness" -> burstiness,
     "text_vocab_coverage" -> vocabCoverage,
     "text_ttr_by_source" -> ttrBySource,
     "text_zipf_slope" -> zipfSlope,
@@ -450,6 +502,7 @@ object CorpusStats {
     "text_feature_hashing" -> featureHashing)
 
   val oracle: Map[String, String] = Map(
+    "text_burstiness" -> burstinessSql,
     "text_vocab_coverage" -> vocabCoverageSql,
     "text_ttr_by_source" -> ttrBySourceSql,
     "text_zipf_slope" -> zipfSlopeSql,

@@ -111,6 +111,22 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(got == Seq((200L, 151L, 745L, 1000L, 1000L)))
   }
 
+  test("burstiness: a uniform word scores 1000 milli, a one-doc " +
+      "spam word shows its concentration; df<5 words are floored out") {
+    // "the": once in each of 5 docs -> burst 1000, share 200.
+    // "spam": 1,1,1,1,16 -> tf 20, burst 4000, top-doc share 800.
+    // "rare" appears in 1 doc -> filtered by df >= 5.
+    val rows = (0L until 4L).map(i =>
+      (i, "the spam", "en", "s", 8L)) :+
+      (4L, "the rare " + Seq.fill(16)("spam").mkString(" "), "en", "s", 88L)
+    val d = writeDocs(rows)
+    val got = CorpusStats.burstiness(spark, d)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("spam", 20L, 5L, 4000L, 16L, 800L),
+      ("the", 5L, 5L, 1000L, 1L, 200L)))
+  }
+
   test("pair-distance hist: md5 sample membership is deterministic") {
     // compute which ids 0..63 pass the 1/8 md5 gate, plant vectors so
     // sampled pair distances are known; with >=2 sampled ids the hist
