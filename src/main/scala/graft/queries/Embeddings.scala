@@ -570,6 +570,73 @@ object Embeddings {
        |    ELSE n_old * 1000 // t_old END AS shift_pm
        |FROM cells CROSS JOIN tot ORDER BY cid""".stripMargin
 
+  // ------------------------------------- reciprocal nearest neighbors
+  /** Mutual-NN pairs within quantizer cells — the robust-match core
+    * of semantic dedup: a one-directional nearest neighbor is cheap
+    * to fake (hubs attract everyone), but a RECIPROCAL pair (each is
+    * the other's closest in-cell point) is the standard high-
+    * precision match criterion. Top 20 tightest mutual pairs, the
+    * review queue a curator actually reads.
+    *
+    * Scale shape: the broadcast-centers assign every cell consumer
+    * pays, then an in-cell self-join — Σ cell² bounded by the
+    * quantizer (the outliers_per_cell discipline; never corpus²) —
+    * a per-point argmin window keyed on the point, and a
+    * mutual-pair equi-join on (a, b). Exact d2 fold; output snaps
+    * d2 to the 1e-6 grid (floats-in-double is exact; one floor).
+    * Tie-break on the smaller neighbor id keeps argmin total. */
+  def reciprocalKnn(s: SparkSession, d: String): DataFrame =
+    reciprocalKnnOn(embeddings(s, d))
+
+  /** Core over a caller-supplied registry — separated so specs can
+    * plant hub geometries where one-directional NN lies. */
+  def reciprocalKnnOn(e: DataFrame): DataFrame = {
+    val assigned = graft.operators.Materialize.eager(
+      graft.operators.KMeans.assignWithVec(pointsOf(e), seedCenters(e))
+        .select(col("id"), col("vec"), col("cid")))
+    val a = assigned.select(col("cid"), col("id").as("ia"),
+      col("vec").as("va"))
+    val b = assigned.select(col("cid"), col("id").as("ib"),
+      col("vec").as("vb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ia")).orderBy(col("d2"), col("ib"))
+    val nn = a.join(b, Seq("cid"))
+      .filter(col("ia") =!= col("ib"))
+      .withColumn("d2", graft.operators.KMeans.sqDist(col("va"), col("vb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cid"), col("ia"), col("ib"), col("d2"))
+    nn.as("x").join(nn.as("y"),
+        col("x.ia") === col("y.ib") && col("x.ib") === col("y.ia") &&
+          col("x.ia") < col("x.ib"))
+      .select(col("x.cid").as("cell"), col("x.ia").as("id_a"),
+        col("x.ib").as("id_b"),
+        floor(col("x.d2") * 1e6 + lit(0.5)).cast("long").as("dist2_e6"))
+      .orderBy(col("dist2_e6"), col("id_a"))
+      .limit(20)
+  }
+
+  val reciprocalKnnSql: String =
+    s"""WITH $seedCentersCte,
+       |a AS (
+       |  SELECT p.vec_id AS id, p.embedding AS vec, c.cid,
+       |    ${sqFoldSql("p.embedding", "c.cvec")} AS d2
+       |  FROM embeddings p CROSS JOIN c),
+       |cells AS (
+       |  SELECT id, vec, cid FROM a
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) = 1),
+       |nn AS (
+       |  SELECT cid, ia, ib, d2 FROM (
+       |    SELECT x.cid, x.id AS ia, y.id AS ib,
+       |      ${sqFoldSql("x.vec", "y.vec")} AS d2
+       |    FROM cells x JOIN cells y ON x.cid = y.cid AND x.id <> y.id)
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY ia ORDER BY d2, ib) = 1)
+       |SELECT x.cid AS cell, x.ia AS id_a, x.ib AS id_b,
+       |  CAST(FLOOR(x.d2 * 1e6 + 0.5) AS BIGINT) AS dist2_e6
+       |FROM nn x JOIN nn y ON x.ia = y.ib AND x.ib = y.ia
+       |WHERE x.ia < x.ib
+       |ORDER BY dist2_e6, id_a LIMIT 20""".stripMargin
+
   // ------------------------------------------ simplified silhouette
   /** Simplified (centroid-based) silhouette per k-means cell — the
     * cluster-quality gate that answers "are these cells real, or is
@@ -1426,6 +1493,7 @@ object Embeddings {
     "emb_ann_lsh_buckets" -> annLshBuckets,
     "emb_kmeans_assign" -> kmeansAssign,
     "emb_ivf_incremental" -> ivfIncrementalAssign,
+    "emb_reciprocal_knn" -> reciprocalKnn,
     "emb_silhouette" -> silhouette,
     "emb_semantic_dedup" -> semanticDedup,
     "emb_outliers_per_cell" -> outliersPerCell,
@@ -1448,6 +1516,7 @@ object Embeddings {
     "emb_ann_recall_sweep" -> annRecallSweepSql,
     "emb_kmeans_assign" -> kmeansAssignSql,
     "emb_ivf_incremental" -> ivfIncrementalAssignSql,
+    "emb_reciprocal_knn" -> reciprocalKnnSql,
     "emb_silhouette" -> silhouetteSql,
     "emb_semantic_dedup" -> semanticDedupSql,
     "emb_outliers_per_cell" -> outliersPerCellSql,

@@ -160,6 +160,8 @@ class PlanSpec extends AnyFunSuite {
     "emb_silhouette",       // same k-row centers broadcast
     "emb_ivf_incremental",  // same k-row centers broadcast (twice)
                             // + 1-row occupancy totals
+    "emb_reciprocal_knn",   // k-row centers broadcast; the NN join
+                            // itself is cell-keyed (never corpus^2)
     "layout_zorder_stats",  // 1-row min/max bounds broadcast (Morton key)
     "graph_triangle_count", // two 1-row stat aggregates broadcast
     "ev_rolling_active_users", // 1-row max-day broadcast (window clip)

@@ -57,4 +57,18 @@ class SilhouetteSpec extends AnyFunSuite {
       (0L, 3L, 0L, 500L, 0L, -500L),
       (64L, 3L, 3L, 500L, 1000L, 500L)))
   }
+
+  test("reciprocal knn: only mutual pairs survive — the hub's " +
+      "one-directional admirers are rejected") {
+    // cell 0: center 0 at origin, A(5,0), B(6,0), C(20,0).
+    // NN: 0->A, A->B, B->A, C->B. Only (A,B) reciprocates (d2=1).
+    // cell 64: a single point has no neighbor at all.
+    val e = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(5f, 0f)), (2L, Array(6f, 0f)),
+      (3L, Array(20f, 0f)), (64L, Array(100f, 0f))
+    ).toDF("vec_id", "embedding")
+    val r = Embeddings.reciprocalKnnOn(e)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq((0L, 1L, 2L, 1000000L)))
+  }
 }
