@@ -359,6 +359,95 @@ object DataAudit {
       |    AS rows_in_homogeneous
       |FROM g GROUP BY segment ORDER BY segment""".stripMargin
 
+  // ------------------------------------------- correlation profile
+  /** Cross-column Pearson profile of lineitem's numeric triple
+    * (quantity, discount, price-in-dollars) — the data-profiler
+    * staple next to the FD audit: FDs catch deterministic
+    * dependencies, this catches the statistical ones (a price column
+    * that suddenly correlates with discount means a pricing rule
+    * changed upstream). One scan, all three pairs.
+    *
+    * Numerics: the per-brand-elasticity stance globalized — values
+    * land on integer grids (quantity, discount cents, price DOLLARS:
+    * cents squared would graze int64 at this SF; the coarser grid is
+    * the declared profile ladder and Pearson is scale-invariant, so
+    * nothing is lost), deviations from the ⌊mean⌋ keep every moment
+    * sum in range, and each r evaluates once in doubles with a fixed
+    * shape, snapped ×1000 (the dimCovariance Pearson stance).
+    *
+    * Scale shape: one 4-column pre-agg (means), a 1-row broadcast,
+    * one centered-moment agg with map-side combine, stack() to 3
+    * rows. Two linear passes total for all pairs. */
+  def numericCorrelations(s: SparkSession, d: String): DataFrame = {
+    val base = lineitem(s, d).select(
+      col("l_quantity").cast("long").as("q"),
+      expr("CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT)").as("dc"),
+      expr("CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT) DIV 100")
+        .as("p"))
+    val mu = base.agg(
+      expr("SUM(q) DIV COUNT(*)").as("muq"),
+      expr("SUM(dc) DIV COUNT(*)").as("mud"),
+      expr("SUM(p) DIV COUNT(*)").as("mup"))
+    def rExpr(sxy: String, sxx: String, syy: String): String =
+      s"""CASE WHEN $sxx = 0 OR $syy = 0 THEN CAST(0 AS BIGINT)
+         |ELSE CAST(FLOOR(CAST($sxy AS DOUBLE)
+         |  / sqrt(CAST($sxx AS DOUBLE) * CAST($syy AS DOUBLE))
+         |  * 1000 + 0.5) AS BIGINT) END""".stripMargin
+    base.crossJoin(broadcast(mu))
+      .select((col("q") - col("muq")).as("qc"),
+        (col("dc") - col("mud")).as("dcc"),
+        (col("p") - col("mup")).as("pc"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("qc") * col("qc")).as("sqq"),
+        sum(col("dcc") * col("dcc")).as("sdd"),
+        sum(col("pc") * col("pc")).as("spp"),
+        sum(col("qc") * col("dcc")).as("sqd"),
+        sum(col("qc") * col("pc")).as("sqp"),
+        sum(col("dcc") * col("pc")).as("sdp"))
+      .select(expr(
+        s"""stack(3,
+           |  'discount_vs_price', n, ${rExpr("sdp", "sdd", "spp")},
+           |  'quantity_vs_discount', n, ${rExpr("sqd", "sqq", "sdd")},
+           |  'quantity_vs_price', n, ${rExpr("sqp", "sqq", "spp")})
+           |AS (pair, n_rows, r_milli)""".stripMargin))
+      .orderBy(col("pair"))
+  }
+
+  val numericCorrelationsSql: String = {
+    def rSql(sxy: String, sxx: String, syy: String): String =
+      s"""CASE WHEN $sxx = 0 OR $syy = 0 THEN CAST(0 AS BIGINT)
+         |ELSE CAST(FLOOR(CAST($sxy AS DOUBLE)
+         |  / sqrt(CAST($sxx AS DOUBLE) * CAST($syy AS DOUBLE))
+         |  * 1000 + 0.5) AS BIGINT) END""".stripMargin
+    s"""WITH base AS (
+       |  SELECT CAST(l_quantity AS BIGINT) AS q,
+       |    CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT) AS dc,
+       |    CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT) // 100 AS p
+       |  FROM lineitem),
+       |mu AS (
+       |  SELECT CAST(SUM(q) AS BIGINT) // COUNT(*) AS muq,
+       |    CAST(SUM(dc) AS BIGINT) // COUNT(*) AS mud,
+       |    CAST(SUM(p) AS BIGINT) // COUNT(*) AS mup
+       |  FROM base),
+       |m AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM((q-muq)*(q-muq)) AS BIGINT) AS sqq,
+       |    CAST(SUM((dc-mud)*(dc-mud)) AS BIGINT) AS sdd,
+       |    CAST(SUM((p-mup)*(p-mup)) AS BIGINT) AS spp,
+       |    CAST(SUM((q-muq)*(dc-mud)) AS BIGINT) AS sqd,
+       |    CAST(SUM((q-muq)*(p-mup)) AS BIGINT) AS sqp,
+       |    CAST(SUM((dc-mud)*(p-mup)) AS BIGINT) AS sdp
+       |  FROM base CROSS JOIN mu)
+       |SELECT * FROM (
+       |  SELECT 'discount_vs_price' AS pair, n AS n_rows,
+       |    ${rSql("sdp", "sdd", "spp")} AS r_milli FROM m
+       |  UNION ALL SELECT 'quantity_vs_discount', n,
+       |    ${rSql("sqd", "sqq", "sdd")} FROM m
+       |  UNION ALL SELECT 'quantity_vs_price', n,
+       |    ${rSql("sqp", "sqq", "spp")} FROM m)
+       |ORDER BY pair""".stripMargin
+  }
+
   // ------------------------------------------------ id-gap audit
   /** Surrogate-key sequence integrity: how much of [min,max] the id
     * column actually covers, how many contiguous islands it splits
@@ -853,6 +942,7 @@ object DataAudit {
     "audit_l_diversity" -> lDiversityAudit,
     "audit_t_closeness" -> tClosenessAudit,
     "audit_id_gaps" -> idGapsAudit,
+    "audit_numeric_correlations" -> numericCorrelations,
     "join_skew_salted" -> joinSkewSalted,
     "link_blocked_fuzzy" -> linkBlockedFuzzy)
 
@@ -867,6 +957,7 @@ object DataAudit {
     "audit_l_diversity" -> lDiversityAuditSql,
     "audit_t_closeness" -> tClosenessAuditSql,
     "audit_id_gaps" -> idGapsAuditSql,
+    "audit_numeric_correlations" -> numericCorrelationsSql,
     "join_skew_salted" -> joinSkewSaltedSql,
     "link_blocked_fuzzy" -> linkBlockedFuzzySql)
 }

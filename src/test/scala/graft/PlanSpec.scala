@@ -154,6 +154,7 @@ class PlanSpec extends AnyFunSuite {
     "audit_t_closeness",    // <=6-row band ladder + 1-row (N, m)
                             // totals broadcast (grid completion)
     "audit_id_gaps",        // 1-row island-count broadcast
+    "audit_numeric_correlations", // 1-row column-means broadcast
     "ev_did_uplift",        // 1-row midpoint-day bounds broadcast
     "text_vocab_coverage",  // three 1-row top-k mass broadcasts
     "emb_kmeans_assign",    // k-row centers table broadcast

@@ -138,6 +138,23 @@ class DataAuditSpec extends AnyFunSuite {
     assert(got2 == Seq((3L, 3L, 0L, 5L, 7L, 1000L, 1L)))
   }
 
+  test("numeric correlations: a perfectly linear pair snaps to 1000 " +
+      "milli; a constant column guards to 0") {
+    // quantity == price/100 exactly -> r = +1.000; discount constant
+    // -> zero variance -> both discount pairs guard to 0
+    val li = Seq((1.0, 0.05, 100.0), (2.0, 0.05, 200.0),
+        (3.0, 0.05, 300.0))
+      .toDF("l_quantity", "l_discount", "l_extendedprice")
+    val dir = java.nio.file.Files.createTempDirectory("nc").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = DataAudit.numericCorrelations(spark, dir)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("discount_vs_price", 3L, 0L),
+      ("quantity_vs_discount", 3L, 0L),
+      ("quantity_vs_price", 3L, 1000L)))
+  }
+
   test("t-closeness: opposite-band groups hit EMD=500pm exactly; " +
       "global-matching groups are 0") {
     // bands: 0.0 → band 0, 1500.0 → band 1. Segment S: group A all
