@@ -101,6 +101,9 @@ object GraftFunctions {
   def cosineSim(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("cosine_sim_f", a, b)
 
+  def sqDistF(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("sq_dist_f", a, b)
+
   private[functions] def arity(name: String, n: Int)(
       exprs: Seq[Expression]): Seq[Expression] = {
     if (exprs.length != n)
@@ -136,6 +139,10 @@ object GraftFunctions {
         val e = arity("cosine_sim_f", 2)(exprs); CosineSimF(e(0), e(1))
       }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sq_dist_f", exprs => {
+        val e = arity("sq_dist_f", 2)(exprs); SqDistF(e(0), e(1))
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "misra_gries", mgFromExprs, "built-in")
   }
 }
@@ -157,6 +164,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (exprs: Seq[Expression]) => {
         val es = GraftFunctions.arity("cosine_sim_f", 2)(exprs)
         CosineSimF(es(0), es(1))
+      }))
+    e.injectFunction((FunctionIdentifier("sq_dist_f"),
+      new ExpressionInfo(classOf[SqDistF].getName, "sq_dist_f"),
+      (exprs: Seq[Expression]) => {
+        val es = GraftFunctions.arity("sq_dist_f", 2)(exprs)
+        SqDistF(es(0), es(1))
       }))
     e.injectFunction((FunctionIdentifier("misra_gries"),
       new ExpressionInfo(classOf[MisraGriesAgg].getName, "misra_gries"),

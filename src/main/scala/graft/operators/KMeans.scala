@@ -25,8 +25,19 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
-  /** Σ (a_i − b_i)² as an in-order double fold (bit-deterministic). */
+  /** Σ (a_i − b_i)² in index order, bit-deterministic. Routed through
+    * the native codegen'd [[graft.functions.SqDistF]] (identical
+    * left-to-right double fold): the previous zip_with+aggregate
+    * composition was a codegen-fallback higher-order function paying
+    * a per-element lambda dispatch on every pair of the cell-family
+    * hot loops. Requires the graft extensions on the session (both
+    * Session.build and the test session inject them). */
   def sqDist(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.sqDistF(a, b)
+
+  /** The original composed form, kept as the differential twin the
+    * native expression is tested against (SqDistSpec). */
+  private[graft] def sqDistComposed(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) =>
         (x.cast("double") - y.cast("double")) *

@@ -579,21 +579,37 @@ object Embeddings {
     * review queue a curator actually reads.
     *
     * Scale shape: the broadcast-centers assign every cell consumer
-    * pays, then an in-cell self-join — Σ cell² bounded by the
-    * quantizer (the outliers_per_cell discipline; never corpus²) —
-    * a per-point argmin window keyed on the point, and a
-    * mutual-pair equi-join on (a, b). Exact d2 fold; output snaps
-    * d2 to the 1e-6 grid (floats-in-double is exact; one floor).
-    * Tie-break on the smaller neighbor id keeps argmin total. */
+    * pays, then an in-cell self-join. With a FIXED quantizer the
+    * naive form is Σ cell² — quadratic in corpus (measured 31× at
+    * 10×: the scale-killer this cap removes) — so each cell's NN
+    * search runs over an md5-ordered sample of at most K=512
+    * members (the copresence/triangle occupancy-cap discipline):
+    * cost ceiling cells·K² — CONSTANT, and the `n_excluded` honesty
+    * column reports exactly how much of the corpus the sample left
+    * out (0 at every test SF below the cap → the cap is identity
+    * there). Exact d2 fold; output snaps d2 to the 1e-6 grid; ties
+    * break on the smaller neighbor id. */
   def reciprocalKnn(s: SparkSession, d: String): DataFrame =
     reciprocalKnnOn(embeddings(s, d))
+
+  private val RknnCellCap = 512
 
   /** Core over a caller-supplied registry — separated so specs can
     * plant hub geometries where one-directional NN lies. */
   def reciprocalKnnOn(e: DataFrame): DataFrame = {
-    val assigned = graft.operators.Materialize.eager(
+    val capW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid"))
+      .orderBy(col("m"), col("id"))
+    val assignedAll =
       graft.operators.KMeans.assignWithVec(pointsOf(e), seedCenters(e))
+        .select(col("id"), col("vec"), col("cid"))
+        .withColumn("m", md5(concat(lit("rknn|"), col("id").cast("string"))))
+        .withColumn("rk", row_number().over(capW))
+    val assigned = graft.operators.Materialize.eager(
+      assignedAll.filter(col("rk") <= RknnCellCap)
         .select(col("id"), col("vec"), col("cid")))
+    val excluded = assignedAll.filter(col("rk") > RknnCellCap)
+      .agg(count(lit(1)).as("n_excluded"))
     val a = assigned.select(col("cid"), col("id").as("ia"),
       col("vec").as("va"))
     val b = assigned.select(col("cid"), col("id").as("ib"),
@@ -614,6 +630,7 @@ object Embeddings {
         floor(col("x.d2") * 1e6 + lit(0.5)).cast("long").as("dist2_e6"))
       .orderBy(col("dist2_e6"), col("id_a"))
       .limit(20)
+      .crossJoin(broadcast(excluded))
   }
 
   val reciprocalKnnSql: String =
@@ -622,20 +639,31 @@ object Embeddings {
        |  SELECT p.vec_id AS id, p.embedding AS vec, c.cid,
        |    ${sqFoldSql("p.embedding", "c.cvec")} AS d2
        |  FROM embeddings p CROSS JOIN c),
+       |cellsall AS (
+       |  SELECT id, vec, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY cid
+       |      ORDER BY md5('rknn|' || CAST(id AS VARCHAR)), id) AS rk
+       |  FROM (SELECT id, vec, cid FROM a
+       |    QUALIFY ROW_NUMBER() OVER (PARTITION BY id
+       |      ORDER BY d2, cid) = 1)),
        |cells AS (
-       |  SELECT id, vec, cid FROM a
-       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) = 1),
+       |  SELECT id, vec, cid FROM cellsall WHERE rk <= $RknnCellCap),
+       |excl AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_excluded
+       |  FROM cellsall WHERE rk > $RknnCellCap),
        |nn AS (
        |  SELECT cid, ia, ib, d2 FROM (
        |    SELECT x.cid, x.id AS ia, y.id AS ib,
        |      ${sqFoldSql("x.vec", "y.vec")} AS d2
        |    FROM cells x JOIN cells y ON x.cid = y.cid AND x.id <> y.id)
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY ia ORDER BY d2, ib) = 1)
-       |SELECT x.cid AS cell, x.ia AS id_a, x.ib AS id_b,
-       |  CAST(FLOOR(x.d2 * 1e6 + 0.5) AS BIGINT) AS dist2_e6
-       |FROM nn x JOIN nn y ON x.ia = y.ib AND x.ib = y.ia
-       |WHERE x.ia < x.ib
-       |ORDER BY dist2_e6, id_a LIMIT 20""".stripMargin
+       |SELECT * FROM (
+       |  SELECT x.cid AS cell, x.ia AS id_a, x.ib AS id_b,
+       |    CAST(FLOOR(x.d2 * 1e6 + 0.5) AS BIGINT) AS dist2_e6
+       |  FROM nn x JOIN nn y ON x.ia = y.ib AND x.ib = y.ia
+       |  WHERE x.ia < x.ib
+       |  ORDER BY dist2_e6, id_a LIMIT 20)
+       |CROSS JOIN excl""".stripMargin
 
   // ------------------------------------------ simplified silhouette
   /** Simplified (centroid-based) silhouette per k-means cell — the

@@ -68,7 +68,7 @@ class SilhouetteSpec extends AnyFunSuite {
       (3L, Array(20f, 0f)), (64L, Array(100f, 0f))
     ).toDF("vec_id", "embedding")
     val r = Embeddings.reciprocalKnnOn(e)
-      .as[(Long, Long, Long, Long)].collect().toSeq
-    assert(r == Seq((0L, 1L, 2L, 1000000L)))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq((0L, 1L, 2L, 1000000L, 0L)))
   }
 }
