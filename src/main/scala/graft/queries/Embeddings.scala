@@ -570,6 +570,88 @@ object Embeddings {
        |    ELSE n_old * 1000 // t_old END AS shift_pm
        |FROM cells CROSS JOIN tot ORDER BY cid""".stripMargin
 
+  // ----------------------------------------------- cell purity
+  /** Quantizer-vs-label purity — the external clustering evaluation:
+    * per k-means cell, the share of points carrying the cell's
+    * majority label. High purity certifies the quantizer's cells
+    * track the labeled structure (so IVF probes and stratified
+    * samples inherit label locality); purity ≈ 1/|labels| means the
+    * quantizer is slicing orthogonally to the labels. The
+    * label-supervised companion to emb_silhouette (geometry-only).
+    *
+    * All-integer: majority by MIN over struct(−cnt, label) (the LPA
+    * argmax device — two chained hash-aggs, no window over points),
+    * purity on the permille grid, plus a corpus-level weighted
+    * purity row (cell = −1).
+    *
+    * Scale shape: the broadcast-centers assign every cell consumer
+    * pays, then (cell, label) hash-aggs with map-side combine —
+    * state ∝ cells × labels. */
+  def cellPurity(s: SparkSession, d: String): DataFrame =
+    cellPurityOn(embeddings(s, d))
+
+  /** Core over a caller-supplied registry — separated so specs can
+    * plant cells of known label mixtures. */
+  def cellPurityOn(e: DataFrame): DataFrame = {
+    val assigned = graft.operators.KMeans
+      .assign(pointsOf(e), seedCenters(e))
+      .join(e.select(col("vec_id").as("id"), col("label")), "id")
+    val cellLabel = assigned.groupBy(col("cid"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+    val perCell = cellLabel.groupBy(col("cid"))
+      .agg(sum(col("cnt")).cast("long").as("n_points"),
+        count(lit(1)).as("n_labels"),
+        min(struct((-col("cnt")).as("nc"), col("label"))).as("m"))
+      .select(col("cid"), col("n_points"), col("n_labels"),
+        col("m.label").cast("long").as("majority_label"),
+        (-col("m.nc")).cast("long").as("majority_n"))
+      .withColumn("purity_pm", expr("majority_n * 1000 DIV n_points"))
+    val total = perCell.agg(
+        lit(-1L).as("cid"),
+        sum(col("n_points")).cast("long").as("n_points"),
+        sum(col("n_labels")).cast("long").as("n_labels"),
+        lit(-1L).as("majority_label"),
+        sum(col("majority_n")).cast("long").as("majority_n"))
+      .withColumn("purity_pm", expr("majority_n * 1000 DIV n_points"))
+    perCell.unionByName(total).orderBy(col("cid"))
+  }
+
+  val cellPuritySql: String =
+    s"""WITH $seedCentersCte,
+       |a AS (
+       |  SELECT p.vec_id AS id, p.label, c.cid,
+       |    ${sqFoldSql("p.embedding", "c.cvec")} AS d2
+       |  FROM embeddings p CROSS JOIN c),
+       |best AS (
+       |  SELECT id, label, cid FROM a
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) = 1),
+       |cl AS (
+       |  SELECT cid, label, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM best GROUP BY cid, label),
+       |mj AS (
+       |  SELECT cid, CAST(label AS BIGINT) AS majority_label,
+       |    cnt AS majority_n
+       |  FROM cl
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY cid
+       |    ORDER BY cnt DESC, label) = 1),
+       |tot AS (
+       |  SELECT cid, CAST(SUM(cnt) AS BIGINT) AS n_points,
+       |    CAST(COUNT(*) AS BIGINT) AS n_labels
+       |  FROM cl GROUP BY cid),
+       |x AS (
+       |  SELECT t.cid, t.n_points, t.n_labels, m.majority_label,
+       |    m.majority_n, m.majority_n * 1000 // t.n_points AS purity_pm
+       |  FROM tot t JOIN mj m ON t.cid = m.cid)
+       |SELECT * FROM x
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT), CAST(SUM(n_points) AS BIGINT),
+       |  CAST(SUM(n_labels) AS BIGINT), CAST(-1 AS BIGINT),
+       |  CAST(SUM(majority_n) AS BIGINT),
+       |  CAST(SUM(majority_n) AS BIGINT) * 1000
+       |    // CAST(SUM(n_points) AS BIGINT)
+       |FROM x
+       |ORDER BY cid""".stripMargin
+
   // ------------------------------------- reciprocal nearest neighbors
   /** Mutual-NN pairs within quantizer cells — the robust-match core
     * of semantic dedup: a one-directional nearest neighbor is cheap
@@ -1522,6 +1604,7 @@ object Embeddings {
     "emb_kmeans_assign" -> kmeansAssign,
     "emb_ivf_incremental" -> ivfIncrementalAssign,
     "emb_reciprocal_knn" -> reciprocalKnn,
+    "emb_cell_purity" -> cellPurity,
     "emb_silhouette" -> silhouette,
     "emb_semantic_dedup" -> semanticDedup,
     "emb_outliers_per_cell" -> outliersPerCell,
@@ -1545,6 +1628,7 @@ object Embeddings {
     "emb_kmeans_assign" -> kmeansAssignSql,
     "emb_ivf_incremental" -> ivfIncrementalAssignSql,
     "emb_reciprocal_knn" -> reciprocalKnnSql,
+    "emb_cell_purity" -> cellPuritySql,
     "emb_silhouette" -> silhouetteSql,
     "emb_semantic_dedup" -> semanticDedupSql,
     "emb_outliers_per_cell" -> outliersPerCellSql,

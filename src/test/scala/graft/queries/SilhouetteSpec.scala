@@ -71,4 +71,21 @@ class SilhouetteSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
     assert(r == Seq((0L, 1L, 2L, 1000000L, 0L)))
   }
+
+  test("cell purity: majority shares per cell plus the weighted " +
+      "corpus row; count ties break on the smaller label") {
+    // cell 0 (center at origin): labels {7, 7, 8} -> purity 666;
+    // cell 64: labels {9, 9} -> 1000; corpus: 4 of 5 -> 800
+    val e = Seq(
+      (0L, Array(0f, 0f), 7), (1L, Array(1f, 0f), 7),
+      (2L, Array(2f, 0f), 8),
+      (64L, Array(100f, 0f), 9), (65L, Array(99f, 0f), 9)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Embeddings.cellPurityOn(e)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (-1L, 5L, 3L, -1L, 4L, 800L),
+      (0L, 3L, 2L, 7L, 2L, 666L),
+      (64L, 2L, 1L, 9L, 2L, 1000L)))
+  }
 }
