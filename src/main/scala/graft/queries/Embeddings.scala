@@ -652,6 +652,115 @@ object Embeddings {
        |FROM x
        |ORDER BY cid""".stripMargin
 
+  // ------------------------------------------------- cell NMI
+  /** Normalized mutual information between quantizer cells and
+    * labels — the k-unbiased companion to [[cellPurity]]: purity can
+    * be gamed by more cells (k = n gives purity 1000); NMI divides
+    * the mutual information by the two marginal entropies, so a
+    * quantizer only scores high by genuinely tracking the labels.
+    * NMI = 2·I(C;L) / (H(C) + H(L)), milli grid.
+    *
+    * Numerics: the CorpusStats micro-nat stance — each (cell, label)
+    * row floors ONE ln of a double-domain ratio (n·n_cl)/(n_c·n_l)
+    * (exact-rounded IEEE ops, identical both engines), weighted by
+    * the exact count; entropies use the same device. Count-weighted
+    * sums stay in int64 (micro-nats × counts ≤ 2e7·n), and the final
+    * ratio is one integer division — the n scaling cancels.
+    *
+    * Scale shape: the broadcast-centers assign, then (cell, label) /
+    * cell / label hash-aggs — state ∝ cells × labels; the joint join
+    * joins a ≤cells×labels table against two broadcast marginals. */
+  def cellNmi(s: SparkSession, d: String): DataFrame =
+    cellNmiOn(embeddings(s, d))
+
+  /** Core over a caller-supplied registry — separated so specs can
+    * plant perfect and orthogonal cell/label alignments. */
+  def cellNmiOn(e: DataFrame): DataFrame = {
+    val assigned = graft.operators.Materialize.eager(
+      graft.operators.KMeans.assign(pointsOf(e), seedCenters(e))
+        .join(e.select(col("vec_id").as("id"),
+          col("label").cast("long").as("label")), "id")
+        .select(col("cid"), col("label")))
+    val joint = assigned.groupBy(col("cid"), col("label"))
+      .agg(count(lit(1)).as("n_cl"))
+    val byCell = assigned.groupBy(col("cid")).agg(count(lit(1)).as("n_c"))
+    val byLabel = assigned.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_l"))
+    val tot = assigned.agg(count(lit(1)).as("n"))
+    val mi = joint.join(broadcast(byCell), "cid")
+      .join(broadcast(byLabel), "label")
+      .crossJoin(broadcast(tot))
+      .select((col("n_cl") * floor(log(
+        (col("n").cast("double") * col("n_cl").cast("double")) /
+          (col("n_c").cast("double") * col("n_l").cast("double"))) *
+        lit(1e6)).cast("long")).as("term"))
+      .agg(sum(col("term")).cast("long").as("mi_sum_micro"))
+    def entropy(m: DataFrame, c: String) = m.crossJoin(broadcast(tot))
+      .select((col(c) * floor(log(
+        col("n").cast("double") / col(c).cast("double")) * lit(1e6))
+        .cast("long")).as("term"))
+      .agg(sum(col("term")).cast("long"))
+    val hc = entropy(byCell, "n_c").withColumnRenamed(
+      entropy(byCell, "n_c").columns.head, "h_cells_micro")
+    val hl = entropy(byLabel, "n_l").withColumnRenamed(
+      entropy(byLabel, "n_l").columns.head, "h_labels_micro")
+    tot.crossJoin(broadcast(byCell.agg(count(lit(1)).as("n_cells"))))
+      .crossJoin(broadcast(byLabel.agg(count(lit(1)).as("n_labels"))))
+      .crossJoin(broadcast(mi))
+      .crossJoin(broadcast(hc))
+      .crossJoin(broadcast(hl))
+      .select(col("n"), col("n_cells"), col("n_labels"),
+        col("mi_sum_micro"), col("h_cells_micro"), col("h_labels_micro"),
+        expr("""CASE WHEN h_cells_micro + h_labels_micro = 0
+          |THEN CAST(0 AS BIGINT)
+          |ELSE 2 * mi_sum_micro * 1000
+          |  DIV (h_cells_micro + h_labels_micro) END""".stripMargin)
+          .as("nmi_milli"))
+  }
+
+  val cellNmiSql: String =
+    s"""WITH $seedCentersCte,
+       |a AS (
+       |  SELECT p.vec_id AS id, CAST(p.label AS BIGINT) AS label, c.cid,
+       |    ${sqFoldSql("p.embedding", "c.cvec")} AS d2
+       |  FROM embeddings p CROSS JOIN c),
+       |best AS (
+       |  SELECT label, cid FROM a
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) = 1),
+       |joint AS (SELECT cid, label, CAST(COUNT(*) AS BIGINT) AS n_cl
+       |  FROM best GROUP BY cid, label),
+       |bc AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_c
+       |  FROM best GROUP BY cid),
+       |bl AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_l
+       |  FROM best GROUP BY label),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM best),
+       |mi AS (
+       |  SELECT CAST(SUM(n_cl * CAST(FLOOR(LN(
+       |      (CAST(n AS DOUBLE) * CAST(n_cl AS DOUBLE))
+       |      / (CAST(n_c AS DOUBLE) * CAST(n_l AS DOUBLE))) * 1000000)
+       |    AS BIGINT)) AS BIGINT) AS mi_sum_micro
+       |  FROM joint JOIN bc USING (cid) JOIN bl USING (label)
+       |  CROSS JOIN tot),
+       |hc AS (
+       |  SELECT CAST(SUM(n_c * CAST(FLOOR(LN(
+       |      CAST(n AS DOUBLE) / CAST(n_c AS DOUBLE)) * 1000000)
+       |    AS BIGINT)) AS BIGINT) AS h_cells_micro
+       |  FROM bc CROSS JOIN tot),
+       |hl AS (
+       |  SELECT CAST(SUM(n_l * CAST(FLOOR(LN(
+       |      CAST(n AS DOUBLE) / CAST(n_l AS DOUBLE)) * 1000000)
+       |    AS BIGINT)) AS BIGINT) AS h_labels_micro
+       |  FROM bl CROSS JOIN tot)
+       |SELECT n,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM bc) AS n_cells,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM bl) AS n_labels,
+       |  mi_sum_micro, h_cells_micro, h_labels_micro,
+       |  CASE WHEN h_cells_micro + h_labels_micro = 0
+       |    THEN CAST(0 AS BIGINT)
+       |    ELSE 2 * mi_sum_micro * 1000
+       |      // (h_cells_micro + h_labels_micro) END AS nmi_milli
+       |FROM tot CROSS JOIN mi CROSS JOIN hc CROSS JOIN hl""".stripMargin
+
   // ------------------------------------- reciprocal nearest neighbors
   /** Mutual-NN pairs within quantizer cells — the robust-match core
     * of semantic dedup: a one-directional nearest neighbor is cheap
@@ -1605,6 +1714,7 @@ object Embeddings {
     "emb_ivf_incremental" -> ivfIncrementalAssign,
     "emb_reciprocal_knn" -> reciprocalKnn,
     "emb_cell_purity" -> cellPurity,
+    "emb_cell_nmi" -> cellNmi,
     "emb_silhouette" -> silhouette,
     "emb_semantic_dedup" -> semanticDedup,
     "emb_outliers_per_cell" -> outliersPerCell,
@@ -1629,6 +1739,7 @@ object Embeddings {
     "emb_ivf_incremental" -> ivfIncrementalAssignSql,
     "emb_reciprocal_knn" -> reciprocalKnnSql,
     "emb_cell_purity" -> cellPuritySql,
+    "emb_cell_nmi" -> cellNmiSql,
     "emb_silhouette" -> silhouetteSql,
     "emb_semantic_dedup" -> semanticDedupSql,
     "emb_outliers_per_cell" -> outliersPerCellSql,

@@ -164,6 +164,8 @@ class PlanSpec extends AnyFunSuite {
     "emb_reciprocal_knn",   // k-row centers broadcast; the NN join
                             // itself is cell-keyed (never corpus^2)
     "emb_cell_purity",      // same k-row centers broadcast
+    "emb_cell_nmi",         // centers broadcast + 5 bounded-scalar
+                            // marginal/entropy broadcasts
     "layout_zorder_stats",  // 1-row min/max bounds broadcast (Morton key)
     "graph_triangle_count", // two 1-row stat aggregates broadcast
     "ev_rolling_active_users", // 1-row max-day broadcast (window clip)

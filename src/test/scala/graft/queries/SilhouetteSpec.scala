@@ -88,4 +88,24 @@ class SilhouetteSpec extends AnyFunSuite {
       (0L, 3L, 2L, 7L, 2L, 666L),
       (64L, 2L, 1L, 9L, 2L, 1000L)))
   }
+
+  test("cell NMI: perfect cell/label alignment scores 1000 milli, an " +
+      "orthogonal split scores 0") {
+    val aligned = Seq(
+      (0L, Array(0f, 0f), 7), (1L, Array(1f, 0f), 7),
+      (64L, Array(100f, 0f), 9), (65L, Array(99f, 0f), 9)
+    ).toDF("vec_id", "embedding", "label")
+    val a = Embeddings.cellNmiOn(aligned)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    // every I and H term is the same ln2 floor, so NMI is EXACTLY 1000
+    assert(a._1 == 4L && a._2 == 2L && a._3 == 2L && a._7 == 1000L, a)
+    // both labels split evenly across both cells: I = ln(1) = 0
+    val ortho = Seq(
+      (0L, Array(0f, 0f), 7), (1L, Array(1f, 0f), 8),
+      (64L, Array(100f, 0f), 7), (65L, Array(99f, 0f), 8)
+    ).toDF("vec_id", "embedding", "label")
+    val o = Embeddings.cellNmiOn(ortho)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(o._4 == 0L && o._7 == 0L, o)
+  }
 }
