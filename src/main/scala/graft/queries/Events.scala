@@ -253,6 +253,77 @@ object Events {
     dev * dev > lit(9).cast("decimal(38,0)") * (dN * col("sv2") - dS * dS)
   }
 
+  // ------------------------------------------ seasonal anomaly
+  /** Hour-of-day-conditioned volume anomaly — the deseasonalized
+    * upgrade of [[anomaly3Sigma]]: a global 3σ on hourly volume
+    * flags every daily peak as "anomalous" because traffic has a
+    * diurnal cycle; conditioning each (day, hour) cell on ITS OWN
+    * hour-of-day population across days removes the cycle, so what
+    * survives is genuinely off-pattern load (incident, bot burst,
+    * logging outage) — the detector an on-call actually wants.
+    *
+    * Numerics: the anomaly3Sigma stance verbatim — the 3σ test runs
+    * as one exact integer cross-multiplication (n·c − Σc)² >
+    * 9·(n·Σc² − (Σc)²) in decimal(38)/HUGEINT, no division, no
+    * doubles anywhere.
+    *
+    * Scale shape: one (day, hour) hash-agg (map-side combine), a
+    * 24-row stats broadcast, one filtered re-agg. The cell table is
+    * days×24 regardless of event volume. */
+  def seasonalAnomaly(s: SparkSession, d: String): DataFrame = {
+    val cells = events(s, d).select(
+        expr("CAST(date_trunc('day', ts) AS LONG) DIV 86400").as("day"),
+        expr("(CAST(FLOOR(unix_timestamp(ts)) AS BIGINT) DIV 3600) % 24")
+          .as("hour_of_day"))
+      .groupBy(col("day"), col("hour_of_day"))
+      .agg(count(lit(1)).as("v"))
+    val st = cells.groupBy(col("hour_of_day")).agg(
+      count(lit(1)).as("n"), sum(col("v")).as("sv"),
+      sum(col("v").cast("decimal(38,0)") * col("v")).as("sv2"))
+    val anom = cells.join(broadcast(st), "hour_of_day")
+      .filter(anomalyPredicate)
+      .groupBy(col("hour_of_day"))
+      .agg(count(lit(1)).as("n_anomalous_days"),
+        min(col("day")).as("min_anom_day"),
+        max(col("day")).as("max_anom_day"))
+    st.select(col("hour_of_day"), col("n").as("n_days"),
+        expr("CAST(sv AS BIGINT) DIV n").as("mean_events_floor"))
+      .join(anom, Seq("hour_of_day"), "left")
+      .select(col("hour_of_day"), col("n_days"), col("mean_events_floor"),
+        coalesce(col("n_anomalous_days"), lit(0L)).as("n_anomalous_days"),
+        col("min_anom_day"), col("max_anom_day"))
+      .orderBy(col("hour_of_day"))
+  }
+
+  val seasonalAnomalySql: String =
+    """WITH cells AS (
+      |  SELECT CAST(FLOOR(EPOCH(DATE_TRUNC('day', ts))) AS BIGINT)
+      |      // 86400 AS day,
+      |    (CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600) % 24 AS hour_of_day,
+      |    CAST(COUNT(*) AS BIGINT) AS v
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT hour_of_day, COUNT(*) AS n, SUM(v) AS sv,
+      |    SUM(CAST(v AS HUGEINT) * v) AS sv2
+      |  FROM cells GROUP BY hour_of_day),
+      |an AS (
+      |  SELECT c.hour_of_day, CAST(COUNT(*) AS BIGINT)
+      |      AS n_anomalous_days,
+      |    MIN(c.day) AS min_anom_day, MAX(c.day) AS max_anom_day
+      |  FROM cells c JOIN st USING (hour_of_day)
+      |  WHERE (CAST(st.n AS HUGEINT) * c.v - st.sv)
+      |      * (CAST(st.n AS HUGEINT) * c.v - st.sv)
+      |    > 9 * (CAST(st.n AS HUGEINT) * st.sv2
+      |      - CAST(st.sv AS HUGEINT) * st.sv)
+      |  GROUP BY c.hour_of_day)
+      |SELECT st.hour_of_day, CAST(st.n AS BIGINT) AS n_days,
+      |  CAST(st.sv AS BIGINT) // st.n AS mean_events_floor,
+      |  CAST(COALESCE(an.n_anomalous_days, 0) AS BIGINT)
+      |    AS n_anomalous_days,
+      |  an.min_anom_day, an.max_anom_day
+      |FROM st LEFT JOIN an USING (hour_of_day)
+      |ORDER BY hour_of_day""".stripMargin
+
   def anomaly3Sigma(s: SparkSession, d: String): DataFrame = {
     val ev = anomalyCents(events(s, d))
     val st = anomalyStats(ev)
@@ -719,6 +790,7 @@ object Events {
     "ev_daily_user_stats" -> dailyUserStats,
     "ev_sessionize" -> sessionize,
     "ev_anomaly_3sigma" -> anomaly3Sigma,
+    "ev_seasonal_anomaly" -> seasonalAnomaly,
     "ev_json_extract" -> jsonExtract)
 
   val oracle: Map[String, String] = Map(
@@ -736,5 +808,6 @@ object Events {
     "ev_daily_user_stats" -> dailyUserStatsSql,
     "ev_sessionize" -> sessionizeSql,
     "ev_anomaly_3sigma" -> anomaly3SigmaSql,
+    "ev_seasonal_anomaly" -> seasonalAnomalySql,
     "ev_json_extract" -> jsonExtractSql)
 }

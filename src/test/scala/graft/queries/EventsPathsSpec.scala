@@ -32,4 +32,30 @@ class EventsPathsSpec extends AnyFunSuite {
       .as[(String, String, String, Long)].collect().toSeq
     assert(got == Seq(("a", "b", "c", 2L)))
   }
+
+  test("seasonal anomaly: the one off-pattern (day, hour) cell is " +
+      "flagged within its own hour-of-day population, flat hours not") {
+    // 12 days: hour 3 carries 1 event/day except day 11 (2 events);
+    // hour 5 carries exactly 1 every day. For a single deviant among
+    // n-1 equals the integer 3-sigma test reduces to n-1 > 9, so with
+    // n=12 the day-11 cell flags and the flat hour never can.
+    val day = 86400L
+    val rows = (0 until 12).flatMap { dd =>
+      val base = Seq(
+        (1000L + dd, ts(dd * day + 3 * 3600L), dd.toLong, "view", 0.0, "{}"),
+        (2000L + dd, ts(dd * day + 5 * 3600L), dd.toLong, "view", 0.0, "{}"))
+      if (dd == 11)
+        base :+ (3000L, ts(11 * day + 3 * 3600L + 60), 11L, "view", 0.0, "{}")
+      else base
+    }
+    val dir = java.nio.file.Files.createTempDirectory("sa").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Events.seasonalAnomaly(spark, dir)
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(got == Seq(
+      (3L, 12L, 1L, 1L, Some(11L), Some(11L)),
+      (5L, 12L, 1L, 0L, None, None)))
+  }
 }
