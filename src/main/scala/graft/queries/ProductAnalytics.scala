@@ -386,6 +386,106 @@ object ProductAnalytics {
        |FROM purch p LEFT JOIN per ON per.p_id = p.p_id
        |ORDER BY p.p_id""".stripMargin
 
+  // ------------------------------------- position-based attribution
+  /** U-shaped (position-based) multi-touch credit — the third
+    * attribution semantic next to last-touch and time-decay: 40% to
+    * the INTRODUCING touch, 40% to the CLOSING touch, 20% shared by
+    * the middles (solo touch takes all; a pair splits evenly) —
+    * the industry-standard U curve for journeys where discovery and
+    * close both matter more than nurture.
+    *
+    * Conservation is EXACT to the cent: the 2/5 shares floor, the
+    * closing share is defined as an equal floor, the middle pool is
+    * the literal remainder cts − 2·⌊2cts/5⌋, and its own division
+    * remainder goes to the earliest middles one cent each (rank-
+    * deterministic) — Σ credits ≡ purchase cents, pinned by spec.
+    *
+    * Scale shape: identical to time-decay's — the bucketed 48 h
+    * range join (touches explode into 2 period buckets, purchases
+    * carry one), a per-purchase rank window, one channel agg. */
+  def attributionPosition(s: SparkSession, d: String): DataFrame = {
+    val W = 172800000000L // 2 days in micros
+    val ev = events(s, d).select(col("event_id"), col("user_id"),
+      col("event_type"), unix_micros(col("ts")).as("us"), col("value"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_type").as("channel"),
+        col("event_id").as("t_id"), col("us").as("t_us"))
+      .withColumn("tb", explode(array(expr(s"t_us DIV $W"),
+        expr(s"t_us DIV $W + 1"))))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("us").as("p_us"), cents(col("value")).cast("long").as("cts"))
+      .withColumn("tb", expr(s"p_us DIV $W"))
+    val byP = Window.partitionBy(col("p_id"))
+    val pairs = purch.join(touches, Seq("user_id", "tb"))
+      .filter(col("p_us") > col("t_us") && col("p_us") - col("t_us") <= W)
+      .withColumn("r", row_number().over(
+        byP.orderBy(col("t_us"), col("t_id"))))
+      .withColumn("n", count(lit(1)).over(byP))
+    val credited = pairs
+      .withColumn("credit_cents", expr(
+        """CASE WHEN n = 1 THEN cts
+          |WHEN n = 2 AND r = 1 THEN cts DIV 2
+          |WHEN n = 2 THEN cts - cts DIV 2
+          |WHEN r = 1 OR r = n THEN cts * 2 DIV 5
+          |ELSE (cts - 2 * (cts * 2 DIV 5)) DIV (n - 2)
+          |  + CASE WHEN r - 1 <= (cts - 2 * (cts * 2 DIV 5)) % (n - 2)
+          |    THEN 1 ELSE 0 END END""".stripMargin))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("p_id")).as("n_purchases"),
+        sum(col("credit_cents")).cast("long").as("credit_cents"))
+    val untouched = purch.join(
+        pairs.select(col("p_id")).distinct(), Seq("p_id"), "left_anti")
+      .agg(count(lit(1)).as("n_touches"), count(lit(1)).as("n_purchases"),
+        coalesce(sum(col("cts")), lit(0L)).cast("long").as("credit_cents"))
+      .select(lit("none").as("channel"), col("n_touches"),
+        col("n_purchases"), col("credit_cents"))
+      .filter(col("n_purchases") > 0)
+    credited.unionByName(untouched).orderBy(col("channel"))
+  }
+
+  val attributionPositionSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us, value
+       |  FROM events),
+       |touches AS (
+       |  SELECT user_id, event_type AS channel, event_id AS t_id,
+       |    us AS t_us,
+       |    UNNEST([us // 172800000000, us // 172800000000 + 1]) AS tb
+       |  FROM ev WHERE event_type <> 'purchase'),
+       |purch AS (
+       |  SELECT user_id, event_id AS p_id, us AS p_us,
+       |    ${centsSql("value")} AS cts, us // 172800000000 AS tb
+       |  FROM ev WHERE event_type = 'purchase'),
+       |pairs AS (
+       |  SELECT p.p_id, p.cts, t.channel,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY p.p_id
+       |      ORDER BY t.t_us, t.t_id) AS BIGINT) AS r,
+       |    CAST(COUNT(*) OVER (PARTITION BY p.p_id) AS BIGINT) AS n
+       |  FROM purch p JOIN touches t
+       |    ON p.user_id = t.user_id AND p.tb = t.tb
+       |    AND p.p_us > t.t_us AND p.p_us - t.t_us <= 172800000000),
+       |credited AS (
+       |  SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+       |    CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_purchases,
+       |    CAST(SUM(CASE WHEN n = 1 THEN cts
+       |      WHEN n = 2 AND r = 1 THEN cts // 2
+       |      WHEN n = 2 THEN cts - cts // 2
+       |      WHEN r = 1 OR r = n THEN cts * 2 // 5
+       |      ELSE (cts - 2 * (cts * 2 // 5)) // (n - 2)
+       |        + CASE WHEN r - 1 <= (cts - 2 * (cts * 2 // 5)) % (n - 2)
+       |          THEN 1 ELSE 0 END END) AS BIGINT) AS credit_cents
+       |  FROM pairs GROUP BY channel),
+       |untouched AS (
+       |  SELECT 'none' AS channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+       |    CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       |    CAST(COALESCE(SUM(cts), 0) AS BIGINT) AS credit_cents
+       |  FROM purch WHERE p_id NOT IN (SELECT p_id FROM pairs)
+       |  HAVING COUNT(*) > 0)
+       |SELECT * FROM credited UNION ALL SELECT * FROM untouched
+       |ORDER BY channel""".stripMargin
+
   def attributionTimeDecay(s: SparkSession, d: String): DataFrame = {
     val W = 172800000000L // 2 days in micros
     val ev = events(s, d).select(col("event_id"), col("user_id"),
@@ -1299,6 +1399,7 @@ object ProductAnalytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_growth_accounting" -> growthAccounting,
+    "ev_attribution_position" -> attributionPosition,
     "ev_ab_srm" -> abSrm,
     "ev_rfm_migration" -> rfmMigration,
     "ev_mde_power" -> mdePower,
@@ -1319,6 +1420,7 @@ object ProductAnalytics {
 
   val oracle: Map[String, String] = Map(
     "ev_growth_accounting" -> growthAccountingSql,
+    "ev_attribution_position" -> attributionPositionSql,
     "ev_ab_srm" -> abSrmSql,
     "ev_rfm_migration" -> rfmMigrationSql,
     "ev_mde_power" -> mdePowerSql,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, sum}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestSession
 
@@ -234,5 +234,32 @@ class ProductAnalyticsSpec extends AnyFunSuite {
       (3L, 1L, 0L, 1L, 0L, 1L, 0L)))
     // the accounting identity holds row-by-row
     got.foreach { case (_, a, n, r, res, _, _) => assert(a == n + r + res) }
+  }
+
+  test("position attribution: U-curve splits 103 cents 41/11/10/41 " +
+      "and conserves revenue to the cent on the fixture") {
+    // 4 touches a<b<c<d then a $1.03 purchase: ends get 2*103/5=41
+    // each, the 21-cent middle pool floors to 10 with its 1-cent
+    // remainder to the EARLIEST middle.
+    val d = writeEvents(Seq(
+      (1L, ts(10L), 1L, "a", 0.0, "{}"),
+      (2L, ts(20L), 1L, "b", 0.0, "{}"),
+      (3L, ts(30L), 1L, "c", 0.0, "{}"),
+      (4L, ts(40L), 1L, "d", 0.0, "{}"),
+      (5L, ts(100L), 1L, "purchase", 1.03, "{}")))
+    val got = ProductAnalytics.attributionPosition(spark, d)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(got == Map("a" -> 41L, "b" -> 11L, "c" -> 10L, "d" -> 41L))
+    // conservation on the real fixture: sum of credits (incl. 'none')
+    // equals total purchase cents exactly
+    val fx = "/root/testdata/sf0.001"
+    val credited = ProductAnalytics.attributionPosition(spark, fx)
+      .agg(sum(col("credit_cents"))).as[Long].collect().head
+    val total = graft.Tables.events(spark, fx)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(graft.queries.Relational.cents(col("value"))))
+      .as[Long].collect().head
+    assert(credited == total, s"$credited != $total")
   }
 }
