@@ -1397,7 +1397,111 @@ object ProductAnalytics {
       |    AS quick_ratio_milli
       |FROM flows ORDER BY week""".stripMargin
 
+  // ------------------------------------------- retention half-life
+  /** The single number behind every retention triangle: fit
+    * share(o) ≈ A·e^(−λo) over the pooled weekly retention curve and
+    * report the HALF-LIFE ln2/λ in centi-weeks — "how many weeks
+    * until half the surviving users are gone". Eligibility is
+    * censoring-aware (offset o only counts cohorts the data can
+    * still observe at o, the hazard-table stance), so late cohorts
+    * don't drag the tail down artificially.
+    *
+    * Numerics: the Zipf OLS machinery — y = ⌊ln(retained/eligible)·
+    * 1e6⌋ per offset (one double ratio, one floor), x = the integer
+    * offset; the slope is exact-integer OLS over ≤ weeks points, and
+    * half-life = 69314700 DIV (−slope) (ln2·1e6·100). Flat or
+    * rising curves guard to 0.
+    *
+    * Scale shape: (user, week) distinct + per-user min (cohort) —
+    * the growth-accounting substrate — then everything runs on
+    * weeks-sized frames (cohort sizes × offsets). */
+  def retentionHalflife(s: SparkSession, d: String): DataFrame = {
+    val uw = events(s, d).select(col("user_id"),
+        expr("CAST(date_trunc('day', ts) AS LONG) DIV (86400 * 7)")
+          .as("week"))
+      .distinct()
+    val cohort = uw.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cw"))
+    val maxw = uw.agg(max(col("week")).as("mw"))
+    val retained = uw.join(cohort, "user_id")
+      .select((col("week") - col("cw")).as("o"))
+      .filter(col("o") >= 1)
+      .groupBy(col("o")).agg(count(lit(1)).as("retained"))
+    val cohortSizes = cohort.groupBy(col("cw"))
+      .agg(count(lit(1)).as("sz"))
+    // eligible(o) = Σ sizes of cohorts observable at offset o — a
+    // weeks×offsets inequality join over two weeks-sized frames
+    val eligible = retained.select(col("o"))
+      .join(broadcast(cohortSizes).crossJoin(broadcast(maxw)),
+        col("cw") + col("o") <= col("mw"))
+      .groupBy(col("o")).agg(sum(col("sz")).cast("long").as("eligible"))
+    val curve = retained.join(eligible, "o")
+      .filter(col("retained") > 0 && col("eligible") > 0)
+      .select(col("o").cast("long").as("x"),
+        floor(log(col("retained").cast("double") /
+          col("eligible").cast("double")) * lit(1e6)).cast("long").as("y"))
+    curve.agg(count(lit(1)).as("n_offsets"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n_offsets"),
+        expr("""CASE WHEN n_offsets < 2
+          |  OR n_offsets * sxx - sx * sx = 0 THEN CAST(0 AS BIGINT)
+          |ELSE (n_offsets * sxy - sx * sy)
+          |  DIV (n_offsets * sxx - sx * sx) END""".stripMargin)
+          .as("slope_micro"))
+      .withColumn("halflife_centiweeks", expr(
+        """CASE WHEN slope_micro >= 0 THEN CAST(0 AS BIGINT)
+          |ELSE 69314700 DIV (-slope_micro) END""".stripMargin))
+  }
+
+  val retentionHalflifeSql: String =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(FLOOR(EPOCH(DATE_TRUNC('day', ts))) AS BIGINT)
+      |      // (86400 * 7) AS week
+      |  FROM events),
+      |cohort AS (SELECT user_id, MIN(week) AS cw FROM uw
+      |  GROUP BY user_id),
+      |mx AS (SELECT MAX(week) AS mw FROM uw),
+      |ret AS (
+      |  SELECT u.week - c.cw AS o, CAST(COUNT(*) AS BIGINT) AS retained
+      |  FROM uw u JOIN cohort c ON u.user_id = c.user_id
+      |  WHERE u.week - c.cw >= 1 GROUP BY 1),
+      |cs AS (SELECT cw, CAST(COUNT(*) AS BIGINT) AS sz FROM cohort
+      |  GROUP BY cw),
+      |elig AS (
+      |  SELECT r.o, CAST(SUM(cs.sz) AS BIGINT) AS eligible
+      |  FROM (SELECT o FROM ret) r
+      |  JOIN cs ON TRUE CROSS JOIN mx
+      |  WHERE cs.cw + r.o <= mx.mw
+      |  GROUP BY r.o),
+      |curve AS (
+      |  SELECT CAST(r.o AS BIGINT) AS x,
+      |    CAST(FLOOR(LN(CAST(r.retained AS DOUBLE)
+      |      / CAST(e.eligible AS DOUBLE)) * 1000000) AS BIGINT) AS y
+      |  FROM ret r JOIN elig e ON r.o = e.o
+      |  WHERE r.retained > 0 AND e.eligible > 0),
+      |m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_offsets,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x*y) AS BIGINT) AS sxy,
+      |    CAST(SUM(x*x) AS BIGINT) AS sxx
+      |  FROM curve),
+      |sl AS (
+      |  SELECT n_offsets,
+      |    CASE WHEN n_offsets < 2 OR n_offsets * sxx - sx * sx = 0
+      |      THEN CAST(0 AS BIGINT)
+      |      ELSE (n_offsets * sxy - sx * sy)
+      |        // (n_offsets * sxx - sx * sx) END AS slope_micro
+      |  FROM m)
+      |SELECT n_offsets, slope_micro,
+      |  CASE WHEN slope_micro >= 0 THEN CAST(0 AS BIGINT)
+      |    ELSE 69314700 // (-slope_micro) END AS halflife_centiweeks
+      |FROM sl""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_retention_halflife" -> retentionHalflife,
     "ev_growth_accounting" -> growthAccounting,
     "ev_attribution_position" -> attributionPosition,
     "ev_ab_srm" -> abSrm,
@@ -1419,6 +1523,7 @@ object ProductAnalytics {
     "ev_cusum_changepoint" -> cusumChangepoint)
 
   val oracle: Map[String, String] = Map(
+    "ev_retention_halflife" -> retentionHalflifeSql,
     "ev_growth_accounting" -> growthAccountingSql,
     "ev_attribution_position" -> attributionPositionSql,
     "ev_ab_srm" -> abSrmSql,

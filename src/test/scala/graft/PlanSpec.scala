@@ -171,6 +171,8 @@ class PlanSpec extends AnyFunSuite {
     "ev_rolling_active_users", // 1-row max-day broadcast (window clip)
     "ev_rfm_segments",      // 1-row max-day broadcast (recency anchor)
     "ev_rfm_migration",     // 1-row midpoint-day bounds broadcast
+    "ev_retention_halflife",// weeks-sized cohort table + 1-row max
+                            // broadcast (censoring-aware eligibility)
     "text_kneser_ney",      // 1-row bigram-type total broadcast
     "agg_countmin_confirm", // 1-row token total broadcast (threshold)
     "emb_pca_power",        // two 1-row max-|component| renorm broadcasts

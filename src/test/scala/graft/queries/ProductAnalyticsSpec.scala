@@ -262,4 +262,25 @@ class ProductAnalyticsSpec extends AnyFunSuite {
       .as[Long].collect().head
     assert(credited == total, s"$credited != $total")
   }
+
+  test("retention halflife: a planted weekly halving fits slope " +
+      "-ln2 exactly and half-life = 100 centi-weeks") {
+    // one cohort of 8 (week 0); 4 return wk1, 2 wk2, 1 wk3: the
+    // micro-nat floors land on an EXACTLY linear curve (each step is
+    // the same ln(1/2) floor apart), so integer OLS gives -693147
+    // and 69314700 DIV 693147 = 100.
+    val wk = 7 * 86400L
+    val active = Seq(
+      (0, Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L)),
+      (1, Seq(1L, 2L, 3L, 4L)),
+      (2, Seq(1L, 2L)),
+      (3, Seq(1L)))
+    val rows = for {
+      (w, users) <- active; u <- users
+    } yield (w * 100L + u, ts(w * wk + u * 60), u, "view", 0.0, "{}")
+    val d = writeEvents(rows)
+    val got = ProductAnalytics.retentionHalflife(spark, d)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((3L, -693147L, 100L)))
+  }
 }
