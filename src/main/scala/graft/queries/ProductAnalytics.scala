@@ -1500,7 +1500,75 @@ object ProductAnalytics {
       |    ELSE 69314700 // (-slope_micro) END AS halflife_centiweeks
       |FROM sl""".stripMargin
 
+  // ------------------------------------------------ tail index
+  /** Hill estimator of the user-activity tail exponent — the number
+    * behind "how heavy are our heavy users": α̂ = k / Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎)
+    * over the k most active users. power_users_pareto reports the
+    * top decile's SHARE; the tail index says how that share scales —
+    * α < 2 means activity concentration has no finite variance and
+    * every per-user cap/salt decision downstream should assume
+    * mega-keys. k = min(100, users−1): the estimator runs on a
+    * bounded order-statistics sample at any corpus size.
+    *
+    * Numerics: per-rank ⌊ln(x/x_ref)·1e6⌋ (one double ratio of two
+    * exact counts), summed as integers; α̂ lands on the milli grid
+    * as k·1e9 DIV Σ. Degenerate tails (all counts equal → Σ = 0)
+    * guard to 0.
+    *
+    * Scale shape: one user hash-agg, a TakeOrdered(101) heap, a
+    * ≤101-row rank window, a 1-row reduction. */
+  def tailIndex(s: SparkSession, d: String): DataFrame = {
+    val counts = events(s, d).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("x"))
+    val top = counts.orderBy(col("x").desc, col("user_id"))
+      .limit(101)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("x").desc, col("user_id"))))
+    val kRow = top.agg(least(lit(100L), count(lit(1)) - 1).as("k"))
+    val withK = top.crossJoin(broadcast(kRow))
+    val xref = withK.filter(col("rk") === col("k") + 1)
+      .select(col("x").as("x_ref"))
+    withK.join(broadcast(xref))
+      .filter(col("rk") <= col("k"))
+      .select(col("k"), col("x_ref"),
+        floor(log(col("x").cast("double") / col("x_ref").cast("double"))
+          * lit(1e6)).cast("long").as("term"))
+      .groupBy(col("k"), col("x_ref"))
+      .agg(sum(col("term")).cast("long").as("sum_micro"))
+      .select(col("k"), col("x_ref"), col("sum_micro"),
+        expr("""CASE WHEN sum_micro <= 0 THEN CAST(0 AS BIGINT)
+          |ELSE k * 1000000000 DIV sum_micro END""".stripMargin)
+          .as("alpha_milli"))
+  }
+
+  val tailIndexSql: String =
+    """WITH counts AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY user_id),
+      |top AS (
+      |  SELECT x, ROW_NUMBER() OVER (ORDER BY x DESC, user_id) AS rk
+      |  FROM counts ORDER BY x DESC, user_id LIMIT 101),
+      |kk AS (
+      |  SELECT LEAST(CAST(100 AS BIGINT), CAST(COUNT(*) AS BIGINT) - 1)
+      |    AS k FROM top),
+      |xr AS (
+      |  SELECT t.x AS x_ref FROM top t CROSS JOIN kk
+      |  WHERE t.rk = kk.k + 1),
+      |terms AS (
+      |  SELECT kk.k, xr.x_ref,
+      |    CAST(FLOOR(LN(CAST(t.x AS DOUBLE) / CAST(xr.x_ref AS DOUBLE))
+      |      * 1000000) AS BIGINT) AS term
+      |  FROM top t CROSS JOIN kk CROSS JOIN xr WHERE t.rk <= kk.k),
+      |agg AS (
+      |  SELECT k, x_ref, CAST(SUM(term) AS BIGINT) AS sum_micro
+      |  FROM terms GROUP BY k, x_ref)
+      |SELECT k, x_ref, sum_micro,
+      |  CASE WHEN sum_micro <= 0 THEN CAST(0 AS BIGINT)
+      |    ELSE k * 1000000000 // sum_micro END AS alpha_milli
+      |FROM agg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_tail_index" -> tailIndex,
     "ev_retention_halflife" -> retentionHalflife,
     "ev_growth_accounting" -> growthAccounting,
     "ev_attribution_position" -> attributionPosition,
@@ -1523,6 +1591,7 @@ object ProductAnalytics {
     "ev_cusum_changepoint" -> cusumChangepoint)
 
   val oracle: Map[String, String] = Map(
+    "ev_tail_index" -> tailIndexSql,
     "ev_retention_halflife" -> retentionHalflifeSql,
     "ev_growth_accounting" -> growthAccountingSql,
     "ev_attribution_position" -> attributionPositionSql,

@@ -173,6 +173,8 @@ class PlanSpec extends AnyFunSuite {
     "ev_rfm_migration",     // 1-row midpoint-day bounds broadcast
     "ev_retention_halflife",// weeks-sized cohort table + 1-row max
                             // broadcast (censoring-aware eligibility)
+    "ev_tail_index",        // 1-row k + 1-row x_ref broadcasts over
+                            // the <=101-row order-statistics sample
     "text_kneser_ney",      // 1-row bigram-type total broadcast
     "agg_countmin_confirm", // 1-row token total broadcast (threshold)
     "emb_pca_power",        // two 1-row max-|component| renorm broadcasts

@@ -283,4 +283,19 @@ class ProductAnalyticsSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSeq
     assert(got == Seq((3L, -693147L, 100L)))
   }
+
+  test("tail index: a planted geometric activity ladder recovers the " +
+      "Hill alpha on the milli grid, k adapting below 100 users") {
+    // counts 16/8/4/2/1 over 5 users: k=4, x_ref=1, the four micro-nat
+    // floors sum to 6931470, alpha = 4e9 DIV 6931470 = 577 milli —
+    // the closed form 4/(10 ln 2).
+    val rows = Seq(16, 8, 4, 2, 1).zipWithIndex.flatMap {
+      case (n, u) => (0 until n).map(i =>
+        (u * 100L + i, ts(u * 3600L + i), u.toLong, "view", 0.0, "{}"))
+    }
+    val d = writeEvents(rows)
+    val got = ProductAnalytics.tailIndex(spark, d)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((4L, 1L, 6931470L, 577L)))
+  }
 }
