@@ -115,6 +115,61 @@ object Documents {
       |  COUNT(*) AS n_copies
       |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
 
+  // ------------------------------------------- dedup: growth curve
+  /** Duplicate-rate growth curve: exact-dedup rate measured on nested
+    * random prefixes of the corpus (1/8 → 1/4 → 1/2 → full), the
+    * planning curve that answers "does deduplication get MORE
+    * important as the corpus grows?". Cross-cutting duplicates (the
+    * same boilerplate landing in every crawl slice) make dup_permille
+    * RISE with corpus fraction — the signal that a 100 TB dedup pass
+    * will remove far more than the small-sample estimate suggests;
+    * a flat curve means duplication is local and the rate projects
+    * directly. The nesting (each level a superset of the last) is the
+    * md5-ladder device used across the dedup tier, so levels are
+    * comparable the way a real growth experiment would be.
+    *
+    * Scale shape: one md5 digest per doc, a ≤4-way level fan-out
+    * whose total row weight is 1/8+1/4+1/2+1 = 1.875× the corpus,
+    * one (level, hash) hash-agg with map-side combine, and a 4-row
+    * re-agg. No joins, nothing quadratic — the same single-pass
+    * discipline as dedup_exact. */
+  def dedupGrowthCurve(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(md5(col("text")).as("th"),
+        expr("CAST(CONV(SUBSTRING(MD5(CAST(doc_id AS STRING)), 1, 2), 16, 10) AS INT)")
+          .as("b"))
+      .select(col("th"), explode(expr(
+        "filter(array(1, 2, 3, 4), l -> b < element_at(array(32, 64, 128, 256), l))"))
+        .as("level"))
+      .groupBy(col("level"), col("th"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("level"))
+      .agg(sum(col("cnt")).as("n_docs"),
+        count(lit(1)).as("n_distinct_texts"),
+        sum(col("cnt") - 1).as("n_dup_docs"))
+      .withColumn("dup_permille",
+        expr("n_dup_docs * 1000 DIV n_docs"))
+      .orderBy(col("level"))
+
+  val dedupGrowthCurveSql: String =
+    """WITH h AS (
+      |  SELECT md5(text) AS th,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT AS b
+      |  FROM documents),
+      |lv AS (
+      |  SELECT th, UNNEST(list_filter([1, 2, 3, 4],
+      |    l -> b < [32, 64, 128, 256][l])) AS level
+      |  FROM h),
+      |g AS (
+      |  SELECT level, th, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM lv GROUP BY 1, 2)
+      |SELECT level, CAST(SUM(cnt) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_distinct_texts,
+      |  CAST(SUM(cnt - 1) AS BIGINT) AS n_dup_docs,
+      |  CAST(SUM(cnt - 1) AS BIGINT) * 1000 // CAST(SUM(cnt) AS BIGINT)
+      |    AS dup_permille
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------ dedup: minhash
   /** MinHash signature per doc, portable across engines: hash_j(w) =
     * md5(j||'|'||w) (hex string); minhash_j = MIN over distinct tokens.
@@ -1137,6 +1192,7 @@ object Documents {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_growth_curve" -> dedupGrowthCurve,
     "dedup_threshold_sweep" -> thresholdSweep,
     "dedup_band_sweep" -> bandSweep,
     "doc_wordcount" -> wordCount,
@@ -1162,6 +1218,7 @@ object Documents {
   val oracle: Map[String, String] = Map(
     "doc_wordcount" -> wordCountSql,
     "dedup_band_sweep" -> bandSweepSql,
+    "dedup_growth_curve" -> dedupGrowthCurveSql,
     "dedup_threshold_sweep" -> thresholdSweepSql,
     "doc_inverted_index" -> invertedIndexSql,
     "doc_filter_group_count" -> filterGroupCountSql,

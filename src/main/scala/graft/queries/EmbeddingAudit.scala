@@ -494,7 +494,118 @@ object EmbeddingAudit {
        |ORDER BY occ""".stripMargin
   }
 
+  // ------------------------------------------------ isotropy audit
+  /** Isotropy audit: the mean PAIRWISE cosine among unit-normalized
+    * vectors, per label and globally ('ALL') — the collapse detector
+    * for embedding spaces. A healthy isotropic space has mean pair
+    * cosine near 0; a space squeezed into a narrow cone (the classic
+    * anisotropy pathology that all-but-the-top post-processing
+    * removes) shows a large positive value, and retrieval loses
+    * contrast long before recall@k metrics notice. The companion
+    * `mean_norm_e3` is the norm of the MEAN unit vector — the
+    * magnitude of the common direction ABTT would subtract.
+    *
+    * The trick that makes this exact and O(n·d) instead of O(n²·d):
+    * Σ_{i≠j} v̂ᵢ·v̂ⱼ = ‖Σᵢ v̂ᵢ‖² − Σᵢ‖v̂ᵢ‖², so one per-(label,dim)
+    * SUM grid answers the all-pairs question with no pair join at
+    * all. Components are unit-normalized on a ×1e3 integer grid
+    * (norms from the exact ×1e6 squared sums; the sqrt of an exact
+    * int64 is correctly rounded in IEEE double on both engines), so
+    * every downstream sum is integer-exact. The squared dim-sums run
+    * on DECIMAL(38) — ‖Σv̂‖² passes int64 once n·10³ per dim exceeds
+    * ~3e9 vectors, real at corpus scale — and the final ratios are
+    * back in int64 by construction.
+    *
+    * Scale shape: one posexplode O(n·d) → per-vector norm hash-agg →
+    * one (label,dim) SUM grid (labels×dims rows); the global row
+    * re-aggregates the GRID, not the corpus. Never a vector pair. */
+  def isotropy(s: SparkSession, d: String): DataFrame = {
+    val x = embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("string").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "xv")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        floor(col("xv").cast("double") * 1e3 + 0.5).cast("long").as("xe3"))
+    val norms = x.groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("xe3") * col("xe3")).as("n2_e6"))
+      .filter(col("n2_e6") > 0)
+    val unit = x.join(norms.select(col("vec_id"), col("n2_e6")), "vec_id")
+      .select(col("label"), col("dim"),
+        floor(col("xe3").cast("double") * 1000.0 /
+          sqrt(col("n2_e6").cast("double")) + 0.5).cast("long").as("ue3"))
+    val grid = unit.groupBy(col("label"), col("dim"))
+      .agg(sum(col("ue3")).as("sl"), sum(col("ue3") * col("ue3")).as("ql"))
+    val perLabel = grid.groupBy(col("label"))
+      .agg(sum(col("sl").cast("decimal(19,0)") * col("sl").cast("decimal(19,0)"))
+        .as("ss"), sum(col("ql")).as("q"))
+    val global = grid.groupBy(col("dim"))
+      .agg(sum(col("sl")).as("sl"), sum(col("ql")).as("ql"))
+      .agg(sum(col("sl").cast("decimal(19,0)") * col("sl").cast("decimal(19,0)"))
+        .as("ss"), sum(col("ql")).as("q"))
+      .withColumn("label", lit("ALL"))
+    val counts = norms.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+      .unionByName(norms.agg(count(lit(1)).as("n_vecs"))
+        .withColumn("label", lit("ALL")))
+    perLabel.unionByName(global.select(col("label"), col("ss"), col("q")))
+      .join(counts, "label")
+      .filter(col("n_vecs") >= 2)
+      // (ss − q) spans e6 units over n(n−1) pairs; truncating decimal
+      // division via the exact (a − a%b)/b device (matches DuckDB //)
+      .withColumn("a", col("ss") - col("q").cast("decimal(19,0)"))
+      .withColumn("b",
+        (col("n_vecs") * (col("n_vecs") - 1)).cast("decimal(19,0)"))
+      .withColumn("mean_pair_cos_e6",
+        ((col("a") - col("a") % col("b")) / col("b")).cast("long"))
+      .withColumn("mean_norm_e3",
+        floor(sqrt(col("ss").cast("double")) / col("n_vecs")).cast("long"))
+      .select(col("label"), col("n_vecs"), col("mean_pair_cos_e6"),
+        col("mean_norm_e3"))
+      .orderBy(col("label"))
+  }
+
+  val isotropySql: String =
+    """WITH x AS (
+      |  SELECT vec_id, CAST(label AS VARCHAR) AS label, i - 1 AS dim,
+      |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e3 + 0.5) AS BIGINT)
+      |      AS xe3
+      |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+      |norms AS (
+      |  SELECT vec_id, label, CAST(SUM(xe3 * xe3) AS BIGINT) AS n2_e6
+      |  FROM x GROUP BY 1, 2 HAVING SUM(xe3 * xe3) > 0),
+      |unit AS (
+      |  SELECT x.label, x.dim,
+      |    CAST(FLOOR(CAST(x.xe3 AS DOUBLE) * 1000.0 /
+      |      SQRT(CAST(n.n2_e6 AS DOUBLE)) + 0.5) AS BIGINT) AS ue3
+      |  FROM x JOIN norms n USING (vec_id)),
+      |grid AS (
+      |  SELECT label, dim, CAST(SUM(ue3) AS BIGINT) AS sl,
+      |    CAST(SUM(ue3 * ue3) AS BIGINT) AS ql
+      |  FROM unit GROUP BY 1, 2),
+      |per_label AS (
+      |  SELECT label, SUM(CAST(sl AS HUGEINT) * sl) AS ss,
+      |    CAST(SUM(ql) AS BIGINT) AS q
+      |  FROM grid GROUP BY 1
+      |  UNION ALL
+      |  SELECT 'ALL' AS label, SUM(CAST(sl AS HUGEINT) * sl) AS ss,
+      |    CAST(SUM(ql) AS BIGINT) AS q
+      |  FROM (SELECT dim, CAST(SUM(sl) AS BIGINT) AS sl,
+      |          CAST(SUM(ql) AS BIGINT) AS ql
+      |        FROM grid GROUP BY 1)),
+      |counts AS (
+      |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+      |  FROM norms GROUP BY 1
+      |  UNION ALL
+      |  SELECT 'ALL', CAST(COUNT(*) AS BIGINT) FROM norms)
+      |SELECT p.label, c.n_vecs,
+      |  CAST((p.ss - p.q) // (CAST(c.n_vecs AS HUGEINT) * (c.n_vecs - 1))
+      |    AS BIGINT) AS mean_pair_cos_e6,
+      |  CAST(FLOOR(SQRT(CAST(p.ss AS DOUBLE)) / c.n_vecs) AS BIGINT)
+      |    AS mean_norm_e3
+      |FROM per_label p JOIN counts c USING (label)
+      |WHERE c.n_vecs >= 2
+      |ORDER BY p.label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_isotropy" -> isotropy,
     "emb_hubness_audit" -> hubnessAudit,
     "emb_centroid_margin" -> centroidMargin,
     "emb_pca_power" -> pcaPower,
@@ -504,6 +615,7 @@ object EmbeddingAudit {
     "emb_centroid_drift" -> centroidDrift)
 
   val oracle: Map[String, String] = Map(
+    "emb_isotropy" -> isotropySql,
     "emb_hubness_audit" -> hubnessAuditSql,
     "emb_centroid_margin" -> centroidMarginSql,
     "emb_pca_power" -> pcaPowerSql,

@@ -1567,7 +1567,87 @@ object ProductAnalytics {
       |    ELSE k * 1000000000 // sum_micro END AS alpha_milli
       |FROM agg""".stripMargin
 
+  // ------------------------------------ inequality index
+  /** Gini concentration of activity — the scalar inequality summary
+    * that complements `ev_power_users_pareto`'s decile curve: one
+    * number per metric answering "how unequal is the load" for event
+    * volume and for purchase spend (over purchasers). A Gini drift
+    * upward between snapshots is the canonical bot-flood /
+    * whale-dependency alarm a product-analytics stack watches.
+    *
+    * Exact rank form on sorted values x_(1)≤…≤x_(n):
+    * G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx), snapped to the 1e-6 grid
+    * with DIV (truncation — both engines truncate toward zero).
+    * Ties need no care: within a tied block Σ i·x = x·Σ i is
+    * invariant under any tie order, so the user_id tiebreak is for
+    * rank determinism only, not the result.
+    *
+    * Scale shape: the ranked frame is USERS (one hash-agg reduction
+    * of events), not events; the rank is one window sort over that
+    * reduced frame — at cluster scale a range-partitioned sort. The
+    * i·x products run on a DECIMAL(38) grid because n·Σx exceeds
+    * int64 once users×volume passes ~9e18 (real at 100 TB); the
+    * final Gini is back in int64 by construction (|G_e6| ≤ 1e6). */
+  def giniConcentration(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val byEvents = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("metric", lit("events"))
+    val bySpend = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(cents(col("value"))).cast("long").as("x"))
+      .filter(col("x") > 0)
+      .withColumn("metric", lit("purchase_cents"))
+    val per = byEvents.unionByName(bySpend)
+    val w = Window.partitionBy(col("metric"))
+      .orderBy(col("x"), col("user_id"))
+    per.withColumn("i", row_number().over(w))
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x")).as("total"),
+        sum(col("i").cast("decimal(19,0)") * col("x").cast("decimal(19,0)"))
+          .as("ix"))
+      // exact truncating division on decimals: (a - a % b) / b is
+      // exactly divisible, so the decimal divide introduces no
+      // rounding — matches DuckDB's integer // bit-for-bit
+      .withColumn("a",
+        (expr("2 * ix") -
+          (col("n_users").cast("decimal(19,0)") + lit(1)) *
+            col("total").cast("decimal(19,0)")) * lit(1000000L))
+      .withColumn("b",
+        col("n_users").cast("decimal(19,0)") *
+          col("total").cast("decimal(19,0)"))
+      .withColumn("gini_e6",
+        ((col("a") - col("a") % col("b")) / col("b")).cast("long"))
+      .select(col("metric"), col("n_users"), col("total"), col("gini_e6"))
+      .orderBy(col("metric"))
+  }
+
+  val giniConcentrationSql: String =
+    s"""WITH per AS (
+      |  SELECT 'events' AS metric, user_id, CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'purchase_cents' AS metric, user_id,
+      |    CAST(SUM(${centsSql("value")}) AS BIGINT) AS x
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 2
+      |  HAVING CAST(SUM(${centsSql("value")}) AS BIGINT) > 0),
+      |rk AS (
+      |  SELECT metric, x,
+      |    ROW_NUMBER() OVER (PARTITION BY metric ORDER BY x, user_id) AS i
+      |  FROM per),
+      |agg AS (
+      |  SELECT metric, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |    CAST(SUM(x) AS BIGINT) AS total,
+      |    SUM(CAST(i AS HUGEINT) * x) AS ix
+      |  FROM rk GROUP BY 1)
+      |SELECT metric, n_users, total,
+      |  CAST(((2 * ix - (CAST(n_users AS HUGEINT) + 1) * total) * 1000000)
+      |    // (CAST(n_users AS HUGEINT) * total) AS BIGINT) AS gini_e6
+      |FROM agg ORDER BY metric""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_gini_concentration" -> giniConcentration,
     "ev_tail_index" -> tailIndex,
     "ev_retention_halflife" -> retentionHalflife,
     "ev_growth_accounting" -> growthAccounting,
@@ -1591,6 +1671,7 @@ object ProductAnalytics {
     "ev_cusum_changepoint" -> cusumChangepoint)
 
   val oracle: Map[String, String] = Map(
+    "ev_gini_concentration" -> giniConcentrationSql,
     "ev_tail_index" -> tailIndexSql,
     "ev_retention_halflife" -> retentionHalflifeSql,
     "ev_growth_accounting" -> growthAccountingSql,

@@ -71,4 +71,26 @@ class EmbeddingAuditSpec extends AnyFunSuite {
     assert(byLabel(1)._3 == 0L)
     assert(byLabel(1)._5 > 0L, "clean cluster keeps a positive margin")
   }
+
+  test("isotropy: a planted cross is exactly -1/3 mean pair cosine; " +
+      "a collapsed pair is exactly +1; the ALL row mixes both") {
+    val dir = java.nio.file.Files.createTempDirectory("iso").toString
+    // label 0: the 4 unit axis vectors of R^2 — perfectly spread,
+    // ordered-pair dot sum = -4 over 12 pairs → trunc(-1/3 e6).
+    // label 1: two identical vectors → mean pair cosine exactly 1,
+    // mean-vector norm exactly 1 (1000 on the e3 grid).
+    // ALL: S = (2000, 0), ss = 4e6, q = 6e6 → (ss-q)/30 = -66666.
+    val rows = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(0f, 1f), 0),
+      (3L, Array(-1f, 0f), 0), (4L, Array(0f, -1f), 0),
+      (5L, Array(1f, 0f), 1), (6L, Array(1f, 0f), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = EmbeddingAudit.isotropy(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("0", 4L, -333333L, 0L),
+      ("1", 2L, 1000000L, 1000L),
+      ("ALL", 6L, -66666L, 333L)))
+  }
 }

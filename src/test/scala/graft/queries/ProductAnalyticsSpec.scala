@@ -298,4 +298,28 @@ class ProductAnalyticsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(got == Seq((4L, 1L, 6931470L, 577L)))
   }
+
+  test("gini: a planted 1/2/3/4 count ladder gives exactly 0.25; " +
+      "equal purchase spends give exactly 0") {
+    // events: users 1..4 with 1,2,3,4 events → Σx=10, Σi·x=30,
+    // G = (60-50)/40 = 0.25 → 250000 on the e6 grid.
+    // purchases: users 1,2 spend 2.00 each → perfect equality,
+    // G = (2·(200+400) - 3·400)/(2·400) = 0 exactly.
+    val base = (1 to 4).flatMap { u =>
+      (0 until u).map(i =>
+        (u * 10L + i, ts(u * 3600L + i * 60), u.toLong, "view", 0.0, "{}"))
+    }
+    val buys = Seq(
+      (900L, ts(7 * 3600L), 1L, "purchase", 2.0, "{}"),
+      (901L, ts(8 * 3600L), 2L, "purchase", 2.0, "{}"))
+    val d = writeEvents(base ++ buys)
+    val got = ProductAnalytics.giniConcentration(spark, d)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // the two purchase events also count toward the event ladder:
+    // counts become 2,3,3,4 → Σx=12, Σi·x = 2·1+3·2+3·3+4·4 = 33,
+    // G = (66 - 60)/48 = 0.125 → 125000.
+    assert(got == Seq(
+      ("events", 4L, 12L, 125000L),
+      ("purchase_cents", 2L, 400L, 0L)))
+  }
 }
