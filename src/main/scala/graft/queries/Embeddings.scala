@@ -856,6 +856,107 @@ object Embeddings {
        |  ORDER BY dist2_e6, id_a LIMIT 20)
        |CROSS JOIN excl""".stripMargin
 
+  // -------------------------------------------- kNN label evaluation
+  /** Instance-level label-consistency probe: each vector is classified
+    * by the majority label of its 3 nearest neighbors WITHIN its
+    * quantizer cell, and the per-label accuracy is reported — the
+    * classic kNN sanity check that tells whether the embedding
+    * geometry actually encodes the labels (cell purity and NMI are
+    * cluster-level; this is the per-instance vote a labeler-QA or
+    * weak-supervision pipeline acts on, flagging label families whose
+    * neighborhoods disagree with them).
+    *
+    * Votes are deterministic: neighbor rank breaks ties on (d2, id),
+    * the majority breaks count ties on the smaller label (the LPA
+    * argmax device: MIN over struct(−cnt, label)).
+    *
+    * Scale shape: identical to emb_reciprocal_knn — broadcast-centers
+    * assign O(n·k), md5-ordered cell cap (512) bounding the
+    * within-cell pair join at O(cells · cap²), per-vector top-3
+    * window keyed by the parallel unit. Vectors in over-cap cells are
+    * counted in the `n_excluded` honesty column, never silently
+    * dropped. Singleton-cell vectors have no neighbors and are
+    * excluded from n_eval by construction. */
+  def knnLabelEval(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val capW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid"))
+      .orderBy(col("m"), col("id"))
+    val assignedAll =
+      graft.operators.KMeans.assignWithVec(pointsOf(e), seedCenters(e))
+        .join(e.select(col("vec_id").as("id"), col("label")), "id")
+        .select(col("id"), col("vec"), col("cid"), col("label"))
+        .withColumn("m", md5(concat(lit("rknn|"), col("id").cast("string"))))
+        .withColumn("rk", row_number().over(capW))
+    val assigned = graft.operators.Materialize.eager(
+      assignedAll.filter(col("rk") <= RknnCellCap)
+        .select(col("id"), col("vec"), col("cid"), col("label")))
+    val excluded = assignedAll.filter(col("rk") > RknnCellCap)
+      .agg(count(lit(1)).as("n_excluded"))
+    val a = assigned.select(col("cid"), col("id").as("ia"),
+      col("vec").as("va"), col("label").as("la"))
+    val b = assigned.select(col("cid"), col("id").as("ib"),
+      col("vec").as("vb"), col("label").as("lb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ia")).orderBy(col("d2"), col("ib"))
+    val top3 = a.join(b, Seq("cid"))
+      .filter(col("ia") =!= col("ib"))
+      .withColumn("d2", graft.operators.KMeans.sqDist(col("va"), col("vb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("ia"), col("la"), col("lb"))
+    val vote = top3.groupBy(col("ia"), col("la"), col("lb"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("ia"), col("la"))
+      .agg(min(struct((-col("cnt")).as("nc"), col("lb"))).as("mv"))
+      .select(col("ia"), col("la"), col("mv.lb").as("vote"))
+    vote.groupBy(col("la").as("label"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("vote") === col("la"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("acc_permille", expr("n_correct * 1000 DIV n_eval"))
+      .crossJoin(broadcast(excluded))
+      .orderBy(col("label"))
+  }
+
+  val knnLabelEvalSql: String =
+    s"""WITH $seedCentersCte,
+       |a AS (
+       |  SELECT p.vec_id AS id, p.embedding AS vec, p.label, c.cid,
+       |    ${sqFoldSql("p.embedding", "c.cvec")} AS d2
+       |  FROM embeddings p CROSS JOIN c),
+       |cellsall AS (
+       |  SELECT id, vec, label, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY cid
+       |      ORDER BY md5('rknn|' || CAST(id AS VARCHAR)), id) AS rk
+       |  FROM (SELECT id, vec, label, cid FROM a
+       |    QUALIFY ROW_NUMBER() OVER (PARTITION BY id
+       |      ORDER BY d2, cid) = 1)),
+       |cells AS (
+       |  SELECT id, vec, label, cid FROM cellsall WHERE rk <= $RknnCellCap),
+       |excl AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_excluded
+       |  FROM cellsall WHERE rk > $RknnCellCap),
+       |top3 AS (
+       |  SELECT ia, la, lb FROM (
+       |    SELECT x.id AS ia, x.label AS la, y.label AS lb,
+       |      ${sqFoldSql("x.vec", "y.vec")} AS d2, y.id AS ib
+       |    FROM cells x JOIN cells y ON x.cid = y.cid AND x.id <> y.id)
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY ia ORDER BY d2, ib) <= 3),
+       |votes AS (
+       |  SELECT ia, la, lb AS vote FROM (
+       |    SELECT ia, la, lb, COUNT(*) AS cnt
+       |    FROM top3 GROUP BY 1, 2, 3)
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY ia
+       |    ORDER BY cnt DESC, lb) = 1)
+       |SELECT la AS label, CAST(COUNT(*) AS BIGINT) AS n_eval,
+       |  CAST(SUM(CASE WHEN vote = la THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_correct,
+       |  CAST(SUM(CASE WHEN vote = la THEN 1 ELSE 0 END) AS BIGINT)
+       |    * 1000 // CAST(COUNT(*) AS BIGINT) AS acc_permille,
+       |  (SELECT n_excluded FROM excl) AS n_excluded
+       |FROM votes GROUP BY la ORDER BY la""".stripMargin
+
   // ------------------------------------------ simplified silhouette
   /** Simplified (centroid-based) silhouette per k-means cell — the
     * cluster-quality gate that answers "are these cells real, or is
@@ -1713,6 +1814,7 @@ object Embeddings {
     "emb_kmeans_assign" -> kmeansAssign,
     "emb_ivf_incremental" -> ivfIncrementalAssign,
     "emb_reciprocal_knn" -> reciprocalKnn,
+    "emb_knn_label_eval" -> knnLabelEval,
     "emb_cell_purity" -> cellPurity,
     "emb_cell_nmi" -> cellNmi,
     "emb_silhouette" -> silhouette,
@@ -1738,6 +1840,7 @@ object Embeddings {
     "emb_kmeans_assign" -> kmeansAssignSql,
     "emb_ivf_incremental" -> ivfIncrementalAssignSql,
     "emb_reciprocal_knn" -> reciprocalKnnSql,
+    "emb_knn_label_eval" -> knnLabelEvalSql,
     "emb_cell_purity" -> cellPuritySql,
     "emb_cell_nmi" -> cellNmiSql,
     "emb_silhouette" -> silhouetteSql,

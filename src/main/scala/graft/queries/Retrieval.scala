@@ -298,13 +298,189 @@ object Retrieval {
        |FROM dcg, idcg""".stripMargin
   }
 
+  // --------------------------------------------- BM25 tuning sweep
+  /** (k1, b) grid search for the BM25 ranker, each cell scored by
+    * nDCG@10 against the SAME graded term-coverage truth
+    * `retrieval_ndcg_eval` uses — the sweep that turns the ranker's
+    * two magic constants into a measured decision, the
+    * threshold/band-sweep discipline applied to retrieval. b = 0
+    * (no length normalization) and a stiff (0.9, 0.4) cell bracket
+    * the default so the sweep shows WHERE the fixture's optimum sits,
+    * not just that the default scores.
+    *
+    * All four constants per cell are compile-time decimal literals
+    * written identically in both engines (the proven bm25 device —
+    * k1+1 is pre-added by hand so no engine computes 2.2 at runtime),
+    * per-doc term scores sum in a fixed |Q|-column order, and scores
+    * snap to the e6 grid before ranking.
+    *
+    * Scale shape: the tokenize + tf/df scan runs ONCE (materialized,
+    * query-term-filtered so it is |matching docs| × |Q| rows, tiny
+    * relative to the corpus); each grid cell re-scores that table
+    * with scalar arithmetic and takes a top-10 heap
+    * (TakeOrderedAndProject) — grid × O(tf) work, no new corpus
+    * passes. The ideal-DCG is k1/b-independent: one row, computed
+    * once, broadcast. */
+  def bm25TuningSweep(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("spark", "stream", "vector")
+    // (k1, k1+1, b, 1-b) as decimal-literal strings parsed once each
+    val grid = Seq(
+      ("0.9", "1.9", "0.4", "0.6"),
+      ("1.2", "2.2", "0.0", "1.0"),
+      ("1.2", "2.2", "0.75", "0.25"),
+      ("1.5", "2.5", "0.9", "0.1"))
+    val docs = documents(s, d)
+      .select(col("doc_id"), Documents.tokens(col("text")).as("ws"))
+      .withColumn("dl", size(col("ws")))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tfBase = docs
+      .select(col("doc_id"), col("dl"), explode(col("ws")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tfBase.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tfidf = graft.operators.Materialize.eager(
+      tfBase.join(broadcast(dfT), "term").crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)))
+    val rel = graft.operators.Materialize.eager(
+      documents(s, d)
+        .select(col("doc_id"),
+          explode(Documents.tokens(col("text"))).as("term"))
+        .filter(col("term").isin(terms: _*))
+        .groupBy(col("doc_id"))
+        .agg((countDistinct(col("term")) +
+          when(count(lit(1)) >= 8, 1L).otherwise(0L)).as("rel")))
+    val wi = Window.orderBy(col("rel").desc, col("doc_id"))
+    val idcg = rel.orderBy(col("rel").desc, col("doc_id")).limit(NdcgK)
+      .withColumn("i", row_number().over(wi))
+      .select((expr(gainCase) * expr(wCase("i"))).as("g"))
+      .agg(coalesce(sum(col("g")), lit(0L)).cast("long").as("idcg_e6"))
+    val cells = grid.map { case (k1, k1p1, b, omb) =>
+      val scored = tfidf.withColumn("s",
+        col("idf") * (col("tf") * lit(k1p1.toDouble)) /
+          (col("tf") + lit(k1.toDouble) *
+            (lit(omb.toDouble) + lit(b.toDouble) * col("dl") / col("avgdl"))))
+      val perDoc = scored.groupBy(col("doc_id"))
+        .agg(terms.map(t =>
+          sum(when(col("term") === t, col("s"))).as(s"s_$t")).head,
+          terms.tail.map(t =>
+            sum(when(col("term") === t, col("s"))).as(s"s_$t")): _*)
+      val total = terms.map(t => coalesce(col(s"s_$t"), lit(0.0)))
+        .reduceLeft(_ + _)
+      val top = perDoc
+        .withColumn("score_e6", floor(total * 1e6 + lit(0.5)).cast("bigint"))
+        .orderBy(col("score_e6").desc, col("doc_id")).limit(NdcgK)
+      val w = Window.orderBy(col("score_e6").desc, col("doc_id"))
+      top.withColumn("rank", row_number().over(w))
+        .join(rel, Seq("doc_id"), "left")
+        .select(col("rank"), coalesce(col("rel"), lit(0L)).as("rel"))
+        .select((expr(gainCase) * expr(wCase("rank"))).as("g"),
+          when(col("rel") > 0, 1L).otherwise(0L).as("hit"))
+        .agg(coalesce(sum(col("g")), lit(0L)).cast("long").as("dcg_e6"),
+          coalesce(sum(col("hit")), lit(0L)).cast("long").as("n_hits"))
+        .withColumn("k1_permille",
+          lit(math.round(k1.toDouble * 1000)))
+        .withColumn("b_permille", lit(math.round(b.toDouble * 1000)))
+    }
+    cells.reduce(_ unionByName _)
+      .crossJoin(broadcast(idcg))
+      .select(col("k1_permille"), col("b_permille"), col("n_hits"),
+        col("dcg_e6"),
+        when(col("idcg_e6") === 0, 0L)
+          .otherwise(expr("dcg_e6 * 1000 DIV idcg_e6")).as("ndcg_milli"))
+      .orderBy(col("k1_permille"), col("b_permille"))
+  }
+
+  val bm25TuningSweepSql: String = {
+    val toksSql =
+      """list_filter(string_split_regex(text, '[^\p{L}]+'), w -> w <> '')"""
+    val grid = Seq(
+      ("0.9", "1.9", "0.4", "0.6"),
+      ("1.2", "2.2", "0.0", "1.0"),
+      ("1.2", "2.2", "0.75", "0.25"),
+      ("1.5", "2.5", "0.9", "0.1"))
+    val cells = grid.zipWithIndex.map { case ((k1, k1p1, b, omb), i) =>
+      val k1pm = math.round(k1.toDouble * 1000)
+      val bpm = math.round(b.toDouble * 1000)
+      s"""sc_$i AS (
+         |  SELECT doc_id, term,
+         |    idf * (tf * $k1p1) / (tf + $k1 * ($omb + $b * dl / avgdl))
+         |      AS sc
+         |  FROM tfidf),
+         |pd_$i AS (
+         |  SELECT doc_id,
+         |    COALESCE(SUM(CASE WHEN term='spark' THEN sc END), 0.0)
+         |    + COALESCE(SUM(CASE WHEN term='stream' THEN sc END), 0.0)
+         |    + COALESCE(SUM(CASE WHEN term='vector' THEN sc END), 0.0) AS sc
+         |  FROM sc_$i GROUP BY doc_id),
+         |top_$i AS (
+         |  SELECT doc_id,
+         |    ROW_NUMBER() OVER (ORDER BY CAST(FLOOR(sc*1e6 + 0.5) AS BIGINT)
+         |      DESC, doc_id) AS rank
+         |  FROM pd_$i QUALIFY rank <= $NdcgK),
+         |dcg_$i AS (
+         |  SELECT CAST($k1pm AS BIGINT) AS k1_permille,
+         |    CAST($bpm AS BIGINT) AS b_permille,
+         |    CAST(COALESCE(SUM(CASE WHEN COALESCE(r.rel, 0) > 0 THEN 1
+         |      ELSE 0 END), 0) AS BIGINT) AS n_hits,
+         |    CAST(COALESCE(SUM((CASE COALESCE(r.rel, 0) WHEN 1 THEN 1
+         |        WHEN 2 THEN 3 WHEN 3 THEN 7 WHEN 4 THEN 15 ELSE 0 END)
+         |      * (${wCase("t.rank")})), 0) AS BIGINT) AS dcg_e6
+         |  FROM top_$i t LEFT JOIN rel2 r USING (doc_id))""".stripMargin
+    }.mkString(",\n")
+    val unions = grid.indices
+      .map(i => s"SELECT * FROM dcg_$i").mkString("\n  UNION ALL ")
+    s"""WITH docs3 AS (
+       |  SELECT doc_id, ws, len(ws) AS dl FROM (
+       |    SELECT doc_id, $toksSql AS ws FROM documents)),
+       |stats AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |    CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl FROM docs3),
+       |tf AS (
+       |  SELECT doc_id, dl, term, COUNT(*) AS tf
+       |  FROM docs3, UNNEST(ws) AS u(term)
+       |  WHERE term IN ('spark','stream','vector')
+       |  GROUP BY doc_id, dl, term),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |tfidf AS (
+       |  SELECT tf.doc_id, tf.dl, tf.term, tf.tf, s.avgdl,
+       |    ln((s.n_docs - df.df + 0.5)/(df.df + 0.5) + 1.0) AS idf
+       |  FROM tf JOIN df USING (term) CROSS JOIN stats s),
+       |rel2 AS (
+       |  SELECT doc_id, COUNT(DISTINCT term)
+       |    + CASE WHEN COUNT(*) >= 8 THEN 1 ELSE 0 END AS rel
+       |  FROM (SELECT doc_id, $toksSql AS ws FROM documents),
+       |    UNNEST(ws) AS u(term)
+       |  WHERE term IN ('spark', 'stream', 'vector')
+       |  GROUP BY doc_id),
+       |ideal AS (
+       |  SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS i
+       |  FROM rel2 QUALIFY i <= $NdcgK),
+       |idcg AS (
+       |  SELECT CAST(COALESCE(SUM(($gainCase) * (${wCase("i")})), 0)
+       |    AS BIGINT) AS idcg_e6
+       |  FROM ideal),
+       |$cells,
+       |cells AS (
+       |  $unions)
+       |SELECT k1_permille, b_permille, n_hits, dcg_e6,
+       |  CASE WHEN idcg_e6 = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE dcg_e6 * 1000 // idcg_e6 END AS ndcg_milli
+       |FROM cells, idcg
+       |ORDER BY k1_permille, b_permille""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "retrieval_bm25_tuning_sweep" -> bm25TuningSweep,
     "retrieval_rrf_fusion" -> rrfFusion,
     "retrieval_ndcg_eval" -> ndcgEval,
     "retrieval_query_expansion" -> queryExpansion)
 
   val oracle: Map[String, String] = Map(
     "retrieval_rrf_fusion" -> rrfFusionSql,
+    "retrieval_bm25_tuning_sweep" -> bm25TuningSweepSql,
     "retrieval_ndcg_eval" -> ndcgEvalSql,
     "retrieval_query_expansion" -> queryExpansionSql)
 }

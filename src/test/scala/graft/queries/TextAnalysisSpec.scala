@@ -230,4 +230,28 @@ class TextAnalysisSpec extends AnyFunSuite {
       (1625L, 1L, 500L, 8L, 500L),
       (1875L, 2L, 1000L, 16L, 1000L)))
   }
+
+  test("bm25 tuning sweep: the default cell reproduces ndcg_eval's " +
+      "DCG; b=0 vs b=0.75 disagree on a length-skewed fixture") {
+    val filler = "alpha beta gamma delta " * 40
+    // doc 1: short, one mention — b=0.75 favors it (length-normalized)
+    // doc 2: long, term-stuffed — b=0 favors raw tf
+    val dir = writeDocs(Seq(
+      (1L, "spark stream"),
+      (2L, s"spark spark spark spark stream stream vector vector $filler"),
+      (3L, s"vector $filler"),
+      (4L, "unrelated words only")))
+    val sweep = graft.queries.Retrieval.bm25TuningSweep(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(sweep.map(r => (r._1, r._2)) ==
+      Seq((900L, 400L), (1200L, 0L), (1200L, 750L), (1500L, 900L)))
+    // every cell's nDCG lands on the [0, 1000] milli grid
+    sweep.foreach { c => assert(c._5 >= 0L && c._5 <= 1000L, c) }
+    // the default cell is bit-consistent with the standalone eval
+    val evalDcg = graft.queries.Retrieval.ndcgEval(spark, dir)
+      .select(col("dcg_e6")).as[Long].collect().head
+    val cellDcg = sweep.find(c => c._1 == 1200L && c._2 == 750L).get._4
+    assert(cellDcg == evalDcg,
+      s"sweep default cell $cellDcg != ndcg_eval $evalDcg")
+  }
 }
