@@ -972,7 +972,65 @@ object TextAnalysis {
       |      // 1000 - 15590 END AS fk_grade_milli
       |FROM src ORDER BY source""".stripMargin
 
+  // --------------------------------------------- code/prose detector
+  /** Code-vs-prose detection per source: the routing decision every
+    * LLM corpus pipeline makes early (code goes to a code tokenizer /
+    * mix bucket, prose to the text pipeline; HTML boilerplate with
+    * inline JS shows up as a mid-density band). Three structural
+    * densities no natural prose sustains — braces, semicolons, and
+    * indented continuation lines — are counted EXACTLY with the
+    * replace-shrinkage device (length minus length-after-removal, no
+    * regex engine in the loop), summed per 1000 chars, and a doc is
+    * flagged code at ≥ 15‰ structural density.
+    *
+    * Scale shape: one linear scan per doc computing three string
+    * replaces + a CASE, then one per-source hash-agg — the cheapest
+    * possible shape, embarrassingly parallel, nothing to tune. */
+  def codeRatio(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("n_struct", expr(
+        "(length(text) - length(replace(text, '{', ''))) + " +
+          "(length(text) - length(replace(text, '}', ''))) + " +
+          "(length(text) - length(replace(text, ';', ''))) + " +
+          "((length(text) - length(replace(text, chr(10) || '  ', ''))) DIV 3)"))
+      .withColumn("density_pm",
+        expr("n_struct * 1000 DIV greatest(length(text), 1)"))
+      .withColumn("is_code", (col("density_pm") >= 15).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("is_code")).as("n_code_docs"),
+        sum(col("n_struct")).as("n_struct"),
+        sum(length(col("text"))).as("n_chars"))
+      .withColumn("code_permille", expr("n_code_docs * 1000 DIV n_docs"))
+      .withColumn("corpus_density_pm",
+        expr("n_struct * 1000 DIV greatest(n_chars, 1)"))
+      .select(col("source"), col("n_docs"), col("n_code_docs"),
+        col("code_permille"), col("corpus_density_pm"))
+      .orderBy(col("source"))
+
+  val codeRatioSql: String =
+    """WITH f AS (
+      |  SELECT source, length(text) AS len,
+      |    (length(text) - length(replace(text, '{', '')))
+      |    + (length(text) - length(replace(text, '}', '')))
+      |    + (length(text) - length(replace(text, ';', '')))
+      |    + ((length(text) - length(replace(text, chr(10) || '  ', '')))
+      |        // 3) AS n_struct
+      |  FROM documents),
+      |d AS (
+      |  SELECT source, len, n_struct,
+      |    CASE WHEN n_struct * 1000 // GREATEST(len, 1) >= 15
+      |         THEN 1 ELSE 0 END AS is_code
+      |  FROM f)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(is_code) AS BIGINT) AS n_code_docs,
+      |  CAST(SUM(is_code) AS BIGINT) * 1000 // COUNT(*) AS code_permille,
+      |  CAST(SUM(n_struct) AS BIGINT) * 1000
+      |    // GREATEST(CAST(SUM(len) AS BIGINT), 1) AS corpus_density_pm
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_code_ratio" -> codeRatio,
     "text_readability" -> readability,
     "text_keywords_rake" -> keywordsRake,
     "text_char_entropy" -> charEntropy,
@@ -990,6 +1048,7 @@ object TextAnalysis {
     "doc_chunk_windows" -> chunkWindows)
 
   val oracle: Map[String, String] = Map(
+    "text_code_ratio" -> codeRatioSql,
     "text_readability" -> readabilitySql,
     "text_keywords_rake" -> keywordsRakeSql,
     "text_char_entropy" -> charEntropySql,

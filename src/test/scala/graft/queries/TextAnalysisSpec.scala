@@ -231,6 +231,20 @@ class TextAnalysisSpec extends AnyFunSuite {
       (1875L, 2L, 1000L, 16L, 1000L)))
   }
 
+  test("code ratio: a code snippet's exact structural density flags " +
+      "it; prose scores zero") {
+    // len 38; braces 2 + semis 2 + two "\n  " indents = 6 struct
+    // chars -> 6000 DIV 38 = 157 permille >= 15 -> code.
+    val code = "fn main() {\n  let x = 1;\n  print(x);\n}"
+    val prose = "the quick brown fox jumps over the lazy dog"
+    val dir = writeDocs(Seq((1L, code), (2L, prose)))
+    val got = TextAnalysis.codeRatio(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("src1", 1L, 1L, 1000L, 157L),
+      ("src2", 1L, 0L, 0L, 0L)))
+  }
+
   test("bm25 tuning sweep: the default cell reproduces ndcg_eval's " +
       "DCG; b=0 vs b=0.75 disagree on a length-skewed fixture") {
     val filler = "alpha beta gamma delta " * 40
