@@ -223,6 +223,11 @@ class PlanSpec extends AnyFunSuite {
     "pipeline_corpus_build", // eight 1-row funnel-audit aggregate
                             // broadcasts (stage counts) on the
                             // per-sequence output
+    "retrieval_bm25_tuning_sweep", // 1-row corpus-stats broadcast into
+                            // the tf table + 1-row idcg broadcast
+                            // (k1/b-independent, computed once)
+    "emb_knn_label_eval",   // 1-row n_excluded honesty broadcast
+                            // (the reciprocal-kNN device)
     "emb_pair_distance_hist") // declared bounded all-pairs on the
                             // ADAPTIVE md5 id-sample (m = max(8,
                             // n DIV 250) -> ~250 vectors, ~3e4 pairs
