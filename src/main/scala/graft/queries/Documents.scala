@@ -786,6 +786,108 @@ object Documents {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------- Gopher-style rule gate
+  /** The Gopher/Dolma-style multi-rule quality GATE as a query:
+    * where `text_quality` emits per-doc features for a downstream
+    * model, this is the production filter itself — five integer-exact
+    * repetition/structure rules with PER-RULE violation accounting
+    * per source, so a corpus owner sees not just the pass rate but
+    * WHICH rule is doing the cutting (the number-one debugging
+    * question when a source's yield collapses). Rules (Gopher
+    * Rae et al. 2021 §A1.1 shape, thresholds on exact integer
+    * cross-multiplication — no float ratios):
+    *   R1 word count in [50, 100000]
+    *   R2 mean word length in [3, 10]   (letters vs 3·n and 10·n)
+    *   R3 symbol-to-word ratio ≤ 0.1    ('#' + '…'-as-'...')
+    *   R4 bullet-line share ≤ 0.9       (lines starting '- '/'* ')
+    *   R5 at least 2 stopwords          (the/a/of/and/to)
+    *
+    * Scale shape: one linear projection per doc (token split, three
+    * replace-shrinkage counters) + one per-source hash-agg. The
+    * pass/fail CASE ladder is codegen'd scalar work — the cheapest
+    * possible full-corpus filter pass. */
+  def gopherRules(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    documents(s, d)
+      .withColumn("n_tok", size(toks).cast("long"))
+      .withColumn("letters",
+        length(regexp_replace(col("text"), "[^\\p{L}]+", "")).cast("long"))
+      .withColumn("n_stop", size(filter(toks,
+        t => t.isin("the", "a", "of", "and", "to"))).cast("long"))
+      .withColumn("n_sym", expr(
+        "CAST((length(text) - length(replace(text, '#', ''))) + " +
+          "(length(text) - length(replace(text, '...', ''))) DIV 3 AS BIGINT)"))
+      .withColumn("n_lines", expr(
+        "CAST(1 + length(text) - length(replace(text, chr(10), '')) AS BIGINT)"))
+      .withColumn("n_bullet", expr(
+        "CAST((length(text) - length(replace(text, chr(10) || '- ', ''))) DIV 3 + " +
+          "(length(text) - length(replace(text, chr(10) || '* ', ''))) DIV 3 AS BIGINT)"))
+      .withColumn("v_wordcount",
+        when(col("n_tok") < 50 || col("n_tok") > 100000, 1L).otherwise(0L))
+      .withColumn("v_meanlen",
+        when(col("letters") < lit(3L) * col("n_tok") ||
+          col("letters") > lit(10L) * col("n_tok"), 1L).otherwise(0L))
+      .withColumn("v_symbol",
+        when(col("n_sym") * 10 > col("n_tok"), 1L).otherwise(0L))
+      .withColumn("v_bullet",
+        when(col("n_bullet") * 10 > col("n_lines") * 9, 1L).otherwise(0L))
+      .withColumn("v_stopword",
+        when(col("n_stop") < 2, 1L).otherwise(0L))
+      .withColumn("pass",
+        when(col("v_wordcount") + col("v_meanlen") + col("v_symbol") +
+          col("v_bullet") + col("v_stopword") === 0, 1L).otherwise(0L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("v_wordcount")).as("f_wordcount"),
+        sum(col("v_meanlen")).as("f_meanlen"),
+        sum(col("v_symbol")).as("f_symbol"),
+        sum(col("v_bullet")).as("f_bullet"),
+        sum(col("v_stopword")).as("f_stopword"),
+        sum(col("pass")).as("n_pass"))
+      .withColumn("pass_permille", expr("n_pass * 1000 DIV n_docs"))
+      .orderBy(col("source"))
+  }
+
+  val gopherRulesSql: String =
+    """WITH f AS (
+      |  SELECT source,
+      |    len(list_filter(string_split_regex(text, '[^\p{L}]+'),
+      |        w -> w <> '')) AS n_tok,
+      |    LENGTH(regexp_replace(text, '[^\p{L}]+', '', 'g')) AS letters,
+      |    len(list_filter(string_split_regex(text, '[^\p{L}]+'),
+      |        w -> w IN ('the','a','of','and','to'))) AS n_stop,
+      |    (length(text) - length(replace(text, '#', '')))
+      |      + (length(text) - length(replace(text, '...', ''))) // 3
+      |      AS n_sym,
+      |    1 + length(text) - length(replace(text, chr(10), '')) AS n_lines,
+      |    (length(text) - length(replace(text, chr(10) || '- ', ''))) // 3
+      |      + (length(text) - length(replace(text, chr(10) || '* ', '')))
+      |        // 3 AS n_bullet
+      |  FROM documents),
+      |v AS (
+      |  SELECT source,
+      |    CASE WHEN n_tok < 50 OR n_tok > 100000 THEN 1 ELSE 0 END
+      |      AS v_wordcount,
+      |    CASE WHEN letters < 3 * n_tok OR letters > 10 * n_tok
+      |         THEN 1 ELSE 0 END AS v_meanlen,
+      |    CASE WHEN n_sym * 10 > n_tok THEN 1 ELSE 0 END AS v_symbol,
+      |    CASE WHEN n_bullet * 10 > n_lines * 9 THEN 1 ELSE 0 END
+      |      AS v_bullet,
+      |    CASE WHEN n_stop < 2 THEN 1 ELSE 0 END AS v_stopword
+      |  FROM f)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(v_wordcount) AS BIGINT) AS f_wordcount,
+      |  CAST(SUM(v_meanlen) AS BIGINT) AS f_meanlen,
+      |  CAST(SUM(v_symbol) AS BIGINT) AS f_symbol,
+      |  CAST(SUM(v_bullet) AS BIGINT) AS f_bullet,
+      |  CAST(SUM(v_stopword) AS BIGINT) AS f_stopword,
+      |  CAST(SUM(CASE WHEN v_wordcount + v_meanlen + v_symbol + v_bullet
+      |    + v_stopword = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+      |  CAST(SUM(CASE WHEN v_wordcount + v_meanlen + v_symbol + v_bullet
+      |    + v_stopword = 0 THEN 1 ELSE 0 END) AS BIGINT) * 1000
+      |    // COUNT(*) AS pass_permille
+      |FROM v GROUP BY source ORDER BY source""".stripMargin
+
   val textQualitySql: String =
     """WITH t AS (
       |  SELECT doc_id, text,
@@ -1210,6 +1312,7 @@ object Documents {
     "dedup_ngram_containment" -> ngramContainment,
     "dedup_edit_confirm" -> dedupEditConfirm,
     "text_quality" -> textQuality,
+    "text_gopher_rules" -> gopherRules,
     "text_lang_id" -> langIdSimple,
     "text_lang_confusion" -> langConfusion,
     "text_token_count" -> tokenCount,
@@ -1234,6 +1337,7 @@ object Documents {
     "dedup_ngram_containment" -> ngramContainmentSql,
     "dedup_edit_confirm" -> dedupEditConfirmSql,
     "text_quality" -> textQualitySql,
+    "text_gopher_rules" -> gopherRulesSql,
     "text_lang_id" -> langIdSql,
     "text_lang_confusion" -> langConfusionSql,
     "text_token_count" -> tokenCountSql,
