@@ -104,8 +104,41 @@ object Bench {
       ts.foreach(_.join())
       (System.nanoTime() - t0) / 1e9
     }
+    // Memory-bandwidth probe: busy32 is pure register ALU and CANNOT
+    // see memory-subsystem degradation — observed in-round as the
+    // checkpoint/shuffle-heavy query family running 1.2–2× its
+    // normalized min while busy32 read healthy (a noisy-neighbor /
+    // bandwidth squeeze, the post-reboot pattern of BASELINE.md with
+    // a probe blind spot). 32 threads each stream-sum a disjoint
+    // 16 MiB slice of one shared 512 MiB long array, 4 sweeps —
+    // pure sequential loads, no ALU pressure — so future rounds can
+    // attribute THIS class of host swing too. Attribution-only: the
+    // regression gate stays keyed on busy32 (its history is in
+    // busy32 units; mixing probes would corrupt the recorded mins).
+    val streamBuf = new Array[Long](64 * 1024 * 1024) // 512 MiB
+    java.util.Arrays.fill(streamBuf, 3L)
+    def streamProbe(): Double = {
+      val t0 = System.nanoTime()
+      val slice = streamBuf.length / 32
+      val ts = (0 until 32).map { k =>
+        val th = new Thread(() => {
+          var pass = 0; var acc = 0L
+          while (pass < 4) {
+            var i = k * slice; val end = i + slice
+            while (i < end) { acc += streamBuf(i); i += 1 }
+            pass += 1
+          }
+          sink.addAndGet(acc); ()
+        })
+        th.start(); th
+      }
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
     sink.addAndGet(spin(99L, 20000000L)) // JIT warm
     val busySec = math.min(busyProbe(), busyProbe())
+    streamProbe() // JIT + page-touch warm
+    val streamSec = math.min(streamProbe(), streamProbe())
     exec("q1_pricing_summary") // warm-up: JVM, codegen, file index
     // two passes, report min: first execution of a query shape pays
     // one-time janino codegen (~1-5 s) that is irrelevant at scale.
@@ -184,7 +217,7 @@ object Bench {
     // the canonical q1 min (present on full-surface runs) — the pair
     // lets any two rounds' numbers be host-normalized
     val probeQ = results.toMap.getOrElse("q1_pricing_summary", -1.0)
-    val cal = s"""{"busy32_sec":${fmt(busySec)},"probe_query_sec":${fmt(probeQ)}}"""
+    val cal = s"""{"busy32_sec":${fmt(busySec)},"stream32_sec":${fmt(streamSec)},"probe_query_sec":${fmt(probeQ)}}"""
     // regressions sits with the calibration block AFTER the queries
     // map, so the driver's stdout tail-truncation can lose cheap
     // per-query timings but never the gate's verdict

@@ -1567,6 +1567,152 @@ object ProductAnalytics {
       |    ELSE k * 1000000000 // sum_micro END AS alpha_milli
       |FROM agg""".stripMargin
 
+  // ------------------------------------ CUPED variance reduction
+  /** CUPED-adjusted A/B readout (Deng et al. 2013): the pre-period
+    * spend of each user is used as a control covariate, removing the
+    * between-user variance that a raw treatment/control revenue diff
+    * drowns in — the standard trick that cuts experiment runtimes
+    * 30–50% in production experimentation stacks. θ = cov(pre, post)
+    * / var(pre) over ALL users (pooled, the standard form),
+    * adjusted_y = y − θ·(x − mean(x)); the query reports the raw and
+    * adjusted uplift side by side plus the achieved variance
+    * reduction (ρ² in permille) so the experimenter sees exactly how
+    * much sensitivity the covariate bought.
+    *
+    * Integer discipline: pre/post are exact cents; means are integer
+    * DIV; the centered second moments run on DECIMAL(38) products
+    * (n·spend² passes int64 at corpus scale); θ snaps to the 1e-6
+    * grid with the exact (a − a%b)/b truncating division, and every
+    * adjusted value is then an exact integer in micro-cents. Only
+    * ρ² evaluates in doubles (fixed expression order, snap-to-milli
+    * — the z-score stance).
+    *
+    * Scale shape: one user-keyed hash-agg over events, then three
+    * 1-row broadcast passes over the USER frame (bounds, means,
+    * moments) — the DiD/holdout discipline with one extra moment
+    * pass. Nothing wider than the reduced user frame ever sorts or
+    * joins. */
+  def cupedAdjusted(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"), col("event_type"),
+      cents(col("value")).cast("long").as("c"),
+      expr("CAST(date_trunc('day', ts) AS LONG) DIV 86400").as("day"))
+    val bounds = ev.agg(min(col("day")).as("min_day"),
+        max(col("day")).as("max_day"))
+      .select(expr("(min_day + max_day + 1) DIV 2").as("mid_day"))
+    val per = graft.operators.Materialize.eager(
+      ev.crossJoin(broadcast(bounds))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "purchase" &&
+            col("day") < col("mid_day"), col("c")).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase" &&
+            col("day") >= col("mid_day"), col("c")).otherwise(0L)).as("y"))
+        .withColumn("arm", col("user_id") % 2))
+    val means = per.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"))
+      .select(col("n"), expr("sx DIV n").as("mx"), expr("sy DIV n").as("my"))
+    val dx = (col("x") - col("mx")).cast("decimal(19,0)")
+    val dy = (col("y") - col("my")).cast("decimal(19,0)")
+    val moments = per.crossJoin(broadcast(means))
+      .agg(max(col("mx")).as("mx"),
+        sum(dx * dx).as("sxx"), sum(dx * dy).as("sxy"),
+        sum(dy * dy).as("syy"))
+      .withColumn("ta", col("sxy") * lit(1000000L))
+      .withColumn("theta_micro", when(col("sxx") === 0, 0L)
+        .otherwise(((col("ta") - col("ta") % col("sxx")) / col("sxx"))
+          .cast("long")))
+    val arms = per
+      .crossJoin(broadcast(moments.select(col("mx"), col("theta_micro"),
+        col("sxx"), col("sxy"), col("syy"))))
+      .withColumn("yadj_e6", col("y") * lit(1000000L) -
+        col("theta_micro") * (col("x") - col("mx")))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_control"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_treat"),
+        sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("sy_c"),
+        sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("sy_t"),
+        sum(when(col("arm") === 0, col("yadj_e6")).otherwise(0L))
+          .as("sadj_c"),
+        sum(when(col("arm") === 1, col("yadj_e6")).otherwise(0L))
+          .as("sadj_t"),
+        max(col("theta_micro")).as("theta_micro"),
+        max(col("sxx")).as("sxx"), max(col("sxy")).as("sxy"),
+        max(col("syy")).as("syy"))
+    arms.select(
+      col("n_control"), col("n_treat"), col("theta_micro"),
+      expr(CupedUpliftRawExpr).as("uplift_raw_e6"),
+      expr(CupedUpliftAdjExpr).as("uplift_cuped_e6"),
+      expr(CupedVrExpr).as("var_reduction_pm"))
+  }
+
+  private val CupedUpliftRawExpr: String =
+    """CASE WHEN n_control = 0 OR n_treat = 0 THEN CAST(0 AS BIGINT)
+      |ELSE (sy_t * 1000000) DIV n_treat
+      |   - (sy_c * 1000000) DIV n_control END""".stripMargin
+  private val CupedUpliftAdjExpr: String =
+    """CASE WHEN n_control = 0 OR n_treat = 0 THEN CAST(0 AS BIGINT)
+      |ELSE sadj_t DIV n_treat - sadj_c DIV n_control END""".stripMargin
+  private val CupedVrExpr: String =
+    """CASE WHEN sxx = 0 OR syy = 0 THEN CAST(0 AS BIGINT)
+      |ELSE CAST(FLOOR(1000.0
+      |  * (CAST(sxy AS DOUBLE) * CAST(sxy AS DOUBLE))
+      |  / (CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE))) AS BIGINT) END"""
+      .stripMargin
+
+  val cupedAdjustedSql: String =
+    s"""WITH ev AS (
+      |  SELECT user_id, event_type, ${centsSql("value")} AS c,
+      |    CAST(FLOOR(EPOCH(date_trunc('day', ts))) AS BIGINT) // 86400
+      |      AS day
+      |  FROM events),
+      |bounds AS (
+      |  SELECT (MIN(day) + MAX(day) + 1) // 2 AS mid_day FROM ev),
+      |per AS (
+      |  SELECT user_id, user_id % 2 AS arm,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' AND day < mid_day
+      |      THEN c ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' AND day >= mid_day
+      |      THEN c ELSE 0 END) AS BIGINT) AS y
+      |  FROM ev CROSS JOIN bounds GROUP BY 1, 2),
+      |means AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) // COUNT(*) AS mx,
+      |    CAST(SUM(y) AS BIGINT) // COUNT(*) AS my
+      |  FROM per),
+      |moments AS (
+      |  SELECT mx,
+      |    SUM(CAST(x - mx AS HUGEINT) * (x - mx)) AS sxx,
+      |    SUM(CAST(x - mx AS HUGEINT) * (y - my)) AS sxy,
+      |    SUM(CAST(y - my AS HUGEINT) * (y - my)) AS syy
+      |  FROM per CROSS JOIN means GROUP BY mx),
+      |theta AS (
+      |  SELECT mx, sxx, sxy, syy,
+      |    CASE WHEN sxx = 0 THEN CAST(0 AS BIGINT)
+      |      ELSE CAST((sxy * 1000000) // sxx AS BIGINT) END AS theta_micro
+      |  FROM moments),
+      |arms AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_control,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_treat,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT)
+      |      AS sy_c,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT)
+      |      AS sy_t,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN y * 1000000
+      |      - theta_micro * (x - mx) ELSE 0 END) AS BIGINT) AS sadj_c,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN y * 1000000
+      |      - theta_micro * (x - mx) ELSE 0 END) AS BIGINT) AS sadj_t,
+      |    MAX(theta_micro) AS theta_micro,
+      |    MAX(sxx) AS sxx, MAX(sxy) AS sxy, MAX(syy) AS syy
+      |  FROM per CROSS JOIN theta)
+      |SELECT n_control, n_treat, theta_micro,
+      |  ${CupedUpliftRawExpr.replace("DIV", "//")} AS uplift_raw_e6,
+      |  ${CupedUpliftAdjExpr.replace("DIV", "//")} AS uplift_cuped_e6,
+      |  ${CupedVrExpr} AS var_reduction_pm
+      |FROM arms""".stripMargin
+
   // ------------------------------------ inequality index
   /** Gini concentration of activity — the scalar inequality summary
     * that complements `ev_power_users_pareto`'s decile curve: one
@@ -1648,6 +1794,7 @@ object ProductAnalytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_gini_concentration" -> giniConcentration,
+    "ev_cuped_adjusted" -> cupedAdjusted,
     "ev_tail_index" -> tailIndex,
     "ev_retention_halflife" -> retentionHalflife,
     "ev_growth_accounting" -> growthAccounting,
@@ -1672,6 +1819,7 @@ object ProductAnalytics {
 
   val oracle: Map[String, String] = Map(
     "ev_gini_concentration" -> giniConcentrationSql,
+    "ev_cuped_adjusted" -> cupedAdjustedSql,
     "ev_tail_index" -> tailIndexSql,
     "ev_retention_halflife" -> retentionHalflifeSql,
     "ev_growth_accounting" -> growthAccountingSql,

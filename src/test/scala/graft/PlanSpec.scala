@@ -226,6 +226,8 @@ class PlanSpec extends AnyFunSuite {
     "retrieval_bm25_tuning_sweep", // 1-row corpus-stats broadcast into
                             // the tf table + 1-row idcg broadcast
                             // (k1/b-independent, computed once)
+    "ev_cuped_adjusted",    // three 1-row broadcasts (bounds, means,
+                            // moments/theta) over the user frame
     "emb_knn_label_eval",   // 1-row n_excluded honesty broadcast
                             // (the reciprocal-kNN device)
     "emb_pair_distance_hist") // declared bounded all-pairs on the

@@ -299,6 +299,25 @@ class ProductAnalyticsSpec extends AnyFunSuite {
     assert(got == Seq((4L, 1L, 6931470L, 577L)))
   }
 
+  test("cuped: a post-period exactly equal to pre gives theta = 1, " +
+      "full variance reduction, and a raw uplift adjusted to zero") {
+    // 4 users, purchases on day 0 (pre) and day 2 (post), post == pre:
+    // x = (200,100,400,300) cents, y = x. theta = 1e6 exactly,
+    // rho^2 = 1 -> var_reduction 1000. Raw uplift: treat (u1,u3)
+    // mean 300 cents vs control (u2,u4) mean 200 -> +100 cents =
+    // 1e8 micro-cents, ALL of it pre-period imbalance -> CUPED 0.
+    def buy(id: Long, u: Long, day: Long, v: Double) =
+      (id, ts(day * 86400L + 3600L), u, "purchase", v, "{}")
+    val d = writeEvents(Seq(
+      buy(1L, 1L, 0, 2.0), buy(2L, 1L, 2, 2.0),
+      buy(3L, 2L, 0, 1.0), buy(4L, 2L, 2, 1.0),
+      buy(5L, 3L, 0, 4.0), buy(6L, 3L, 2, 4.0),
+      buy(7L, 4L, 0, 3.0), buy(8L, 4L, 2, 3.0)))
+    val got = ProductAnalytics.cupedAdjusted(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 2L, 1000000L, 100000000L, 0L, 1000L)))
+  }
+
   test("gini: a planted 1/2/3/4 count ladder gives exactly 0.25; " +
       "equal purchase spends give exactly 0") {
     // events: users 1..4 with 1,2,3,4 events → Σx=10, Σi·x=30,
