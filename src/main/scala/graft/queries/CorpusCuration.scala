@@ -436,6 +436,127 @@ object CorpusCuration {
        |  MIN(permille) AS min_permille, MAX(permille) AS max_permille
        |FROM perm GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------- LSH recall audit
+  /** The other half of the banding audit: `dedup_lsh_precision`
+    * measures how much of what LSH emits is real; THIS measures how
+    * much of what is real LSH emits. Ground truth cannot come from
+    * LSH itself, so it is built by exact shingle-Jaccard over an
+    * ADAPTIVE md5 DOC sample (~192 docs at any corpus size — the
+    * pair_distance_hist modulus device, salted 'lshr|'): every
+    * same-shingle pair within the sample gets an exact J, pairs at
+    * J ≥ {0.5, 0.7, 0.85, 0.95} form the truth sets, and a left
+    * join against the full candidate table yields recall per
+    * threshold — the number that catches band parameters TOO TIGHT
+    * (precision's blind side; missing high-J mass is unrecoverable
+    * corpus duplication downstream).
+    *
+    * Scale shape: the truth join is the declared capped brute force
+    * on the ~192-doc sample (≤ sample² pair work regardless of
+    * corpus size); the candidate join is the usual banded table.
+    * Pairs with no shared shingle have J = 0 and cannot enter any
+    * truth set, so the shingle equi-join discovers the truth set
+    * exactly. */
+  def lshRecall(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val m = docs.agg(greatest(lit(2L), expr("COUNT(*) DIV 192")).as("m"))
+      .select(col("m"), least(col("m"), lit(65536L)).as("m1"),
+        expr("(m + 65535) DIV 65536").as("m2"))
+    val hex = md5(concat(lit("lshr|"), col("doc_id").cast("string")))
+    val sample = graft.operators.Materialize.eager(
+      docs.crossJoin(broadcast(m))
+        .filter(
+          conv(substring(hex, 1, 4), 16, 10).cast("long") % col("m1") === 0 &&
+          conv(substring(hex, 5, 4), 16, 10).cast("long") % col("m2") === 0)
+        .select(col("doc_id"), col("text")))
+    val nSample = sample.agg(count(lit(1)).as("n_sample_docs"))
+    val shingled = graft.operators.Materialize.eager(
+      sample.select(col("doc_id"),
+          explode(Documents.shingles3(col("text"))).as("sh0"))
+        .select(col("doc_id"), xxhash64(col("sh0")).as("sh")).distinct())
+    val sizes = shingled.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a2 = shingled.select(col("doc_id").as("doc_a"), col("sh"))
+    val b2 = shingled.select(col("doc_id").as("doc_b"), col("sh"))
+    val inter = a2.join(b2, "sh").filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ni"))
+    val cand = Documents.lshCandidatePairs(s, d)
+      .select(col("doc_a"), col("doc_b")).withColumn("hit", lit(1L))
+    val jac = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")),
+        "doc_b")
+      .withColumn("permille", expr("(1000 * ni) DIV (na + nb - ni)"))
+      .join(cand, Seq("doc_a", "doc_b"), "left")
+      .select(col("permille"), coalesce(col("hit"), lit(0L)).as("hit"))
+    val jm = graft.operators.Materialize.eager(jac)
+    val rows = Seq(500, 700, 850, 950).map { t =>
+      jm.filter(col("permille") >= t)
+        .agg(coalesce(count(lit(1)), lit(0L)).as("n_true_pairs"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+        .withColumn("threshold_pm", lit(t.toLong))
+    }
+    rows.reduce(_ unionByName _)
+      .crossJoin(broadcast(nSample))
+      .withColumn("recall_permille", expr(
+        "CASE WHEN n_true_pairs > 0 THEN n_hit * 1000 DIV n_true_pairs " +
+          "ELSE CAST(0 AS BIGINT) END"))
+      .select(col("threshold_pm"), col("n_sample_docs"),
+        col("n_true_pairs"), col("n_hit"), col("recall_permille"))
+      .orderBy(col("threshold_pm"))
+  }
+
+  val lshRecallSql: String = {
+    def hx(lo: Int): String =
+      s"('0x' || substr(md5('lshr|' || CAST(doc_id AS VARCHAR)), $lo, 4))::INT"
+    val rows = Seq(500, 700, 850, 950).map { t =>
+      s"""SELECT CAST($t AS BIGINT) AS threshold_pm,
+         |  (SELECT n_sample_docs FROM ns) AS n_sample_docs,
+         |  CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+         |  CAST(COALESCE(SUM(hit), 0) AS BIGINT) AS n_hit,
+         |  CASE WHEN COUNT(*) > 0
+         |    THEN CAST(COALESCE(SUM(hit), 0) AS BIGINT) * 1000 // COUNT(*)
+         |    ELSE CAST(0 AS BIGINT) END AS recall_permille
+         |FROM jac WHERE permille >= $t""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH mm AS (
+       |  SELECT m, LEAST(m, 65536) AS m1, (m + 65535) // 65536 AS m2
+       |  FROM (SELECT GREATEST(2, COUNT(*) // 192) AS m FROM documents)),
+       |sample AS (
+       |  SELECT doc_id, text FROM documents, mm
+       |  WHERE ${hx(1)} % m1 = 0 AND ${hx(5)} % m2 = 0),
+       |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sample_docs FROM sample),
+       |toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(text, '[^\\p{L}]+'), w -> w <> '')
+       |      AS ws
+       |  FROM sample),
+       |shingled AS (
+       |  SELECT DISTINCT doc_id,
+       |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+       |  FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+       |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+       |          FROM shingled GROUP BY doc_id),
+       |inter AS (
+       |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+       |    CAST(COUNT(*) AS BIGINT) AS ni
+       |  FROM shingled sa JOIN shingled sb
+       |    ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT doc_a, doc_b, 1 AS hit FROM (
+       |${Documents.dedupLshPairsSql}
+       |  )),
+       |jac AS (
+       |  SELECT (1000 * i.ni) // (za.n_sh + zb.n_sh - i.ni) AS permille,
+       |    COALESCE(c.hit, 0) AS hit
+       |  FROM inter i
+       |  JOIN sizes za ON za.doc_id = i.doc_a
+       |  JOIN sizes zb ON zb.doc_id = i.doc_b
+       |  LEFT JOIN cand c ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b)
+       |$rows
+       |ORDER BY threshold_pm""".stripMargin
+  }
+
   // ---------------------------------------------- winnowing pairs
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's
     * MOSS local fingerprinting): hash every token 3-gram, slide a
@@ -600,7 +721,8 @@ object CorpusCuration {
     "doc_cdc_chunks" -> cdcChunks,
     "doc_importance_score" -> importanceScore,
     "doc_quality_deciles" -> qualityDeciles,
-    "dedup_lsh_precision" -> lshPrecision)
+    "dedup_lsh_precision" -> lshPrecision,
+    "dedup_lsh_recall" -> lshRecall)
 
   val oracle: Map[String, String] = Map(
     "doc_boilerplate_shingles" -> boilerplateShinglesSql,
@@ -610,5 +732,6 @@ object CorpusCuration {
     "doc_cdc_chunks" -> cdcChunksSql,
     "doc_importance_score" -> importanceScoreSql,
     "doc_quality_deciles" -> qualityDecilesSql,
-    "dedup_lsh_precision" -> lshPrecisionSql)
+    "dedup_lsh_precision" -> lshPrecisionSql,
+    "dedup_lsh_recall" -> lshRecallSql)
 }

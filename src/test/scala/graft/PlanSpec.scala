@@ -226,6 +226,8 @@ class PlanSpec extends AnyFunSuite {
     "retrieval_bm25_tuning_sweep", // 1-row corpus-stats broadcast into
                             // the tf table + 1-row idcg broadcast
                             // (k1/b-independent, computed once)
+    "dedup_lsh_recall",     // 1-row adaptive-modulus + 1-row sample
+                            // count broadcasts (pair_distance_hist device)
     "ev_cuped_adjusted",    // three 1-row broadcasts (bounds, means,
                             // moments/theta) over the user frame
     "emb_knn_label_eval",   // 1-row n_excluded honesty broadcast
