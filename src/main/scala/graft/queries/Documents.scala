@@ -270,6 +270,24 @@ object Documents {
       xxhash64(lit("b0"), col("mh0"), col("mh1")).as("b0"),
       xxhash64(lit("b1"), col("mh2"), col("mh3")).as("b1"))
 
+  /** Banded candidate pairs restricted to a caller-supplied
+    * (doc_id, text) frame: a doc's minhash signature depends only on
+    * its own tokens, so the candidate pairs among a sample equal the
+    * FULL table's restriction to sample×sample — at sample cost, not
+    * corpus cost. This is dedup_lsh_recall's scale path (its oracle
+    * intentionally computes the full table and restricts, proving the
+    * equivalence on every run). */
+  private[queries] def lshCandidatePairsAmong(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+    val aggs = (0 until NSIG).map(j =>
+      min(md5(concat(lit(j.toString), lit("|"), col("word")))).as(s"mh$j"))
+    val sig = tok.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        xxhash64(lit("b0"), col("mh0"), col("mh1")).as("b0"),
+        xxhash64(lit("b1"), col("mh2"), col("mh3")).as("b1"))
+    lshCandidatePairsFromSig(graft.operators.Materialize.eager(sig))
+  }
+
   /** Pair join over a caller-materialized banded signature table (must
     * already be repartitioned to output-work parallelism — see the
     * AQE-coalescing note in [[lshCandidatePairs]]). */
