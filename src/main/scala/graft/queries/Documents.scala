@@ -445,6 +445,103 @@ object Documents {
       .orderBy(col("n_nodes").desc, col("cluster_rep"))
   }
 
+  // ------------------------------------ leakage-safe split audit
+  /** Train/val/test assignment with NEAR-DUP leakage accounting: the
+    * naive per-doc text-hash split (the corpus splitCol device) is
+    * compared against a CLUSTER-AWARE split where every doc inherits
+    * its dedup-cluster representative's assignment — so near-dup
+    * families can never straddle a split boundary. For each scheme
+    * the query reports the split sizes AND the number of LSH
+    * candidate pairs crossing splits: the naive row's non-zero count
+    * IS the eval contamination a per-doc split ships (test docs with
+    * a near-duplicate in train), and the cluster row proves 0 by
+    * construction in-output. This is the ML-hygiene step
+    * decontamination doesn't cover: decontaminate removes eval-set
+    * text from train; THIS stops the corpus's own duplicate families
+    * from leaking across its internal splits.
+    *
+    * Scale shape: the clusterDensity discipline — one materialized
+    * banded-signature table feeds both the contracted-CC labels and
+    * the candidate-pair join; split assignment is a projection; the
+    * leak counts are two pair-keyed equi-joins + a 1-row agg per
+    * scheme. Hashing the REPRESENTATIVE's text (not its id) keeps
+    * the split stable under re-ingest id reassignment, the splitCol
+    * contract. */
+  def leakageSafeSplit(s: SparkSession, d: String): DataFrame = {
+    val sig2 = graft.operators.Materialize.eager(bandedSigs(s, d))
+    val labels = graft.operators.Materialize.eager(
+      dedupClustersFromSig(s, d, sig2)
+        .select(col("doc_id"), col("cluster_rep")))
+    val sig2p = graft.operators.Materialize.eager(
+      sig2.repartition(s.sparkContext.defaultParallelism))
+    val pairs = graft.operators.Materialize.eager(
+      lshCandidatePairsFromSig(sig2p))
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val naive = graft.operators.Materialize.eager(
+      docs.select(col("doc_id"), TextPipeline.splitCol.as("split")))
+    val clustered = graft.operators.Materialize.eager(
+      labels.join(
+        docs.select(col("doc_id").as("cluster_rep"),
+          TextPipeline.splitCol.as("split")),
+        "cluster_rep")
+        .select(col("doc_id"), col("split")))
+    def row(name: String, asg: DataFrame): DataFrame = {
+      val counts = asg.agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+      val cross = pairs
+        .join(asg.select(col("doc_id").as("doc_a"), col("split").as("sa")),
+          "doc_a")
+        .join(asg.select(col("doc_id").as("doc_b"), col("split").as("sb")),
+          "doc_b")
+        .agg(coalesce(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)),
+          lit(0L)).as("cross_split_pairs"))
+      counts.crossJoin(broadcast(cross)).withColumn("scheme", lit(name))
+    }
+    row("naive", naive).unionByName(row("cluster", clustered))
+      .select(col("scheme"), col("n_train"), col("n_val"), col("n_test"),
+        col("cross_split_pairs"))
+      .orderBy(col("scheme"))
+  }
+
+  val leakageSafeSplitSql: String = {
+    val sig = minhashSignaturesSql.replace("ORDER BY doc_id", "")
+    def schemeRow(name: String, asg: String): String =
+      s"""SELECT '$name' AS scheme,
+         |  (SELECT CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+         |     AS BIGINT) FROM $asg) AS n_train,
+         |  (SELECT CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END)
+         |     AS BIGINT) FROM $asg) AS n_val,
+         |  (SELECT CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+         |     AS BIGINT) FROM $asg) AS n_test,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pairsp p
+         |     JOIN $asg a ON a.doc_id = p.doc_a
+         |     JOIN $asg b ON b.doc_id = p.doc_b
+         |     WHERE a.split <> b.split) AS cross_split_pairs""".stripMargin
+    s"""WITH labels AS (
+       |  SELECT * FROM ($dedupClustersSql) lt),
+       |splits AS (
+       |  SELECT doc_id, ${TextPipeline.splitCaseSql} AS split
+       |  FROM documents),
+       |clus AS (
+       |  SELECT l.doc_id, s.split FROM labels l
+       |  JOIN splits s ON s.doc_id = l.cluster_rep),
+       |sigp AS ($sig),
+       |bandedp AS (
+       |  SELECT doc_id, 'b0_' || mh0 || '_' || mh1 AS band FROM sigp
+       |  UNION ALL
+       |  SELECT doc_id, 'b1_' || mh2 || '_' || mh3 AS band FROM sigp),
+       |pairsp AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bandedp a JOIN bandedp b
+       |    ON a.band = b.band AND a.doc_id < b.doc_id)
+       |${schemeRow("naive", "splits")}
+       |UNION ALL
+       |${schemeRow("cluster", "clus")}
+       |ORDER BY scheme""".stripMargin
+  }
+
   val clusterDensitySql: String = {
     val sig = minhashSignaturesSql.replace("ORDER BY doc_id", "")
     s"""WITH labels AS (
@@ -1313,6 +1410,7 @@ object Documents {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_growth_curve" -> dedupGrowthCurve,
+    "doc_leakage_safe_split" -> leakageSafeSplit,
     "dedup_threshold_sweep" -> thresholdSweep,
     "dedup_band_sweep" -> bandSweep,
     "doc_wordcount" -> wordCount,
@@ -1340,6 +1438,7 @@ object Documents {
     "doc_wordcount" -> wordCountSql,
     "dedup_band_sweep" -> bandSweepSql,
     "dedup_growth_curve" -> dedupGrowthCurveSql,
+    "doc_leakage_safe_split" -> leakageSafeSplitSql,
     "dedup_threshold_sweep" -> thresholdSweepSql,
     "doc_inverted_index" -> invertedIndexSql,
     "doc_filter_group_count" -> filterGroupCountSql,

@@ -226,6 +226,7 @@ class PlanSpec extends AnyFunSuite {
     "retrieval_bm25_tuning_sweep", // 1-row corpus-stats broadcast into
                             // the tf table + 1-row idcg broadcast
                             // (k1/b-independent, computed once)
+    "doc_leakage_safe_split", // two 1-row cross-split-count broadcasts
     "dedup_lsh_recall",     // 1-row adaptive-modulus + 1-row sample
                             // count broadcasts (pair_distance_hist device)
     "ev_cuped_adjusted",    // three 1-row broadcasts (bounds, means,
