@@ -477,31 +477,43 @@ object Documents {
     val pairs = graft.operators.Materialize.eager(
       lshCandidatePairsFromSig(sig2p))
     val docs = documents(s, d).select(col("doc_id"), col("text"))
-    val naive = graft.operators.Materialize.eager(
-      docs.select(col("doc_id"), TextPipeline.splitCol.as("split")))
-    val clustered = graft.operators.Materialize.eager(
-      labels.join(
-        docs.select(col("doc_id").as("cluster_rep"),
-          TextPipeline.splitCol.as("split")),
-        "cluster_rep")
-        .select(col("doc_id"), col("split")))
-    def row(name: String, asg: DataFrame): DataFrame = {
-      val counts = asg.agg(
-        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
-        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
-        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
-      val cross = pairs
-        .join(asg.select(col("doc_id").as("doc_a"), col("split").as("sa")),
-          "doc_a")
-        .join(asg.select(col("doc_id").as("doc_b"), col("split").as("sb")),
-          "doc_b")
-        .agg(coalesce(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)),
-          lit(0L)).as("cross_split_pairs"))
-      counts.crossJoin(broadcast(cross)).withColumn("scheme", lit(name))
-    }
-    row("naive", naive).unionByName(row("cluster", clustered))
-      .select(col("scheme"), col("n_train"), col("n_val"), col("n_test"),
-        col("cross_split_pairs"))
+    // ONE assignment frame carrying both schemes' splits, so the
+    // Σ bucket² pair table is joined twice (doc_a, doc_b), not twice
+    // PER SCHEME — at 10× the pair joins dominate and this halves them
+    val asg = graft.operators.Materialize.eager(
+      docs.select(col("doc_id"), TextPipeline.splitCol.as("nsplit"))
+        .join(labels.join(
+          docs.select(col("doc_id").as("cluster_rep"),
+            TextPipeline.splitCol.as("csplit")),
+          "cluster_rep")
+          .select(col("doc_id"), col("csplit")), "doc_id"))
+    def cnt(c: org.apache.spark.sql.Column, v: String) =
+      sum(when(c === v, 1L).otherwise(0L))
+    val counts = asg.agg(
+      cnt(col("nsplit"), "train").as("n_train_n"),
+      cnt(col("nsplit"), "val").as("n_val_n"),
+      cnt(col("nsplit"), "test").as("n_test_n"),
+      cnt(col("csplit"), "train").as("n_train_c"),
+      cnt(col("csplit"), "val").as("n_val_c"),
+      cnt(col("csplit"), "test").as("n_test_c"))
+    val cross = pairs
+      .join(asg.select(col("doc_id").as("doc_a"), col("nsplit").as("na"),
+        col("csplit").as("ca")), "doc_a")
+      .join(asg.select(col("doc_id").as("doc_b"), col("nsplit").as("nb"),
+        col("csplit").as("cb")), "doc_b")
+      .agg(
+        coalesce(sum(when(col("na") =!= col("nb"), 1L).otherwise(0L)),
+          lit(0L)).as("cross_n"),
+        coalesce(sum(when(col("ca") =!= col("cb"), 1L).otherwise(0L)),
+          lit(0L)).as("cross_c"))
+    val both = counts.crossJoin(broadcast(cross))
+    both.select(lit("naive").as("scheme"), col("n_train_n").as("n_train"),
+        col("n_val_n").as("n_val"), col("n_test_n").as("n_test"),
+        col("cross_n").as("cross_split_pairs"))
+      .unionByName(both.select(lit("cluster").as("scheme"),
+        col("n_train_c").as("n_train"), col("n_val_c").as("n_val"),
+        col("n_test_c").as("n_test"),
+        col("cross_c").as("cross_split_pairs")))
       .orderBy(col("scheme"))
   }
 
