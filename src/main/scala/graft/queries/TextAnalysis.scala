@@ -1029,7 +1029,77 @@ object TextAnalysis {
       |    // GREATEST(CAST(SUM(len) AS BIGINT), 1) AS corpus_density_pm
       |FROM d GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------- OCR-noise detector
+  /** Garbled-text detection per source — the scanned-document /
+    * bad-decode filter (OCR shatter, mojibake survivors, columnized
+    * PDFs) that the length/stopword quality gates miss because
+    * garbage can have plausible lengths. Three token-shape signals no
+    * clean prose sustains, all exact counts on the corpus tokenizer's
+    * tokens: single-letter tokens (shattered words: "t h e"),
+    * lowercase consonant runs ≥ 5 with no vowel ("brwnfxz" — vowels
+    * dropped by recognition), and case flips inside a word
+    * ("tXt" — column-merge artifacts). A doc is flagged at ≥ 100‰
+    * noisy tokens. Regexes stay in the Java∩RE2 common subset
+    * (character classes + quantifiers + anchors only).
+    *
+    * Scale shape: per-doc higher-order filters over the already-split
+    * token array (no second explode), one per-source hash-agg —
+    * linear, embarrassingly parallel. */
+  def ocrNoise(s: SparkSession, d: String): DataFrame = {
+    val ws = toks(col("text"))
+    documents(s, d)
+      .withColumn("n_tok", size(ws).cast("long"))
+      .filter(col("n_tok") > 0)
+      .withColumn("n_single",
+        size(filter(ws, w => length(w) === 1)).cast("long"))
+      .withColumn("n_consrun",
+        size(filter(ws, w => w.rlike("^[bcdfghjklmnpqrstvwxz]{5,}$")))
+          .cast("long"))
+      .withColumn("n_midcap",
+        size(filter(ws, w => w.rlike("^[a-z]+[A-Z]"))).cast("long"))
+      .withColumn("noise_pm", expr(
+        "(n_single + n_consrun + n_midcap) * 1000 DIV n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("noise_pm") >= 100, 1L).otherwise(0L))
+          .as("n_flagged"),
+        sum(col("n_single") + col("n_consrun") + col("n_midcap"))
+          .as("n_noisy_tokens"),
+        sum(col("n_tok")).as("n_tokens"))
+      .withColumn("flagged_permille", expr("n_flagged * 1000 DIV n_docs"))
+      .withColumn("corpus_noise_pm",
+        expr("n_noisy_tokens * 1000 DIV n_tokens"))
+      .select(col("source"), col("n_docs"), col("n_flagged"),
+        col("flagged_permille"), col("corpus_noise_pm"))
+      .orderBy(col("source"))
+  }
+
+  val ocrNoiseSql: String =
+    s"""WITH f AS (
+       |  SELECT source, len(ws) AS n_tok,
+       |    len(list_filter(ws, w -> len(w) = 1)) AS n_single,
+       |    len(list_filter(ws,
+       |      w -> regexp_matches(w, '^[bcdfghjklmnpqrstvwxz]{5,}$$')))
+       |      AS n_consrun,
+       |    len(list_filter(ws, w -> regexp_matches(w, '^[a-z]+[A-Z]')))
+       |      AS n_midcap
+       |  FROM (SELECT source, $toksSql AS ws FROM documents)
+       |  WHERE len(ws) > 0),
+       |d AS (
+       |  SELECT source, n_tok, n_single + n_consrun + n_midcap AS noisy,
+       |    (n_single + n_consrun + n_midcap) * 1000 // n_tok AS noise_pm
+       |  FROM f)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN noise_pm >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_flagged,
+       |  CAST(SUM(CASE WHEN noise_pm >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+       |    * 1000 // COUNT(*) AS flagged_permille,
+       |  CAST(SUM(noisy) AS BIGINT) * 1000 // CAST(SUM(n_tok) AS BIGINT)
+       |    AS corpus_noise_pm
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ocr_noise" -> ocrNoise,
     "text_code_ratio" -> codeRatio,
     "text_readability" -> readability,
     "text_keywords_rake" -> keywordsRake,
@@ -1048,6 +1118,7 @@ object TextAnalysis {
     "doc_chunk_windows" -> chunkWindows)
 
   val oracle: Map[String, String] = Map(
+    "text_ocr_noise" -> ocrNoiseSql,
     "text_code_ratio" -> codeRatioSql,
     "text_readability" -> readabilitySql,
     "text_keywords_rake" -> keywordsRakeSql,

@@ -231,6 +231,20 @@ class TextAnalysisSpec extends AnyFunSuite {
       (1875L, 2L, 1000L, 16L, 1000L)))
   }
 
+  test("ocr noise: shattered letters, vowelless runs, and mid-word " +
+      "case flips are counted exactly; clean prose scores zero") {
+    // garbled doc: tokens (t,h,e,brwnfxz,tXt,word) -> 3 singles +
+    // 1 consonant run + 1 mid-cap = 5 noisy of 6 -> 833 permille
+    val dir = writeDocs(Seq(
+      (1L, "the quick brown fox jumps over lazy dogs"),
+      (2L, "t h e brwnfxz tXt word")))
+    val got = TextAnalysis.ocrNoise(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("src1", 1L, 0L, 0L, 0L),
+      ("src2", 1L, 1L, 1000L, 833L)))
+  }
+
   test("code ratio: a code snippet's exact structural density flags " +
       "it; prose scores zero") {
     // len 38; braces 2 + semis 2 + two "\n  " indents = 6 struct
