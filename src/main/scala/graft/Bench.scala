@@ -14,6 +14,22 @@ object Bench {
     """"([^"]+)":([0-9.]+)""".r.findAllMatchIn(txt)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
 
+  // Reserved history keys (never query names — the "__" prefix keeps
+  // them out of the gate's per-query minimums): the best (lowest)
+  // probe readings ever recorded, i.e. the healthiest host observed.
+  // A regression entry's probe RATIOS (this run / best recorded) make
+  // a flag on a degraded host machine-readably distinguishable from a
+  // code regression — the round-9 LPA/kcore flags took a manual
+  // forensic pass (git diff + probe archaeology) to attribute; now
+  // the artifact carries the attribution itself.
+  private[graft] val BusyBestKey = "__busy32_best"
+  private[graft] val StreamBestKey = "__stream32_best"
+
+  /** Query-only view of the raw history (probe keys excluded) — the
+    * gate must never treat a probe minimum as a query minimum. */
+  private[graft] def queryMins(hist: Map[String, Double]): Map[String, Double] =
+    hist.filterNot(_._1.startsWith("__"))
+
   /** The self-judging core, pure so BenchGateSpec can pin it: given
     * the persisted per-query NORMALIZED minimums (sec / busy32_sec —
     * unitless multiples of the calibration probe's fixed CPU work,
@@ -115,30 +131,37 @@ object Bench {
     // attribute THIS class of host swing too. Attribution-only: the
     // regression gate stays keyed on busy32 (its history is in
     // busy32 units; mixing probes would corrupt the recorded mins).
-    val streamBuf = new Array[Long](64 * 1024 * 1024) // 512 MiB
-    java.util.Arrays.fill(streamBuf, 3L)
-    def streamProbe(): Double = {
-      val t0 = System.nanoTime()
-      val slice = streamBuf.length / 32
-      val ts = (0 until 32).map { k =>
-        val th = new Thread(() => {
-          var pass = 0; var acc = 0L
-          while (pass < 4) {
-            var i = k * slice; val end = i + slice
-            while (i < end) { acc += streamBuf(i); i += 1 }
-            pass += 1
-          }
-          sink.addAndGet(acc); ()
-        })
-        th.start(); th
-      }
-      ts.foreach(_.join())
-      (System.nanoTime() - t0) / 1e9
-    }
+    // The 512 MiB buffer lives only inside this block: as a
+    // method-local it would stay strongly reachable for the whole
+    // benchmark (main never returns until the end), pinning half a
+    // gigabyte of driver heap through every timed query (ADVICE r9).
     sink.addAndGet(spin(99L, 20000000L)) // JIT warm
     val busySec = math.min(busyProbe(), busyProbe())
-    streamProbe() // JIT + page-touch warm
-    val streamSec = math.min(streamProbe(), streamProbe())
+    val streamSec = {
+      val streamBuf = new Array[Long](64 * 1024 * 1024) // 512 MiB
+      java.util.Arrays.fill(streamBuf, 3L)
+      def streamProbe(): Double = {
+        val t0 = System.nanoTime()
+        val slice = streamBuf.length / 32
+        val ts = (0 until 32).map { k =>
+          val th = new Thread(() => {
+            var pass = 0; var acc = 0L
+            while (pass < 4) {
+              var i = k * slice; val end = i + slice
+              while (i < end) { acc += streamBuf(i); i += 1 }
+              pass += 1
+            }
+            sink.addAndGet(acc); ()
+          })
+          th.start(); th
+        }
+        ts.foreach(_.join())
+        (System.nanoTime() - t0) / 1e9
+      }
+      streamProbe() // JIT + page-touch warm
+      math.min(streamProbe(), streamProbe())
+    }
+    System.gc() // the probe buffer is unreachable now — free it before q1
     exec("q1_pricing_summary") // warm-up: JVM, codegen, file index
     // two passes, report min: first execution of a query shape pays
     // one-time janino codegen (~1-5 s) that is irrelevant at scale.
@@ -180,27 +203,40 @@ object Bench {
     // timings into the minimums and then flag every future official
     // run as a 50x "regression"
     val histFile = java.nio.file.Paths.get("bench_history.json")
-    val regressions: Seq[(String, Double, Double)] =
-      if (args.nonEmpty || busySec <= 0 || !sfDir.endsWith("sf0.1")) Seq.empty
+    // probe ratios: this run's probe / best (lowest) recorded probe.
+    // ~1.0 on a healthy host; >1 quantifies degradation — busy32 for
+    // ALU, stream32 for memory bandwidth (the round-9 blind spot:
+    // checkpoint-heavy queries flagged on a host whose ALU probe read
+    // healthy but whose bandwidth probe was 2.8x degraded)
+    val (regressions, busyRatio, streamRatio) =
+      if (args.nonEmpty || busySec <= 0 || !sfDir.endsWith("sf0.1"))
+        (Seq.empty[(String, Double, Double)], 1.0, 1.0)
       else {
-        val hist: Map[String, Double] =
+        val raw: Map[String, Double] =
           if (java.nio.file.Files.exists(histFile))
             parseHistory(java.nio.file.Files.readString(histFile))
           else Map.empty
         val timings = results.collect { case (n, v) if v >= 0 => n -> v }.toMap
-        val (regs, merged) = gate(hist, timings, busySec)
-        val body = merged.toSeq.sortBy(_._1)
+        val (regs, merged) = gate(queryMins(raw), timings, busySec)
+        val busyBest = math.min(raw.getOrElse(BusyBestKey, busySec), busySec)
+        val streamBest =
+          math.min(raw.getOrElse(StreamBestKey, streamSec), streamSec)
+        val withProbes = merged +
+          (BusyBestKey -> busyBest) + (StreamBestKey -> streamBest)
+        val body = withProbes.toSeq.sortBy(_._1)
           .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
           .mkString("{", ",", "}")
         try java.nio.file.Files.writeString(histFile, body + "\n")
         catch { case e: Throwable =>
           System.err.println(s"[bench] history write failed: ${e.getMessage}")
         }
-        regs
+        (regs, busySec / busyBest, streamSec / streamBest)
       }
     val regJson = regressions
       .map { case (n, cur, best) =>
-        s"""{"q":"$n","norm":${fmt(cur)},"min":${fmt(best)}}""" }
+        s"""{"q":"$n","norm":${fmt(cur)},"min":${fmt(best)}""" +
+          s""","busy32_ratio":${fmt(busyRatio)}""" +
+          s""","stream32_ratio":${fmt(streamRatio)}}""" }
       .mkString("[", ",", "]")
     // queries sorted FASTEST-FIRST and the total/metric fields LAST:
     // the driver archives only a bounded stdout tail, and a ~87-entry

@@ -55,6 +55,20 @@ class BenchGateSpec extends AnyFunSuite {
     assert(merged("gone") == 3.0)
   }
 
+  test("reserved probe keys never act as query minimums") {
+    // the history file carries __busy32_best/__stream32_best next to
+    // the query mins; a run of a (hypothetical) query named like a
+    // probe key must not compare against the probe reading
+    val raw = Map("q" -> 4.0, Bench.BusyBestKey -> 0.45,
+      Bench.StreamBestKey -> 0.020)
+    val mins = Bench.queryMins(raw)
+    assert(mins == Map("q" -> 4.0))
+    val (regs, merged) = Bench.gate(mins, Map("q" -> 5.0), busy)
+    assert(regs.map(_._1) == Seq("q"))
+    assert(!merged.contains(Bench.BusyBestKey),
+      "gate merge operates on query mins only; probes re-attach in main")
+  }
+
   test("history body round-trips through the flat parser") {
     val hist = Map("a_q" -> 1.234, "z.q" -> 0.007)
     val body = hist.toSeq.sortBy(_._1)
