@@ -239,36 +239,71 @@ object Documents {
     * (dedup_lsh_precision's sampled audit) build on; dedupLshPairs
     * adds only the oracle-facing global sort, which is pure waste for
     * a consumer that re-aggregates. */
-  private[queries] def lshCandidatePairs(s: SparkSession, d: String): DataFrame = {
-    // band keys as 64-bit hashes (8 bytes shuffled instead of a
-    // 68-char string; same pairs modulo 2^-64 collisions). Two
-    // disjoint joins — band-0 matches, then band-1-only matches
-    // (band-0 differs) — produce each pair exactly once, so no
-    // 10 M-row distinct shuffle (was ~5 s of the query at sf0.1).
-    // materialize the (tiny: one row per doc, 3 longs) signature table
-    // so the two joins × two sides don't re-run the tokenize+minhash
-    // agg (cold A/B at sf0.1: 2.3 s materialized vs 5.9 s not).
-    // Materialize.eager: block reuse without a CacheManager leak for
-    // library callers (policy + executor-loss trade-off documented in
-    // operators.Materialize).
-    // The explicit repartition matters: AQE coalesces the materialized
-    // signature shuffle by its INPUT bytes (tiny) — but this join's
-    // OUTPUT is sum-of-bucket² pairs, so 2 coalesced partitions would
-    // serialize the expansion on 2 tasks (measured 4.4 s vs 1.9 s at
-    // sf0.1). Parallelism here must be sized to output work.
-    val sig2 = graft.operators.Materialize.eager(
-      bandedSigs(s, d).repartition(s.sparkContext.defaultParallelism))
-    lshCandidatePairsFromSig(sig2)
-  }
+  private[queries] def lshCandidatePairs(s: SparkSession, d: String): DataFrame =
+    // SESSION-SHARED (round-9 verdict #6): nine registered queries
+    // (the dedup sweeps/confirms plus the whole graph family) build on
+    // this exact pair table — the first consumer in a session pays the
+    // tokenize + minhash + band joins once and pins the result
+    // (~O(docs) rows; Σ bucket² bounded by the banding), the rest read
+    // the stored blocks. Deterministic, so reuse is value-identical.
+    graft.operators.Materialize.sharedPinned(s, s"lsh_pairs|$d") {
+      // band keys as 64-bit hashes (8 bytes shuffled instead of a
+      // 68-char string; same pairs modulo 2^-64 collisions). Two
+      // disjoint joins — band-0 matches, then band-1-only matches
+      // (band-0 differs) — produce each pair exactly once, so no
+      // 10 M-row distinct shuffle (was ~5 s of the query at sf0.1).
+      // materialize the (tiny: one row per doc, 3 longs) signature table
+      // so the two joins × two sides don't re-run the tokenize+minhash
+      // agg (cold A/B at sf0.1: 2.3 s materialized vs 5.9 s not).
+      // The explicit repartition matters: AQE coalesces the materialized
+      // signature shuffle by its INPUT bytes (tiny) — but this join's
+      // OUTPUT is sum-of-bucket² pairs, so 2 coalesced partitions would
+      // serialize the expansion on 2 tasks (measured 4.4 s vs 1.9 s at
+      // sf0.1). Parallelism here must be sized to output work.
+      val sig2 = graft.operators.Materialize.eager(
+        bandedSigs(s, d).repartition(s.sparkContext.defaultParallelism))
+      lshCandidatePairsFromSig(sig2)
+    }
 
   /** (doc_id, b0, b1) banded signature projection — the shared root
     * of the pair join AND the cluster contraction; callers decide
     * materialization so a composite query (clusterDensity) computes
     * the tokenize+minhash scan ONCE for both subtrees. */
   private def bandedSigs(s: SparkSession, d: String): DataFrame =
-    minhashSignatures(s, d).select(col("doc_id"),
+    minhashSigShared(s, d).select(col("doc_id"),
       xxhash64(lit("b0"), col("mh0"), col("mh1")).as("b0"),
       xxhash64(lit("b1"), col("mh2"), col("mh3")).as("b1"))
+
+  /** Session-shared distinct (doc_id, word) token table — the root
+    * scan the LSH tuning family (band sweep, threshold sweep) pays
+    * standalone; one tokenize+distinct per session instead of one per
+    * query (round-9 verdict #6). O(Σ distinct tokens) rows. */
+  private[queries] def tokDistinct(s: SparkSession, d: String): DataFrame =
+    graft.operators.Materialize.sharedPinned(s, s"tok_distinct|$d") {
+      documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+        .distinct()
+    }
+
+  /** Session-shared hashed 3-gram shingle table (doc_id, source, sh),
+    * distinct. source is functionally dependent on doc_id, so a
+    * (doc_id, sh) projection is distinct too — one table serves the
+    * same-source pair metrics (ngram Jaccard/containment) AND the
+    * LSH precision audit. */
+  private[queries] def shingledHashed(s: SparkSession, d: String): DataFrame =
+    graft.operators.Materialize.sharedPinned(s, s"shingles3|$d") {
+      documents(s, d).select(col("doc_id"), col("source"),
+          explode(shingles3(col("text"))).as("sh0"))
+        .select(col("doc_id"), col("source"), xxhash64(col("sh0")).as("sh"))
+        .distinct()
+    }
+
+  /** Session-shared materialized MinHash signature table (unsorted —
+    * consumers re-sort if oracle-facing). */
+  private[queries] def minhashSigShared(s: SparkSession, d: String): DataFrame =
+    graft.operators.Materialize.sharedPinned(s, s"minhash_sig|$d") {
+      minhashSignatures(s, d)
+    }
 
   /** Banded candidate pairs restricted to a caller-supplied
     * (doc_id, text) frame: a doc's minhash signature depends only on
@@ -682,17 +717,14 @@ object Documents {
     * (bucketed, so the pair space is bounded per bucket — at scale the
     * bucket key would be an LSH band). */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d).select(col("doc_id"), col("source"), col("text"))
     // shuffle/join on the 64-bit shingle hash, not the string (same
-    // counts modulo 2^-64 collisions; oracle compares final pairs)
-    // NOT persisted, by cold-cache A/B at sf0.1 (2.09 s vs 2.35 s with
-    // persist): the shingle subtree feeds three consumers, but they
-    // share its shuffle via ReuseExchange, so caching only adds
-    // materialization cost
-    val shingled = docs.select(col("doc_id"), col("source"),
-      explode(shingles3(col("text"))).as("sh0"))
-      .select(col("doc_id"), col("source"), xxhash64(col("sh0")).as("sh"))
-      .distinct()
+    // counts modulo 2^-64 collisions; oracle compares final pairs).
+    // Within ONE query ReuseExchange already shares the subtree (the
+    // round-6 cold A/B: 2.09 s unpersisted vs 2.35 s persisted), but
+    // the SESSION-shared pinned table wins across the ≥3 queries that
+    // rebuild it standalone (containment, precision audit) — verdict
+    // r9 #6; A/B in BASELINE.md
+    val shingled = shingledHashed(s, d)
     val a = shingled.as("a"); val b = shingled.as("b")
     val inter = a.join(b, col("a.sh") === col("b.sh") &&
         col("a.source") === col("b.source") &&
@@ -761,15 +793,9 @@ object Documents {
     *
     * Scale shape: identical topology to ngramJaccard (shingle-hash
     * bucketed same-source self-join — per-shingle bucket bounded, no
-    * doc × doc), and like it the shingle subtree is deliberately NOT
-    * materialized: the same cold A/B applies (ReuseExchange already
-    * shares the distinct's shuffle across the three consumers). */
+    * doc × doc), sharing the session-pinned shingle table with it. */
   def ngramContainment(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d).select(col("doc_id"), col("source"), col("text"))
-    val shingled = docs.select(col("doc_id"), col("source"),
-      explode(shingles3(col("text"))).as("sh0"))
-      .select(col("doc_id"), col("source"), xxhash64(col("sh0")).as("sh"))
-      .distinct()
+    val shingled = shingledHashed(s, d)
     val a = shingled.as("a"); val b = shingled.as("b")
     val inter = a.join(b, col("a.sh") === col("b.sh") &&
         col("a.source") === col("b.source") &&
@@ -946,9 +972,12 @@ object Documents {
           "(length(text) - length(replace(text, '...', ''))) DIV 3 AS BIGINT)"))
       .withColumn("n_lines", expr(
         "CAST(1 + length(text) - length(replace(text, chr(10), '')) AS BIGINT)"))
+      // count on chr(10)||text so a bullet on the FIRST line
+      // participates — n_lines counts that line, so without the
+      // prepend an all-bullet doc reads (n−1)/n share (ADVICE r9)
       .withColumn("n_bullet", expr(
-        "CAST((length(text) - length(replace(text, chr(10) || '- ', ''))) DIV 3 + " +
-          "(length(text) - length(replace(text, chr(10) || '* ', ''))) DIV 3 AS BIGINT)"))
+        "CAST((length(chr(10) || text) - length(replace(chr(10) || text, chr(10) || '- ', ''))) DIV 3 + " +
+          "(length(chr(10) || text) - length(replace(chr(10) || text, chr(10) || '* ', ''))) DIV 3 AS BIGINT)"))
       .withColumn("v_wordcount",
         when(col("n_tok") < 50 || col("n_tok") > 100000, 1L).otherwise(0L))
       .withColumn("v_meanlen",
@@ -987,8 +1016,10 @@ object Documents {
       |      + (length(text) - length(replace(text, '...', ''))) // 3
       |      AS n_sym,
       |    1 + length(text) - length(replace(text, chr(10), '')) AS n_lines,
-      |    (length(text) - length(replace(text, chr(10) || '- ', ''))) // 3
-      |      + (length(text) - length(replace(text, chr(10) || '* ', '')))
+      |    (length(chr(10) || text)
+      |       - length(replace(chr(10) || text, chr(10) || '- ', ''))) // 3
+      |      + (length(chr(10) || text)
+      |       - length(replace(chr(10) || text, chr(10) || '* ', '')))
       |        // 3 AS n_bullet
       |  FROM documents),
       |v AS (
@@ -1178,12 +1209,11 @@ object Documents {
   def bandSweep(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.expressions.Window
-    val sig = graft.operators.Materialize.eager(
-      minhashSignatures(s, d))
-    val tok = graft.operators.Materialize.eager(
-      documents(s, d)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
-        .distinct())
+    // session-shared roots (round-9 verdict #6): the signature and
+    // distinct-token scans are paid once per session by whichever
+    // tuning/confirm query runs first, reused here
+    val sig = minhashSigShared(s, d)
+    val tok = tokDistinct(s, d)
     val card = graft.operators.Materialize.eager(
       tok.groupBy(col("doc_id")).agg(count(lit(1)).as("nw")))
     def config(bands: Column, b: Int, r: Int): DataFrame = {
@@ -1334,18 +1364,17 @@ object Documents {
     * the four thresholds are four tiny aggregations over it. */
   def thresholdSweep(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sig2 = graft.operators.Materialize.eager(
-      bandedSigs(s, d).repartition(s.sparkContext.defaultParallelism))
-    val cand = lshCandidatePairsFromSig(sig2)
+    // session-shared candidate pairs + token scan (round-9 verdict
+    // #6): this query's cand table IS lshCandidatePairs — the
+    // standalone sig2 rebuild paid the tokenize+minhash+band joins a
+    // second time for identical rows
+    val cand = lshCandidatePairs(s, d)
     val wCap = Window.partitionBy(col("doc_b")).orderBy(
       md5(concat(col("doc_a").cast("string"), lit("_"),
         col("doc_b").cast("string"))))
     val capped = cand.withColumn("rk", row_number().over(wCap))
       .filter(col("rk") <= 16).select(col("doc_a"), col("doc_b"))
-    val tok = graft.operators.Materialize.eager(
-      documents(s, d)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
-        .distinct())
+    val tok = tokDistinct(s, d)
     val card = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
     val jac = graft.operators.Materialize.eager(capped
       .join(tok.select(col("doc_id").as("doc_a"), col("word")), "doc_a")
@@ -1430,7 +1459,7 @@ object Documents {
     "doc_filter_group_count" -> filterGroupCount,
     "doc_metadata_agg" -> metadataAgg,
     "dedup_exact" -> dedupExact,
-    "dedup_minhash_sig" -> minhashSignatures,
+    "dedup_minhash_sig" -> minhashSigShared, // pays/pins the shared scan
     "dedup_lsh_pairs" -> dedupLshPairs,
     "dedup_clusters" -> dedupClusters,
     "dedup_cluster_density" -> clusterDensity,

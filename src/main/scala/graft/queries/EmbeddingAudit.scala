@@ -551,8 +551,10 @@ object EmbeddingAudit {
       // (ss − q) spans e6 units over n(n−1) pairs; truncating decimal
       // division via the exact (a − a%b)/b device (matches DuckDB //)
       .withColumn("a", col("ss") - col("q").cast("decimal(19,0)"))
+      // cast BEFORE the multiply (ADVICE r9): n·(n−1) in int64 wraps
+      // past n ≈ 3e9 while the oracle multiplies in HUGEINT
       .withColumn("b",
-        (col("n_vecs") * (col("n_vecs") - 1)).cast("decimal(19,0)"))
+        col("n_vecs").cast("decimal(19,0)") * (col("n_vecs") - 1))
       .withColumn("mean_pair_cos_e6",
         ((col("a") - col("a") % col("b")) / col("b")).cast("long"))
       .withColumn("mean_norm_e3",

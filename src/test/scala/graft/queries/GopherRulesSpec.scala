@@ -39,4 +39,18 @@ class GopherRulesSpec extends AnyFunSuite {
       ("src5", 1L, 0L, 0L, 0L, 0L, 1L, 0L, 0L),
       ("src6", 1L, 0L, 1L, 0L, 0L, 0L, 0L, 0L)))
   }
+
+  test("a bullet on the FIRST line counts: a 100%-bullet doc trips " +
+      "the bullet rule even under the 10-line threshold (ADVICE r9)") {
+    // 5 lines, every one a bullet, 60 words, 2 stopwords: before the
+    // chr(10)||text prepend fix n_bullet read 4/5 (share 0.8 <= 0.9,
+    // no trip); with the first line counted it reads 5/5 and trips
+    val line = "- the cat " + ("word " * 10).trim
+    val allBullets = Seq.fill(5)(line).mkString("\n")
+    val d = writeDocs(Seq(7L -> allBullets))
+    val got = Documents.gopherRules(spark, d)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq(("src7", 1L, 0L, 0L, 0L, 1L, 0L, 0L, 0L)))
+  }
 }
