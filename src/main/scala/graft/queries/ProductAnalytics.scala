@@ -167,12 +167,19 @@ object ProductAnalytics {
     * labeled `r f m` concatenated, rolled up per segment.
     *
     * Scale shape: one purchase-filtered hash-agg per user, then three
-    * NTILE(5) windows over the USER table (orders of magnitude
-    * smaller than events; a range-partitioned sort each — NTILE is
-    * over the whole user population by definition). user_id is the
-    * deterministic tiebreak in every NTILE ordering so quintile
-    * boundaries are stable cross-engine. */
+    * exact distributed quintile splits over the USER table via
+    * [[graft.operators.GlobalRank]] — range-partition + zipWithIndex
+    * row numbers, NTILE(5) reproduced arithmetically from
+    * (rank, n). A global-window NTILE would funnel the whole user
+    * frame through ONE partition's sort; at 100 TB that frame is
+    * 10^8–10^9 rows and the single task is the job (round-9 verdict
+    * #3). user_id is the deterministic tiebreak in every ordering so
+    * quintile boundaries are stable cross-engine; the arithmetic
+    * NTILE is bucket-identical to the window form, so the oracle (a
+    * window NTILE in DuckDB over the same total order) hashes
+    * unchanged. */
   def rfmSegments(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.GlobalRank
     val ev = events(s, d)
     val purchases = ev.filter(col("event_type") === "purchase")
     val maxDay = purchases.agg(
@@ -186,13 +193,22 @@ object ProductAnalytics {
       .withColumn("recency_days", col("max_day") - col("last_day"))
     // low recency = good → order recency ASC for score 5..1 means DESC ntile;
     // keep it simple: score = ntile over explicitly documented orderings
-    val rW = Window.orderBy(col("recency_days").asc, col("user_id").asc)
-    val fW = Window.orderBy(col("freq").desc, col("user_id").asc)
-    val mW = Window.orderBy(col("monetary_cents").desc, col("user_id").asc)
-    perUser
-      .withColumn("r_score", ntile(5).over(rW))
-      .withColumn("f_score", ntile(5).over(fW))
-      .withColumn("m_score", ntile(5).over(mW))
+    val ranked = GlobalRank.withRowNumber(
+      GlobalRank.withRowNumber(
+        GlobalRank.withRowNumber(perUser,
+          Seq(col("recency_days").asc, col("user_id").asc), "r_rank"),
+        Seq(col("freq").desc, col("user_id").asc), "f_rank"),
+      Seq(col("monetary_cents").desc, col("user_id").asc), "m_rank")
+    // total-user count off the RANKED frame (stored blocks), not
+    // perUser — counting perUser would re-pay the events scan + agg
+    val nUsers = ranked.agg(count(lit(1)).as("n_users_total"))
+    ranked.crossJoin(broadcast(nUsers))
+      .withColumn("r_score",
+        GlobalRank.ntileFromRank("r_rank", "n_users_total", 5))
+      .withColumn("f_score",
+        GlobalRank.ntileFromRank("f_rank", "n_users_total", 5))
+      .withColumn("m_score",
+        GlobalRank.ntileFromRank("m_rank", "n_users_total", 5))
       .groupBy(concat_ws("", col("r_score"), col("f_score"), col("m_score"))
         .as("segment"))
       .agg(count(lit(1)).as("n_users"),
@@ -673,13 +689,21 @@ object ProductAnalytics {
     * floods and scraper accounts show up as a top-decile share spike.
     *
     * Scale shape: per-user counts are one hash-agg; the decile split
-    * is one ntile window over the user frame (users, not events); all
-    * share arithmetic runs on the 10-row decile frame. */
+    * is an exact distributed rank over the user frame
+    * ([[graft.operators.GlobalRank]]: range-partition + zipWithIndex,
+    * NTILE(10) reproduced arithmetically — no single-partition window
+    * sort, round-9 verdict #3); all share arithmetic runs on the
+    * 10-row decile frame. */
   def powerUsersPareto(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.GlobalRank
     val per = events(s, d).groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_ev"))
-    val w = Window.orderBy(col("n_ev").desc, col("user_id"))
-    val dec = per.withColumn("decile", ntile(10).over(w))
+    val ranked = GlobalRank.withRowNumber(per,
+      Seq(col("n_ev").desc, col("user_id")), "rk")
+    val nUsers = ranked.agg(count(lit(1)).as("n_users_total"))
+    val dec = ranked.crossJoin(broadcast(nUsers))
+      .withColumn("decile",
+        GlobalRank.ntileFromRank("rk", "n_users_total", 10).cast("int"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_users"), sum(col("n_ev")).as("n_events"))
     val all = Window.partitionBy()
@@ -1197,15 +1221,17 @@ object ProductAnalytics {
     * — the input to any retention-spend allocation.
     *
     * Numerics: cents are exact longs; tiers are NTILE(3) over
-    * (cents desc, user_id) — a total order, engine-identical. The
-    * global NTILE is the declared audit form (the rfm_segments
-    * stance): the monitoring form at extreme user counts would swap
-    * in fixed cent thresholds, changing only the tier rule.
+    * (cents desc, user_id) — a total order, engine-identical —
+    * computed as an exact distributed rank + arithmetic NTILE
+    * ([[graft.operators.GlobalRank]], the rfm_segments stance;
+    * bucket-identical to the window form so the oracle's window
+    * NTILE hashes unchanged, with no single-partition sort).
     *
     * Scale shape: one purchase scan + 1-row bounds broadcast, two
-    * per-(user, half) hash-aggs, one full-outer user join, a ≤16-row
-    * matrix agg. */
+    * per-(user, half) hash-aggs each ranked by range-partition +
+    * zipWithIndex, one full-outer user join, a ≤16-row matrix agg. */
   def rfmMigration(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.GlobalRank
     val p = events(s, d).filter(col("event_type") === "purchase")
       .select(col("user_id"), cents(col("value")).as("c"),
         expr("CAST(date_trunc('day', ts) AS LONG) DIV 86400").as("day"))
@@ -1218,8 +1244,13 @@ object ProductAnalytics {
         if (pre) col("day") < col("mid_day")
         else col("day") >= col("mid_day"))
         .groupBy(col("user_id")).agg(sum(col("c")).cast("long").as("cents"))
-      val w = Window.orderBy(col("cents").desc, col("user_id").asc)
-      half.withColumn("tier", ntile(3).over(w).cast("long"))
+      val ranked = GlobalRank.withRowNumber(half,
+        Seq(col("cents").desc, col("user_id").asc), "rk")
+      val n = ranked.agg(count(lit(1)).as("n_half"))
+      ranked.crossJoin(broadcast(n))
+        .withColumn("tier",
+          GlobalRank.ntileFromRank("rk", "n_half", 3).cast("long"))
+        .drop("rk", "n_half")
     }
     tiered(pre = true)
       .select(col("user_id"), col("tier").as("tier_pre"))
@@ -1624,8 +1655,15 @@ object ProductAnalytics {
     val arms = per
       .crossJoin(broadcast(moments.select(col("mx"), col("theta_micro"),
         col("sxx"), col("sxy"), col("syy"))))
-      .withColumn("yadj_e6", col("y") * lit(1000000L) -
-        col("theta_micro") * (col("x") - col("mx")))
+      // decimal grid (ADVICE r9): in int64, theta_micro·(x−mx) wraps
+      // silently in Spark but raises in DuckDB for a user with
+      // pre-period imbalance beyond ~$92k — the moments already run
+      // on DECIMAL(38)/HUGEINT, so the adjusted values do too; the
+      // final per-arm means cast back to BIGINT in the shared expr
+      .withColumn("yadj_e6",
+        col("y").cast("decimal(19,0)") * lit(1000000L) -
+          col("theta_micro").cast("decimal(19,0)") *
+            (col("x") - col("mx")).cast("decimal(19,0)"))
       .agg(
         sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_control"),
         sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_treat"),
@@ -1651,7 +1689,8 @@ object ProductAnalytics {
       |   - (sy_c * 1000000) DIV n_control END""".stripMargin
   private val CupedUpliftAdjExpr: String =
     """CASE WHEN n_control = 0 OR n_treat = 0 THEN CAST(0 AS BIGINT)
-      |ELSE sadj_t DIV n_treat - sadj_c DIV n_control END""".stripMargin
+      |ELSE CAST(sadj_t DIV n_treat - sadj_c DIV n_control AS BIGINT)
+      |END""".stripMargin
   private val CupedVrExpr: String =
     """CASE WHEN sxx = 0 OR syy = 0 THEN CAST(0 AS BIGINT)
       |ELSE CAST(FLOOR(1000.0
@@ -1700,10 +1739,12 @@ object ProductAnalytics {
       |      AS sy_c,
       |    CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT)
       |      AS sy_t,
-      |    CAST(SUM(CASE WHEN arm = 0 THEN y * 1000000
-      |      - theta_micro * (x - mx) ELSE 0 END) AS BIGINT) AS sadj_c,
-      |    CAST(SUM(CASE WHEN arm = 1 THEN y * 1000000
-      |      - theta_micro * (x - mx) ELSE 0 END) AS BIGINT) AS sadj_t,
+    |    SUM(CASE WHEN arm = 0 THEN CAST(y AS HUGEINT) * 1000000
+      |      - CAST(theta_micro AS HUGEINT) * (x - mx)
+      |      ELSE 0 END) AS sadj_c,
+      |    SUM(CASE WHEN arm = 1 THEN CAST(y AS HUGEINT) * 1000000
+      |      - CAST(theta_micro AS HUGEINT) * (x - mx)
+      |      ELSE 0 END) AS sadj_t,
       |    MAX(theta_micro) AS theta_micro,
       |    MAX(sxx) AS sxx, MAX(sxy) AS sxy, MAX(syy) AS syy
       |  FROM per CROSS JOIN theta)

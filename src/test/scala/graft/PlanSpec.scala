@@ -169,6 +169,8 @@ class PlanSpec extends AnyFunSuite {
     "layout_zorder_stats",  // 1-row min/max bounds broadcast (Morton key)
     "graph_triangle_count", // two 1-row stat aggregates broadcast
     "ev_rolling_active_users", // 1-row max-day broadcast (window clip)
+    "ev_power_users_pareto",// 1-row n_users_total broadcast (exact
+                            // distributed NTILE via GlobalRank)
     "ev_rfm_segments",      // 1-row max-day broadcast (recency anchor)
     "ev_rfm_migration",     // 1-row midpoint-day bounds broadcast
     "ev_retention_halflife",// weeks-sized cohort table + 1-row max
@@ -257,6 +259,64 @@ class PlanSpec extends AnyFunSuite {
       }
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  // Global (empty-PARTITION-BY) window functions funnel their whole
+  // input through ONE partition's sort — fine on a provably bounded
+  // frame (a 10-row decile grid, a <=101-row sample, a top-k list),
+  // a guaranteed single-task straggler on anything corpus- or
+  // user-sized (the 10^8-row user frame a 100 TB event log yields).
+  // The user-frame NTILEs (ev_rfm_segments / ev_rfm_migration /
+  // ev_power_users_pareto's decile SPLIT) were rewritten onto
+  // GlobalRank (range-partition + zipWithIndex); what remains is this
+  // closed whitelist of bounded frames — a new query introducing a
+  // global window must be justified here or rewritten.
+  private val globalWindowWhitelist: Map[String, String] = Map(
+    "agg_market_basket" -> "top-20 pair list (TakeOrdered upstream)",
+    "ev_funnel_windowed" -> "per-day funnel grid (days-sized)",
+    "ev_growth_accounting" -> "per-week cohort grid (weeks-sized)",
+    "ev_power_users_pareto" -> "cumulative shares on the 10-row decile frame",
+    "ev_tail_index" -> "<=101-row order-statistics sample",
+    "retrieval_bm25_tuning_sweep" -> "per-(k1,b) ranked top-k lists",
+    "retrieval_ndcg_eval" -> "per-query top-k ranked lists",
+    "retrieval_query_expansion" -> "expansion-term top-k list",
+    "retrieval_rrf_fusion" -> "per-ranker top-k lists",
+    "text_bm25_topk" -> "final top-k list (TakeOrdered upstream)",
+    "text_bpe_merge_round" -> "1-row argmax of the merge candidates",
+    "text_memorization_grams" -> "top-k repeated-gram list",
+    "text_zipf_slope" -> "top-vocab regression frame (<=1000 rows)")
+
+  test("GLOBAL plan lint: single-partition windows only on the " +
+      "documented bounded-frame whitelist") {
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val lp = fn(spark, d).queryExecution.optimizedPlan
+        val hasGlobal = lp.collectFirst {
+          case w: Window if w.partitionSpec.isEmpty => w
+        }.nonEmpty
+        if (hasGlobal && !globalWindowWhitelist.contains(name))
+          offenders += s"$name: global window over an undeclared frame"
+      } catch {
+        case e: Exception =>
+          offenders += s"$name: plan failed ${e.getMessage.take(80)}"
+      } finally {
+        spark.catalog.clearCache()
+        graft.operators.Materialize.freeAll(spark)
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("rfm tier split never plans a global window (GlobalRank path)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    Seq("ev_rfm_segments", "ev_rfm_migration").foreach { q =>
+      val lp = SparkEntry.queries(q)(spark, d).queryExecution.optimizedPlan
+      assert(lp.collect { case w: Window if w.partitionSpec.isEmpty => w }
+        .isEmpty, s"$q regressed to a single-partition window")
+      graft.operators.Materialize.freeAll(spark)
+    }
   }
 
   test("incremental dedup: band equi-join only — never batch × corpus") {
