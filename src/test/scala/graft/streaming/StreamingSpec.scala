@@ -115,6 +115,77 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == exp)
   }
 
+  test("INNER interval join state is CLEANED as the watermark advances " +
+      "across a multi-batch replay (and output still equals batch)") {
+    // four ts-ordered files -> four micro-batches (maxFilesPerTrigger=1):
+    // the watermark advances between batches, so both sides' state
+    // must EVICT rows older than watermark - range. A single-file
+    // replay can never see eviction (one batch, watermark moves after
+    // the only data batch) — this is the state-cleanup half of the
+    // stream-stream join contract, which at 100 TB is the difference
+    // between bounded executor state and OOM on a long-running stream.
+    val ev = batchEvents.orderBy("ts")
+    val inDir = java.nio.file.Files.createTempDirectory("ssjchunks")
+    val rows = ev.collect()
+    val n = rows.length
+    val schema = ev.schema
+    (0 until 4).foreach { k =>
+      val slice = rows.slice(k * n / 4, (k + 1) * n / 4)
+      spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            java.util.Arrays.asList(slice: _*)), schema)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$inDir/chunk$k")
+      // one FILE per chunk dir; stage into the source dir in order
+      val part = new java.io.File(s"$inDir/chunk$k").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$inDir/ev$k.parquet"))
+    }
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      .where(col("event_id").isNotNull) // no-op; keeps shape identical
+    val q = EventStreams.purchaseClickJoin(graft.Tables.normalizeEventTs(stream))
+      .writeStream.format("memory").queryName("ssjoin_chunks")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    val progress = q.recentProgress.toSeq
+      .filter(_.stateOperators.nonEmpty)
+    q.stop()
+    // output across micro-batches == the one-shot batch join
+    val got = spark.table("ssjoin_chunks").orderBy("p_id", "c_id")
+      .collect().toSeq
+    val p = batchEvents.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val c = batchEvents.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val exp = p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") < col("p_ts"))
+      .select(col("p_id"), col("c_id"), col("p_user").as("user_id"),
+        (col("p_ts").cast("long") - col("c_ts").cast("long")).as("lead_sec"))
+      .orderBy("p_id", "c_id").collect().toSeq
+    assert(got.nonEmpty && got == exp)
+    // state-cleanup assertions: rows were REMOVED (watermark eviction
+    // actually ran), and the final state holds a small tail — only
+    // events inside watermark + 10-min range can legally remain, a
+    // ~20-minute slice of a 30-day stream, NOT the cumulative input
+    // (purchases + clicks = ~412 rows entered the join)
+    val removed = progress.map(_.stateOperators.map(_.numRowsRemoved).sum).sum
+    val finalState = progress.last.stateOperators.map(_.numRowsTotal).sum
+    val inputRows = batchEvents
+      .filter(col("event_type").isin("purchase", "click")).count()
+    assert(removed >= inputRows / 2,
+      s"eviction removed only $removed of $inputRows input rows")
+    // conservative: even if the trailing no-data batch hasn't evicted
+    // the final chunk yet, at most ~one chunk (1/4) can remain
+    assert(finalState < inputRows / 2,
+      s"final join state $finalState did not shrink vs input $inputRows")
+  }
+
   test("stream-stream LEFT-OUTER interval join: replayed last-touch " +
       "attribution equals the batch query per purchase") {
     val stream = EventStreams.readEventStream(spark, eventsPath)
