@@ -118,20 +118,29 @@ object Materialize {
     * subtree. First caller per (session-context, key) pays and pins;
     * later callers get the stored blocks. `build` must be a pure
     * function of the key's inputs (all graft scans are: parquet dir +
-    * deterministic plan). */
-  def sharedPinned(spark: org.apache.spark.sql.SparkSession, key: String)
-      (build: => DataFrame): DataFrame = {
+    * deterministic plan).
+    *
+    * `refresh = true` marks the key's OWNER query: it always rebuilds
+    * and re-pins (freeing the old blocks), so in a min-of-two-passes
+    * benchmark the scan's true build cost stays attributed to exactly
+    * one registered query instead of vanishing into "already pinned"
+    * on every second pass — the LPA-core honesty discipline. */
+  def sharedPinned(spark: org.apache.spark.sql.SparkSession, key: String,
+      refresh: Boolean = false)(build: => DataFrame): DataFrame = {
     val k = (spark.sparkContext, key)
-    val hit = shared.get(k)
-    if (hit != null) hit
-    else shared.synchronized {
-      val again = shared.get(k)
-      if (again != null) again
-      else {
-        val df = eagerPinned(build)
-        shared.put(k, df)
-        df
+    if (!refresh) {
+      val hit = shared.get(k)
+      if (hit != null) return hit
+    }
+    shared.synchronized {
+      if (!refresh) {
+        val again = shared.get(k)
+        if (again != null) return again
       }
+      val df = eagerPinned(build)
+      val old = shared.put(k, df)
+      if (old != null) unpin(old)
+      df
     }
   }
 

@@ -239,14 +239,17 @@ object Documents {
     * (dedup_lsh_precision's sampled audit) build on; dedupLshPairs
     * adds only the oracle-facing global sort, which is pure waste for
     * a consumer that re-aggregates. */
-  private[queries] def lshCandidatePairs(s: SparkSession, d: String): DataFrame =
+  private[queries] def lshCandidatePairs(s: SparkSession, d: String,
+      refresh: Boolean = false): DataFrame =
     // SESSION-SHARED (round-9 verdict #6): nine registered queries
     // (the dedup sweeps/confirms plus the whole graph family) build on
     // this exact pair table — the first consumer in a session pays the
     // tokenize + minhash + band joins once and pins the result
     // (~O(docs) rows; Σ bucket² bounded by the banding), the rest read
     // the stored blocks. Deterministic, so reuse is value-identical.
-    graft.operators.Materialize.sharedPinned(s, s"lsh_pairs|$d") {
+    // OWNER (refresh=true): dedup_lsh_pairs — its benchmark time stays
+    // the true build cost (the LPA-core honesty discipline).
+    graft.operators.Materialize.sharedPinned(s, s"lsh_pairs|$d", refresh) {
       // band keys as 64-bit hashes (8 bytes shuffled instead of a
       // 68-char string; same pairs modulo 2^-64 collisions). Two
       // disjoint joins — band-0 matches, then band-1-only matches
@@ -278,8 +281,9 @@ object Documents {
     * scan the LSH tuning family (band sweep, threshold sweep) pays
     * standalone; one tokenize+distinct per session instead of one per
     * query (round-9 verdict #6). O(Σ distinct tokens) rows. */
-  private[queries] def tokDistinct(s: SparkSession, d: String): DataFrame =
-    graft.operators.Materialize.sharedPinned(s, s"tok_distinct|$d") {
+  private[queries] def tokDistinct(s: SparkSession, d: String,
+      refresh: Boolean = false): DataFrame =
+    graft.operators.Materialize.sharedPinned(s, s"tok_distinct|$d", refresh) {
       documents(s, d)
         .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
         .distinct()
@@ -290,8 +294,9 @@ object Documents {
     * (doc_id, sh) projection is distinct too — one table serves the
     * same-source pair metrics (ngram Jaccard/containment) AND the
     * LSH precision audit. */
-  private[queries] def shingledHashed(s: SparkSession, d: String): DataFrame =
-    graft.operators.Materialize.sharedPinned(s, s"shingles3|$d") {
+  private[queries] def shingledHashed(s: SparkSession, d: String,
+      refresh: Boolean = false): DataFrame =
+    graft.operators.Materialize.sharedPinned(s, s"shingles3|$d", refresh) {
       documents(s, d).select(col("doc_id"), col("source"),
           explode(shingles3(col("text"))).as("sh0"))
         .select(col("doc_id"), col("source"), xxhash64(col("sh0")).as("sh"))
@@ -300,8 +305,9 @@ object Documents {
 
   /** Session-shared materialized MinHash signature table (unsorted —
     * consumers re-sort if oracle-facing). */
-  private[queries] def minhashSigShared(s: SparkSession, d: String): DataFrame =
-    graft.operators.Materialize.sharedPinned(s, s"minhash_sig|$d") {
+  private[queries] def minhashSigShared(s: SparkSession, d: String,
+      refresh: Boolean = false): DataFrame =
+    graft.operators.Materialize.sharedPinned(s, s"minhash_sig|$d", refresh) {
       minhashSignatures(s, d)
     }
 
@@ -339,7 +345,8 @@ object Documents {
   }
 
   def dedupLshPairs(s: SparkSession, d: String): DataFrame =
-    lshCandidatePairs(s, d).orderBy(col("doc_a"), col("doc_b"))
+    lshCandidatePairs(s, d, refresh = true)
+      .orderBy(col("doc_a"), col("doc_b"))
 
   val dedupLshPairsSql: String = {
     val sig = minhashSignaturesSql.replace("ORDER BY doc_id", "")
@@ -723,8 +730,9 @@ object Documents {
     // round-6 cold A/B: 2.09 s unpersisted vs 2.35 s persisted), but
     // the SESSION-shared pinned table wins across the ≥3 queries that
     // rebuild it standalone (containment, precision audit) — verdict
-    // r9 #6; A/B in BASELINE.md
-    val shingled = shingledHashed(s, d)
+    // r9 #6; A/B in BASELINE.md. This query OWNS the table
+    // (refresh=true: its bench time keeps the shingle-scan cost).
+    val shingled = shingledHashed(s, d, refresh = true)
     val a = shingled.as("a"); val b = shingled.as("b")
     val inter = a.join(b, col("a.sh") === col("b.sh") &&
         col("a.source") === col("b.source") &&
@@ -1209,11 +1217,11 @@ object Documents {
   def bandSweep(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.expressions.Window
-    // session-shared roots (round-9 verdict #6): the signature and
-    // distinct-token scans are paid once per session by whichever
-    // tuning/confirm query runs first, reused here
+    // session-shared roots (round-9 verdict #6): the signature scan is
+    // reused (owner: dedup_minhash_sig); THIS query owns tok_distinct
+    // (refresh=true — its bench time keeps the tokenize+distinct cost)
     val sig = minhashSigShared(s, d)
-    val tok = tokDistinct(s, d)
+    val tok = tokDistinct(s, d, refresh = true)
     val card = graft.operators.Materialize.eager(
       tok.groupBy(col("doc_id")).agg(count(lit(1)).as("nw")))
     def config(bands: Column, b: Int, r: Int): DataFrame = {
@@ -1459,7 +1467,8 @@ object Documents {
     "doc_filter_group_count" -> filterGroupCount,
     "doc_metadata_agg" -> metadataAgg,
     "dedup_exact" -> dedupExact,
-    "dedup_minhash_sig" -> minhashSigShared, // pays/pins the shared scan
+    // OWNER of the shared signature scan: always rebuilds + re-pins
+    "dedup_minhash_sig" -> ((s, d) => minhashSigShared(s, d, refresh = true)),
     "dedup_lsh_pairs" -> dedupLshPairs,
     "dedup_clusters" -> dedupClusters,
     "dedup_cluster_density" -> clusterDensity,
