@@ -982,7 +982,60 @@ object GraphRank {
        |""".stripMargin
   }
 
+  // ---------------------------------------- degree histogram
+  /** Degree distribution of the near-dup candidate graph on log₂
+    * buckets (bucket = bit length of the degree; bucket 0 = isolated
+    * docs) — the first-look structural audit before any heavier graph
+    * pass: a fat top bucket is the chain-gluing / template-family
+    * signal that predicts CC blowup, and the isolated-node mass is
+    * the fraction of the corpus dedup will never touch.
+    *
+    * Scale shape: one hash-agg over the (session-shared, Σ bucket²-
+    * bounded) pair table for degrees, a left join against the doc
+    * spine for the zero-degree mass, then a ≤64-row bucket agg.
+    * Nothing quadratic; the histogram is O(E) + O(V). */
+  def degreeHistogram(s: SparkSession, d: String): DataFrame = {
+    val pairs = Documents.lshCandidatePairs(s, d)
+    val deg = pairs.select(col("doc_a").as("id"))
+      .unionAll(pairs.select(col("doc_b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    graft.Tables.documents(s, d).select(col("doc_id").as("id"))
+      .join(deg, Seq("id"), "left")
+      .na.fill(0L, Seq("deg"))
+      .withColumn("bucket", when(col("deg") === 0, 0L)
+        .otherwise(length(bin(col("deg"))).cast("long")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("deg")).as("min_degree"),
+        max(col("deg")).as("max_degree"),
+        sum(col("deg")).as("sum_degree"))
+      .orderBy(col("bucket"))
+  }
+
+  val degreeHistogramSql: String =
+    s"""WITH pairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |${Documents.dedupLshPairsSql}
+       |  ) tp),
+       |deg AS (
+       |  SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+       |    SELECT doc_a AS id FROM pairs
+       |    UNION ALL SELECT doc_b AS id FROM pairs) u
+       |  GROUP BY 1),
+       |full_deg AS (
+       |  SELECT d.doc_id AS id, COALESCE(g.deg, 0) AS deg
+       |  FROM documents d LEFT JOIN deg g ON g.id = d.doc_id)
+       |SELECT
+       |  CASE WHEN deg = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE CAST(length(bin(deg)) AS BIGINT) END AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |  CAST(MIN(deg) AS BIGINT) AS min_degree,
+       |  CAST(MAX(deg) AS BIGINT) AS max_degree,
+       |  CAST(SUM(deg) AS BIGINT) AS sum_degree
+       |FROM full_deg GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_degree_histogram" -> degreeHistogram,
     "graph_neighbor_jaccard" -> neighborJaccard,
     "graph_modularity" -> modularity,
     "graph_label_propagation" -> labelPropagation,
@@ -992,6 +1045,7 @@ object GraphRank {
     "graph_kcore" -> kcore)
 
   val oracle: Map[String, String] = Map(
+    "graph_degree_histogram" -> degreeHistogramSql,
     "graph_neighbor_jaccard" -> neighborJaccardSql,
     "graph_modularity" -> modularitySql,
     "graph_label_propagation" -> labelPropagationSql,

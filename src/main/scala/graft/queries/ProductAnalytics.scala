@@ -402,6 +402,134 @@ object ProductAnalytics {
        |FROM purch p LEFT JOIN per ON per.p_id = p.p_id
        |ORDER BY p.p_id""".stripMargin
 
+  // ------------------------------------ click→purchase interval join
+  /** Registered batch twin of the streaming INNER interval join
+    * (streaming/EventStreams.purchaseClickJoin): every purchase paired
+    * with the same user's clicks in the preceding 10 minutes,
+    * exclusive of the purchase instant — the correlated-events join
+    * behind conversion-lag analytics. StreamingSpec asserts the stream
+    * replay equals THIS registered query row-for-row, so the inner
+    * join mode now has the same registered+oracled batch twin the
+    * round-9 left-outer attribution shape got.
+    *
+    * Scale shape: the attribution bucketed-range-join discipline —
+    * both sides keyed on (user_id, 10-minute time bucket), clicks
+    * exploded into the 2 adjacent buckets so every ≤10-min lead lands
+    * in exactly one bucketed equi-join match; no per-user cross
+    * product, no window, no unbounded state. lead_sec is defined on
+    * second-truncated epochs (exactly the streaming twin's
+    * cast-to-long arithmetic). */
+  def clickToPurchase(s: SparkSession, d: String): DataFrame = {
+    val W = 600000000L // 10 minutes in µs
+    val ev = events(s, d).select(col("event_id"), col("user_id"),
+      col("event_type"), unix_micros(col("ts")).as("us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_id"),
+        col("us").as("c_us"))
+      .withColumn("tb", explode(array(expr(s"c_us DIV $W"),
+        expr(s"c_us DIV $W + 1"))))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("us").as("p_us"))
+      .withColumn("tb", expr(s"p_us DIV $W"))
+    purch.join(clicks, Seq("user_id", "tb"))
+      .filter(col("p_us") - col("c_us") <= W && col("c_us") < col("p_us"))
+      .select(col("p_id"), col("c_id"), col("user_id"),
+        expr("p_us DIV 1000000 - c_us DIV 1000000").as("lead_sec"))
+      .orderBy(col("p_id"), col("c_id"))
+  }
+
+  val clickToPurchaseSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+      |  FROM events),
+      |clicks AS (
+      |  SELECT user_id, event_id AS c_id, us AS c_us,
+      |    UNNEST([us // 600000000, us // 600000000 + 1]) AS tb
+      |  FROM ev WHERE event_type = 'click'),
+      |purch AS (
+      |  SELECT user_id, event_id AS p_id, us AS p_us,
+      |    us // 600000000 AS tb
+      |  FROM ev WHERE event_type = 'purchase')
+      |SELECT p.p_id, c.c_id, p.user_id,
+      |  p.p_us // 1000000 - c.c_us // 1000000 AS lead_sec
+      |FROM purch p JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.tb = c.tb
+      |  AND p.p_us - c.c_us <= 600000000 AND c.c_us < p.p_us
+      |ORDER BY p.p_id, c.c_id""".stripMargin
+
+  // ------------------------------------ novelty-effect monitor
+  /** Week-by-week experiment readout — the novelty-effect monitor:
+    * the ev_holdout_ab arms (user_id % 2, the deterministic hash
+    * holdout) read out per experiment week (days since first
+    * purchase DIV 7) with per-arm active-purchaser counts, exact
+    * revenue cents, and per-active-user uplift in e6 cents. A
+    * treatment effect that shrinks week over week is novelty, not
+    * product value — shipping on week-1 numbers is the classic
+    * experimentation failure this table catches; it is the
+    * time-series companion to the single-number ev_holdout_ab /
+    * ev_did_uplift readouts.
+    *
+    * Scale shape: one purchase-filtered scan into a (week, arm,
+    * user) hash-agg (distinct actives via two-level agg, no
+    * COUNT(DISTINCT) over events), then a weeks-sized grid; the
+    * min-day anchor is a 1-row broadcast. Exact integers
+    * end-to-end. */
+  def noveltyEffect(s: SparkSession, d: String): DataFrame = {
+    val p = events(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("CAST(date_trunc('day', ts) AS LONG) DIV 86400").as("day"),
+        cents(col("value")).cast("long").as("c"))
+    val bounds = p.agg(min(col("day")).as("min_day"))
+    val perUserWeek = p.crossJoin(broadcast(bounds))
+      .withColumn("week", expr("(day - min_day) DIV 7"))
+      .withColumn("arm", col("user_id") % 2)
+      .groupBy(col("week"), col("arm"), col("user_id"))
+      .agg(sum(col("c")).as("uc"))
+    perUserWeek.groupBy(col("week"))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_control"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_treat"),
+        sum(when(col("arm") === 0, col("uc")).otherwise(0L))
+          .as("cents_control"),
+        sum(when(col("arm") === 1, col("uc")).otherwise(0L))
+          .as("cents_treat"))
+      .withColumn("uplift_e6", expr(
+        """CASE WHEN n_control = 0 OR n_treat = 0 THEN CAST(0 AS BIGINT)
+          |ELSE (cents_treat * 1000000) DIV n_treat
+          |   - (cents_control * 1000000) DIV n_control END""".stripMargin))
+      .orderBy(col("week"))
+  }
+
+  val noveltyEffectSql: String =
+    s"""WITH p AS (
+      |  SELECT user_id,
+      |    CAST(FLOOR(EPOCH(date_trunc('day', ts))) AS BIGINT) // 86400
+      |      AS day,
+      |    ${centsSql("value")} AS c
+      |  FROM events WHERE event_type = 'purchase'),
+      |bounds AS (SELECT MIN(day) AS min_day FROM p),
+      |puw AS (
+      |  SELECT (day - min_day) // 7 AS week, user_id % 2 AS arm,
+      |    user_id, CAST(SUM(c) AS BIGINT) AS uc
+      |  FROM p CROSS JOIN bounds GROUP BY 1, 2, 3),
+      |g AS (
+      |  SELECT week,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_control,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_treat,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN uc ELSE 0 END) AS BIGINT)
+      |      AS cents_control,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN uc ELSE 0 END) AS BIGINT)
+      |      AS cents_treat
+      |  FROM puw GROUP BY 1)
+      |SELECT week, n_control, n_treat, cents_control, cents_treat,
+      |  CASE WHEN n_control = 0 OR n_treat = 0 THEN CAST(0 AS BIGINT)
+      |  ELSE (cents_treat * 1000000) // n_treat
+      |     - (cents_control * 1000000) // n_control END AS uplift_e6
+      |FROM g ORDER BY week""".stripMargin
+
   // ------------------------------------- position-based attribution
   /** U-shaped (position-based) multi-touch credit — the third
     * attribution semantic next to last-touch and time-decay: 40% to
@@ -1834,6 +1962,8 @@ object ProductAnalytics {
       |FROM agg ORDER BY metric""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_click_to_purchase" -> clickToPurchase,
+    "ev_novelty_effect" -> noveltyEffect,
     "ev_gini_concentration" -> giniConcentration,
     "ev_cuped_adjusted" -> cupedAdjusted,
     "ev_tail_index" -> tailIndex,
@@ -1859,6 +1989,8 @@ object ProductAnalytics {
     "ev_cusum_changepoint" -> cusumChangepoint)
 
   val oracle: Map[String, String] = Map(
+    "ev_click_to_purchase" -> clickToPurchaseSql,
+    "ev_novelty_effect" -> noveltyEffectSql,
     "ev_gini_concentration" -> giniConcentrationSql,
     "ev_cuped_adjusted" -> cupedAdjustedSql,
     "ev_tail_index" -> tailIndexSql,

@@ -1098,7 +1098,93 @@ object TextAnalysis {
        |    AS corpus_noise_pm
        |FROM d GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------- conditional char-bigram entropy
+  /** Per-source character-structure fingerprint: H(next char | char)
+    * = H(bigrams) − H(unigrams), on the integer bit-length grid (the
+    * unigramSurprisal device — ⌊log₂⌋ ladders, exact on both
+    * engines). Natural language has strong next-char structure (the
+    * conditional entropy sits far below the unigram entropy);
+    * random/garbled text closes that gap toward zero — a
+    * script-agnostic companion to the OCR-noise gate that needs no
+    * dictionary. Both terms use c·(bits(N)−bits(c)) ladders summed
+    * per source, so the subtraction is exact.
+    *
+    * Scale shape: two per-source hash-aggs over the exploded char /
+    * bigram streams (O(total chars), map-side partial combine), then
+    * a sources-sized join. The bigram array is built with the
+    * shingles3 slice+zip_with device — O(n) per doc, never the
+    * O(n²) per-element substring form. */
+  def bigramCondEntropy(s: SparkSession, d: String): DataFrame = {
+    val cs = split(lower(col("text")), "")
+    val len = greatest(size(cs) - 1, lit(0))
+    val bigrams = zip_with(slice(cs, lit(1), len), slice(cs, lit(2), len),
+      (x, y) => concat(x, y))
+    def entropyOf(exploded: DataFrame, out: String): DataFrame = {
+      val cnt = exploded.groupBy(col("source"), col("g"))
+        .agg(count(lit(1)).as("k"))
+      val tot = cnt.groupBy(col("source")).agg(sum(col("k")).as("n"))
+      cnt.join(tot, "source")
+        .withColumn("bits", col("k") *
+          (length(bin(col("n"))) - length(bin(col("k")))).cast("long"))
+        .groupBy(col("source"))
+        .agg(max(col("n")).as(s"n_$out"),
+          expr("(1000 * SUM(bits)) DIV MAX(n)").as(s"h_${out}_millibits"))
+    }
+    val docs = documents(s, d)
+    val uni = entropyOf(docs.select(col("source"),
+      explode(split(lower(col("text")), "")).as("g"))
+      .filter(length(col("g")) === 1), "uni")
+    val bi = entropyOf(docs.select(col("source"),
+      explode(bigrams).as("g"))
+      // Java split(-1) emits a trailing "": the last zipped pair is
+      // (c_n, "") — a 1-char "bigram"; drop it on length, robustly
+      .filter(length(col("g")) === 2), "bi")
+    uni.join(bi, "source")
+      .withColumn("cond_millibits",
+        col("h_bi_millibits") - col("h_uni_millibits"))
+      .select(col("source"), col("n_uni"), col("n_bi"),
+        col("h_uni_millibits"), col("h_bi_millibits"),
+        col("cond_millibits"))
+      .orderBy(col("source"))
+  }
+
+  val bigramCondEntropySql: String =
+    """WITH ch AS (
+      |  SELECT source, UNNEST(string_split(lower(text), '')) AS g
+      |  FROM documents),
+      |uni_cnt AS (SELECT source, g, CAST(COUNT(*) AS BIGINT) AS k
+      |            FROM ch WHERE length(g) = 1 GROUP BY 1, 2),
+      |uni_tot AS (SELECT source, CAST(SUM(k) AS BIGINT) AS n
+      |            FROM uni_cnt GROUP BY 1),
+      |uni AS (
+      |  SELECT c.source, MAX(t.n) AS n_uni,
+      |    CAST((1000 * SUM(c.k * (length(bin(t.n)) - length(bin(c.k)))))
+      |      // MAX(t.n) AS BIGINT) AS h_uni_millibits
+      |  FROM uni_cnt c JOIN uni_tot t ON c.source = t.source
+      |  GROUP BY 1),
+      |bg AS (
+      |  SELECT source, substring(lower(text), i, 2) AS g
+      |  FROM documents,
+      |    UNNEST(range(1, length(text))) AS r(i)),
+      |bi_cnt AS (SELECT source, g, CAST(COUNT(*) AS BIGINT) AS k
+      |           FROM bg WHERE length(g) = 2 GROUP BY 1, 2),
+      |bi_tot AS (SELECT source, CAST(SUM(k) AS BIGINT) AS n
+      |           FROM bi_cnt GROUP BY 1),
+      |bi AS (
+      |  SELECT c.source, MAX(t.n) AS n_bi,
+      |    CAST((1000 * SUM(c.k * (length(bin(t.n)) - length(bin(c.k)))))
+      |      // MAX(t.n) AS BIGINT) AS h_bi_millibits
+      |  FROM bi_cnt c JOIN bi_tot t ON c.source = t.source
+      |  GROUP BY 1)
+      |SELECT u.source, u.n_uni, b.n_bi, u.h_uni_millibits,
+      |  b.h_bi_millibits,
+      |  CAST(b.h_bi_millibits - u.h_uni_millibits AS BIGINT)
+      |    AS cond_millibits
+      |FROM uni u JOIN bi b ON u.source = b.source
+      |ORDER BY u.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bigram_cond_entropy" -> bigramCondEntropy,
     "text_ocr_noise" -> ocrNoise,
     "text_code_ratio" -> codeRatio,
     "text_readability" -> readability,
@@ -1118,6 +1204,7 @@ object TextAnalysis {
     "doc_chunk_windows" -> chunkWindows)
 
   val oracle: Map[String, String] = Map(
+    "text_bigram_cond_entropy" -> bigramCondEntropySql,
     "text_ocr_noise" -> ocrNoiseSql,
     "text_code_ratio" -> codeRatioSql,
     "text_readability" -> readabilitySql,

@@ -156,6 +156,7 @@ class PlanSpec extends AnyFunSuite {
     "audit_id_gaps",        // 1-row island-count broadcast
     "audit_numeric_correlations", // 1-row column-means broadcast
     "ev_did_uplift",        // 1-row midpoint-day bounds broadcast
+    "ev_novelty_effect",    // 1-row min-day anchor broadcast
     "text_vocab_coverage",  // three 1-row top-k mass broadcasts
     "emb_kmeans_assign",    // k-row centers table broadcast
     "emb_silhouette",       // same k-row centers broadcast

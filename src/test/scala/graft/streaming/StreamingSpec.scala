@@ -94,24 +94,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batchEvents.select("event_id").distinct().count())
   }
 
-  test("stream-stream join == batch range join") {
+  test("stream-stream join == the REGISTERED batch twin " +
+      "(ev_click_to_purchase), row for row") {
     val stream = EventStreams.readEventStream(spark, eventsPath)
     EventStreams.runToMemory(spark,
       EventStreams.purchaseClickJoin(stream), "ssjoin", OutputMode.Append())
     val got = spark.table("ssjoin")
       .orderBy("p_id", "c_id").collect().toSeq
-    val ev = batchEvents
-    val p = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
-    val c = ev.filter(col("event_type") === "click")
-      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
-    val exp = p.join(c,
-      col("p_user") === col("c_user") &&
-        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
-        col("c_ts") < col("p_ts"))
-      .select(col("p_id"), col("c_id"), col("p_user").as("user_id"),
-        (col("p_ts").cast("long") - col("c_ts").cast("long")).as("lead_sec"))
-      .orderBy("p_id", "c_id").collect().toSeq
+    // the registered, oracled batch query IS the ground truth — the
+    // stream/batch contract is a library surface, not a test fixture
+    val exp = graft.queries.ProductAnalytics
+      .clickToPurchase(spark, "/root/testdata/sf0.001")
+      .collect().toSeq
     assert(got.nonEmpty && got == exp)
   }
 
