@@ -24,6 +24,7 @@ object Bench {
   // the artifact carries the attribution itself.
   private[graft] val BusyBestKey = "__busy32_best"
   private[graft] val StreamBestKey = "__stream32_best"
+  private[graft] val SchedBestKey = "__sched16_best"
 
   /** Query-only view of the raw history (probe keys excluded) — the
     * gate must never treat a probe minimum as a query minimum. */
@@ -163,6 +164,22 @@ object Bench {
     }
     System.gc() // the probe buffer is unreachable now — free it before q1
     exec("q1_pricing_summary") // warm-up: JVM, codegen, file index
+    // Scheduler/barrier probe: busy32 (ALU) and stream32 (bandwidth)
+    // both read healthy on a host where every MULTI-STAGE query sat at
+    // 2-2.7x its min while single-stage q1 sat AT its min — the
+    // remaining blind spot is the per-job round-trip (driver schedule
+    // -> task launch -> barrier), which is what many-short-stage
+    // queries (TPC-H join chains, the iterative graph family, the
+    // 11-barrier pipeline) actually multiply by. 16 two-task count
+    // jobs, min of two batches, AFTER the q1 warm-up so codegen/session
+    // startup never pollutes it. Healthy local[32]: ~0.2-0.4 s.
+    def schedProbe(): Double = {
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 16) { spark.range(64).repartition(2).count(); i += 1 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val schedSec = math.min(schedProbe(), schedProbe())
     // two passes, report min: first execution of a query shape pays
     // one-time janino codegen (~1-5 s) that is irrelevant at scale.
     // Optional args: query names for single-query A/B timing (the
@@ -208,9 +225,9 @@ object Bench {
     // ALU, stream32 for memory bandwidth (the round-9 blind spot:
     // checkpoint-heavy queries flagged on a host whose ALU probe read
     // healthy but whose bandwidth probe was 2.8x degraded)
-    val (regressions, busyRatio, streamRatio) =
+    val (regressions, busyRatio, streamRatio, schedRatio) =
       if (args.nonEmpty || busySec <= 0 || !sfDir.endsWith("sf0.1"))
-        (Seq.empty[(String, Double, Double)], 1.0, 1.0)
+        (Seq.empty[(String, Double, Double)], 1.0, 1.0, 1.0)
       else {
         val raw: Map[String, Double] =
           if (java.nio.file.Files.exists(histFile))
@@ -221,8 +238,10 @@ object Bench {
         val busyBest = math.min(raw.getOrElse(BusyBestKey, busySec), busySec)
         val streamBest =
           math.min(raw.getOrElse(StreamBestKey, streamSec), streamSec)
-        val withProbes = merged +
-          (BusyBestKey -> busyBest) + (StreamBestKey -> streamBest)
+        val schedBest =
+          math.min(raw.getOrElse(SchedBestKey, schedSec), schedSec)
+        val withProbes = merged + (BusyBestKey -> busyBest) +
+          (StreamBestKey -> streamBest) + (SchedBestKey -> schedBest)
         val body = withProbes.toSeq.sortBy(_._1)
           .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
           .mkString("{", ",", "}")
@@ -230,13 +249,15 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] history write failed: ${e.getMessage}")
         }
-        (regs, busySec / busyBest, streamSec / streamBest)
+        (regs, busySec / busyBest, streamSec / streamBest,
+          schedSec / schedBest)
       }
     val regJson = regressions
       .map { case (n, cur, best) =>
         s"""{"q":"$n","norm":${fmt(cur)},"min":${fmt(best)}""" +
           s""","busy32_ratio":${fmt(busyRatio)}""" +
-          s""","stream32_ratio":${fmt(streamRatio)}}""" }
+          s""","stream32_ratio":${fmt(streamRatio)}""" +
+          s""","sched16_ratio":${fmt(schedRatio)}}""" }
       .mkString("[", ",", "]")
     // queries sorted FASTEST-FIRST and the total/metric fields LAST:
     // the driver archives only a bounded stdout tail, and a ~87-entry
@@ -253,7 +274,7 @@ object Bench {
     // the canonical q1 min (present on full-surface runs) — the pair
     // lets any two rounds' numbers be host-normalized
     val probeQ = results.toMap.getOrElse("q1_pricing_summary", -1.0)
-    val cal = s"""{"busy32_sec":${fmt(busySec)},"stream32_sec":${fmt(streamSec)},"probe_query_sec":${fmt(probeQ)}}"""
+    val cal = s"""{"busy32_sec":${fmt(busySec)},"stream32_sec":${fmt(streamSec)},"sched16_sec":${fmt(schedSec)},"probe_query_sec":${fmt(probeQ)}}"""
     // regressions sits with the calibration block AFTER the queries
     // map, so the driver's stdout tail-truncation can lose cheap
     // per-query timings but never the gate's verdict
