@@ -190,6 +190,11 @@ object Bench {
     val pass1 = names.map(n => n -> exec(n)).toMap
     val results = names.map { n =>
       val t2 = exec(n)
+      // args mode: per-pass times to stderr — pass 1 is the cold side
+      // (session-shared scans build), pass 2 the pinned side, so one
+      // invocation IS a same-host-minute cold/shared A/B per query
+      if (args.nonEmpty)
+        System.err.println(f"[bench] $n pass1=${pass1(n)}%.3f pass2=$t2%.3f")
       n -> (if (t2 < 0 || pass1(n) < 0) -1.0 else math.min(pass1(n), t2))
     }
     // millisecond precision: full-double rendering made the line long

@@ -172,7 +172,11 @@ object SimHashDedup {
     * Σ bucket² join, never n²); the comparison is one full-outer
     * equi-join on the pair key and a 1-row rollup. */
   def methodAgreement(s: SparkSession, d: String): DataFrame = {
-    val lsh = Documents.dedupLshPairs(s, d)
+    // the UNSORTED non-owner pair accessor: this consumer aggregates,
+    // so the oracle-facing sort is waste, and calling the refresh
+    // OWNER (dedupLshPairs) here would rebuild the session-pinned
+    // table instead of reading it
+    val lsh = Documents.lshCandidatePairs(s, d)
       .select(col("doc_a"), col("doc_b"), lit(1).as("in_lsh"))
     val sim = dedupSimhash(s, d)
       .select(col("doc_a"), col("doc_b"), lit(1).as("in_sim"))
