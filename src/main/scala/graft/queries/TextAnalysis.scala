@@ -1119,66 +1119,72 @@ object TextAnalysis {
     val len = greatest(size(cs) - 1, lit(0))
     val bigrams = zip_with(slice(cs, lit(1), len), slice(cs, lit(2), len),
       (x, y) => concat(x, y))
-    def entropyOf(exploded: DataFrame, out: String): DataFrame = {
-      val cnt = exploded.groupBy(col("source"), col("g"))
-        .agg(count(lit(1)).as("k"))
-      val tot = cnt.groupBy(col("source")).agg(sum(col("k")).as("n"))
-      cnt.join(tot, "source")
+    // ONE per-char explode, not two: the 10× rehearsal measured the
+    // dual-stream form at exponent 1.35 (2.5 → 57 s — per-char string
+    // allocation is the cost, and it was paid twice). The marginal
+    // H(c₁) is DERIVED from the bigram counts (sum over the second
+    // character), which is also the exactly-right marginal for
+    // H(c₂|c₁) = H(c₁,c₂) − H(c₁) — the all-chars unigram entropy the
+    // first form used includes the final character of each doc that
+    // no bigram conditions on.
+    val cnt = graft.operators.Materialize.eager(
+      documents(s, d).select(col("source"), explode(bigrams).as("g"))
+        // Java split(-1) emits a trailing "": the last zipped pair is
+        // (c_n, "") — a 1-char "bigram"; drop it on length, robustly
+        .filter(length(col("g")) === 2)
+        .groupBy(col("source"), col("g")).agg(count(lit(1)).as("k")))
+    def entropyOf(counts: DataFrame, out: String): DataFrame = {
+      val tot = counts.groupBy(col("source")).agg(sum(col("k")).as("n"))
+      counts.join(tot, "source")
         .withColumn("bits", col("k") *
           (length(bin(col("n"))) - length(bin(col("k")))).cast("long"))
         .groupBy(col("source"))
         .agg(max(col("n")).as(s"n_$out"),
           expr("(1000 * SUM(bits)) DIV MAX(n)").as(s"h_${out}_millibits"))
     }
-    val docs = documents(s, d)
-    val uni = entropyOf(docs.select(col("source"),
-      explode(split(lower(col("text")), "")).as("g"))
-      .filter(length(col("g")) === 1), "uni")
-    val bi = entropyOf(docs.select(col("source"),
-      explode(bigrams).as("g"))
-      // Java split(-1) emits a trailing "": the last zipped pair is
-      // (c_n, "") — a 1-char "bigram"; drop it on length, robustly
-      .filter(length(col("g")) === 2), "bi")
+    val first = cnt.groupBy(col("source"),
+        substring(col("g"), 1, 1).as("g"))
+      .agg(sum(col("k")).as("k"))
+    val uni = entropyOf(first, "first")
+    val bi = entropyOf(cnt, "bigram")
     uni.join(bi, "source")
       .withColumn("cond_millibits",
-        col("h_bi_millibits") - col("h_uni_millibits"))
-      .select(col("source"), col("n_uni"), col("n_bi"),
-        col("h_uni_millibits"), col("h_bi_millibits"),
+        col("h_bigram_millibits") - col("h_first_millibits"))
+      .select(col("source"), col("n_bigram"),
+        col("h_first_millibits"), col("h_bigram_millibits"),
         col("cond_millibits"))
       .orderBy(col("source"))
   }
 
   val bigramCondEntropySql: String =
-    """WITH ch AS (
-      |  SELECT source, UNNEST(string_split(lower(text), '')) AS g
-      |  FROM documents),
-      |uni_cnt AS (SELECT source, g, CAST(COUNT(*) AS BIGINT) AS k
-      |            FROM ch WHERE length(g) = 1 GROUP BY 1, 2),
-      |uni_tot AS (SELECT source, CAST(SUM(k) AS BIGINT) AS n
-      |            FROM uni_cnt GROUP BY 1),
-      |uni AS (
-      |  SELECT c.source, MAX(t.n) AS n_uni,
-      |    CAST((1000 * SUM(c.k * (length(bin(t.n)) - length(bin(c.k)))))
-      |      // MAX(t.n) AS BIGINT) AS h_uni_millibits
-      |  FROM uni_cnt c JOIN uni_tot t ON c.source = t.source
-      |  GROUP BY 1),
-      |bg AS (
+    """WITH bg AS (
       |  SELECT source, substring(lower(text), i, 2) AS g
       |  FROM documents,
       |    UNNEST(range(1, length(text))) AS r(i)),
       |bi_cnt AS (SELECT source, g, CAST(COUNT(*) AS BIGINT) AS k
       |           FROM bg WHERE length(g) = 2 GROUP BY 1, 2),
+      |uni_cnt AS (SELECT source, substring(g, 1, 1) AS g,
+      |              CAST(SUM(k) AS BIGINT) AS k
+      |            FROM bi_cnt GROUP BY 1, 2),
+      |uni_tot AS (SELECT source, CAST(SUM(k) AS BIGINT) AS n
+      |            FROM uni_cnt GROUP BY 1),
+      |uni AS (
+      |  SELECT c.source,
+      |    CAST((1000 * SUM(c.k * (length(bin(t.n)) - length(bin(c.k)))))
+      |      // MAX(t.n) AS BIGINT) AS h_first_millibits
+      |  FROM uni_cnt c JOIN uni_tot t ON c.source = t.source
+      |  GROUP BY 1),
       |bi_tot AS (SELECT source, CAST(SUM(k) AS BIGINT) AS n
       |           FROM bi_cnt GROUP BY 1),
       |bi AS (
-      |  SELECT c.source, MAX(t.n) AS n_bi,
+      |  SELECT c.source, MAX(t.n) AS n_bigram,
       |    CAST((1000 * SUM(c.k * (length(bin(t.n)) - length(bin(c.k)))))
-      |      // MAX(t.n) AS BIGINT) AS h_bi_millibits
+      |      // MAX(t.n) AS BIGINT) AS h_bigram_millibits
       |  FROM bi_cnt c JOIN bi_tot t ON c.source = t.source
       |  GROUP BY 1)
-      |SELECT u.source, u.n_uni, b.n_bi, u.h_uni_millibits,
-      |  b.h_bi_millibits,
-      |  CAST(b.h_bi_millibits - u.h_uni_millibits AS BIGINT)
+      |SELECT u.source, b.n_bigram, u.h_first_millibits,
+      |  b.h_bigram_millibits,
+      |  CAST(b.h_bigram_millibits - u.h_first_millibits AS BIGINT)
       |    AS cond_millibits
       |FROM uni u JOIN bi b ON u.source = b.source
       |ORDER BY u.source""".stripMargin

@@ -58,9 +58,9 @@ class Round10WaveSpec extends AnyFunSuite {
     }
   }
 
-  test("text_bigram_cond_entropy: structured text shows a bigger " +
-      "unigram→conditional entropy drop than shuffled text; counts " +
-      "satisfy n_bi = n_uni - n_docs") {
+  test("text_bigram_cond_entropy: structured text shows near-zero " +
+      "conditional entropy, garble keeps ~H(c1); n_bigram = chars - " +
+      "one per doc") {
     val rnd = new scala.util.Random(7)
     val structured = Seq.fill(3)(("ab" * 600)) // H(c2|c1) = 0
     val letters = "abcdefgh"
@@ -75,10 +75,11 @@ class Round10WaveSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val rows = TextAnalysis.bigramCondEntropy(spark, dir)
       .collect().map(r => r.getString(0) ->
-        (r.getLong(1), r.getLong(2), r.getLong(5))).toMap
-    val (nUniS, nBiS, condS) = rows("structured")
-    val (nUniG, nBiG, condG) = rows("garble")
-    assert(nBiS == nUniS - 3 && nBiG == nUniG - 3)
+        (r.getLong(1), r.getLong(4))).toMap
+    val (nBiS, condS) = rows("structured")
+    val (nBiG, condG) = rows("garble")
+    // n_bigram = total chars - one per doc (3 docs per source)
+    assert(nBiS == 3 * (1200 - 1) && nBiG == 3 * (1200 - 1))
     // "abab...": next char fully determined -> conditional entropy ~0;
     // uniform garble keeps H(c2|c1) ~ H(c1) ~ 3000 millibits
     assert(condS < 200, s"structured cond=$condS")
