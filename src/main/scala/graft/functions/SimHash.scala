@@ -119,6 +119,20 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function(
       "misra_gries", c, org.apache.spark.sql.functions.lit(k))
 
+  def charNgramCounts(c: Column, n: Int): Column =
+    org.apache.spark.sql.functions.call_function(
+      "char_ngram_counts", c, org.apache.spark.sql.functions.lit(n))
+
+  /** The n argument must be a foldable integer literal (it is part of
+    * the expression's shape, not per-row data). */
+  private[functions] def ngramFromExprs(exprs: Seq[Expression]): CharNgramCounts = {
+    val es = arity("char_ngram_counts", 2)(exprs)
+    if (!es(1).foldable)
+      throw new IllegalArgumentException(
+        "char_ngram_counts: n must be a literal integer")
+    CharNgramCounts(es(0), es(1).eval().asInstanceOf[Number].intValue())
+  }
+
   /** The k argument must be a foldable integer literal (it sizes the
     * aggregation buffer, so it cannot vary per row). */
   private[functions] def mgFromExprs(exprs: Seq[Expression]): MisraGriesAgg = {
@@ -144,6 +158,8 @@ object GraftFunctions {
       }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "misra_gries", mgFromExprs, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_ngram_counts", ngramFromExprs, "built-in")
   }
 }
 
@@ -174,6 +190,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("misra_gries"),
       new ExpressionInfo(classOf[MisraGriesAgg].getName, "misra_gries"),
       (exprs: Seq[Expression]) => GraftFunctions.mgFromExprs(exprs)))
+    e.injectFunction((FunctionIdentifier("char_ngram_counts"),
+      new ExpressionInfo(classOf[CharNgramCounts].getName, "char_ngram_counts"),
+      (exprs: Seq[Expression]) => GraftFunctions.ngramFromExprs(exprs)))
     e.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
     e.injectOptimizerRule(_ => graft.plans.PruneAsOfJoinColumns)
   }

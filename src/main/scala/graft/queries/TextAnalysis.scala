@@ -629,11 +629,14 @@ object TextAnalysis {
     * → per-doc second agg. The doc-total join is by doc_id — the same
     * linear topology as surprisal, no corpus-wide state at all. */
   def charEntropy(s: SparkSession, d: String): DataFrame = {
-    val ch = documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
-      .filter(length(col("ch")) > 0) // Java split(-1) emits a trailing ""
-    val cnt = ch.groupBy(col("doc_id"), col("ch"))
-      .agg(count(lit(1)).as("k"))
+    graft.functions.GraftFunctions.registerAll(s)
+    // native char_ngram_counts(n=1): one count map per doc instead of
+    // one exploded row per CHARACTER — same counts (the composed
+    // split("")-explode form is differential-pinned in CharNgramSpec),
+    // alphabet-bounded explode volume
+    val cnt = documents(s, d).select(col("doc_id"),
+      explode(graft.functions.GraftFunctions.charNgramCounts(
+        col("text"), 1)).as(Seq("ch", "k")))
     val tot = cnt.groupBy(col("doc_id")).agg(sum(col("k")).as("n"))
     cnt.join(tot, "doc_id")
       .withColumn("bits",
@@ -1115,24 +1118,24 @@ object TextAnalysis {
     * shingles3 slice+zip_with device — O(n) per doc, never the
     * O(n²) per-element substring form. */
   def bigramCondEntropy(s: SparkSession, d: String): DataFrame = {
-    val cs = split(lower(col("text")), "")
-    val len = greatest(size(cs) - 1, lit(0))
-    val bigrams = zip_with(slice(cs, lit(1), len), slice(cs, lit(2), len),
-      (x, y) => concat(x, y))
-    // ONE per-char explode, not two: the 10× rehearsal measured the
-    // dual-stream form at exponent 1.35 (2.5 → 57 s — per-char string
-    // allocation is the cost, and it was paid twice). The marginal
-    // H(c₁) is DERIVED from the bigram counts (sum over the second
-    // character), which is also the exactly-right marginal for
-    // H(c₂|c₁) = H(c₁,c₂) − H(c₁) — the all-chars unigram entropy the
-    // first form used includes the final character of each doc that
-    // no bigram conditions on.
+    graft.functions.GraftFunctions.registerAll(s)
+    // ONE per-doc COUNT-MAP explode via the native char_ngram_counts
+    // expression, not a per-char stream: the 10× rehearsal measured
+    // the dual per-char explode at exponent 1.35 (2.5 → 57 s — one
+    // String per character, twice), the single-explode rewrite at
+    // 0.95 — still one shuffled row per character position. The
+    // native expression walks each doc's UTF-8 bytes once and emits
+    // ≤ |alphabet|² (ngram → count) entries, so the explode is
+    // bounded by the alphabet, not the document. The marginal H(c₁)
+    // is DERIVED from the bigram counts (sum over the second
+    // character) — also the exactly-right marginal for
+    // H(c₂|c₁) = H(c₁,c₂) − H(c₁).
     val cnt = graft.operators.Materialize.eager(
-      documents(s, d).select(col("source"), explode(bigrams).as("g"))
-        // Java split(-1) emits a trailing "": the last zipped pair is
-        // (c_n, "") — a 1-char "bigram"; drop it on length, robustly
-        .filter(length(col("g")) === 2)
-        .groupBy(col("source"), col("g")).agg(count(lit(1)).as("k")))
+      documents(s, d).select(col("source"),
+          explode(graft.functions.GraftFunctions.charNgramCounts(
+            lower(col("text")), 2)).as(Seq("g", "kd")))
+        .groupBy(col("source"), col("g"))
+        .agg(sum(col("kd")).as("k")))
     def entropyOf(counts: DataFrame, out: String): DataFrame = {
       val tot = counts.groupBy(col("source")).agg(sum(col("k")).as("n"))
       counts.join(tot, "source")
