@@ -1192,7 +1192,113 @@ object TextAnalysis {
       |FROM uni u JOIN bi b ON u.source = b.source
       |ORDER BY u.source""".stripMargin
 
+  // --------------------------- trigram-profile language ID
+  /** Character-trigram language identification (Cavnar–Trenkle 1994
+    * shape): per-language trigram PROFILES (top-40 trigrams by corpus
+    * count, rank-weighted w = 41 − rank) learned from the labeled
+    * corpus itself, every doc scored Σ k_doc(g)·w(g) against each
+    * profile, argmax = predicted language — then the label-vs-
+    * prediction confusion matrix. Unlike the stopword lang-ID
+    * (text_lang_id / text_lang_confusion) this needs no word list and
+    * handles CJK (its trigrams are 9-byte sequences — the native
+    * expression's boxed-key path) exactly like Latin scripts. The
+    * off-diagonal mass is the ingestion-gating risk of the cheap
+    * classifier, measured on its own training distribution (the
+    * optimistic bound — the honest caveat a real eval would split).
+    * On THIS fixture the audit's finding is that the `lang` column is
+    * metadata-only: every doc is the same English-ish word salad, so
+    * confusion is near-uniform — exactly the signal that tells a
+    * pipeline owner the labels cannot gate script-level ingestion
+    * (the planted-docs spec proves the classifier itself is sound:
+    * distinct-script corpora classify at 1000‰).
+    *
+    * Scale shape: one native count-map explode per doc
+    * (alphabet-bounded rows), one (lang, g) hash-agg for profiles, a
+    * rank window over |langs|·|trigram vocab| (profile build — tiny),
+    * then a BROADCAST profile join (|langs|·40 rows at any corpus
+    * size) and a per-doc struct-max hash-agg. Nothing wider than the
+    * doc count ever shuffles. */
+  def langIdTrigram(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    import org.apache.spark.sql.expressions.Window
+    val P = 40
+    val tri = graft.operators.Materialize.eager(
+      documents(s, d).select(col("doc_id"), col("lang"),
+        explode(graft.functions.GraftFunctions.charNgramCounts(
+          lower(col("text")), 3)).as(Seq("g", "k"))))
+    val langCnt = tri.groupBy(col("lang").as("cand_lang"), col("g"))
+      .agg(sum(col("k")).as("cnt"))
+    val wRank = Window.partitionBy(col("cand_lang"))
+      .orderBy(col("cnt").desc, col("g"))
+    val profile = langCnt.withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= P)
+      .select(col("cand_lang"), col("g"), (lit(P + 1) - col("rk"))
+        .cast("long").as("w"))
+    val scores = tri.join(broadcast(profile), "g")
+      .groupBy(col("doc_id"), col("cand_lang"))
+      .agg(sum(col("k") * col("w")).as("score"))
+    val pred = scores.groupBy(col("doc_id"))
+      .agg(max(struct(col("score"), col("cand_lang"))).as("m"))
+      .select(col("doc_id"), col("m.cand_lang").as("pred_lang"))
+    val cells = documents(s, d).select(col("doc_id"),
+        col("lang").as("actual_lang"))
+      .join(pred, Seq("doc_id"), "left")
+      .na.fill("none", Seq("pred_lang"))
+      .groupBy(col("actual_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("actual_lang"))
+      .agg(sum(col("n")).as("total"))
+    cells.join(broadcast(totals), Seq("actual_lang"))
+      .withColumn("share_permille", expr("1000 * n DIV total"))
+      .select(col("actual_lang"), col("pred_lang"), col("n"),
+        col("share_permille"))
+      .orderBy(col("actual_lang"), col("pred_lang"))
+  }
+
+  val langIdTrigramSql: String =
+    """WITH tri AS (
+      |  SELECT doc_id, lang, substring(lower(text), i, 3) AS g
+      |  FROM documents, UNNEST(range(1, length(text) - 1)) AS r(i)),
+      |tric AS (
+      |  SELECT doc_id, lang, g, CAST(COUNT(*) AS BIGINT) AS k
+      |  FROM tri WHERE length(g) = 3 GROUP BY 1, 2, 3),
+      |lang_cnt AS (
+      |  SELECT lang AS cand_lang, g, CAST(SUM(k) AS BIGINT) AS cnt
+      |  FROM tric GROUP BY 1, 2),
+      |profile AS (
+      |  SELECT cand_lang, g, CAST(41 - rk AS BIGINT) AS w FROM (
+      |    SELECT cand_lang, g, cnt, ROW_NUMBER() OVER (
+      |      PARTITION BY cand_lang ORDER BY cnt DESC, g) AS rk
+      |    FROM lang_cnt) t
+      |  WHERE rk <= 40),
+      |scores AS (
+      |  SELECT t.doc_id, p.cand_lang, CAST(SUM(t.k * p.w) AS BIGINT)
+      |    AS score
+      |  FROM tric t JOIN profile p ON t.g = p.g
+      |  GROUP BY 1, 2),
+      |pred AS (
+      |  SELECT doc_id, cand_lang AS pred_lang FROM (
+      |    SELECT doc_id, cand_lang, ROW_NUMBER() OVER (
+      |      PARTITION BY doc_id
+      |      ORDER BY score DESC, cand_lang DESC) AS rk
+      |    FROM scores) t
+      |  WHERE rk = 1),
+      |cells AS (
+      |  SELECT d.lang AS actual_lang,
+      |    COALESCE(p.pred_lang, 'none') AS pred_lang,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM documents d LEFT JOIN pred p ON p.doc_id = d.doc_id
+      |  GROUP BY 1, 2),
+      |totals AS (
+      |  SELECT actual_lang, CAST(SUM(n) AS BIGINT) AS total
+      |  FROM cells GROUP BY 1)
+      |SELECT c.actual_lang, c.pred_lang, c.n,
+      |  1000 * c.n // t.total AS share_permille
+      |FROM cells c JOIN totals t ON c.actual_lang = t.actual_lang
+      |ORDER BY c.actual_lang, c.pred_lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lang_id_trigram" -> langIdTrigram,
     "text_bigram_cond_entropy" -> bigramCondEntropy,
     "text_ocr_noise" -> ocrNoise,
     "text_code_ratio" -> codeRatio,
@@ -1213,6 +1319,7 @@ object TextAnalysis {
     "doc_chunk_windows" -> chunkWindows)
 
   val oracle: Map[String, String] = Map(
+    "text_lang_id_trigram" -> langIdTrigramSql,
     "text_bigram_cond_entropy" -> bigramCondEntropySql,
     "text_ocr_noise" -> ocrNoiseSql,
     "text_code_ratio" -> codeRatioSql,

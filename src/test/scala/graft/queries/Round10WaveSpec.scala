@@ -87,6 +87,45 @@ class Round10WaveSpec extends AnyFunSuite {
     graft.operators.Materialize.freeAll(spark)
   }
 
+  test("text_lang_id_trigram: confusion mass reconciles with the doc " +
+      "count on the fixture (whose lang labels are metadata-only — " +
+      "near-uniform confusion IS the audit finding there)") {
+    val cells = TextAnalysis.langIdTrigram(spark, d).collect()
+    val nDocs = graft.Tables.documents(spark, d).count()
+    assert(cells.map(_.getLong(2)).sum == nDocs)
+    cells.foreach(r => assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000))
+    graft.operators.Materialize.freeAll(spark)
+  }
+
+  test("text_lang_id_trigram classifies PLANTED distinct-script docs " +
+      "perfectly (incl. a CJK alphabet — the 9-byte boxed-key path)") {
+    val rnd = new scala.util.Random(11)
+    def salad(letters: String, words: Int): String =
+      (1 to words).map(_ =>
+        (1 to 2 + rnd.nextInt(5))
+          .map(_ => letters(rnd.nextInt(letters.length))).mkString)
+        .mkString(" ")
+    val latinA = "abcdefghijklm"
+    val latinB = "nopqrstuvwxyz"
+    val cjk = "数据查询分组排序流窗口合并扫描"
+    val docs = (0 until 6).map { i =>
+      val (lang, letters) =
+        Seq(("aa", latinA), ("bb", latinB), ("cc", cjk))(i % 3)
+      val t = salad(letters, 120)
+      (i.toLong, t, lang, s"s$i", t.length.toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("lid").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cells = TextAnalysis.langIdTrigram(spark, dir).collect()
+    cells.foreach { r =>
+      assert(r.getString(0) == r.getString(1),
+        s"misclassified: $r")
+      assert(r.getLong(3) == 1000L)
+    }
+    graft.operators.Materialize.freeAll(spark)
+  }
+
   test("graph_degree_histogram: node mass and degree mass reconcile " +
       "with the documents table and the pair table") {
     val hist = GraphRank.degreeHistogram(spark, d).collect()
