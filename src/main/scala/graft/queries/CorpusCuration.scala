@@ -721,7 +721,70 @@ object CorpusCuration {
        |LEFT JOIN aff a ON a.source = src.source
        |ORDER BY src.source""".stripMargin
 
+  // ------------------------------------------ curriculum ordering
+  /** Curriculum phase assignment — the training-order half of corpus
+    * assembly: documents ranked by a cheap fluency score (stopword
+    * permille — the textQuality axis), split into 4 exact quartile
+    * phases (cleanest first), with per-(phase, source) doc and token
+    * budgets. This is the table a curriculum-training run consumes:
+    * phase 1 feeds the warm-up epochs, the tail phases arrive later;
+    * the per-source budgets show whether any phase is dominated by
+    * one source (the mixing failure curriculum schedules introduce).
+    *
+    * Scale shape: the NTILE is the round-10 GlobalRank device —
+    * range-partition + zipWithIndex exact rank + arithmetic NTILE, no
+    * single-task global window anywhere (at 10⁹ docs the window form
+    * IS the job); one linear score projection, one rank pass, one
+    * grid agg. Bucket-identical to the window NTILE, so the oracle's
+    * window form hashes equal. */
+  def curriculumOrder(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.GlobalRank
+    val toks = Documents.tokens(col("text"))
+    val scored = documents(s, d).select(col("doc_id"), col("source"),
+        size(toks).cast("long").as("n_tok"),
+        size(org.apache.spark.sql.functions.filter(toks,
+          t => t.isin("the", "a", "of", "and", "to"))).cast("long")
+          .as("n_stop"))
+      .withColumn("score_pm",
+        expr("n_stop * 1000 DIV GREATEST(n_tok, 1)"))
+    val ranked = GlobalRank.withRowNumber(scored,
+      Seq(col("score_pm").desc, col("doc_id")), "rk")
+    val n = ranked.agg(count(lit(1)).as("n_docs_total"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("phase",
+        GlobalRank.ntileFromRank("rk", "n_docs_total", 4))
+      .groupBy(col("phase"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("phase_tokens"),
+        min(col("score_pm")).as("min_score_pm"),
+        max(col("score_pm")).as("max_score_pm"))
+      .orderBy(col("phase"), col("source"))
+  }
+
+  val curriculumOrderSql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, source,
+       |    CAST(len($toksSql) AS BIGINT) AS n_tok,
+       |    CAST(len(list_filter($toksSql,
+       |      w -> w IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop
+       |  FROM documents),
+       |sp AS (
+       |  SELECT doc_id, source, n_tok,
+       |    n_stop * 1000 // GREATEST(n_tok, 1) AS score_pm
+       |  FROM scored),
+       |phased AS (
+       |  SELECT source, n_tok, score_pm,
+       |    CAST(NTILE(4) OVER (ORDER BY score_pm DESC, doc_id)
+       |      AS BIGINT) AS phase
+       |  FROM sp)
+       |SELECT phase, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS phase_tokens,
+       |  MIN(score_pm) AS min_score_pm,
+       |  MAX(score_pm) AS max_score_pm
+       |FROM phased GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_curriculum_order" -> curriculumOrder,
     "doc_boilerplate_shingles" -> boilerplateShingles,
     "text_winnowing_pairs" -> winnowingPairs,
     "doc_source_overlap" -> sourceOverlap,
@@ -733,6 +796,7 @@ object CorpusCuration {
     "dedup_lsh_recall" -> lshRecall)
 
   val oracle: Map[String, String] = Map(
+    "corpus_curriculum_order" -> curriculumOrderSql,
     "doc_boilerplate_shingles" -> boilerplateShinglesSql,
     "text_winnowing_pairs" -> winnowingPairsSql,
     "doc_source_overlap" -> sourceOverlapSql,

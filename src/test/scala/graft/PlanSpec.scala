@@ -172,6 +172,7 @@ class PlanSpec extends AnyFunSuite {
     "ev_rolling_active_users", // 1-row max-day broadcast (window clip)
     "ev_power_users_pareto",// 1-row n_users_total broadcast (exact
                             // distributed NTILE via GlobalRank)
+    "corpus_curriculum_order", // same 1-row count broadcast (GlobalRank)
     "ev_rfm_segments",      // 1-row max-day broadcast (recency anchor)
     "ev_rfm_migration",     // 1-row midpoint-day bounds broadcast
     "ev_retention_halflife",// weeks-sized cohort table + 1-row max
