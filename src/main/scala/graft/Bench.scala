@@ -136,9 +136,7 @@ object Bench {
     // method-local it would stay strongly reachable for the whole
     // benchmark (main never returns until the end), pinning half a
     // gigabyte of driver heap through every timed query (ADVICE r9).
-    sink.addAndGet(spin(99L, 20000000L)) // JIT warm
-    val busySec = math.min(busyProbe(), busyProbe())
-    val streamSec = {
+    def measureStream(): Double = {
       val streamBuf = new Array[Long](64 * 1024 * 1024) // 512 MiB
       java.util.Arrays.fill(streamBuf, 3L)
       def streamProbe(): Double = {
@@ -162,6 +160,9 @@ object Bench {
       streamProbe() // JIT + page-touch warm
       math.min(streamProbe(), streamProbe())
     }
+    sink.addAndGet(spin(99L, 20000000L)) // JIT warm
+    val busySec = math.min(busyProbe(), busyProbe())
+    val streamSec = measureStream()
     System.gc() // the probe buffer is unreachable now — free it before q1
     exec("q1_pricing_summary") // warm-up: JVM, codegen, file index
     // Scheduler/barrier probe: busy32 (ALU) and stream32 (bandwidth)
@@ -280,11 +281,21 @@ object Bench {
     // lets any two rounds' numbers be host-normalized
     val probeQ = results.toMap.getOrElse("q1_pricing_summary", -1.0)
     val cal = s"""{"busy32_sec":${fmt(busySec)},"stream32_sec":${fmt(streamSec)},"sched16_sec":${fmt(schedSec)},"probe_query_sec":${fmt(probeQ)}}"""
+    // END-of-run probe trio: start-only probes proved blind to
+    // MID-RUN host swings (round 10: a run with healthy start probes
+    // flagged 59 queries — the host degraded after the probes ran).
+    // A start/end pair brackets the run; a clean start with a
+    // degraded end marks the flags host-suspect from the artifact
+    // alone, no standalone re-runs needed.
+    val busyEnd = math.min(busyProbe(), busyProbe())
+    val streamEnd = measureStream()
+    val schedEnd = math.min(schedProbe(), schedProbe())
+    val calEnd = s"""{"busy32_sec":${fmt(busyEnd)},"stream32_sec":${fmt(streamEnd)},"sched16_sec":${fmt(schedEnd)}}"""
     // regressions sits with the calibration block AFTER the queries
     // map, so the driver's stdout tail-truncation can lose cheap
     // per-query timings but never the gate's verdict
     val line =
-      s"""{"queries":$qs,"sf":"$sfDir","calibration":$cal,"regressions":$regJson,"unit":"sec","metric":"total","value":${fmt(total)}}"""
+      s"""{"queries":$qs,"sf":"$sfDir","calibration":$cal,"calibration_end":$calEnd,"regressions":$regJson,"unit":"sec","metric":"total","value":${fmt(total)}}"""
     println(line)
     // belt-and-braces: persist the full line where tail-truncation
     // can't lose it (read by later rounds for perf comparisons).
