@@ -123,6 +123,30 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function(
       "char_ngram_counts", c, org.apache.spark.sql.functions.lit(n))
 
+  /** Spark's native bloom build/probe pair (the expressions behind
+    * runtime row-level filtering), surfaced with their upstream SQL
+    * names — BloomPrefilter keys its sketch on xxhash64 longs through
+    * these so the probe stays inside whole-stage codegen. */
+  def bloomFilterAgg(c: Column, estimatedItems: Long, numBits: Long): Column =
+    org.apache.spark.sql.functions.call_function("bloom_filter_agg", c,
+      org.apache.spark.sql.functions.lit(estimatedItems),
+      org.apache.spark.sql.functions.lit(numBits))
+
+  def mightContain(bloom: Column, value: Column): Column =
+    org.apache.spark.sql.functions.call_function("might_contain", bloom, value)
+
+  private[functions] def bloomAggFromExprs(exprs: Seq[Expression]) = {
+    val es = arity("bloom_filter_agg", 3)(exprs)
+    new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(es(0), es(1), es(2))
+  }
+
+  private[functions] def mightContainFromExprs(exprs: Seq[Expression]) = {
+    val es = arity("might_contain", 2)(exprs)
+    org.apache.spark.sql.catalyst.expressions
+      .BloomFilterMightContain(es(0), es(1))
+  }
+
   /** The n argument must be a foldable integer literal (it is part of
     * the expression's shape, not per-row data). */
   private[functions] def ngramFromExprs(exprs: Seq[Expression]): CharNgramCounts = {
@@ -160,6 +184,10 @@ object GraftFunctions {
       "misra_gries", mgFromExprs, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "char_ngram_counts", ngramFromExprs, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_filter_agg", bloomAggFromExprs, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "might_contain", mightContainFromExprs, "built-in")
   }
 }
 
@@ -193,6 +221,16 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("char_ngram_counts"),
       new ExpressionInfo(classOf[CharNgramCounts].getName, "char_ngram_counts"),
       (exprs: Seq[Expression]) => GraftFunctions.ngramFromExprs(exprs)))
+    e.injectFunction((FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_filter_agg"),
+      (exprs: Seq[Expression]) => GraftFunctions.bloomAggFromExprs(exprs)))
+    e.injectFunction((FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      (exprs: Seq[Expression]) => GraftFunctions.mightContainFromExprs(exprs)))
     e.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
     e.injectOptimizerRule(_ => graft.plans.PruneAsOfJoinColumns)
   }

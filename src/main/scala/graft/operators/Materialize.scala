@@ -16,6 +16,13 @@ import org.apache.spark.sql.execution.LogicalRDD
   *   - lineage is truncated, so iterative consumers (connected
   *     components) do not accumulate an analysis-time plan blowup.
   *
+  * Exception to the freed-when-GC'd contract: the session-scoped
+  * compute-once registry ([[sharedPinned]]) and its sibling caches
+  * hold STRONG refs for reuse across queries. Those are released by
+  * [[releaseShared]] or automatically when the SparkContext stops —
+  * a library caller cycling many data dirs through one long-lived
+  * session should call [[releaseShared]] between corpora.
+  *
   * The trade-off (know it before running on a preemptible fleet):
   * localCheckpoint stores blocks ONLY on executors and DISCARDS the
   * lineage needed to recompute them. Losing an executor — preemption,
@@ -92,7 +99,8 @@ object Materialize {
   }
 
   /** Release a pinned frame: drop the pin AND free its blocks now.
-    * After this the frame is NOT recomputable (localCheckpoint). */
+    * After this the frame is NOT recomputable (localCheckpoint) — only
+    * safe when the caller KNOWS no consumer retains the frame. */
   def unpin(df: DataFrame): Unit = {
     leafRdds(df).foreach { r =>
       pinned.synchronized { pinned.remove(r) }
@@ -100,6 +108,16 @@ object Materialize {
       tracked.synchronized { tracked.remove(r) }
     }
   }
+
+  /** Drop a frame's pin WITHOUT freeing its blocks: the frame reverts
+    * to the ordinary weak-tracked lifetime (freed by the next harness
+    * [[freeAll]], or by GC + ContextCleaner once every consumer drops
+    * the plan). This is the only safe release when another thread may
+    * have just fetched the frame from a shared registry — a blocking
+    * free here would hand that thread a plan over missing,
+    * non-recomputable blocks. */
+  def unpinKeep(df: DataFrame): Unit =
+    pinned.synchronized { leafRdds(df).foreach(pinned.remove) }
 
   // Session-scoped compute-once registry of pinned shared scans: a
   // subtree several REGISTERED queries pay standalone (the LSH
@@ -114,17 +132,79 @@ object Materialize {
   private val shared = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.SparkContext, String), DataFrame]()
 
+  // Per-context release hooks: other session-scoped caches holding
+  // pinned frames (GraphRank's LPA core) register here so ONE call —
+  // [[releaseShared]] or the context-stop listener — evicts every
+  // strong reference the library holds for that context.
+  private val releaseHooks = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.SparkContext,
+    List[() => Unit]]()
+
+  // Contexts whose end-of-application listener is already installed —
+  // without it, a long-lived JVM cycling through SparkSessions would
+  // accumulate permanently-pinned registries per dead context (the
+  // strong refs outlive the blocks they guard).
+  private val endListenerOn = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.SparkContext, java.lang.Boolean]())
+
+  private def ensureEndListener(sc: org.apache.spark.SparkContext): Unit =
+    if (endListenerOn.add(sc))
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          releaseContext(sc)
+      })
+
+  /** Register a cleanup hook run when `sc`'s registries are released
+    * (explicit [[releaseShared]] or application end). */
+  def onRelease(sc: org.apache.spark.SparkContext)(hook: () => Unit): Unit = {
+    ensureEndListener(sc)
+    releaseHooks.merge(sc, List(hook), (a, b) => b ++ a)
+  }
+
+  private def releaseContext(sc: org.apache.spark.SparkContext): Unit = {
+    val it = shared.keySet().iterator()
+    val mine = scala.collection.mutable.ArrayBuffer[
+      (org.apache.spark.SparkContext, String)]()
+    while (it.hasNext) { val k = it.next(); if (k._1 eq sc) mine += k }
+    mine.foreach { k =>
+      val df = shared.remove(k)
+      if (df != null) unpinKeep(df) // blocks follow the weak-tracked lifetime
+    }
+    val hooks = releaseHooks.remove(sc)
+    if (hooks != null) hooks.foreach(h => h())
+    endListenerOn.remove(sc)
+  }
+
+  /** Public release path for the compute-once registry: drops every
+    * shared entry (and registered sibling cache) of this session's
+    * context. Library callers cycling many data dirs through one
+    * session call this to stop pinned executor storage accumulating;
+    * it also runs automatically when the SparkContext stops. Blocks
+    * are not force-freed — frames still referenced by a live consumer
+    * stay readable and are reclaimed by GC + ContextCleaner (or a
+    * harness [[freeAll]]) once dropped. */
+  def releaseShared(spark: org.apache.spark.sql.SparkSession): Unit =
+    releaseContext(spark.sparkContext)
+
   /** Compute-once pinned materialization of a deterministic shared
     * subtree. First caller per (session-context, key) pays and pins;
     * later callers get the stored blocks. `build` must be a pure
     * function of the key's inputs (all graft scans are: parquet dir +
-    * deterministic plan).
+    * deterministic plan), and the key's inputs are assumed IMMUTABLE
+    * for the registry entry's lifetime — a caller that rewrites the
+    * parquet under a registered dir mid-session must [[releaseShared]]
+    * first or non-owner consumers serve the stale pinned snapshot.
     *
     * `refresh = true` marks the key's OWNER query: it always rebuilds
-    * and re-pins (freeing the old blocks), so in a min-of-two-passes
-    * benchmark the scan's true build cost stays attributed to exactly
-    * one registered query instead of vanishing into "already pinned"
-    * on every second pass — the LPA-core honesty discipline. */
+    * and re-pins, so in a min-of-two-passes benchmark the scan's true
+    * build cost stays attributed to exactly one registered query
+    * instead of vanishing into "already pinned" on every second pass —
+    * the LPA-core honesty discipline. The DISPLACED frame is unpinned
+    * but not freed ([[unpinKeep]]): a concurrent reader that fetched
+    * it just before the swap keeps working; the blocks fall back to
+    * the weak-tracked lifetime. */
   def sharedPinned(spark: org.apache.spark.sql.SparkSession, key: String,
       refresh: Boolean = false)(build: => DataFrame): DataFrame = {
     val k = (spark.sparkContext, key)
@@ -137,9 +217,10 @@ object Materialize {
         val again = shared.get(k)
         if (again != null) return again
       }
+      ensureEndListener(spark.sparkContext)
       val df = eagerPinned(build)
       val old = shared.put(k, df)
-      if (old != null) unpin(old)
+      if (old != null) unpinKeep(old)
       df
     }
   }

@@ -634,6 +634,12 @@ object GraphRank {
     (org.apache.spark.SparkContext, String, Int),
     (DataFrame, DataFrame, Boolean, Int)]()
 
+  // contexts whose Materialize release hook (evicting this cache) is
+  // already registered — one hook per context, not per refresh
+  private val lpaHookOn = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.SparkContext, java.lang.Boolean]())
+
   private def lpaCoreFor(s: SparkSession, d: String, rounds: Int,
       refresh: Boolean): (DataFrame, DataFrame, Boolean, Int) = {
     val key = (s.sparkContext, d, rounds)
@@ -651,10 +657,31 @@ object GraphRank {
         graft.operators.Materialize.eagerPinned(core._1),
         graft.operators.Materialize.eagerPinned(core._2),
         core._3, core._4)
+      // evicted together with Materialize's shared registry (explicit
+      // releaseShared or context stop), so this cache's strong refs
+      // never outlive the session they serve; one hook per context
+      if (lpaHookOn.add(s.sparkContext))
+        graft.operators.Materialize.onRelease(s.sparkContext) { () =>
+          lpaHookOn.remove(s.sparkContext)
+          val it = lpaCache.keySet().iterator()
+          while (it.hasNext) {
+            val k = it.next()
+            if (k._1 eq s.sparkContext) {
+              val old = lpaCache.remove(k)
+              if (old != null) {
+                graft.operators.Materialize.unpinKeep(old._1)
+                graft.operators.Materialize.unpinKeep(old._2)
+              }
+            }
+          }
+        }
       val old = lpaCache.put(key, pinnedCore)
       if (old != null) {
-        graft.operators.Materialize.unpin(old._1)
-        graft.operators.Materialize.unpin(old._2)
+        // unpin WITHOUT freeing: a concurrent graph_modularity that
+        // fetched the old core just before this swap keeps working;
+        // the displaced blocks revert to the weak-tracked lifetime
+        graft.operators.Materialize.unpinKeep(old._1)
+        graft.operators.Materialize.unpinKeep(old._2)
       }
       pinnedCore
     }

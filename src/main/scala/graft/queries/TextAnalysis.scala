@@ -1159,11 +1159,15 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  // the position walk is bounded by length(lower(text)), not
+  // length(text): lowercasing can change codepoint count (U+0130 'İ'
+  // → 'i' + U+0307), and the oracle must walk the same lowered string
+  // it substrings or it drops/adds tail n-grams vs the engine
   val bigramCondEntropySql: String =
     """WITH bg AS (
       |  SELECT source, substring(lower(text), i, 2) AS g
       |  FROM documents,
-      |    UNNEST(range(1, length(text))) AS r(i)),
+      |    UNNEST(range(1, length(lower(text)))) AS r(i)),
       |bi_cnt AS (SELECT source, g, CAST(COUNT(*) AS BIGINT) AS k
       |           FROM bg WHERE length(g) = 2 GROUP BY 1, 2),
       |uni_cnt AS (SELECT source, substring(g, 1, 1) AS g,
@@ -1255,10 +1259,12 @@ object TextAnalysis {
       .orderBy(col("actual_lang"), col("pred_lang"))
   }
 
+  // length(lower(text)) bound: same Unicode-lowercasing rationale as
+  // bigramCondEntropySql above
   val langIdTrigramSql: String =
     """WITH tri AS (
       |  SELECT doc_id, lang, substring(lower(text), i, 3) AS g
-      |  FROM documents, UNNEST(range(1, length(text) - 1)) AS r(i)),
+      |  FROM documents, UNNEST(range(1, length(lower(text)) - 1)) AS r(i)),
       |tric AS (
       |  SELECT doc_id, lang, g, CAST(COUNT(*) AS BIGINT) AS k
       |  FROM tri WHERE length(g) = 3 GROUP BY 1, 2, 3),

@@ -41,6 +41,23 @@ class BloomPrefilterSpec extends AnyFunSuite {
     assert(survivors <= 100L, s"bloom pruned too little: $survivors/2000")
   }
 
+  test("probe is the native might_contain expression, not a UDF") {
+    // the pre-filter's point is keeping rows OUT of the shuffle at scan
+    // speed — the probe must sit inside the scan's codegen span as
+    // Spark's native BloomFilterMightContain, not a boxed Scala UDF.
+    // range-backed sides: a LocalRelation fixture would let
+    // ConvertToLocalRelation fold the entire probe at planning time
+    // and leave nothing to pin
+    def ranged(n: Int) = spark.range(n.toLong)
+      .select(col("id"), concat(lit("c-"), col("id")).as("k"))
+    val plan = BloomPrefilter.prefilter(ranged(50), col("k"),
+      ranged(500), col("k"), 1000L, 0.01)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"no native probe in:\n$plan")
+    assert(!plan.toLowerCase.contains("batchevalpython") &&
+      !plan.contains("UDF"), s"UDF probe leaked into:\n$plan")
+  }
+
   test("null batch keys never probe (and never crash) the sketch") {
     val corpus = keyed(0 until 10, "c")
     val batch = Seq((1L, "c-1"), (2L, null.asInstanceOf[String]))
