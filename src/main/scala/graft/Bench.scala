@@ -31,6 +31,14 @@ object Bench {
   private[graft] def queryMins(hist: Map[String, Double]): Map[String, Double] =
     hist.filterNot(_._1.startsWith("__"))
 
+  /** The probe reading closest in execution order to execution `i` —
+    * pure so the spec can pin it. Entries are (execIdx, stream32_sec,
+    * sched16_sec); ties resolve to the earlier probe (minBy keeps the
+    * first minimum). */
+  private[graft] def nearestProbe(probes: Seq[(Int, Double, Double)],
+      i: Int): (Int, Double, Double) =
+    probes.minBy(p => math.abs(p._1 - i))
+
   /** The self-judging core, pure so BenchGateSpec can pin it: given
     * the persisted per-query NORMALIZED minimums (sec / busy32_sec —
     * unitless multiples of the calibration probe's fixed CPU work,
@@ -63,35 +71,22 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Session.build("graft-bench")
-    def exec(name: String): Double = {
-      val t0 = System.nanoTime()
-      val ok =
-        try {
-          SparkEntry.queries(name)(spark, sfDir)
-            .write.format("noop").mode("overwrite").save()
-          true
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
-        }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // between executions (outside the timed window): drop any cached
-      // table AND free every Materialize-tracked block synchronously.
-      // A BARE System.gc() here was once worse than useless — the full
-      // GC only ENQUEUES the ContextCleaner's async block removal,
-      // which then landed inside the NEXT query's timed window
-      // (observed as a uniform ~20% run inflation). But with NO nudge,
-      // ~230 executions' broadcast exchanges and codegen'd plans pile
-      // up un-collected in the shared 8 GiB heap, and allocation-heavy
-      // late-alphabet queries go GC-bound (scalar_array_functions
-      // 1.7 s isolated vs 4.2 s in-suite). The fix is gc PLUS a drain
-      // pause so the cleaner's removals also land before the next t0.
-      spark.catalog.clearCache()
-      graft.operators.Materialize.freeAll(spark)
-      System.gc()
-      Thread.sleep(250)
-      if (ok) dt else -1.0
-    }
+    // Interleaved host-health probes (full-surface runs only): rounds
+    // 9/10 proved start/end probe brackets are blind to MID-RUN host
+    // swings — a run with healthy start probes flagged 59 queries
+    // because the host degraded after the probes ran, and attribution
+    // took standalone re-runs. A stream32+sched16 reading every
+    // ProbeEvery executions (outside every timed window) gives each
+    // regression entry a nearest-in-time probe ratio, so a flag is
+    // host-attributable at QUERY granularity from the artifact alone.
+    // ~18 probes over ~560 executions ≈ under a minute of untimed
+    // wall — busy32 stays start/end-only (it is the normalization
+    // anchor; its history units must not mix mid-run readings).
+    val ProbeEvery = 32
+    val interleave = args.isEmpty
+    var execCount = 0
+    val probes =
+      scala.collection.mutable.ArrayBuffer[(Int, Double, Double)]()
     // Host-calibration probe: cross-round totals are host-dominated
     // (a mid-round reboot once rescaled every query ~1.6x on identical
     // code — BASELINE.md), so the artifact carries a fixed-work CPU
@@ -160,11 +155,6 @@ object Bench {
       streamProbe() // JIT + page-touch warm
       math.min(streamProbe(), streamProbe())
     }
-    sink.addAndGet(spin(99L, 20000000L)) // JIT warm
-    val busySec = math.min(busyProbe(), busyProbe())
-    val streamSec = measureStream()
-    System.gc() // the probe buffer is unreachable now — free it before q1
-    exec("q1_pricing_summary") // warm-up: JVM, codegen, file index
     // Scheduler/barrier probe: busy32 (ALU) and stream32 (bandwidth)
     // both read healthy on a host where every MULTI-STAGE query sat at
     // 2-2.7x its min while single-stage q1 sat AT its min — the
@@ -172,15 +162,54 @@ object Bench {
     // -> task launch -> barrier), which is what many-short-stage
     // queries (TPC-H join chains, the iterative graph family, the
     // 11-barrier pipeline) actually multiply by. 16 two-task count
-    // jobs, min of two batches, AFTER the q1 warm-up so codegen/session
-    // startup never pollutes it. Healthy local[32]: ~0.2-0.4 s.
+    // jobs, min of two batches; only CALLED after the q1 warm-up so
+    // codegen/session startup never pollutes it. Healthy local[32]:
+    // ~0.2-0.4 s.
     def schedProbe(): Double = {
       val t0 = System.nanoTime()
       var i = 0
       while (i < 16) { spark.range(64).repartition(2).count(); i += 1 }
       (System.nanoTime() - t0) / 1e9
     }
+    def exec(name: String): Double = {
+      val t0 = System.nanoTime()
+      val ok =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          true
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // between executions (outside the timed window): drop any cached
+      // table AND free every Materialize-tracked block synchronously.
+      // A BARE System.gc() here was once worse than useless — the full
+      // GC only ENQUEUES the ContextCleaner's async block removal,
+      // which then landed inside the NEXT query's timed window
+      // (observed as a uniform ~20% run inflation). But with NO nudge,
+      // ~230 executions' broadcast exchanges and codegen'd plans pile
+      // up un-collected in the shared 8 GiB heap, and allocation-heavy
+      // late-alphabet queries go GC-bound (scalar_array_functions
+      // 1.7 s isolated vs 4.2 s in-suite). The fix is gc PLUS a drain
+      // pause so the cleaner's removals also land before the next t0.
+      spark.catalog.clearCache()
+      graft.operators.Materialize.freeAll(spark)
+      System.gc()
+      Thread.sleep(250)
+      execCount += 1
+      if (interleave && execCount % ProbeEvery == 0)
+        probes += ((execCount, measureStream(), schedProbe()))
+      if (ok) dt else -1.0
+    }
+    sink.addAndGet(spin(99L, 20000000L)) // JIT warm
+    val busySec = math.min(busyProbe(), busyProbe())
+    val streamSec = measureStream()
+    System.gc() // the probe buffer is unreachable now — free it before q1
+    exec("q1_pricing_summary") // warm-up: JVM, codegen, file index
     val schedSec = math.min(schedProbe(), schedProbe())
+    probes += ((execCount, streamSec, schedSec)) // start-of-run reading
     // two passes, report min: first execution of a query shape pays
     // one-time janino codegen (~1-5 s) that is irrelevant at scale.
     // Optional args: query names for single-query A/B timing (the
@@ -188,9 +217,19 @@ object Bench {
     val names =
       if (args.nonEmpty) args.toSeq.sorted
       else SparkEntry.queries.keys.toSeq.sorted
-    val pass1 = names.map(n => n -> exec(n)).toMap
+    // per-execution indices: the gate stamps each regression with the
+    // probe reading nearest the pass that produced the judged (min)
+    // time, so the attribution matches the window that was measured
+    val idx1 = scala.collection.mutable.Map[String, Int]()
+    val idx2 = scala.collection.mutable.Map[String, Int]()
+    val pass1 = names.map { n =>
+      val t = exec(n); idx1(n) = execCount; n -> t
+    }.toMap
+    val pass2 = scala.collection.mutable.Map[String, Double]()
     val results = names.map { n =>
       val t2 = exec(n)
+      idx2(n) = execCount
+      pass2(n) = t2
       // args mode: per-pass times to stderr — pass 1 is the cold side
       // (session-shared scans build), pass 2 the pinned side, so one
       // invocation IS a same-host-minute cold/shared A/B per query
@@ -225,13 +264,27 @@ object Bench {
     // local full-surface run at sf0.001 must not fold its tiny
     // timings into the minimums and then flag every future official
     // run as a 50x "regression"
+    // END-of-run probe trio, measured BEFORE the gate so the probe
+    // series the gate stamps from includes the closing window:
+    // start-only probes proved blind to MID-RUN host swings (round
+    // 10: a run with healthy start probes flagged 59 queries — the
+    // host degraded after the probes ran). Start + interleaved + end
+    // readings cover the whole run.
+    val busyEnd = math.min(busyProbe(), busyProbe())
+    val streamEnd = measureStream()
+    val schedEnd = math.min(schedProbe(), schedProbe())
+    probes += ((execCount, streamEnd, schedEnd))
     val histFile = java.nio.file.Paths.get("bench_history.json")
-    // probe ratios: this run's probe / best (lowest) recorded probe.
+    // probe ratios: a probe reading / best (lowest) recorded reading.
     // ~1.0 on a healthy host; >1 quantifies degradation — busy32 for
     // ALU, stream32 for memory bandwidth (the round-9 blind spot:
     // checkpoint-heavy queries flagged on a host whose ALU probe read
-    // healthy but whose bandwidth probe was 2.8x degraded)
-    val (regressions, busyRatio, streamRatio, schedRatio) =
+    // healthy but whose bandwidth probe was 2.8x degraded), sched16
+    // for driver-scheduling round-trips (the round-10 blind spot).
+    // Each regression entry is stamped with the stream/sched reading
+    // NEAREST IN EXECUTION ORDER to the pass the gate judged, so a
+    // flag carries its own window's host state, not the run average.
+    val (regressions, busyRatio, streamBest, schedBest) =
       if (args.nonEmpty || busySec <= 0 || !sfDir.endsWith("sf0.1"))
         (Seq.empty[(String, Double, Double)], 1.0, 1.0, 1.0)
       else {
@@ -241,13 +294,15 @@ object Bench {
           else Map.empty
         val timings = results.collect { case (n, v) if v >= 0 => n -> v }.toMap
         val (regs, merged) = gate(queryMins(raw), timings, busySec)
-        val busyBest = math.min(raw.getOrElse(BusyBestKey, busySec), busySec)
-        val streamBest =
-          math.min(raw.getOrElse(StreamBestKey, streamSec), streamSec)
-        val schedBest =
-          math.min(raw.getOrElse(SchedBestKey, schedSec), schedSec)
+        val busyRun = math.min(busySec, busyEnd)
+        val busyBest = math.min(raw.getOrElse(BusyBestKey, busyRun), busyRun)
+        val streamRun = probes.map(_._2).min
+        val streamB =
+          math.min(raw.getOrElse(StreamBestKey, streamRun), streamRun)
+        val schedRun = probes.map(_._3).min
+        val schedB = math.min(raw.getOrElse(SchedBestKey, schedRun), schedRun)
         val withProbes = merged + (BusyBestKey -> busyBest) +
-          (StreamBestKey -> streamBest) + (SchedBestKey -> schedBest)
+          (StreamBestKey -> streamB) + (SchedBestKey -> schedB)
         val body = withProbes.toSeq.sortBy(_._1)
           .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
           .mkString("{", ",", "}")
@@ -255,15 +310,29 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] history write failed: ${e.getMessage}")
         }
-        (regs, busySec / busyBest, streamSec / streamBest,
-          schedSec / schedBest)
+        (regs, busySec / busyBest, streamB, schedB)
       }
     val regJson = regressions
       .map { case (n, cur, best) =>
+        // the judged time is min(pass1, pass2): attribute to the pass
+        // that produced it
+        val i =
+          if (pass2.getOrElse(n, -1.0) >= 0 &&
+            (pass1.getOrElse(n, Double.MaxValue) < 0 ||
+              pass2(n) <= pass1(n))) idx2(n)
+          else idx1.getOrElse(n, 0)
+        val p = nearestProbe(probes.toSeq, i)
         s"""{"q":"$n","norm":${fmt(cur)},"min":${fmt(best)}""" +
+          s""","probe_i":${p._1}""" +
           s""","busy32_ratio":${fmt(busyRatio)}""" +
-          s""","stream32_ratio":${fmt(streamRatio)}""" +
-          s""","sched16_ratio":${fmt(schedRatio)}}""" }
+          s""","stream32_ratio":${fmt(p._2 / streamBest)}""" +
+          s""","sched16_ratio":${fmt(p._3 / schedBest)}}""" }
+      .mkString("[", ",", "]")
+    // the full probe series (execution index → readings), so any
+    // query — flagged or not — can be host-attributed after the fact
+    val probesJson = probes
+      .map(p => s"""{"i":${p._1},"stream32_sec":${fmt(p._2)}""" +
+        s""","sched16_sec":${fmt(p._3)}}""")
       .mkString("[", ",", "]")
     // queries sorted FASTEST-FIRST and the total/metric fields LAST:
     // the driver archives only a bounded stdout tail, and a ~87-entry
@@ -281,21 +350,12 @@ object Bench {
     // lets any two rounds' numbers be host-normalized
     val probeQ = results.toMap.getOrElse("q1_pricing_summary", -1.0)
     val cal = s"""{"busy32_sec":${fmt(busySec)},"stream32_sec":${fmt(streamSec)},"sched16_sec":${fmt(schedSec)},"probe_query_sec":${fmt(probeQ)}}"""
-    // END-of-run probe trio: start-only probes proved blind to
-    // MID-RUN host swings (round 10: a run with healthy start probes
-    // flagged 59 queries — the host degraded after the probes ran).
-    // A start/end pair brackets the run; a clean start with a
-    // degraded end marks the flags host-suspect from the artifact
-    // alone, no standalone re-runs needed.
-    val busyEnd = math.min(busyProbe(), busyProbe())
-    val streamEnd = measureStream()
-    val schedEnd = math.min(schedProbe(), schedProbe())
     val calEnd = s"""{"busy32_sec":${fmt(busyEnd)},"stream32_sec":${fmt(streamEnd)},"sched16_sec":${fmt(schedEnd)}}"""
     // regressions sits with the calibration block AFTER the queries
     // map, so the driver's stdout tail-truncation can lose cheap
     // per-query timings but never the gate's verdict
     val line =
-      s"""{"queries":$qs,"sf":"$sfDir","calibration":$cal,"calibration_end":$calEnd,"regressions":$regJson,"unit":"sec","metric":"total","value":${fmt(total)}}"""
+      s"""{"queries":$qs,"sf":"$sfDir","calibration":$cal,"calibration_end":$calEnd,"probes":$probesJson,"regressions":$regJson,"unit":"sec","metric":"total","value":${fmt(total)}}"""
     println(line)
     // belt-and-braces: persist the full line where tail-truncation
     // can't lose it (read by later rounds for perf comparisons).

@@ -69,6 +69,16 @@ class BenchGateSpec extends AnyFunSuite {
       "gate merge operates on query mins only; probes re-attach in main")
   }
 
+  test("nearest probe picks the reading closest in execution order, " +
+      "earlier on ties") {
+    val ps = Seq((1, 0.020, 1.7), (33, 0.040, 2.0), (65, 0.021, 1.8))
+    assert(Bench.nearestProbe(ps, 2) == ps(0))
+    assert(Bench.nearestProbe(ps, 30) == ps(1))
+    assert(Bench.nearestProbe(ps, 49) == ps(1), "tie resolves earlier")
+    assert(Bench.nearestProbe(ps, 64) == ps(2))
+    assert(Bench.nearestProbe(ps, 500) == ps(2))
+  }
+
   test("history body round-trips through the flat parser") {
     val hist = Map("a_q" -> 1.234, "z.q" -> 0.007)
     val body = hist.toSeq.sortBy(_._1)
