@@ -246,7 +246,12 @@ object Documents {
     // this exact pair table — the first consumer in a session pays the
     // tokenize + minhash + band joins once and pins the result
     // (~O(docs) rows; Σ bucket² bounded by the banding), the rest read
-    // the stored blocks. Deterministic, so reuse is value-identical.
+    // the stored blocks. Deterministic, so reuse is value-identical —
+    // PROVIDED the parquet under `d` is immutable for the session
+    // (the sharedPinned contract): a caller that rewrites a dir
+    // mid-session must Materialize.releaseShared(s) first, or
+    // non-owner consumers here (and in tokDistinct/shingledHashed/
+    // minhashSigShared below) serve the stale pinned snapshot.
     // OWNER (refresh=true): dedup_lsh_pairs — its benchmark time stays
     // the true build cost (the LPA-core honesty discipline).
     graft.operators.Materialize.sharedPinned(s, s"lsh_pairs|$d", refresh) {

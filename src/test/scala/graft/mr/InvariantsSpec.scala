@@ -64,6 +64,63 @@ class InvariantsSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("rtiming: >=2 REDUCE-stage tasks overlap in time") {
+    // The reference's rtiming app demands reduce-phase parallelism
+    // specifically (/root/reference/mr-main/test-mr.sh:132-151,
+    // mrapps/rtiming.go:64-86) — mtiming's any-two-tasks overlap is
+    // satisfiable by map-only concurrency, so this test filters the
+    // listener intervals by STAGE and asserts the overlap within the
+    // post-shuffle (mapGroups) stage. 16 fixed keys spread over the 4
+    // shuffle partitions; each reduce sleeps long enough that serial
+    // execution could not interleave. AQE partition coalescing is
+    // disabled for the job — it would legitimately fuse the tiny test
+    // shuffle into ONE reduce task, which is exactly the degenerate
+    // case the reference's probe exists to rule out.
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prior = spark.conf.get(coalesceKey)
+    val tasks = new ConcurrentLinkedQueue[(Int, Long, Long)]()
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        tasks.add((t.stageId, t.taskInfo.launchTime, t.taskInfo.finishTime))
+    }
+    spark.conf.set(coalesceKey, "false")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val slowReduce = new MRApp {
+        def map(f: String, c: String): Seq[KV] =
+          (0 until 16).map(i => KV(s"k$i", "1"))
+        def reduce(k: String, v: Seq[String]): String = {
+          Thread.sleep(200); v.size.toString
+        }
+      }
+      MRJob.result(spark, slowReduce, s"$booksDir/*.txt").count()
+      // 8 map + 4 reduce task ends, delivered async — bounded wait
+      val deadline = System.currentTimeMillis() + 10000
+      while (tasks.size() < 12 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      val all = tasks.toArray(Array.empty[(Int, Long, Long)])
+      assert(all.nonEmpty)
+      // the map stage launches first, so it owns the minimum stage id;
+      // the reduce stage is the LATER stage whose tasks spent the
+      // slept reduce time (max summed duration disambiguates it from
+      // count()'s final single-task agg stage)
+      val mapStage = all.map(_._1).min
+      val later = all.filter(_._1 > mapStage).groupBy(_._1)
+      assert(later.nonEmpty, s"no post-shuffle stage observed in ${all.toSeq}")
+      val reduceTasks = later.maxBy(_._2.map(t => t._3 - t._2).sum)._2
+      assert(reduceTasks.length >= 2,
+        s"reduce stage ran ${reduceTasks.length} task(s) — no parallelism")
+      val overlapping = reduceTasks.exists { a =>
+        reduceTasks.exists(b => (a ne b) && a._2 < b._3 && b._2 < a._3)
+      }
+      assert(overlapping,
+        s"no concurrent reduce tasks among ${reduceTasks.toSeq}")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set(coalesceKey, prior)
+    }
+  }
+
   test("crash: first-attempt map failure is retried to correct output") {
     val crashy = new MRApp {
       def map(f: String, c: String): Seq[KV] = {
