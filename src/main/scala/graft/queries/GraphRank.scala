@@ -557,10 +557,10 @@ object GraphRank {
     * Scale shape: each round is one edge-keyed equi-join (neighbor
     * label lookup), one (node, label) hash-agg with map-side
     * combine, and one per-node argmax — O(E) per round, materialized
-    * every SECOND round with lineage truncation (the PageRank
-    * checkpoint-every-second-iteration discipline — half the fixed
-    * barrier cost, same O(rounds) lineage cap); each pair's two
-    * change counts are ONE bounded scalar action to the driver. */
+    * per round with lineage truncation (per-round, NOT PageRank's
+    * every-second-round pairing — see the rejected-A/B note in the
+    * loop); the per-round change count is ONE bounded scalar to the
+    * driver. */
   private[queries] val LpaRounds = 8
 
   def labelPropagation(s: SparkSession, d: String): DataFrame =
@@ -582,64 +582,48 @@ object GraphRank {
         .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v"))))
     var labels = checkpoint(
       docs.select(col("doc_id").as("id"), col("doc_id").as("label")))
-    // One synchronous round as a LAZY plan over `prev` (which must
-    // carry (id, label) plus the `carry` passthrough columns; output
-    // is (id, label, chg) plus `carry`).
-    // argmax by (cnt desc, label asc) as MIN over struct(-cnt, label)
-    // — two chained hash-aggs with map-side combine instead of a
-    // per-node sort window (A/B at sf0.1: 18.4 -> 12.5 s over 4
-    // rounds; at cluster scale the window's per-partition sort of the
-    // neighbor-label stream is pure waste).
-    def round(prev: DataFrame, carry: Seq[String]): DataFrame = {
-      val nbr = edges
-        .join(prev.select(col("id").as("u"), col("label")), "u")
-        .select(col("v").as("id"), col("label"))
-      nbr.union(prev.select(col("id"), col("label")))
-        .groupBy(col("id"), col("label")).agg(count(lit(1)).as("cnt"))
-        .groupBy(col("id"))
-        .agg(min(struct((-col("cnt")).as("nc"), col("label"))).as("m"))
-        .join(prev.select(col("id") +: col("label").as("prev_label") +:
-          carry.map(col): _*), "id")
-        .select(col("id") +: col("m.label").as("label") +:
-          (col("m.label") =!= col("prev_label")).cast("long").as("chg") +:
-          carry.map(col): _*)
-    }
     var converged = false
     var r = 0
     while (r < rounds && !converged) {
-      // Rounds run in PAIRS between materialization barriers (the
-      // PageRank checkpoint-every-second-iteration discipline,
-      // BASELINE.md pagerank row): the first round of a pair stays a
-      // lazy 2-deep plan the second round's checkpoint executes, so
-      // the loop pays half the fixed per-barrier cost (and at cluster
-      // scale, half the straggler-amplifying stage count). Both
-      // rounds' change counts ride the ONE materialized frame — the
-      // first round's chg flag is carried through the second round's
-      // prev-label join — so the per-pair driver action is a single
-      // scan-sum of the stored blocks, and convergence semantics stay
-      // bit-equal to the round-at-a-time loop: post-fixpoint rounds
-      // are provably identity (self-inclusion argmax of an unchanged
-      // label multiset), so when the FIRST round of a pair converged,
-      // the pair's output labels equal that round's labels exactly.
-      if (r + 1 < rounds) {
-        val next = checkpoint(
-          round(round(labels, Nil).withColumnRenamed("chg", "chg1"),
-            Seq("chg1")))
-        val sums = next.agg(
-          coalesce(sum(col("chg1")), lit(0L)),
-          coalesce(sum(col("chg")), lit(0L))).head()
-        val (c1, c2) = (sums.getLong(0), sums.getLong(1))
-        labels = next.select(col("id"), col("label"))
-        if (c1 == 0L) { converged = true; r += 1 }
-        else { converged = c2 == 0L; r += 2 }
-      } else {
-        val next = checkpoint(round(labels, Nil))
-        val changed = next.agg(coalesce(sum(col("chg")), lit(0L)))
-          .head().getLong(0)
-        labels = next.select(col("id"), col("label"))
-        converged = changed == 0L
-        r += 1
-      }
+      val nbr = edges
+        .join(labels.select(col("id").as("u"), col("label")), "u")
+        .select(col("v").as("id"), col("label"))
+      // argmax by (cnt desc, label asc) as MIN over struct(-cnt,
+      // label) — two chained hash-aggs with map-side combine instead
+      // of a per-node sort window (A/B at sf0.1: 18.4 -> 12.5 s over
+      // 4 rounds; at cluster scale the window's per-partition sort
+      // of the neighbor-label stream is pure waste).
+      // The per-round change count rides the round's OWN materialized
+      // frame: the prev-label join and the chg flag are computed
+      // inside the checkpointed plan, so the count is a cheap scan-sum
+      // of the stored blocks instead of a separate join+count action.
+      // A/B'd and REJECTED: the PageRank checkpoint-every-second-round
+      // pairing (first round lazy, second round's checkpoint executes
+      // both). Unlike PageRank's rank frame — consumed ONCE by the
+      // next iteration — the label frame is consumed THREE times per
+      // round (neighbor join, self-inclusion union, prev-label join),
+      // each pruned to different columns, so the canonical subplans
+      // diverge and exchange reuse cannot deduplicate them: the lazy
+      // round's full O(E) join+aggs re-execute ~3×. Same-JVM
+      // alternating A/B at sf0.1 (8 rounds, host noise cancelled):
+      // paired 14.5/17.4/20.3 s vs per-round 12.0/16.4/15.5 s — the
+      // recompute costs more than the ~0.25 s/barrier it saves.
+      // The spec's independent round-at-a-time reference
+      // (LabelPropagationSpec) pins this loop bit-exactly either way.
+      val next = checkpoint(
+        nbr.union(labels.select(col("id"), col("label")))
+          .groupBy(col("id"), col("label")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("id"))
+          .agg(min(struct((-col("cnt")).as("nc"), col("label"))).as("m"))
+          .join(labels.select(col("id"),
+            col("label").as("prev_label")), "id")
+          .select(col("id"), col("m.label").as("label"),
+            (col("m.label") =!= col("prev_label")).cast("long").as("chg")))
+      val changed = next.agg(coalesce(sum(col("chg")), lit(0L)))
+        .head().getLong(0)
+      labels = next.select(col("id"), col("label"))
+      converged = changed == 0
+      r += 1
     }
     val roundsUsed = if (converged) r - 1 else r
     (labels, edges, converged, roundsUsed)
