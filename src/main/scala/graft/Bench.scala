@@ -31,6 +31,18 @@ object Bench {
   private[graft] def queryMins(hist: Map[String, Double]): Map[String, Double] =
     hist.filterNot(_._1.startsWith("__"))
 
+  /** A run's normalized times may only FOLD INTO the history when its
+    * ALU calibration is near the recorded best: norm = raw / busy32,
+    * so on an ALU-degraded host (busy32 inflated) every query that is
+    * NOT ALU-bound gets an artificially SHRUNKEN norm — four poisoned
+    * minimums (sketch_daily_merge's recorded 0.816 implies a 0.36 s
+    * raw never observed on any healthy run) entered the history
+    * exactly this way and then flagged every healthy run as a 2×
+    * "regression". Comparison still happens on degraded runs (with
+    * per-window probe attribution); only the MERGE is gated. */
+  private[graft] def mergeAllowed(busySec: Double, busyBest: Double): Boolean =
+    busySec <= 1.15 * busyBest
+
   /** The probe reading closest in execution order to execution `i` —
     * pure so the spec can pin it. Entries are (execIdx, stream32_sec,
     * sched16_sec); ties resolve to the earlier probe (minBy keeps the
@@ -293,9 +305,12 @@ object Bench {
             parseHistory(java.nio.file.Files.readString(histFile))
           else Map.empty
         val timings = results.collect { case (n, v) if v >= 0 => n -> v }.toMap
-        val (regs, merged) = gate(queryMins(raw), timings, busySec)
+        val (regs, gateMerged) = gate(queryMins(raw), timings, busySec)
         val busyRun = math.min(busySec, busyEnd)
         val busyBest = math.min(raw.getOrElse(BusyBestKey, busyRun), busyRun)
+        // degraded-ALU runs compare but never merge (see mergeAllowed)
+        val merged =
+          if (mergeAllowed(busySec, busyBest)) gateMerged else queryMins(raw)
         val streamRun = probes.map(_._2).min
         val streamB =
           math.min(raw.getOrElse(StreamBestKey, streamRun), streamRun)

@@ -79,6 +79,18 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.nearestProbe(ps, 500) == ps(2))
   }
 
+  test("mins merge only from runs whose ALU calibration is healthy") {
+    // norm = raw / busy32: an ALU-degraded run (busy32 inflated)
+    // shrinks the norm of every non-ALU-bound query, so folding its
+    // norms into the history would record unachievable minimums
+    assert(Bench.mergeAllowed(busySec = 0.45, busyBest = 0.445))
+    assert(Bench.mergeAllowed(busySec = 0.50, busyBest = 0.445))
+    assert(!Bench.mergeAllowed(busySec = 0.60, busyBest = 0.445))
+    assert(!Bench.mergeAllowed(busySec = 1.17, busyBest = 0.445))
+    // first-ever run: best == this run, always merges (seeds history)
+    assert(Bench.mergeAllowed(busySec = 0.80, busyBest = 0.80))
+  }
+
   test("history body round-trips through the flat parser") {
     val hist = Map("a_q" -> 1.234, "z.q" -> 0.007)
     val body = hist.toSeq.sortBy(_._1)
