@@ -209,6 +209,142 @@ object DataAudit {
       |FROM cb JOIN sb ON block_id = sblock
       |ORDER BY block_id, c_custkey, s_suppkey""".stripMargin
 
+  // --------------------------------------------- entity-resolution clusters
+  /** The step AFTER pairwise linkage: fold the linked pairs from
+    * [[linkBlockedFuzzy]]'s match rule into ENTITY CLUSTERS (connected
+    * components of the link graph) with one survivor row per cluster —
+    * the canonical-record / golden-record stage every master-data or
+    * training-metadata pipeline runs after scoring pairs. Customers
+    * live on even node ids (2·custkey), suppliers on odd (2·suppkey+1)
+    * — the disjoint-lane encoding GraphRank's bipartite graphs use.
+    *
+    * Components come from [[ErRounds]] = 4 rounds of min-label
+    * propagation (label = min over self+neighbors, self kept via an
+    * explicit self-loop lane), the bounded-rounds discipline kcore/LPA
+    * use: exact for every component whose eccentricity from its
+    * min-id node is ≤ 4 — all real linkage blocks, which are
+    * intra-block and shallow by construction — and a 5th probe round
+    * feeds the per-cluster `converged` honesty flag (false = another
+    * round would still move a member's label, i.e. the cluster is a
+    * truncation artifact and the caller should not trust its grain).
+    *
+    * Scale shape: pair generation is the blocked equi-join (Σ per-
+    * block |A|·|B|, never n²); each label round is one O(E) join +
+    * one hash-agg on the LINKED subgraph only (usually ≪ the input
+    * registries); survivor naming is one broadcast-size join keyed by
+    * the cluster id. No driver actions, no unbounded iteration. */
+  def linkEntityClusters(s: SparkSession, d: String): DataFrame =
+    linkEntityClustersOn(customer(s, d), supplier(s, d))
+
+  private val ErRounds = 4
+
+  /** Core clustering over caller-supplied registries — separated so
+    * specs can plant chains (convergence cap) and multi-record blocks. */
+  def linkEntityClustersOn(c: DataFrame, sup: DataFrame): DataFrame = {
+    val cb = c.select((col("c_custkey") * 2).as("cu_id"),
+      regexp_extract(col("c_name"), "([0-9]+)$", 1).cast("long")
+        .as("block_id"),
+      col("c_name"), col("c_nationkey"))
+    val sb = sup.select((col("s_suppkey") * 2 + 1).as("sv_id"),
+      regexp_extract(col("s_name"), "([0-9]+)$", 1).cast("long")
+        .as("sblock"),
+      col("s_name"), col("s_nationkey"))
+    // linked pairs feed the edge list twice and the node set — one
+    // materialization, three consumers
+    val linked = graft.operators.Materialize.eager(
+      cb.join(sb, col("block_id") === col("sblock"))
+        .filter(levenshtein(col("c_name"), col("s_name")) <= 5 &&
+          col("c_nationkey") === col("s_nationkey"))
+        .select(col("cu_id").as("cu"), col("sv_id").as("sv")))
+    val nodes = linked.select(col("cu").as("id"))
+      .union(linked.select(col("sv").as("id"))).distinct()
+    val edg = graft.operators.Materialize.eager(
+      linked.select(col("cu").as("a"), col("sv").as("b"))
+        .union(linked.select(col("sv").as("a"), col("cu").as("b")))
+        .union(nodes.select(col("id").as("a"), col("id").as("b"))))
+    def step(l: DataFrame): DataFrame =
+      edg.join(l.withColumnRenamed("id", "b"), "b")
+        .groupBy(col("a")).agg(min(col("lbl")).as("lbl"))
+        .withColumnRenamed("a", "id")
+    var l = nodes.select(col("id"), col("id").as("lbl"))
+    for (_ <- 1 to ErRounds) l = step(l)
+    val l4 = graft.operators.Materialize.eager(l) // feeds l5 AND members
+    val l5 = step(l4)
+    val mem = l4.select(col("id"), col("lbl").as("cluster_id"))
+      .join(l5.select(col("id"), col("lbl").as("lbl5")), "id")
+    val names = c.select((col("c_custkey") * 2).as("nid"),
+        col("c_name").as("name"))
+      .union(sup.select((col("s_suppkey") * 2 + 1).as("nid"),
+        col("s_name").as("name")))
+    mem.groupBy(col("cluster_id"))
+      .agg(sum(when(col("id") % 2 === 0, 1L).otherwise(0L)).cast("long")
+          .as("n_customers"),
+        sum(when(col("id") % 2 === 1, 1L).otherwise(0L)).cast("long")
+          .as("n_suppliers"),
+        count(lit(1)).as("n_members"),
+        expr("bool_and(lbl5 = cluster_id)").as("converged"))
+      .join(names, col("cluster_id") === col("nid"))
+      .select(col("cluster_id"), col("n_customers"), col("n_suppliers"),
+        col("n_members"), col("name").as("canonical_name"),
+        col("converged"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val linkEntityClustersSql: String = {
+    // unrolled min-label rounds; MATERIALIZED is load-bearing (each
+    // round CTE is referenced by the next AND by the final member
+    // join — DuckDB would otherwise re-inline the chain)
+    val rounds = (1 to 5).map { k =>
+      s"""l$k AS MATERIALIZED (
+         |  SELECT e.a AS id, MIN(l.lbl) AS lbl
+         |  FROM edg e JOIN l${k - 1} l ON l.id = e.b GROUP BY e.a)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cb AS (
+       |  SELECT c_custkey * 2 AS cu_id,
+       |    CAST(regexp_extract(c_name, '([0-9]+)$$', 1) AS BIGINT)
+       |      AS block_id, c_name, c_nationkey
+       |  FROM customer),
+       |sb AS (
+       |  SELECT s_suppkey * 2 + 1 AS sv_id,
+       |    CAST(regexp_extract(s_name, '([0-9]+)$$', 1) AS BIGINT)
+       |      AS sblock, s_name, s_nationkey
+       |  FROM supplier),
+       |linked AS MATERIALIZED (
+       |  SELECT cu_id AS cu, sv_id AS sv
+       |  FROM cb JOIN sb ON block_id = sblock
+       |  WHERE levenshtein(c_name, s_name) <= 5
+       |    AND c_nationkey = s_nationkey),
+       |nodes AS MATERIALIZED (
+       |  SELECT DISTINCT id FROM (
+       |    SELECT cu AS id FROM linked UNION ALL SELECT sv FROM linked) u),
+       |edg AS MATERIALIZED (
+       |  SELECT cu AS a, sv AS b FROM linked
+       |  UNION ALL SELECT sv, cu FROM linked
+       |  UNION ALL SELECT id, id FROM nodes),
+       |l0 AS (SELECT id, id AS lbl FROM nodes),
+       |$rounds,
+       |names AS (
+       |  SELECT c_custkey * 2 AS nid, c_name AS name FROM customer
+       |  UNION ALL
+       |  SELECT s_suppkey * 2 + 1, s_name FROM supplier),
+       |mem AS (
+       |  SELECT l4.id, l4.lbl AS cluster_id, l5.lbl AS lbl5
+       |  FROM l4 JOIN l5 ON l4.id = l5.id),
+       |agg AS (
+       |  SELECT cluster_id,
+       |    CAST(SUM(CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_customers,
+       |    CAST(SUM(CASE WHEN id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_suppliers,
+       |    CAST(COUNT(*) AS BIGINT) AS n_members,
+       |    BOOL_AND(lbl5 = cluster_id) AS converged
+       |  FROM mem GROUP BY cluster_id)
+       |SELECT cluster_id, n_customers, n_suppliers, n_members,
+       |  n.name AS canonical_name, converged
+       |FROM agg JOIN names n ON n.nid = cluster_id
+       |ORDER BY cluster_id""".stripMargin
+  }
+
   // ------------------------------------------------ join-key skew audit
   /** Per-join-key skew profile over every candidate shuffle key in the
     * star schema — the PRE-JOIN diagnostic that decides, before a
@@ -944,7 +1080,8 @@ object DataAudit {
     "audit_id_gaps" -> idGapsAudit,
     "audit_numeric_correlations" -> numericCorrelations,
     "join_skew_salted" -> joinSkewSalted,
-    "link_blocked_fuzzy" -> linkBlockedFuzzy)
+    "link_blocked_fuzzy" -> linkBlockedFuzzy,
+    "link_entity_clusters" -> linkEntityClusters)
 
   val oracle: Map[String, String] = Map(
     "audit_fd_violations" -> fdViolationsSql,
@@ -959,5 +1096,6 @@ object DataAudit {
     "audit_id_gaps" -> idGapsAuditSql,
     "audit_numeric_correlations" -> numericCorrelationsSql,
     "join_skew_salted" -> joinSkewSaltedSql,
-    "link_blocked_fuzzy" -> linkBlockedFuzzySql)
+    "link_blocked_fuzzy" -> linkBlockedFuzzySql,
+    "link_entity_clusters" -> linkEntityClustersSql)
 }

@@ -92,6 +92,86 @@ object GraphRank {
        |WHERE id % 2 = 0 ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------- HITS
+  /** HITS hub scores over the SAME doc↔band-hub bipartite graph as
+    * [[pagerankDupGraph]], oriented doc→band: documents are the hub
+    * side, band hubs the authority side, so `hub_fp` measures "how
+    * much heavily-duplicated content does this doc carry" — the
+    * complement diagnostic to PageRank's "how much does the corpus
+    * point at this doc's content". A doc whose every band is shared
+    * by a large clique scores high; a doc of singleton bands scores
+    * the floor. Curation pipelines use the pair (rank_fp, hub_fp) to
+    * split "canonical original" from "aggregator that copies many
+    * originals" — the distinction one score alone cannot make.
+    *
+    * Arithmetic and scale shape live in [[graft.operators.Hits]]:
+    * integer fixed-point with exact-division normalization (every
+    * output bit engine-exact, mirrored by the unrolled oracle), two
+    * O(E) joins per round on O(docs×bands)=O(n) edges, 1-row
+    * broadcast normalizers, zero driver actions. */
+  def hitsScores(s: SparkSession, d: String): DataFrame = {
+    val docBand = graft.operators.Materialize.eager(
+      Documents.minhashSigShared(s, d)
+        .select(col("doc_id"),
+          explode(array(
+            concat(lit("b0_"), col("mh0"), lit("_"), col("mh1")),
+            concat(lit("b1_"), col("mh2"), lit("_"), col("mh3")))).as("band")))
+    val hubs = docBand.groupBy(col("band")).agg(min(col("doc_id")).as("hub"))
+    val docHub = docBand.join(hubs, "band")
+      .select(col("doc_id"), col("hub")).distinct()
+    graft.operators.Hits.run(
+        docHub.select(col("doc_id").as("src"), col("hub").as("dst")),
+        nIter = HitsIters)
+      .select(col("id").as("doc_id"), col("hub_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private[queries] val HitsIters = 4
+
+  val hitsScoresSql: String = {
+    val sig = Documents.minhashSignaturesSql.replace("ORDER BY doc_id", "")
+    // mirror of operators.Hits: // is exact BIGINT floor division on
+    // the non-negative mass here == Spark's DIV; CAST keeps SUM out
+    // of HUGEINT; q = GREATEST(1, total // Scale) is the integer
+    // normalizer both engines evaluate identically
+    // every round CTE is referenced twice (its normalizer + its
+    // divide), so MATERIALIZED is load-bearing: DuckDB would otherwise
+    // inline the chain and re-evaluate it exponentially across rounds
+    val iters = (1 to HitsIters).map { k =>
+      s"""a${k}r AS MATERIALIZED (
+         |  SELECT e.dst, CAST(SUM(h.hub_fp) AS BIGINT) AS ar
+         |  FROM edges e JOIN h${k - 1} h ON e.src = h.id GROUP BY e.dst),
+         |qa$k AS (SELECT GREATEST(1,
+         |  CAST(SUM(ar) AS BIGINT) // 1000000000000) AS q FROM a${k}r),
+         |a$k AS MATERIALIZED (
+         |  SELECT dst, ar // (SELECT q FROM qa$k) AS a FROM a${k}r),
+         |h${k}r AS MATERIALIZED (
+         |  SELECT e.src, CAST(SUM(a.a) AS BIGINT) AS hr
+         |  FROM edges e JOIN a$k a ON e.dst = a.dst GROUP BY e.src),
+         |qh$k AS (SELECT GREATEST(1,
+         |  CAST(SUM(hr) AS BIGINT) // 1000000000000) AS q FROM h${k}r),
+         |h$k AS MATERIALIZED (
+         |  SELECT src AS id, hr // (SELECT q FROM qh$k) AS hub_fp
+         |  FROM h${k}r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sig AS ($sig),
+       |doc_band AS (
+       |  SELECT doc_id, 'b0_' || mh0 || '_' || mh1 AS band FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 'b1_' || mh2 || '_' || mh3 AS band FROM sig),
+       |hubs AS (SELECT band, MIN(doc_id) AS hub FROM doc_band GROUP BY band),
+       |edges AS MATERIALIZED (
+       |  SELECT DISTINCT d.doc_id AS src, h.hub AS dst
+       |  FROM doc_band d JOIN hubs h ON d.band = h.band),
+       |n_h AS (SELECT COUNT(DISTINCT src) AS n FROM edges),
+       |h0 AS (
+       |  SELECT DISTINCT src AS id,
+       |    1000000000000 // (SELECT n FROM n_h) AS hub_fp
+       |  FROM edges),
+       |$iters
+       |SELECT id AS doc_id, hub_fp FROM h$HitsIters ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------ triangle count
   /** Distributed triangle counting over the LSH candidate-pair graph,
     * plus the global clustering coefficient (closed/total wedges in
@@ -269,6 +349,148 @@ object GraphRank {
        |  CASE WHEN n_wedges_tested = 0 THEN 0
        |       ELSE n_triangles * 1000 // n_wedges_tested END AS closure_pm
        |FROM node_stats, edge_stats, tested, tri""".stripMargin
+  }
+
+  // --------------------------------------- local clustering histogram
+  /** Distribution of per-node LOCAL clustering over the LSH candidate
+    * graph — the node-granular companion to [[triangleCount]]'s global
+    * closure rate: one histogram row per cc decile, where a node's cc
+    * is the closed fraction of wedges among its capped out-neighbors.
+    * Bimodal mass (spikes at 0 and 1000 permille) means the graph is
+    * cleanly split into cliquish dup clusters + chains; mid-range mass
+    * means borderline pairs are gluing clusters and the CC merge needs
+    * tighter bands — a finer instrument than one global number.
+    *
+    * Same Suri–Vassilvitskii machinery as [[triangleCount]] (degree
+    * orientation, deterministic md5 Bernoulli pre-thin, md5-ordered
+    * out-degree cap) at K = [[LocalCapK]] = 32: the wedge join is
+    * HARD-bounded at O(n·C(K,2)) whatever the density, each node's cc
+    * is the standard md5-sampled estimator (exact whenever its
+    * oriented out-degree ≤ K — every spec motif), and `sum_wedges` per
+    * bucket is the tested-denominator honesty column. Centers with
+    * fewer than 2 capped out-edges have no wedge to test and are
+    * excluded (their cc is undefined, not zero). */
+  def localClustering(s: SparkSession, d: String): DataFrame =
+    localClusteringOn(Documents.lshCandidatePairs(s, d))
+
+  private val LocalCapK = 32
+
+  /** Core histogram over caller-supplied undirected edges (doc_a <
+    * doc_b, distinct) — separated so specs can plant known motifs. */
+  def localClusteringOn(pairs: DataFrame): DataFrame = {
+    val edges = graft.operators.Materialize.eager(
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+    val deg = edges.select(col("u").as("id"))
+      .union(edges.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("dg"))
+    val fwd = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = edges
+      .join(deg.select(col("id").as("u"), col("dg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("dg").as("dv")), "v")
+      .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
+        when(fwd, col("v")).otherwise(col("u")).as("dst"),
+        when(fwd, col("du")).otherwise(col("dv")).as("dsrc"))
+    val hashed = oriented.withColumn("m",
+      md5(concat(col("src").cast("string"), lit("|"),
+        col("dst").cast("string"))))
+    val thinned = hashed
+      .filter(conv(substring(col("m"), 1, 4), 16, 10).cast("long") *
+        col("dsrc") < lit(2L * LocalCapK * 65536L))
+      .select(col("src"), col("dst"), col("m"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src"))
+      .orderBy(col("m"), col("dst"))
+    val capped = graft.operators.Materialize.eager(
+      thinned.withColumn("rk", row_number().over(wr))
+        .filter(col("rk") <= LocalCapK).select(col("src"), col("dst")))
+    val x = capped.as("x"); val y = capped.as("y")
+    val wedges = x.join(y,
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .select(col("x.src").as("src"),
+        col("x.dst").as("u"), col("y.dst").as("v"))
+    val closed = wedges.join(edges, Seq("u", "v"))
+      .groupBy(col("src")).agg(count(lit(1)).as("cl"))
+    val centers = capped.groupBy(col("src"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select(col("src"), expr("c * (c - 1) DIV 2").as("w"))
+    centers.join(closed, Seq("src"), "left")
+      .select(col("src"), col("w"),
+        coalesce(col("cl"), lit(0L)).as("cl"))
+      .select(col("w"), col("cl"),
+        expr("cl * 1000 DIV w").as("cc_pm"))
+      .groupBy(expr("cc_pm DIV 100").as("bucket"))
+      .agg(count(lit(1)).as("n_centers"),
+        sum(col("cl")).cast("long").as("sum_closed"),
+        sum(col("w")).cast("long").as("sum_wedges"))
+      .orderBy(col("bucket"))
+  }
+
+  val localClusteringSql: String = {
+    val sig = Documents.minhashSignaturesSql.replace("ORDER BY doc_id", "")
+    // constants mirror LocalCapK = 32: pre-thin threshold 2K·2¹⁶ =
+    // 4194304, cap rk ≤ 32 (nibble-decode idiom as in triangle_count)
+    s"""WITH sig AS ($sig),
+       |banded AS (
+       |  SELECT doc_id, 'b0_' || mh0 || '_' || mh1 AS band FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 'b1_' || mh2 || '_' || mh3 AS band FROM sig),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.doc_id < b.doc_id),
+       |deg AS (
+       |  SELECT id, COUNT(*) AS dg FROM (
+       |    SELECT u AS id FROM pairs UNION ALL SELECT v FROM pairs) t
+       |  GROUP BY id),
+       |oriented AS (
+       |  SELECT
+       |    CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v)
+       |         THEN u ELSE v END AS src,
+       |    CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v)
+       |         THEN v ELSE u END AS dst,
+       |    CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v)
+       |         THEN du.dg ELSE dv.dg END AS dsrc
+       |  FROM pairs
+       |  JOIN deg du ON du.id = u
+       |  JOIN deg dv ON dv.id = v),
+       |thinned AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, dsrc,
+       |      md5(CAST(src AS VARCHAR) || '|' || CAST(dst AS VARCHAR)) AS m
+       |    FROM oriented) h
+       |  WHERE ((strpos('0123456789abcdef', substring(m, 1, 1)) - 1) * 4096
+       |       + (strpos('0123456789abcdef', substring(m, 2, 1)) - 1) * 256
+       |       + (strpos('0123456789abcdef', substring(m, 3, 1)) - 1) * 16
+       |       + (strpos('0123456789abcdef', substring(m, 4, 1)) - 1))
+       |      * dsrc < 4194304),
+       |capped AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+       |      ORDER BY md5(CAST(src AS VARCHAR) || '|' ||
+       |        CAST(dst AS VARCHAR)), dst) AS rk
+       |    FROM thinned) r WHERE rk <= 32),
+       |wedges AS (
+       |  SELECT x.src AS src, x.dst AS u, y.dst AS v
+       |  FROM capped x JOIN capped y
+       |    ON x.src = y.src AND x.dst < y.dst),
+       |closed AS (
+       |  SELECT src, COUNT(*) AS cl
+       |  FROM wedges w JOIN pairs e ON w.u = e.u AND w.v = e.v
+       |  GROUP BY src),
+       |centers AS (
+       |  SELECT src, c * (c - 1) // 2 AS w FROM (
+       |    SELECT src, COUNT(*) AS c FROM capped GROUP BY src) g
+       |  WHERE c >= 2),
+       |cc AS (
+       |  SELECT ct.w, COALESCE(cl.cl, 0) AS cl,
+       |    (COALESCE(cl.cl, 0) * 1000) // ct.w AS cc_pm
+       |  FROM centers ct LEFT JOIN closed cl ON ct.src = cl.src)
+       |SELECT cc_pm // 100 AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_centers,
+       |  CAST(SUM(cl) AS BIGINT) AS sum_closed,
+       |  CAST(SUM(w) AS BIGINT) AS sum_wedges
+       |FROM cc GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   // --------------------------------------- degree assortativity
@@ -1078,6 +1300,8 @@ object GraphRank {
     "graph_modularity" -> modularity,
     "graph_label_propagation" -> labelPropagation,
     "graph_pagerank_dups" -> pagerankDupGraph,
+    "graph_hits_scores" -> hitsScores,
+    "graph_local_clustering" -> localClustering,
     "graph_triangle_count" -> triangleCount,
     "graph_degree_assortativity" -> degreeAssortativity,
     "graph_kcore" -> kcore)
@@ -1088,6 +1312,8 @@ object GraphRank {
     "graph_modularity" -> modularitySql,
     "graph_label_propagation" -> labelPropagationSql,
     "graph_pagerank_dups" -> pagerankDupGraphSql,
+    "graph_hits_scores" -> hitsScoresSql,
+    "graph_local_clustering" -> localClusteringSql,
     "graph_triangle_count" -> triangleCountSql,
     "graph_degree_assortativity" -> degreeAssortativitySql,
     "graph_kcore" -> kcoreSql)

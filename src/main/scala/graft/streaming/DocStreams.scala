@@ -93,6 +93,36 @@ object DocStreams {
           .as("bits"))
   }
 
+  /** Streaming exact dedup with BOUNDED state: suppress re-arrivals of
+    * already-seen content, but only remember keys for `horizon` of
+    * event time (`dropDuplicatesWithinWatermark`). This is the only
+    * shape of streaming dedup that survives 100 TB ingestion: plain
+    * `dropDuplicates` on a stream keys state by every content hash
+    * EVER seen (state grows with the corpus, executors eventually
+    * OOM), while the watermark form holds one state row per distinct
+    * key per horizon window and the store evicts behind the watermark
+    * — the same state-lifetime discipline as the interval join.
+    *
+    * Trade-off the caller signs up for (spec-pinned): a duplicate
+    * re-arriving AFTER the watermark passes its predecessor's
+    * expiry is re-emitted — full-horizon exactness, best-effort
+    * beyond. Note the expiry is SLIDING: every suppressed duplicate
+    * extends its key's lifetime to its own ts + horizon, so a key
+    * that keeps re-arriving is deduped indefinitely; only a horizon
+    * of true silence lets it expire. Downstream, the batch dedup tier (dedup_exact's md5
+    * hash-agg) remains the global backstop; this operator's job is
+    * cutting the ingest-time duplicate mass cheaply.
+    *
+    * `stampedDocs` must carry (doc_id, text, ts) — an ARRIVAL-time
+    * stamp from the ingestion envelope (the documents table itself has
+    * no event time; CDC/staging streams stamp one). */
+  def dedupWithinWatermarkStream(stampedDocs: DataFrame,
+      horizon: String = "10 minutes"): DataFrame =
+    stampedDocs
+      .select(col("doc_id"), col("ts"), md5(col("text")).as("content_md5"))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("content_md5")
+
   /** Per-source stats snapshot, `upd_seq` = how many state updates
     * this source has seen (the max row per source is the final view). */
   case class SourceStats(source: String, n_docs: Long, total_chars: Long,
