@@ -51,7 +51,35 @@ COPY (
   FROM read_parquet('{src}/events.parquet'), r
 ) TO '{dst}/events.parquet' (FORMAT PARQUET)""")
 
-for t in ["documents", "embeddings", "events"]:
+# customer/supplier: keys offset per replica and the numeric NAME
+# suffix offset identically, so the record-linkage blocking key
+# (digits at the end of the name) stays aligned with the new keys —
+# replica registries link within themselves, never across replicas,
+# which is how a real 10x-bigger registry behaves (more blocks, same
+# per-block occupancy).
+con.execute(f"""
+COPY (
+  SELECT c_custkey + r.k * 10000000 AS c_custkey,
+         regexp_replace(c_name, '([0-9]+)$',
+           CAST(CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT)
+                + r.k * 10000000 AS VARCHAR)) AS c_name,
+         c_nationkey,
+         * EXCLUDE (c_custkey, c_name, c_nationkey)
+  FROM read_parquet('{src}/customer.parquet'), r
+) TO '{dst}/customer.parquet' (FORMAT PARQUET)""")
+
+con.execute(f"""
+COPY (
+  SELECT s_suppkey + r.k * 10000000 AS s_suppkey,
+         regexp_replace(s_name, '([0-9]+)$',
+           CAST(CAST(regexp_extract(s_name, '([0-9]+)$', 1) AS BIGINT)
+                + r.k * 10000000 AS VARCHAR)) AS s_name,
+         s_nationkey,
+         * EXCLUDE (s_suppkey, s_name, s_nationkey)
+  FROM read_parquet('{src}/supplier.parquet'), r
+) TO '{dst}/supplier.parquet' (FORMAT PARQUET)""")
+
+for t in ["documents", "embeddings", "events", "customer", "supplier"]:
     n = con.execute(
         f"SELECT COUNT(*) FROM read_parquet('{dst}/{t}.parquet')").fetchone()[0]
     print(f"{t}: {n} rows")

@@ -761,7 +761,7 @@ object Documents {
     * inside a lambda per ELEMENT, so the element_at formulation cost
     * ~180 regex splits per row (measured 11 s of 13 at sf0.1); the
     * slice form costs 3 per row. */
-  private[queries] def shingles3(text: Column): Column = {
+  private[graft] def shingles3(text: Column): Column = {
     val ws = tokens(text)
     val len = greatest(size(ws) - 2, lit(0))
     zip_with(

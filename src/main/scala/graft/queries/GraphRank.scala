@@ -218,21 +218,32 @@ object GraphRank {
     * extra full shuffle.) Wedges close against the full undirected
     * edge set via one equi-join; the final 1-row aggregates combine
     * via broadcast (whitelisted in PlanSpec). */
-  def triangleCount(s: SparkSession, d: String): DataFrame =
-    triangleCountOn(Documents.lshCandidatePairs(s, d))
+  def triangleCount(s: SparkSession, d: String): DataFrame = {
+    val edges = graft.operators.Materialize.eager(
+      Documents.lshCandidatePairs(s, d)
+        .select(col("doc_a").as("u"), col("doc_b").as("v")))
+    // OWNER of the shared ranked adjacency (refresh = true): the
+    // orientation + md5 + rank-window cost stays attributed here
+    triangleCountParts(edges,
+      rankedAdjacency(s, d, refresh = true)(edges))
+  }
 
   private val CapK = 64
 
-  /** Core count over caller-supplied undirected edges (doc_a < doc_b,
-    * distinct) — separated so specs can plant known triangle motifs. */
-  def triangleCountOn(pairs: DataFrame): DataFrame = {
-    // edges feeds degree calc, orientation, and wedge closure — one
-    // materialization, three consumers
-    val edges = graft.operators.Materialize.eager(
-      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
-    val deg = graft.operators.Materialize.eager(
-      edges.select(col("u").as("id")).union(edges.select(col("v").as("id")))
-        .groupBy(col("id")).agg(count(lit(1)).as("dg")))
+  /** Degree table of an undirected (u, v) edge list. */
+  private def degreesOf(edges: DataFrame): DataFrame =
+    edges.select(col("u").as("id")).union(edges.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("dg"))
+
+  /** md5-ranked capped oriented adjacency (src, dst, rk ≤ [[CapK]]) of
+    * an undirected edge list — the Suri–Vassilvitskii build both
+    * [[triangleCount]] and [[localClustering]] consume: orient each
+    * edge from the lower-(degree, id) endpoint, deterministic
+    * Bernoulli(2K/deg) md5 pre-thin, then an md5-ordered rank so any
+    * rk ≤ K′ ≤ K prefix is a deterministic out-degree cap. `deg` is
+    * materialized inside (feeds BOTH orientation-join arms). */
+  private def rankedAdjacencyOn(edges: DataFrame): DataFrame = {
+    val deg = graft.operators.Materialize.eager(degreesOf(edges))
     val fwd = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
     val oriented = edges
@@ -254,14 +265,47 @@ object GraphRank {
       .filter(conv(substring(col("m"), 1, 4), 16, 10).cast("long") *
         col("dsrc") < lit(2L * CapK * 65536L))
       .select(col("src"), col("dst"), col("m"))
-    // deterministic md5-ordered out-degree cap: the wedge join below
-    // is then bounded by n·C(K,2) rows no matter how dense the graph
+    // deterministic md5-ordered out-degree cap: a consumer's wedge
+    // join is then bounded by n·C(K,2) rows no matter how dense the
+    // graph; rk is kept so smaller-K consumers take a prefix
     val wr = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src"))
       .orderBy(col("m"), col("dst"))
+    thinned.withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= CapK).select(col("src"), col("dst"), col("rk"))
+  }
+
+  /** Session-shared pinned [[rankedAdjacencyOn]] of the LSH candidate
+    * graph — two registered queries (triangle_count = owner,
+    * local_clustering) pay the orientation + rank window once per
+    * session (the lshCandidatePairs sharing discipline one level up).
+    * `edges` is only consumed when this call actually builds. */
+  private def rankedAdjacency(s: SparkSession, d: String,
+      refresh: Boolean = false)(edges: => DataFrame): DataFrame =
+    graft.operators.Materialize.sharedPinned(s, s"ranked_adj|$d", refresh) {
+      rankedAdjacencyOn(edges)
+    }
+
+  /** Core count over caller-supplied undirected edges (doc_a < doc_b,
+    * distinct) — separated so specs can plant known triangle motifs. */
+  def triangleCountOn(pairs: DataFrame): DataFrame = {
+    val edges = graft.operators.Materialize.eager(
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+    // materialized here (not in parts): the shared path arrives
+    // already pinned; this standalone path has 3 capped consumers
+    triangleCountParts(edges,
+      graft.operators.Materialize.eager(rankedAdjacencyOn(edges)))
+  }
+
+  /** `ranked` must be materialized (checkpointed or pinned): three
+    * consumers below read it (wedge self-join ×2, tested-count agg). */
+  private def triangleCountParts(edges: DataFrame,
+      ranked: DataFrame): DataFrame = {
+    // edges feeds degree stats and wedge closure; deg here is the
+    // stats copy (the build's own deg lives inside rankedAdjacencyOn)
+    val deg = graft.operators.Materialize.eager(degreesOf(edges))
     val capped = graft.operators.Materialize.eager(
-      thinned.withColumn("rk", row_number().over(wr))
-        .filter(col("rk") <= CapK).select(col("src"), col("dst")))
+      ranked.select(col("src"), col("dst")))
     val x = capped.as("x"); val y = capped.as("y")
     // two out-edges from one src; dst order makes (u,v) match the
     // undirected edge convention u < v
@@ -361,17 +405,23 @@ object GraphRank {
     * means borderline pairs are gluing clusters and the CC merge needs
     * tighter bands — a finer instrument than one global number.
     *
-    * Same Suri–Vassilvitskii machinery as [[triangleCount]] (degree
-    * orientation, deterministic md5 Bernoulli pre-thin, md5-ordered
-    * out-degree cap) at K = [[LocalCapK]] = 32: the wedge join is
-    * HARD-bounded at O(n·C(K,2)) whatever the density, each node's cc
-    * is the standard md5-sampled estimator (exact whenever its
-    * oriented out-degree ≤ K — every spec motif), and `sum_wedges` per
-    * bucket is the tested-denominator honesty column. Centers with
-    * fewer than 2 capped out-edges have no wedge to test and are
-    * excluded (their cc is undefined, not zero). */
-  def localClustering(s: SparkSession, d: String): DataFrame =
-    localClusteringOn(Documents.lshCandidatePairs(s, d))
+    * Same Suri–Vassilvitskii machinery as [[triangleCount]] — in fact
+    * the SAME session-shared ranked adjacency ([[rankedAdjacency]]:
+    * degree orientation, deterministic md5 Bernoulli pre-thin,
+    * md5-ordered rank), of which this query takes the rk ≤
+    * [[LocalCapK]] = 32 prefix: the wedge join is HARD-bounded at
+    * O(n·C(K,2)) whatever the density, each node's cc is the standard
+    * md5-sampled estimator (exact whenever its oriented out-degree
+    * ≤ K — every spec motif), and `sum_wedges` per bucket is the
+    * tested-denominator honesty column. Centers with fewer than 2
+    * capped out-edges have no wedge to test and are excluded (their
+    * cc is undefined, not zero). */
+  def localClustering(s: SparkSession, d: String): DataFrame = {
+    val edges = graft.operators.Materialize.eager(
+      Documents.lshCandidatePairs(s, d)
+        .select(col("doc_a").as("u"), col("doc_b").as("v")))
+    localClusteringParts(edges, rankedAdjacency(s, d)(edges))
+  }
 
   private val LocalCapK = 32
 
@@ -380,30 +430,19 @@ object GraphRank {
   def localClusteringOn(pairs: DataFrame): DataFrame = {
     val edges = graft.operators.Materialize.eager(
       pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
-    val deg = edges.select(col("u").as("id"))
-      .union(edges.select(col("v").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("dg"))
-    val fwd = col("du") < col("dv") ||
-      (col("du") === col("dv") && col("u") < col("v"))
-    val oriented = edges
-      .join(deg.select(col("id").as("u"), col("dg").as("du")), "u")
-      .join(deg.select(col("id").as("v"), col("dg").as("dv")), "v")
-      .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
-        when(fwd, col("v")).otherwise(col("u")).as("dst"),
-        when(fwd, col("du")).otherwise(col("dv")).as("dsrc"))
-    val hashed = oriented.withColumn("m",
-      md5(concat(col("src").cast("string"), lit("|"),
-        col("dst").cast("string"))))
-    val thinned = hashed
-      .filter(conv(substring(col("m"), 1, 4), 16, 10).cast("long") *
-        col("dsrc") < lit(2L * LocalCapK * 65536L))
-      .select(col("src"), col("dst"), col("m"))
-    val wr = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("src"))
-      .orderBy(col("m"), col("dst"))
-    val capped = graft.operators.Materialize.eager(
-      thinned.withColumn("rk", row_number().over(wr))
-        .filter(col("rk") <= LocalCapK).select(col("src"), col("dst")))
+    localClusteringParts(edges,
+      graft.operators.Materialize.eager(rankedAdjacencyOn(edges)))
+  }
+
+  private def localClusteringParts(edges: DataFrame,
+      ranked: DataFrame): DataFrame = {
+    // K = 32 cap = the rk ≤ 32 PREFIX of the session-shared K = 64
+    // ranking (same md5 order, same 2·64 pre-thin): a deterministic
+    // md5 sample exactly as before, identical to a direct K = 32 rank
+    // wherever out-degrees ≤ 64·2, and the expensive orientation +
+    // rank window is computed once per session instead of per query
+    val capped = ranked.filter(col("rk") <= LocalCapK)
+      .select(col("src"), col("dst"))
     val x = capped.as("x"); val y = capped.as("y")
     val wedges = x.join(y,
         col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
@@ -428,8 +467,10 @@ object GraphRank {
 
   val localClusteringSql: String = {
     val sig = Documents.minhashSignaturesSql.replace("ORDER BY doc_id", "")
-    // constants mirror LocalCapK = 32: pre-thin threshold 2K·2¹⁶ =
-    // 4194304, cap rk ≤ 32 (nibble-decode idiom as in triangle_count)
+    // mirrors the SHARED K=64 ranking (pre-thin threshold 2·64·2¹⁶ =
+    // 8388608, identical to triangle_count's CTEs) then takes the
+    // rk ≤ LocalCapK = 32 prefix — the engine reads the same prefix
+    // of the session-shared ranked adjacency
     s"""WITH sig AS ($sig),
        |banded AS (
        |  SELECT doc_id, 'b0_' || mh0 || '_' || mh1 AS band FROM sig
@@ -463,7 +504,7 @@ object GraphRank {
        |       + (strpos('0123456789abcdef', substring(m, 2, 1)) - 1) * 256
        |       + (strpos('0123456789abcdef', substring(m, 3, 1)) - 1) * 16
        |       + (strpos('0123456789abcdef', substring(m, 4, 1)) - 1))
-       |      * dsrc < 4194304),
+       |      * dsrc < 8388608),
        |capped AS (
        |  SELECT src, dst FROM (
        |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src

@@ -123,6 +123,67 @@ object DocStreams {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("content_md5")
 
+  /** Composed streaming ingest pipeline — the streaming counterpart of
+    * pipeline_corpus_build's admission gates, emitting one VERDICT row
+    * per first-arrival document (verdicts, not silent filtering: the
+    * downstream writer decides, and rejected docs stay auditable):
+    *
+    *   1. bounded-state exact dedup ([[dedupWithinWatermarkStream]]'s
+    *      `dropDuplicatesWithinWatermark` on the content md5, text
+    *      kept flowing);
+    *   2. stream-static decontamination — arriving docs' word 3-gram
+    *      shingles (queries.Documents.shingles3, the ONE shared
+    *      definition with the batch tier) left-joined against the
+    *      static eval split's shingle set, so `n_contaminated` counts
+    *      benchmark-leak shingles per doc;
+    *   3. stateless quality gate (token floor + stopword floor — the
+    *      per-row Gopher subset; the full ladder is the batch tier's
+    *      job).
+    *
+    * The per-doc roll-up of shingle hits is a WINDOWED streaming
+    * aggregation (1-minute tumbling on the arrival stamp): append
+    * mode, verdicts finalize once the watermark passes the doc's
+    * window, and this is the chained-stateful shape — dedup state
+    * then agg state under one watermark — whose state both evicts
+    * behind the horizon (spec-pinned). Static side materialized once
+    * (eval shingle set), never recomputed per micro-batch.
+    *
+    * Scale shape: dedup state = one row per distinct content hash per
+    * horizon; agg state = one row per in-flight (window, doc); the
+    * eval shingle table is a static hash-join side sized by the eval
+    * split, not the stream. Nothing grows with total stream history. */
+  def ingestVerdictStream(stampedDocs: DataFrame, evalDocs: DataFrame,
+      horizon: String = "10 minutes", minTokens: Long = 50L): DataFrame = {
+    val deduped = stampedDocs
+      .select(col("doc_id"), col("ts"), col("text"),
+        md5(col("text")).as("content_md5"))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("content_md5")
+    val evalSh = graft.operators.Materialize.eager(
+        evalDocs.select(
+          explode(graft.queries.Documents.shingles3(col("text"))).as("sh"))
+        .distinct())
+      .withColumn("hit", lit(1L))
+    val toks = graft.queries.Documents.tokens(col("text"))
+    val exploded = deduped
+      .withColumn("n_tok", size(toks).cast("long"))
+      .withColumn("n_stop", size(filter(toks,
+        t => t.isin("the", "a", "of", "and", "to"))).cast("long"))
+      // explode_outer: a doc too short for any shingle still needs a
+      // verdict row (n_contaminated 0), not silent disappearance
+      .select(col("doc_id"), col("ts"), col("n_tok"), col("n_stop"),
+        explode_outer(graft.queries.Documents.shingles3(col("text")))
+          .as("sh"))
+    exploded.join(evalSh, Seq("sh"), "left")
+      .groupBy(window(col("ts"), "1 minute"), col("doc_id"),
+        col("n_tok"), col("n_stop"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .select(col("doc_id"), col("n_tok"), col("n_stop"),
+        col("n_contaminated"),
+        (col("n_tok") >= minTokens && col("n_stop") >= 2 &&
+          col("n_contaminated") === 0).as("admitted"))
+  }
+
   /** Per-source stats snapshot, `upd_seq` = how many state updates
     * this source has seen (the max row per source is the final view). */
   case class SourceStats(source: String, n_docs: Long, total_chars: Long,

@@ -237,6 +237,11 @@ class PlanSpec extends AnyFunSuite {
                             // moments/theta) over the user frame
     "emb_knn_label_eval",   // 1-row n_excluded honesty broadcast
                             // (the reciprocal-kNN device)
+    "graph_hits_scores",    // 1-row integer normalizer (q = max(1,
+                            // total DIV Scale)) broadcast into the
+                            // final HITS round's divide; earlier
+                            // rounds' normalizers execute inside the
+                            // half-round checkpoints
     "emb_pair_distance_hist") // declared bounded all-pairs on the
                             // ADAPTIVE md5 id-sample (m = max(8,
                             // n DIV 250) -> ~250 vectors, ~3e4 pairs

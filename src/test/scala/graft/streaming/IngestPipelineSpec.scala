@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Pins the composed streaming ingest pipeline (watermark dedup →
+  * stream-static decontamination → quality gate → windowed verdict
+  * finalization) across an ordered multi-batch replay:
+  *   - one verdict row per FIRST-ARRIVAL doc, none for suppressed dups;
+  *   - contamination counted against the static eval shingle set;
+  *   - append-mode finalization: a doc whose window the watermark has
+  *     not passed has NO verdict yet (late-binding, not data loss);
+  *   - chained stateful operators (dedup + agg) both evict state. */
+class IngestPipelineSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("verdicts: dedup suppression, contamination, quality gate, " +
+      "window finalization, state eviction") {
+    val evalDocs = Seq((900L, "data slow query benchmark eval"))
+      .toDF("doc_id", "text")
+    val clean1 = "the a of and to words clean doc here"
+    val chunks = Seq(
+      Seq((1L, clean1, 0),
+        (2L, "data slow query pollution the a of and", 0),
+        (3L, "tiny the a", 1)), // 3 tokens < minTokens
+      // +5 min: doc 4 repeats doc 1's content inside the horizon
+      Seq((4L, clean1, 5),
+        (5L, "the a of and to another clean doc", 5)),
+      // +200: clean late arrival; advances the watermark past the
+      // minute-0/5 windows so their verdicts finalize
+      Seq((6L, "the a of and to late clean arrival", 200)),
+      // +400: advances the watermark past doc 6's window; its own
+      // window never closes → no verdict for doc 7 (pinned below)
+      Seq((7L, "the a of and to never finalized doc", 400)))
+    val stage = java.nio.file.Files.createTempDirectory("ingest_stage")
+    val inDir = java.nio.file.Files.createTempDirectory("ingest")
+    def stamped(rows: Seq[(Long, String, Int)]) =
+      rows.toDF("doc_id", "text", "m")
+        .select(col("doc_id"), col("text"),
+          ((col("m") + 1000) * 60).cast("timestamp").as("ts"))
+    val schema = stamped(chunks.head).schema
+    chunks.zipWithIndex.foreach { case (rows, k) =>
+      stamped(rows)
+        .coalesce(1).write.mode("overwrite").parquet(s"$stage/chunk$k")
+      val part = new java.io.File(s"$stage/chunk$k").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(s"$inDir/d$k.parquet")
+      java.nio.file.Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + k * 10000L)
+    }
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val q = DocStreams.ingestVerdictStream(stream, evalDocs,
+        horizon = "10 minutes", minTokens = 5L)
+      .writeStream.format("memory").queryName("ingest_verdicts")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    val progress = q.recentProgress.toSeq.filter(_.stateOperators.nonEmpty)
+    q.stop()
+    val rows = spark.table("ingest_verdicts")
+      .select(col("doc_id"), col("n_contaminated"), col("admitted"))
+      .as[(Long, Long, Boolean)].collect().toSeq
+    val byDoc = rows.map(r => r._1 -> r).toMap
+    assert(rows.map(_._1).sorted == Seq(1L, 2L, 3L, 5L, 6L),
+      s"one finalized verdict per first-arrival doc, got $rows")
+    // doc 4: suppressed duplicate — no verdict; doc 7: window not yet
+    // passed by the watermark — no verdict EITHER (late-binding)
+    assert(!byDoc.contains(4L) && !byDoc.contains(7L))
+    assert(byDoc(2L)._2 >= 1L && !byDoc(2L)._3,
+      "eval-shingle overlap must block admission")
+    assert(byDoc(3L)._2 == 0L && !byDoc(3L)._3,
+      "token floor must block admission")
+    assert(Seq(1L, 5L, 6L).forall(d => byDoc(d)._3),
+      "clean docs admitted")
+    // chained stateful operators: dedup AND the windowed agg both
+    // carry state, and eviction ran in both across the replay
+    val opCount = progress.map(_.stateOperators.length).max
+    assert(opCount >= 2, s"expected dedup+agg state operators, $opCount")
+    val removed = progress.map(_.stateOperators.map(_.numRowsRemoved).sum).sum
+    assert(removed >= 4, s"state eviction must run, removed=$removed")
+  }
+}
