@@ -976,6 +976,109 @@ object ProductAnalytics {
       |  TRUE AS overlap_ok
       |FROM daily""".stripMargin
 
+  // ------------------------------ mergeable quantile sketch
+  /** The quantile companion to [[sketchDailyMerge]]: per-day MERGEABLE
+    * value sketches answering "p50/p90/p95/p99 purchase value over any
+    * date range" without a global sort or raw rescan — the pattern
+    * behind every production latency/value dashboard at 100 TB, where
+    * `quantiles_exact`'s full-corpus sort is the thing you cannot do
+    * per panel refresh.
+    *
+    * The sketch is a deterministic base-2 HISTOGRAM on exact integer
+    * cents (the [[Relational.cents]] discipline): bucket = the 5-bit
+    * mantissa prefix (shift = bitlen(c) − 5, sub = c >> shift), so
+    * every bucket spans a ≤ 1/16 relative width, a day's sketch is
+    * ≤ (octaves × 16) + 1 ≈ 300 counters NO MATTER how many events,
+    * and merging = adding counters (associative/commutative — the
+    * same abelian-state argument as the HLL tier, but the answer is
+    * DETERMINISTIC: unlike KLL/t-digest, bucket bounds are pure
+    * integer arithmetic, so engine and oracle agree bit-for-bit).
+    * Each reported quantile comes back as the answering bucket's
+    * [lo_cents, hi_cents] — the true order statistic provably lies
+    * inside (counts are exact; cum is monotone), with relative width
+    * ≤ 1/16 by construction.
+    *
+    * Scale shape: one raw scan into (day, bucket) partial counts
+    * (map-side combine does the daily sketching), the merge reduces
+    * ~300-counter frames, the cumulative pass is a global window on
+    * the PROVABLY BOUNDED bucket grid (whitelisted), and the quantile
+    * probe is a conditional aggregate — no non-equi join, no sort of
+    * anything corpus-sized. */
+  def sketchQuantileMerge(s: SparkSession, d: String): DataFrame =
+    sketchQuantileMergeOn(events(s, d).select(
+      expr("CAST(date_trunc('day', ts) AS LONG) DIV 86400").as("day_idx"),
+      cents(col("value")).cast("long").as("c")))
+
+  /** Core sketch over caller-supplied (day_idx, c) cent rows —
+    * separated so specs can plant exact-quantile values. */
+  def sketchQuantileMergeOn(ev: DataFrame): DataFrame = {
+    val bucketed = ev
+      .withColumn("shift",
+        greatest(length(bin(col("c"))).cast("int") - 5, lit(0)))
+      .withColumn("sub", expr("shiftright(c, shift)"))
+    val daily = bucketed.groupBy(col("day_idx"), col("shift"), col("sub"))
+      .agg(count(lit(1)).as("cnt"))
+    val merged = daily.groupBy(col("shift"), col("sub"))
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+      .select(col("cnt"),
+        expr("shiftleft(sub, shift)").as("lo"),
+        expr("shiftleft(sub + 1, shift) - 1").as("hi"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("lo"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = merged.withColumn("cum", sum(col("cnt")).over(w))
+    val consts = merged.agg(sum(col("cnt")).cast("long").as("n_total"),
+      count(lit(1)).as("n_buckets"))
+    val qs = Seq(500L, 900L, 950L, 990L)
+    val aggs = qs.flatMap { q =>
+      val target = expr(s"(n_total * $q + 999) DIV 1000")
+      Seq(min(when(col("cum") >= target, col("lo"))).as(s"lo$q"),
+        min(when(col("cum") >= target, col("hi"))).as(s"hi$q"))
+    }
+    val row = cum.crossJoin(broadcast(consts))
+      .groupBy(col("n_total"), col("n_buckets"))
+      .agg(aggs.head, aggs.tail: _*)
+    row.select(
+        expr(s"stack(4, ${qs.map(q => s"${q}L, lo$q, hi$q").mkString(", ")})" +
+          " as (q_pm, lo_cents, hi_cents)"),
+        col("n_total"), col("n_buckets"))
+      .orderBy(col("q_pm"))
+  }
+
+  val sketchQuantileMergeSql: String =
+    s"""WITH ev AS (
+       |  SELECT CAST(FLOOR(EPOCH(DATE_TRUNC('day', ts))) AS BIGINT) // 86400
+       |      AS day_idx, ${centsSql("value")} AS c
+       |  FROM events),
+       |b AS (
+       |  SELECT day_idx, c,
+       |    GREATEST(CAST(length(bin(c)) AS INT) - 5, 0) AS shift
+       |  FROM ev),
+       |daily AS MATERIALIZED (
+       |  SELECT day_idx, shift, c >> shift AS sub, COUNT(*) AS cnt
+       |  FROM b GROUP BY 1, 2, 3),
+       |merged AS MATERIALIZED (
+       |  SELECT CAST(SUM(cnt) AS BIGINT) AS cnt,
+       |    CAST(sub << shift AS BIGINT) AS lo,
+       |    CAST(((sub + 1) << shift) - 1 AS BIGINT) AS hi
+       |  FROM daily GROUP BY shift, sub),
+       |cum AS MATERIALIZED (
+       |  SELECT lo, hi, CAST(SUM(cnt) OVER (ORDER BY lo) AS BIGINT) AS cum
+       |  FROM merged),
+       |consts AS (
+       |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
+       |    CAST(COUNT(*) AS BIGINT) AS n_buckets
+       |  FROM merged),
+       |qs AS (SELECT UNNEST([500, 900, 950, 990]) AS q_pm)
+       |SELECT CAST(q.q_pm AS BIGINT) AS q_pm,
+       |  CAST(MIN(CASE WHEN cu.cum >= (co.n_total * q.q_pm + 999) // 1000
+       |           THEN cu.lo END) AS BIGINT) AS lo_cents,
+       |  CAST(MIN(CASE WHEN cu.cum >= (co.n_total * q.q_pm + 999) // 1000
+       |           THEN cu.hi END) AS BIGINT) AS hi_cents,
+       |  co.n_total, co.n_buckets
+       |FROM qs q, consts co, cum cu
+       |GROUP BY q.q_pm, co.n_total, co.n_buckets
+       |ORDER BY q_pm""".stripMargin
+
   // ------------------------------ sketch pair-overlap (incl-excl)
   /** Audience overlap between every event-type pair, answered TWO
     * ways: exact |A∩B| from the distinct (user, type) frame, and the
@@ -1976,6 +2079,7 @@ object ProductAnalytics {
     "ev_did_uplift" -> didUplift,
     "ev_holdout_ab" -> holdoutAb,
     "sketch_daily_merge" -> sketchDailyMerge,
+    "sketch_quantile_merge" -> sketchQuantileMerge,
     "sketch_pair_overlap" -> sketchPairOverlap,
     "ev_ltv_cohorts" -> ltvCohorts,
     "ev_new_vs_returning" -> newVsReturning,
@@ -2003,6 +2107,7 @@ object ProductAnalytics {
     "ev_did_uplift" -> didUpliftSql,
     "ev_holdout_ab" -> holdoutAbSql,
     "sketch_daily_merge" -> sketchDailyMergeSql,
+    "sketch_quantile_merge" -> sketchQuantileMergeSql,
     "sketch_pair_overlap" -> sketchPairOverlapSql,
     "ev_ltv_cohorts" -> ltvCohortsSql,
     "ev_new_vs_returning" -> newVsReturningSql,

@@ -242,6 +242,8 @@ class PlanSpec extends AnyFunSuite {
                             // final HITS round's divide; earlier
                             // rounds' normalizers execute inside the
                             // half-round checkpoints
+    "sketch_quantile_merge", // 1-row (n_total, n_buckets) broadcast
+                            // into the bounded bucket-grid cum frame
     "emb_pair_distance_hist") // declared bounded all-pairs on the
                             // ADAPTIVE md5 id-sample (m = max(8,
                             // n DIV 250) -> ~250 vectors, ~3e4 pairs
@@ -291,7 +293,9 @@ class PlanSpec extends AnyFunSuite {
     "text_bm25_topk" -> "final top-k list (TakeOrdered upstream)",
     "text_bpe_merge_round" -> "1-row argmax of the merge candidates",
     "text_memorization_grams" -> "top-k repeated-gram list",
-    "text_zipf_slope" -> "top-vocab regression frame (<=1000 rows)")
+    "text_zipf_slope" -> "top-vocab regression frame (<=1000 rows)",
+    "sketch_quantile_merge" ->
+      "cumulative counts on the <=(17 octaves x 16)+1-row bucket grid")
 
   test("GLOBAL plan lint: single-partition windows only on the " +
       "documented bounded-frame whitelist") {
