@@ -57,26 +57,39 @@ COPY (
 # replica registries link within themselves, never across replicas,
 # which is how a real 10x-bigger registry behaves (more blocks, same
 # per-block occupancy).
+# the new numeric suffix is zero-padded back to at least the source
+# suffix width, so replica 0 stays byte-identical to the 1x registry
+# (CAST alone would strip the padding); the qualified t.* EXCLUDE
+# keeps the replica index k out of the output schema (a bare
+# * EXCLUDE would expand over the joined view r and leak k)
 con.execute(f"""
 COPY (
-  SELECT c_custkey + r.k * 10000000 AS c_custkey,
-         regexp_replace(c_name, '([0-9]+)$',
-           CAST(CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT)
-                + r.k * 10000000 AS VARCHAR)) AS c_name,
-         c_nationkey,
-         * EXCLUDE (c_custkey, c_name, c_nationkey)
-  FROM read_parquet('{src}/customer.parquet'), r
+  SELECT t.c_custkey + r.k * 10000000 AS c_custkey,
+         regexp_replace(t.c_name, '([0-9]+)$',
+           lpad(CAST(CAST(regexp_extract(t.c_name, '([0-9]+)$', 1) AS BIGINT)
+                     + r.k * 10000000 AS VARCHAR),
+                CAST(GREATEST(length(regexp_extract(t.c_name, '([0-9]+)$', 1)),
+                  length(CAST(CAST(regexp_extract(t.c_name, '([0-9]+)$', 1)
+                    AS BIGINT) + r.k * 10000000 AS VARCHAR))) AS INTEGER),
+                '0')) AS c_name,
+         t.c_nationkey,
+         t.* EXCLUDE (c_custkey, c_name, c_nationkey)
+  FROM read_parquet('{src}/customer.parquet') t, r
 ) TO '{dst}/customer.parquet' (FORMAT PARQUET)""")
 
 con.execute(f"""
 COPY (
-  SELECT s_suppkey + r.k * 10000000 AS s_suppkey,
-         regexp_replace(s_name, '([0-9]+)$',
-           CAST(CAST(regexp_extract(s_name, '([0-9]+)$', 1) AS BIGINT)
-                + r.k * 10000000 AS VARCHAR)) AS s_name,
-         s_nationkey,
-         * EXCLUDE (s_suppkey, s_name, s_nationkey)
-  FROM read_parquet('{src}/supplier.parquet'), r
+  SELECT t.s_suppkey + r.k * 10000000 AS s_suppkey,
+         regexp_replace(t.s_name, '([0-9]+)$',
+           lpad(CAST(CAST(regexp_extract(t.s_name, '([0-9]+)$', 1) AS BIGINT)
+                     + r.k * 10000000 AS VARCHAR),
+                CAST(GREATEST(length(regexp_extract(t.s_name, '([0-9]+)$', 1)),
+                  length(CAST(CAST(regexp_extract(t.s_name, '([0-9]+)$', 1)
+                    AS BIGINT) + r.k * 10000000 AS VARCHAR))) AS INTEGER),
+                '0')) AS s_name,
+         t.s_nationkey,
+         t.* EXCLUDE (s_suppkey, s_name, s_nationkey)
+  FROM read_parquet('{src}/supplier.parquet') t, r
 ) TO '{dst}/supplier.parquet' (FORMAT PARQUET)""")
 
 for t in ["documents", "embeddings", "events", "customer", "supplier"]:

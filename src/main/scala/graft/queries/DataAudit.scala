@@ -291,10 +291,13 @@ object DataAudit {
   }
 
   val linkEntityClustersSql: String = {
-    // unrolled min-label rounds; MATERIALIZED is load-bearing (each
-    // round CTE is referenced by the next AND by the final member
-    // join — DuckDB would otherwise re-inline the chain)
-    val rounds = (1 to 5).map { k =>
+    // unrolled min-label rounds derived from ErRounds (+1 probe round
+    // — the hitsScoresSql coupling discipline, so bumping ErRounds
+    // can never desync engine and oracle); MATERIALIZED is
+    // load-bearing (each round CTE is referenced by the next AND by
+    // the final member join — DuckDB would otherwise re-inline the
+    // chain)
+    val rounds = (1 to ErRounds + 1).map { k =>
       s"""l$k AS MATERIALIZED (
          |  SELECT e.a AS id, MIN(l.lbl) AS lbl
          |  FROM edg e JOIN l${k - 1} l ON l.id = e.b GROUP BY e.a)""".stripMargin
@@ -328,8 +331,10 @@ object DataAudit {
        |  UNION ALL
        |  SELECT s_suppkey * 2 + 1, s_name FROM supplier),
        |mem AS (
-       |  SELECT l4.id, l4.lbl AS cluster_id, l5.lbl AS lbl5
-       |  FROM l4 JOIN l5 ON l4.id = l5.id),
+       |  SELECT l$ErRounds.id, l$ErRounds.lbl AS cluster_id,
+       |    l${ErRounds + 1}.lbl AS lbl5
+       |  FROM l$ErRounds JOIN l${ErRounds + 1}
+       |    ON l$ErRounds.id = l${ErRounds + 1}.id),
        |agg AS (
        |  SELECT cluster_id,
        |    CAST(SUM(CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)

@@ -222,10 +222,13 @@ object GraphRank {
     val edges = graft.operators.Materialize.eager(
       Documents.lshCandidatePairs(s, d)
         .select(col("doc_a").as("u"), col("doc_b").as("v")))
+    // deg serves BOTH the shared build (orientation arms) and the
+    // node-stats aggregate below — one 2|E| pass, not two
+    val deg = graft.operators.Materialize.eager(degreesOf(edges))
     // OWNER of the shared ranked adjacency (refresh = true): the
     // orientation + md5 + rank-window cost stays attributed here
-    triangleCountParts(edges,
-      rankedAdjacency(s, d, refresh = true)(edges))
+    triangleCountParts(edges, deg,
+      rankedAdjacency(s, d, refresh = true)(rankedAdjacencyOn(edges, deg)))
   }
 
   private val CapK = 64
@@ -240,10 +243,11 @@ object GraphRank {
     * [[triangleCount]] and [[localClustering]] consume: orient each
     * edge from the lower-(degree, id) endpoint, deterministic
     * Bernoulli(2K/deg) md5 pre-thin, then an md5-ordered rank so any
-    * rk ≤ K′ ≤ K prefix is a deterministic out-degree cap. `deg` is
-    * materialized inside (feeds BOTH orientation-join arms). */
-  private def rankedAdjacencyOn(edges: DataFrame): DataFrame = {
-    val deg = graft.operators.Materialize.eager(degreesOf(edges))
+    * rk ≤ K′ ≤ K prefix is a deterministic out-degree cap. `deg`
+    * must be MATERIALIZED by the caller (it feeds BOTH
+    * orientation-join arms — lazy, the 2|E| agg re-runs per arm). */
+  private def rankedAdjacencyOn(edges: DataFrame, deg: DataFrame)
+      : DataFrame = {
     val fwd = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
     val oriented = edges
@@ -277,13 +281,17 @@ object GraphRank {
 
   /** Session-shared pinned [[rankedAdjacencyOn]] of the LSH candidate
     * graph — two registered queries (triangle_count = owner,
-    * local_clustering) pay the orientation + rank window once per
-    * session (the lshCandidatePairs sharing discipline one level up).
-    * `edges` is only consumed when this call actually builds. */
+    * local_clustering) share it. Attribution caveat, not a free
+    * lunch: in sorted single-pass run order local_clustering builds
+    * first and the owner's refresh=true rebuilds anyway, so a
+    * one-pass Verify session pays the build twice; the sharing wins
+    * in min-of-two benchmarks (the non-owner's second pass reads the
+    * pin) and in any session where other consumers follow the owner.
+    * `build` is only evaluated when this call actually builds. */
   private def rankedAdjacency(s: SparkSession, d: String,
-      refresh: Boolean = false)(edges: => DataFrame): DataFrame =
+      refresh: Boolean = false)(build: => DataFrame): DataFrame =
     graft.operators.Materialize.sharedPinned(s, s"ranked_adj|$d", refresh) {
-      rankedAdjacencyOn(edges)
+      build
     }
 
   /** Core count over caller-supplied undirected edges (doc_a < doc_b,
@@ -291,19 +299,17 @@ object GraphRank {
   def triangleCountOn(pairs: DataFrame): DataFrame = {
     val edges = graft.operators.Materialize.eager(
       pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
-    // materialized here (not in parts): the shared path arrives
-    // already pinned; this standalone path has 3 capped consumers
-    triangleCountParts(edges,
-      graft.operators.Materialize.eager(rankedAdjacencyOn(edges)))
+    val deg = graft.operators.Materialize.eager(degreesOf(edges))
+    triangleCountParts(edges, deg, rankedAdjacencyOn(edges, deg))
   }
 
-  /** `ranked` must be materialized (checkpointed or pinned): three
-    * consumers below read it (wedge self-join ×2, tested-count agg). */
-  private def triangleCountParts(edges: DataFrame,
+  /** `deg` must be materialized (two consumers: the stats aggregate
+    * and — via the caller — the build's orientation arms); `ranked`
+    * may be lazy: its single reader below copies it into `capped`
+    * for the three wedge/tested consumers (the A/B'd-fast form —
+    * see BASELINE.md 2026-08-16). */
+  private def triangleCountParts(edges: DataFrame, deg: DataFrame,
       ranked: DataFrame): DataFrame = {
-    // edges feeds degree stats and wedge closure; deg here is the
-    // stats copy (the build's own deg lives inside rankedAdjacencyOn)
-    val deg = graft.operators.Materialize.eager(degreesOf(edges))
     val capped = graft.operators.Materialize.eager(
       ranked.select(col("src"), col("dst")))
     val x = capped.as("x"); val y = capped.as("y")
@@ -420,7 +426,12 @@ object GraphRank {
     val edges = graft.operators.Materialize.eager(
       Documents.lshCandidatePairs(s, d)
         .select(col("doc_a").as("u"), col("doc_b").as("v")))
-    localClusteringParts(edges, rankedAdjacency(s, d)(edges))
+    // the deg build lives INSIDE the by-name block: on a shared-pin
+    // hit this query pays neither the degree agg nor the rank window
+    localClusteringParts(edges, rankedAdjacency(s, d) {
+      rankedAdjacencyOn(edges,
+        graft.operators.Materialize.eager(degreesOf(edges)))
+    })
   }
 
   private val LocalCapK = 32
@@ -431,7 +442,8 @@ object GraphRank {
     val edges = graft.operators.Materialize.eager(
       pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
     localClusteringParts(edges,
-      graft.operators.Materialize.eager(rankedAdjacencyOn(edges)))
+      graft.operators.Materialize.eager(rankedAdjacencyOn(edges,
+        graft.operators.Materialize.eager(degreesOf(edges)))))
   }
 
   private def localClusteringParts(edges: DataFrame,

@@ -115,11 +115,14 @@ object DocStreams {
     *
     * `stampedDocs` must carry (doc_id, text, ts) — an ARRIVAL-time
     * stamp from the ingestion envelope (the documents table itself has
-    * no event time; CDC/staging streams stamp one). */
+    * no event time; CDC/staging streams stamp one). All input columns
+    * pass through plus the `content_md5` key, so downstream stages
+    * ([[ingestVerdictStream]]) keep the text without re-implementing
+    * the dedup contract — ONE definition of the key and horizon. */
   def dedupWithinWatermarkStream(stampedDocs: DataFrame,
       horizon: String = "10 minutes"): DataFrame =
     stampedDocs
-      .select(col("doc_id"), col("ts"), md5(col("text")).as("content_md5"))
+      .withColumn("content_md5", md5(col("text")))
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("content_md5")
 
@@ -154,11 +157,8 @@ object DocStreams {
     * split, not the stream. Nothing grows with total stream history. */
   def ingestVerdictStream(stampedDocs: DataFrame, evalDocs: DataFrame,
       horizon: String = "10 minutes", minTokens: Long = 50L): DataFrame = {
-    val deduped = stampedDocs
-      .select(col("doc_id"), col("ts"), col("text"),
-        md5(col("text")).as("content_md5"))
-      .withWatermark("ts", horizon)
-      .dropDuplicatesWithinWatermark("content_md5")
+    val deduped = dedupWithinWatermarkStream(
+      stampedDocs.select(col("doc_id"), col("ts"), col("text")), horizon)
     val evalSh = graft.operators.Materialize.eager(
         evalDocs.select(
           explode(graft.queries.Documents.shingles3(col("text"))).as("sh"))
