@@ -51,6 +51,28 @@ object Bench {
       i: Int): (Int, Double, Double) =
     probes.minBy(p => math.abs(p._1 - i))
 
+  /** Retry selection: the worst flagged queries by normalized
+    * excess over their minimum — pure so the spec can pin it. */
+  private[graft] def retryPick(regs: Seq[(String, Double, Double)],
+      n: Int): Seq[(String, Double, Double)] =
+    regs.sortBy { case (_, cur, best) => -(cur / best) }.take(n)
+
+  /** A flag is RESOLVED by its retry when the re-measured normalized
+    * time sits within [[RetryResolveFactor]] of the historical min —
+    * AND the retry window's own ALU probe is healthy ([[mergeAllowed]]
+    * vs the recorded best). The second condition closes the same hole
+    * the merge gate closed: norm = raw / busy32, so a retry measured
+    * on an ALU-degraded host gets an artificially SHRUNKEN norm and
+    * would falsely resolve (observed live: a 3.3 s retry normalized
+    * by a 2.3×-inflated busy32 read 3.5 "norm" against a 3.1 min).
+    * Well under the 2× flag threshold, so a genuinely regressed query
+    * cannot slip through on retry jitter. */
+  private[graft] val RetryResolveFactor = 1.3
+  private[graft] def retryResolved(retryNorm: Double, best: Double,
+      busyRetry: Double, busyBest: Double): Boolean =
+    retryNorm >= 0 && retryNorm <= best * RetryResolveFactor &&
+      mergeAllowed(busyRetry, busyBest)
+
   /** The self-judging core, pure so BenchGateSpec can pin it: given
     * the persisted per-query NORMALIZED minimums (sec / busy32_sec —
     * unitless multiples of the calibration probe's fixed CPU work,
@@ -327,7 +349,59 @@ object Bench {
         }
         (regs, busySec / busyBest, streamB, schedB)
       }
-    val regJson = regressions
+    // ---- flag-retry pass (the completion of the probe-bracket arc:
+    // r9 start probes → r10 end probes → r11 interleaved windows →
+    // now SELF-RESOLUTION). Three rounds of closing runs have carried
+    // host-window-attributed flags that only a later manual re-run
+    // could clear; instead, the run itself re-measures its worst
+    // flags at the end under a fresh probe bracket. A retry landing
+    // within RetryResolveFactor (1.3×) of the historical min — far
+    // under the 2× flag bar — proves the original reading was the
+    // window: the entry moves from `regressions` to `retried` with
+    // resolved=true (nothing hidden: original norm, retry norm, and
+    // the retry window's own probe ratios all ship in the artifact).
+    // Retries never fold into the history minimums — one merge path
+    // (the gated one above) keeps the poisoning analysis simple.
+    val retryBudget = 8
+    // busyBest reconstructed from the gate's ratio (busyRatio =
+    // busySec / busyBest); <= 0 means the gate didn't run
+    val busyBestKnown = if (busyRatio > 0) busySec / busyRatio else -1.0
+    val (retried, busyRetry)
+        : (Seq[(String, Double, Double, Double, Double)], Double) =
+      if (regressions.isEmpty) (Seq.empty, -1.0)
+      else {
+        val busyR = math.min(busyProbe(), busyProbe())
+        val streamR = measureStream()
+        val schedR = math.min(schedProbe(), schedProbe())
+        probes += ((execCount, streamR, schedR))
+        val picks = retryPick(regressions, retryBudget)
+        val out = picks.map { case (n, cur, best) =>
+          val t = exec(n)
+          val norm = if (t >= 0 && busyR > 0) t / busyR else -1.0
+          (n, cur, best, t, norm)
+        }
+        probes += ((execCount, measureStream(),
+          math.min(schedProbe(), schedProbe())))
+        (out, busyR)
+      }
+    val resolved = retried.collect {
+      case (n, _, best, _, norm)
+        if retryResolved(norm, best, busyRetry, busyBestKnown) => n
+    }.toSet
+    val regRemaining = regressions.filterNot(r => resolved(r._1))
+    val retriedJson = retried
+      .map { case (n, cur, best, t, norm) =>
+        val p = probes.last
+        s"""{"q":"$n","norm":${fmt(cur)},"min":${fmt(best)}""" +
+          s""","retry_sec":${fmt(t)},"retry_norm":${fmt(norm)}""" +
+          s""","busy32_ratio":${fmt(
+            if (busyBestKnown > 0) busyRetry / busyBestKnown else -1.0)}""" +
+          s""","stream32_ratio":${fmt(p._2 / streamBest)}""" +
+          s""","sched16_ratio":${fmt(p._3 / schedBest)}""" +
+          s""","resolved":${resolved(n)}}"""
+      }
+      .mkString("[", ",", "]")
+    val regJson = regRemaining
       .map { case (n, cur, best) =>
         // the judged time is min(pass1, pass2): attribute to the pass
         // that produced it
@@ -370,7 +444,7 @@ object Bench {
     // map, so the driver's stdout tail-truncation can lose cheap
     // per-query timings but never the gate's verdict
     val line =
-      s"""{"queries":$qs,"sf":"$sfDir","calibration":$cal,"calibration_end":$calEnd,"probes":$probesJson,"regressions":$regJson,"unit":"sec","metric":"total","value":${fmt(total)}}"""
+      s"""{"queries":$qs,"sf":"$sfDir","calibration":$cal,"calibration_end":$calEnd,"probes":$probesJson,"regressions":$regJson,"retried":$retriedJson,"unit":"sec","metric":"total","value":${fmt(total)}}"""
     println(line)
     // belt-and-braces: persist the full line where tail-truncation
     // can't lose it (read by later rounds for perf comparisons).

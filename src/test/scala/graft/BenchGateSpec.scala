@@ -91,6 +91,36 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.mergeAllowed(busySec = 0.80, busyBest = 0.80))
   }
 
+  test("retry picks the worst flags by normalized excess, bounded by " +
+      "the budget") {
+    val regs = Seq(("mild", 2.2, 1.0), ("worst", 9.0, 1.0),
+      ("bad", 4.0, 1.0), ("ratio_worst", 5.0, 0.5))
+    val picked = Bench.retryPick(regs, 2).map(_._1)
+    assert(picked == Seq("ratio_worst", "worst"),
+      s"10x and 9x excess outrank 4x and 2.2x: $picked")
+    assert(Bench.retryPick(regs, 10).size == 4)
+    assert(Bench.retryPick(Seq.empty, 8).isEmpty)
+  }
+
+  test("a retry resolves a flag only within the resolve factor, only " +
+      "under a healthy ALU probe, and a failed measurement never resolves") {
+    def ok(norm: Double, busyR: Double = 0.45) =
+      Bench.retryResolved(norm, best = 1.0, busyRetry = busyR,
+        busyBest = 0.445)
+    assert(ok(1.29) && ok(1.0))
+    assert(!ok(1.31))
+    // resolve bar (1.3x) sits far under the 2x flag bar: a genuinely
+    // regressed query re-measuring at its new speed stays flagged
+    assert(!ok(1.9))
+    assert(!ok(-1.0))
+    // the merge-gate hole, closed for retries too: an ALU-degraded
+    // retry window (busy32 inflated) shrinks the norm — a live run
+    // "resolved" a 3.3 s retry against a 3.1 min through a 2.3x
+    // busy32; with the busy gate the same retry stays unresolved
+    assert(!ok(1.0, busyR = 0.907))
+    assert(!ok(0.2, busyR = 1.2))
+  }
+
   test("history body round-trips through the flat parser") {
     val hist = Map("a_q" -> 1.234, "z.q" -> 0.007)
     val body = hist.toSeq.sortBy(_._1)
