@@ -224,9 +224,13 @@ object DataAudit {
     * use: exact for every component whose eccentricity from its
     * min-id node is ≤ 4 — all real linkage blocks, which are
     * intra-block and shallow by construction — and a 5th probe round
-    * feeds the per-cluster `converged` honesty flag (false = another
-    * round would still move a member's label, i.e. the cluster is a
-    * truncation artifact and the caller should not trust its grain).
+    * feeds the per-cluster `converged` honesty flag. A cluster is
+    * unconverged when round 5 would move any of ITS members' labels
+    * away (it loses members) OR when any node elsewhere newly takes
+    * this cluster's id in round 5 (it absorbs members — its own
+    * labels all look stable, but its grain is still under-counted).
+    * Both directions matter: the min-id cluster of a truncated chain
+    * fails only the second test.
     *
     * Scale shape: pair generation is the blocked equi-join (Σ per-
     * block |A|·|B|, never n²); each label round is one O(E) join +
@@ -270,8 +274,15 @@ object DataAudit {
     for (_ <- 1 to ErRounds) l = step(l)
     val l4 = graft.operators.Materialize.eager(l) // feeds l5 AND members
     val l5 = step(l4)
-    val mem = l4.select(col("id"), col("lbl").as("cluster_id"))
-      .join(l5.select(col("id"), col("lbl").as("lbl5")), "id")
+    // mem feeds the survivorship agg AND the incoming-change probe —
+    // materialize or the l5 O(E) join subtree re-runs per consumer
+    val mem = graft.operators.Materialize.eager(
+      l4.select(col("id"), col("lbl").as("cluster_id"))
+        .join(l5.select(col("id"), col("lbl").as("lbl5")), "id"))
+    // clusters that would ABSORB a member in round 5: some node's
+    // label NEWLY becomes this cluster_id (its lbl4 was elsewhere)
+    val incoming = mem.filter(col("lbl5") =!= col("cluster_id"))
+      .groupBy(col("lbl5").as("tgt")).agg(count(lit(1)).as("n_in"))
     val names = c.select((col("c_custkey") * 2).as("nid"),
         col("c_name").as("name"))
       .union(sup.select((col("s_suppkey") * 2 + 1).as("nid"),
@@ -282,11 +293,12 @@ object DataAudit {
         sum(when(col("id") % 2 === 1, 1L).otherwise(0L)).cast("long")
           .as("n_suppliers"),
         count(lit(1)).as("n_members"),
-        expr("bool_and(lbl5 = cluster_id)").as("converged"))
+        expr("bool_and(lbl5 = cluster_id)").as("stable"))
+      .join(incoming, col("cluster_id") === col("tgt"), "left")
       .join(names, col("cluster_id") === col("nid"))
       .select(col("cluster_id"), col("n_customers"), col("n_suppliers"),
         col("n_members"), col("name").as("canonical_name"),
-        col("converged"))
+        (col("stable") && col("n_in").isNull).as("converged"))
       .orderBy(col("cluster_id"))
   }
 
@@ -330,11 +342,14 @@ object DataAudit {
        |  SELECT c_custkey * 2 AS nid, c_name AS name FROM customer
        |  UNION ALL
        |  SELECT s_suppkey * 2 + 1, s_name FROM supplier),
-       |mem AS (
+       |mem AS MATERIALIZED (
        |  SELECT l$ErRounds.id, l$ErRounds.lbl AS cluster_id,
        |    l${ErRounds + 1}.lbl AS lbl5
        |  FROM l$ErRounds JOIN l${ErRounds + 1}
        |    ON l$ErRounds.id = l${ErRounds + 1}.id),
+       |incoming AS (
+       |  SELECT lbl5 AS tgt, COUNT(*) AS n_in FROM mem
+       |  WHERE lbl5 <> cluster_id GROUP BY lbl5),
        |agg AS (
        |  SELECT cluster_id,
        |    CAST(SUM(CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -342,11 +357,13 @@ object DataAudit {
        |    CAST(SUM(CASE WHEN id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
        |      AS n_suppliers,
        |    CAST(COUNT(*) AS BIGINT) AS n_members,
-       |    BOOL_AND(lbl5 = cluster_id) AS converged
+       |    BOOL_AND(lbl5 = cluster_id) AS stable
        |  FROM mem GROUP BY cluster_id)
        |SELECT cluster_id, n_customers, n_suppliers, n_members,
-       |  n.name AS canonical_name, converged
-       |FROM agg JOIN names n ON n.nid = cluster_id
+       |  n.name AS canonical_name,
+       |  stable AND i.tgt IS NULL AS converged
+       |FROM agg LEFT JOIN incoming i ON i.tgt = cluster_id
+       |JOIN names n ON n.nid = cluster_id
        |ORDER BY cluster_id""".stripMargin
   }
 

@@ -53,6 +53,12 @@ class EntityClustersSpec extends AnyFunSuite {
     assert(chainRows.map(_._4).sum == 10L, "all 10 chain nodes clustered")
     assert(chainRows.exists(!_._6),
       "a 9-hop chain cannot settle in 4 min-label rounds")
+    // the min-id cluster's OWN labels are all stable after 4 rounds —
+    // it is truncated because round 5 would ABSORB the hop-5 node, and
+    // the honesty flag must catch that direction too
+    val minCluster = chainRows.minBy(_._1)
+    assert(!minCluster._6,
+      "the absorbing min-id cluster must also report converged = false")
     val pair = got.find(_._5 == "Customer#77").get
     assert(pair._4 == 2L && pair._6, "the clean pair converges")
   }
