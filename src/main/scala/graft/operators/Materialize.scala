@@ -81,6 +81,25 @@ object Materialize {
       case _ => track(df.localCheckpoint(true))
     }
 
+  /** Lineage-PRESERVING materialization for the static side of a
+    * long-lived streaming query. localCheckpoint-backed frames
+    * ([[eager]]) are non-recomputable: a harness [[freeAll]] (or any
+    * free) while the stream is live would drop the blocks and fail
+    * every subsequent micro-batch unrecoverably. This variant uses
+    * `persist` + fill, keeping the plan: a concurrent
+    * `clearCache`/unpersist merely degrades later micro-batches to a
+    * recompute. The frame is registered with [[onRelease]], so
+    * [[releaseShared]] / application end unpersists it — callers that
+    * stop the stream early and want the memory back sooner unpersist
+    * the returned frame themselves. */
+  def eagerStatic(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    onRelease(df.sparkSession.sparkContext)(() =>
+      p.unpersist(blocking = false))
+    p
+  }
+
   /** Always-localCheckpoint variant for iterative loops whose plans
     * MUST truncate lineage regardless of the [[ConfKey]] policy
     * (compounding analysis plans OOM past ~20 rounds). */

@@ -159,7 +159,13 @@ object DocStreams {
       horizon: String = "10 minutes", minTokens: Long = 50L): DataFrame = {
     val deduped = dedupWithinWatermarkStream(
       stampedDocs.select(col("doc_id"), col("ts"), col("text")), horizon)
-    val evalSh = graft.operators.Materialize.eager(
+    // eagerStatic, NOT eager: this frame lives as long as the caller's
+    // streaming query. A localCheckpoint here would fail every
+    // micro-batch after a concurrent Materialize.freeAll (harnesses
+    // call it between queries) — the persist-backed variant keeps
+    // lineage, so a mid-stream free only costs a recompute, and the
+    // blocks are released at releaseShared/application end.
+    val evalSh = graft.operators.Materialize.eagerStatic(
         evalDocs.select(
           explode(graft.queries.Documents.shingles3(col("text"))).as("sh"))
         .distinct())

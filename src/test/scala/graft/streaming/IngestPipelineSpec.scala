@@ -82,4 +82,60 @@ class IngestPipelineSpec extends AnyFunSuite {
     val removed = progress.map(_.stateOperators.map(_.numRowsRemoved).sum).sum
     assert(removed >= 4, s"state eviction must run, removed=$removed")
   }
+
+  test("the static eval side survives a mid-stream Materialize.freeAll " +
+      "+ clearCache: later micro-batches recompute instead of dying") {
+    // the harness pattern: Verify/Bench call freeAll + clearCache
+    // between queries while a library caller's stream may still be
+    // live. A localCheckpoint-backed static side dies unrecoverably
+    // here; the persist-backed eagerStatic must only recompute.
+    val evalDocs = Seq((900L, "data slow query benchmark eval"))
+      .toDF("doc_id", "text")
+    def stamped(rows: Seq[(Long, String, Int)]) =
+      rows.toDF("doc_id", "text", "m")
+        .select(col("doc_id"), col("text"),
+          ((col("m") + 1000) * 60).cast("timestamp").as("ts"))
+    val stage = java.nio.file.Files.createTempDirectory("ingfree_stage")
+    val inDir = java.nio.file.Files.createTempDirectory("ingfree")
+    val schema = stamped(Seq((0L, "x", 0))).schema
+    def drop(rows: Seq[(Long, String, Int)], k: Int): Unit = {
+      stamped(rows)
+        .coalesce(1).write.mode("overwrite").parquet(s"$stage/chunk$k")
+      val part = new java.io.File(s"$stage/chunk$k").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(s"$inDir/d$k.parquet")
+      java.nio.file.Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + k * 10000L)
+    }
+    drop(Seq((1L, "data slow query pollution the a of and", 0)), 0)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val q = DocStreams.ingestVerdictStream(stream, evalDocs,
+        horizon = "10 minutes", minTokens = 5L)
+      .writeStream.format("memory").queryName("ingest_free_survival")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // the harness cleanup, mid-stream
+      graft.operators.Materialize.freeAll(spark)
+      spark.catalog.clearCache()
+      // doc 2 is contaminated too; doc 3 advances the watermark so
+      // both earlier windows finalize THROUGH the freed static side
+      drop(Seq((2L, "data slow query benchmark the a of and", 5)), 1)
+      q.processAllAvailable()
+      drop(Seq((3L, "the a of and to late clean arrival", 200)), 2)
+      q.processAllAvailable()
+      assert(q.exception.isEmpty,
+        s"stream must survive a mid-stream free: ${q.exception}")
+    } finally q.stop()
+    val rows = spark.table("ingest_free_survival")
+      .select(col("doc_id"), col("n_contaminated"), col("admitted"))
+      .as[(Long, Long, Boolean)].collect().toSeq
+    val byDoc = rows.map(r => r._1 -> r).toMap
+    assert(byDoc.keySet == Set(1L, 2L), s"finalized verdicts, got $rows")
+    assert(byDoc(1L)._2 >= 1L && !byDoc(1L)._3)
+    assert(byDoc(2L)._2 >= 1L && !byDoc(2L)._3,
+      "contamination must still be detected AFTER the free " +
+        "(the static side recomputed, not silently emptied)")
+  }
 }
