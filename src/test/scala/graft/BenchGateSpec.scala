@@ -121,6 +121,55 @@ class BenchGateSpec extends AnyFunSuite {
     assert(!ok(0.2, busyR = 1.2))
   }
 
+  test("a retry window is healthy only when BOTH the ALU and bandwidth " +
+      "probes pass their bars") {
+    def ok(busy: Double, stream: Double) =
+      Bench.retryWindowHealthy(busy, busyBest = 0.445,
+        stream = stream, streamBest = 0.020)
+    assert(ok(0.45, 0.021))
+    assert(ok(0.50, 0.024))            // 1.12x busy, 1.20x stream
+    assert(!ok(0.60, 0.020), "ALU-degraded window never healthy")
+    assert(!ok(0.45, 0.030), "bandwidth-degraded window never healthy")
+    assert(!ok(1.0, 0.08), "both degraded (the r11 closing window)")
+  }
+
+  test("awaitHealthyWindow: an immediately healthy bracket returns " +
+      "without sleeping") {
+    var slept = 0L
+    val (r, healthy, polls) = Bench.awaitHealthyWindow(
+      () => (0.45, 0.020, 1.7), busyBest = 0.445, streamBest = 0.020,
+      sleep = ms => slept += ms, now = () => 0.0)
+    assert(healthy && polls == 1 && slept == 0L && r == ((0.45, 0.020, 1.7)))
+  }
+
+  test("awaitHealthyWindow: a window that heals mid-wait is caught and " +
+      "returned") {
+    // brackets: two sick readings, then a healthy one
+    val readings = Iterator((1.0, 0.08, 6.0), (0.60, 0.03, 2.5),
+      (0.45, 0.021, 1.7))
+    var clock = 0.0
+    val (r, healthy, polls) = Bench.awaitHealthyWindow(
+      () => readings.next(), busyBest = 0.445, streamBest = 0.020,
+      sleep = ms => clock += ms / 1000.0, now = () => clock)
+    assert(healthy && polls == 3, s"healthy on the third bracket: $polls")
+    assert(r == ((0.45, 0.021, 1.7)), "the HEALTHY bracket is returned")
+  }
+
+  test("awaitHealthyWindow: a host that never heals exhausts the " +
+      "bounded budget and reports unhealthy — the caller's skip stamp") {
+    var clock = 0.0
+    var polls = 0
+    val (_, healthy, drawn) = Bench.awaitHealthyWindow(
+      () => { polls += 1; (1.0, 0.08, 6.0) },
+      busyBest = 0.445, streamBest = 0.020, maxWaitSec = 100.0,
+      sleep = ms => clock += ms / 1000.0, now = () => clock)
+    assert(!healthy, "never-healing host must report unhealthy")
+    // 100 s budget / 20 s poll gap: first draw + 5 sleeps = 6 draws,
+    // and the loop must terminate on the CLOCK, not spin forever
+    assert(drawn == polls && drawn == 6, s"bounded draws, got $drawn")
+    assert(clock >= 100.0, "budget actually spent before giving up")
+  }
+
   test("history body round-trips through the flat parser") {
     val hist = Map("a_q" -> 1.234, "z.q" -> 0.007)
     val body = hist.toSeq.sortBy(_._1)
