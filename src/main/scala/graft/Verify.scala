@@ -57,6 +57,21 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => only(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // scripted iterative oracle recipes (bench-scale mirrors of the
+    // heavy closures — see graft.ScriptedOracle); consumed by
+    // scripts/oracle_check.py under ORACLE_SCRIPTED=1
+    def qa(ss: Seq[String]): String = ss.map(q).mkString("[", ",", "]")
+    val scriptedJson = SparkEntry.oracleScripted.filter(kv => only(kv._1))
+      .map { case (k, so) =>
+        s"${q(k)}: {${q("setup")}: ${qa(so.setup)}, " +
+          s"${q("round")}: ${qa(so.round)}, " +
+          s"${q("stop")}: ${q(so.stop)}, " +
+          s"${q("max_rounds")}: ${so.maxRounds}, " +
+          s"${q("require_fixpoint")}: ${so.requireFixpoint}, " +
+          s"${q("final")}: ${q(so.finalSql)}}"
+      }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_scripted.json"),
+      scriptedJson)
     // always written (possibly {}) so "no errors" is distinguishable
     // from "error reporting never ran"
     val errJson = failed

@@ -564,20 +564,27 @@ object Documents {
       .orderBy(col("scheme"))
   }
 
+  /** One scheme row of the leakage audit — shared by the plain oracle
+    * (pairs table `pairsp`, a CTE) and the scripted bench-scale form
+    * (pairs table `pairst`, a temp table) so the two can never drift. */
+  private def leakSchemeRowSql(name: String, asg: String,
+      pairs: String): String =
+    s"""SELECT '$name' AS scheme,
+       |  (SELECT CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+       |     AS BIGINT) FROM $asg) AS n_train,
+       |  (SELECT CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END)
+       |     AS BIGINT) FROM $asg) AS n_val,
+       |  (SELECT CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+       |     AS BIGINT) FROM $asg) AS n_test,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $pairs p
+       |     JOIN $asg a ON a.doc_id = p.doc_a
+       |     JOIN $asg b ON b.doc_id = p.doc_b
+       |     WHERE a.split <> b.split) AS cross_split_pairs""".stripMargin
+
   val leakageSafeSplitSql: String = {
     val sig = minhashSignaturesSql.replace("ORDER BY doc_id", "")
     def schemeRow(name: String, asg: String): String =
-      s"""SELECT '$name' AS scheme,
-         |  (SELECT CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
-         |     AS BIGINT) FROM $asg) AS n_train,
-         |  (SELECT CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END)
-         |     AS BIGINT) FROM $asg) AS n_val,
-         |  (SELECT CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
-         |     AS BIGINT) FROM $asg) AS n_test,
-         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pairsp p
-         |     JOIN $asg a ON a.doc_id = p.doc_a
-         |     JOIN $asg b ON b.doc_id = p.doc_b
-         |     WHERE a.split <> b.split) AS cross_split_pairs""".stripMargin
+      leakSchemeRowSql(name, asg, "pairsp")
     s"""WITH labels AS (
        |  SELECT * FROM ($dedupClustersSql) lt),
        |splits AS (
@@ -631,6 +638,94 @@ object Documents {
        |FROM sizes s LEFT JOIN e USING (cluster_rep)
        |ORDER BY s.n_nodes DESC, s.cluster_rep LIMIT 20""".stripMargin
   }
+
+  // ---------------- scripted bench-scale oracles (graft.ScriptedOracle)
+  // The two transitive-closure oracles above are exact but quadratic
+  // in component size as one recursive CTE — past the 600 s budget at
+  // sf0.1 (BASELINE.md 2026-08-15). These recipes compute the SAME
+  // answer by min-label propagation to FIXPOINT over per-round temp
+  // tables (the engine's own iteration shape): the stable label of a
+  // node is MIN over its component ≡ the closure's MIN(reachable).
+  // Setup/final SQL reuses the exact band/scheme/density strings of
+  // the plain oracles, so the forms cannot drift.
+  private def ccScriptedSetup: Seq[String] = {
+    val sig = minhashSignaturesSql.replace("ORDER BY doc_id", "")
+    Seq(
+      s"CREATE TEMP TABLE sigt AS $sig",
+      """CREATE TEMP TABLE bandedt AS
+        |SELECT doc_id, 'b0_' || mh0 || '_' || mh1 AS band FROM sigt
+        |UNION ALL
+        |SELECT doc_id, 'b1_' || mh2 || '_' || mh3 AS band FROM sigt""".stripMargin,
+      """CREATE TEMP TABLE pairst AS
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM bandedt a JOIN bandedt b
+        |  ON a.band = b.band AND a.doc_id < b.doc_id""".stripMargin,
+      // bidirectional + self-loops: every doc keeps (at least) itself,
+      // mirroring the closure's seed row (doc, doc) FROM documents
+      """CREATE TEMP TABLE edgest AS
+        |SELECT doc_a AS a, doc_b AS b FROM pairst
+        |UNION ALL SELECT doc_b, doc_a FROM pairst
+        |UNION ALL SELECT doc_id, doc_id FROM documents""".stripMargin,
+      "CREATE TEMP TABLE lbl0 AS SELECT doc_id AS id, doc_id AS lbl FROM documents")
+  }
+  private val ccScriptedRound = Seq(
+    """CREATE TEMP TABLE lbl{r} AS
+      |SELECT e.a AS id, MIN(l.lbl) AS lbl
+      |FROM edgest e JOIN lbl{p} l ON l.id = e.b GROUP BY e.a""".stripMargin)
+  private val ccScriptedStop =
+    """SELECT COUNT(*) FROM lbl{r} n JOIN lbl{p} o ON n.id = o.id
+      |WHERE n.lbl <> o.lbl""".stripMargin
+  // 64-round budget with requireFixpoint: label propagation needs
+  // eccentricity-of-min rounds; exactness demands the fixpoint, so
+  // budget exhaustion is a hard oracle FAILURE, never a silent
+  // truncation (the runner enforces it).
+  private val CcScriptedMaxRounds = 64
+
+  val clusterDensityScripted: graft.ScriptedOracle = graft.ScriptedOracle(
+    setup = ccScriptedSetup,
+    round = ccScriptedRound,
+    stop = ccScriptedStop,
+    maxRounds = CcScriptedMaxRounds,
+    requireFixpoint = true,
+    finalSql =
+      """WITH labels AS (
+        |  SELECT id AS doc_id, lbl AS cluster_rep FROM lbl{r}),
+        |sizes AS (
+        |  SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        |  FROM labels GROUP BY 1 HAVING COUNT(*) >= 2),
+        |e AS (
+        |  SELECT l.cluster_rep, CAST(COUNT(*) AS BIGINT) AS n_edges
+        |  FROM pairst p JOIN labels l ON p.doc_a = l.doc_id
+        |  GROUP BY 1)
+        |SELECT s.cluster_rep, s.n_nodes,
+        |  COALESCE(e.n_edges, 0) AS n_edges,
+        |  2000 * COALESCE(e.n_edges, 0) // (s.n_nodes * (s.n_nodes - 1))
+        |    AS density_pm,
+        |  CASE WHEN 2 * COALESCE(e.n_edges, 0)
+        |         = s.n_nodes * (s.n_nodes - 1)
+        |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_clique
+        |FROM sizes s LEFT JOIN e USING (cluster_rep)
+        |ORDER BY s.n_nodes DESC, s.cluster_rep LIMIT 20""".stripMargin)
+
+  val leakageSafeSplitScripted: graft.ScriptedOracle = graft.ScriptedOracle(
+    setup = ccScriptedSetup,
+    round = ccScriptedRound,
+    stop = ccScriptedStop,
+    maxRounds = CcScriptedMaxRounds,
+    requireFixpoint = true,
+    finalSql =
+      s"""WITH labels AS (
+         |  SELECT id AS doc_id, lbl AS cluster_rep FROM lbl{r}),
+         |splits AS (
+         |  SELECT doc_id, ${TextPipeline.splitCaseSql} AS split
+         |  FROM documents),
+         |clus AS (
+         |  SELECT l.doc_id, s.split FROM labels l
+         |  JOIN splits s ON s.doc_id = l.cluster_rep)
+         |${leakSchemeRowSql("naive", "splits", "pairst")}
+         |UNION ALL
+         |${leakSchemeRowSql("cluster", "clus", "pairst")}
+         |ORDER BY scheme""".stripMargin)
 
   // -------------------------------------- dedup: incremental batch
   /** Incremental dedup — the daily-ingestion shape: a NEW batch (here

@@ -809,6 +809,63 @@ object GraphRank {
        |""".stripMargin
   }
 
+  /** Scripted bench-scale oracle for [[kcore]] (graft.ScriptedOracle
+    * contract): the 32-round unrolled MATERIALIZED-CTE chain above
+    * still plans as ONE statement and exceeds the 600 s budget at
+    * sf0.1; this recipe runs the identical peel as per-round temp
+    * tables with the engine's own fixpoint early-exit (stop = nodes
+    * dropped this round). Truncation semantics match the engine
+    * exactly — same [[CoreRounds]] budget, same rounds_used counting
+    * (rounds that dropped a node), post-convergence rounds provably
+    * identity — so no requireFixpoint. */
+  val kcoreScripted: graft.ScriptedOracle = {
+    val sig = Documents.minhashSignaturesSql.replace("ORDER BY doc_id", "")
+    graft.ScriptedOracle(
+      setup = Seq(
+        s"CREATE TEMP TABLE sigt AS $sig",
+        """CREATE TEMP TABLE bandedt AS
+          |SELECT doc_id, 'b0_' || mh0 || '_' || mh1 AS band FROM sigt
+          |UNION ALL
+          |SELECT doc_id, 'b1_' || mh2 || '_' || mh3 AS band FROM sigt""".stripMargin,
+        """CREATE TEMP TABLE e0 AS
+          |SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+          |FROM bandedt a JOIN bandedt b
+          |  ON a.band = b.band AND a.doc_id < b.doc_id""".stripMargin,
+        """CREATE TEMP TABLE d0 AS
+          |SELECT id, COUNT(*) AS dg FROM (
+          |  SELECT u AS id FROM e0 UNION ALL SELECT v FROM e0) t
+          |GROUP BY id""".stripMargin,
+        "CREATE TEMP TABLE k0 AS SELECT id FROM d0"),
+      round = Seq(
+        """CREATE TEMP TABLE d{r} AS
+          |SELECT id, COUNT(*) AS dg FROM (
+          |  SELECT u AS id FROM e{p} UNION ALL SELECT v FROM e{p}) t
+          |GROUP BY id""".stripMargin,
+        s"CREATE TEMP TABLE k{r} AS SELECT id FROM d{r} WHERE dg >= $CoreK",
+        """CREATE TEMP TABLE e{r} AS
+          |SELECT e.u, e.v FROM e{p} e
+          |JOIN k{r} a ON e.u = a.id JOIN k{r} b ON e.v = b.id""".stripMargin),
+      // peeling is monotone, so count-equal <=> no node dropped (the
+      // engine's own early-exit test)
+      stop = "SELECT (SELECT COUNT(*) FROM k{p}) - (SELECT COUNT(*) FROM k{r})",
+      maxRounds = CoreRounds,
+      requireFixpoint = false,
+      finalSql =
+        s"""WITH dfin AS (
+           |  SELECT id, COUNT(*) AS dg FROM (
+           |    SELECT u AS id FROM e{r} UNION ALL SELECT v FROM e{r}) t
+           |  GROUP BY id)
+           |SELECT
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM d0) AS n_nodes_initial,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e0) AS n_edges_initial,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM dfin) AS n_core_nodes,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e{r}) AS n_core_edges,
+           |  CASE WHEN (SELECT COUNT(*) FROM dfin WHERE dg < $CoreK) = 0
+           |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS converged,
+           |  CAST({used} AS BIGINT) AS rounds_used
+           |""".stripMargin)
+  }
+
   // ------------------------------------- label propagation (LPA)
   /** Community detection on the LSH candidate graph by DETERMINISTIC
     * synchronous label propagation: every doc starts as its own
