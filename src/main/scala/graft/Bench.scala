@@ -31,6 +31,26 @@ object Bench {
   private[graft] def queryMins(hist: Map[String, Double]): Map[String, Double] =
     hist.filterNot(_._1.startsWith("__"))
 
+  /** Recording-window stamps: every time a query's minimum UPDATES,
+    * the history also records `__w:<name>` = the busy32 of the run
+    * that recorded it. Round-11's retroactive audit found four
+    * poisoned minimums whose recording windows were unknowable after
+    * the fact (the pre-gate history kept no provenance); the stamp
+    * makes every future minimum auditable — a recorded min whose
+    * window busy32 was degraded is machine-findable, forever.
+    * Carries prior stamps for untouched minimums; pure so
+    * BenchGateSpec can pin it. */
+  private[graft] val WindowKeyPrefix = "__w:"
+  private[graft] def windowStamps(raw: Map[String, Double],
+      merged: Map[String, Double], busySec: Double): Map[String, Double] = {
+    val prior = queryMins(raw)
+    raw.filter(_._1.startsWith(WindowKeyPrefix)) ++
+      merged.collect {
+        case (n, v) if v < prior.getOrElse(n, Double.MaxValue) - 1e-12 =>
+          (WindowKeyPrefix + n) -> busySec
+      }
+  }
+
   /** A run's normalized times may only FOLD INTO the history when its
     * ALU calibration is near the recorded best: norm = raw / busy32,
     * so on an ALU-degraded host (busy32 inflated) every query that is
@@ -384,7 +404,8 @@ object Bench {
           math.min(raw.getOrElse(StreamBestKey, streamRun), streamRun)
         val schedRun = probes.map(_._3).min
         val schedB = math.min(raw.getOrElse(SchedBestKey, schedRun), schedRun)
-        val withProbes = merged + (BusyBestKey -> busyBest) +
+        val withProbes = merged ++ windowStamps(raw, merged, busySec) +
+          (BusyBestKey -> busyBest) +
           (StreamBestKey -> streamB) + (SchedBestKey -> schedB)
         val body = withProbes.toSeq.sortBy(_._1)
           .map { case (k, v) => "\"" + k + "\":" + fmt(v) }

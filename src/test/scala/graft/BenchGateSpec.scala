@@ -170,6 +170,26 @@ class BenchGateSpec extends AnyFunSuite {
     assert(clock >= 100.0, "budget actually spent before giving up")
   }
 
+  test("every updated minimum carries its recording window's busy32; " +
+      "untouched minimums keep their prior stamp") {
+    val raw = Map("q_old" -> 1.0, "q_drops" -> 2.0,
+      "__w:q_old" -> 0.41, "__w:q_drops" -> 0.52, "__busy32_best" -> 0.40)
+    // this run: q_drops improves, q_old doesn't, q_new seeds
+    val merged = Map("q_old" -> 1.0, "q_drops" -> 1.7, "q_new" -> 3.0)
+    val stamps = Bench.windowStamps(raw, merged, busySec = 0.43)
+    assert(stamps("__w:q_drops") == 0.43, "updated min stamped with THIS window")
+    assert(stamps("__w:q_new") == 0.43, "seeded min stamped too")
+    assert(stamps("__w:q_old") == 0.41, "untouched min keeps its prior stamp")
+    assert(!stamps.contains("__w:__busy32_best"),
+      "probe keys never get window stamps")
+    // the stamps round-trip the flat parser (colon in key is fine)
+    val body = stamps.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    assert(Bench.parseHistory(body) == stamps)
+    // and queryMins never mistakes a stamp for a query minimum
+    assert(Bench.queryMins(stamps).isEmpty)
+  }
+
   test("history body round-trips through the flat parser") {
     val hist = Map("a_q" -> 1.234, "z.q" -> 0.007)
     val body = hist.toSeq.sortBy(_._1)
