@@ -29,7 +29,14 @@ con.execute(f"CREATE VIEW r AS SELECT UNNEST(range(0, {k})) AS k")
 con.execute(f"""
 COPY (
   SELECT doc_id + r.k * 10000000 AS doc_id,
-         regexp_replace(text, '(\\p{{L}}+)', '\\1zz' || chr(97 + CAST(r.k AS INT)), 'g') AS text,
+         -- TWO-letter suffix: chr(97+k) alone walks past 'z' at k>=26
+         -- into NON-letters, which the tokenizer strips -- replicas
+         -- 26+ then share vocabulary and become cross-replica
+         -- near-dups (observed: 30x build produced 40.6x candidate
+         -- pairs). Two letters stay within \\p{{L}} for k < 676.
+         regexp_replace(text, '(\\p{{L}}+)',
+           '\\1zz' || chr(97 + CAST(r.k AS INT) // 26)
+                   || chr(97 + CAST(r.k AS INT) % 26), 'g') AS text,
          lang, source, n_chars
   FROM read_parquet('{src}/documents.parquet'), r
 ) TO '{dst}/documents.parquet' (FORMAT PARQUET)""")

@@ -323,7 +323,8 @@ object Documents {
     * corpus cost. This is dedup_lsh_recall's scale path (its oracle
     * intentionally computes the full table and restricts, proving the
     * equivalence on every run). */
-  private[queries] def lshCandidatePairsAmong(docs: DataFrame): DataFrame = {
+  // public: the graft.api.Dedup.candidatePairs library entry point
+  def lshCandidatePairsAmong(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
     val aggs = (0 until NSIG).map(j =>
       min(md5(concat(lit(j.toString), lit("|"), col("word")))).as(s"mh$j"))
