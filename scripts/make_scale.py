@@ -26,6 +26,32 @@ os.makedirs(dst, exist_ok=True)
 con = duckdb.connect()
 con.execute(f"CREATE VIEW r AS SELECT UNNEST(range(0, {k})) AS k")
 
+# The replica key offset is a fixed 1e7; if any base key (or the numeric
+# name suffix the record-linkage blocking key reads) reaches 1e7 the
+# replicas would collide in key space / suffix space and silently
+# cross-link. Guard it explicitly rather than relying on sf0.1 staying
+# small.
+OFFSET = 10_000_000
+for t, key in [("documents", "doc_id"), ("embeddings", "vec_id"),
+               ("customer", "c_custkey"), ("supplier", "s_suppkey")]:
+    mx = con.execute(
+        f"SELECT MAX({key}) FROM read_parquet('{src}/{t}.parquet')"
+    ).fetchone()[0]
+    assert mx < OFFSET, (
+        f"{t}.{key} max={mx} >= replica offset {OFFSET}; replicas would "
+        f"collide — raise OFFSET past the observed max")
+mx = con.execute(
+    f"SELECT MAX(GREATEST(event_id, user_id)) "
+    f"FROM read_parquet('{src}/events.parquet')").fetchone()[0]
+assert mx < OFFSET, f"events key max={mx} >= replica offset {OFFSET}"
+for t, col in [("customer", "c_name"), ("supplier", "s_name")]:
+    mx = con.execute(
+        f"SELECT MAX(CAST(regexp_extract({col}, '([0-9]+)$', 1) AS BIGINT)) "
+        f"FROM read_parquet('{src}/{t}.parquet')").fetchone()[0]
+    assert mx < OFFSET, (
+        f"{t}.{col} numeric suffix max={mx} >= replica offset {OFFSET}; "
+        f"blocking suffixes would collide across replicas")
+
 con.execute(f"""
 COPY (
   SELECT doc_id + r.k * 10000000 AS doc_id,

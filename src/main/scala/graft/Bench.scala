@@ -439,7 +439,7 @@ object Bench {
     // if health never arrives, skip the retries and stamp the artifact
     // retry_skipped_unhealthy so its dirt is self-describing.
     val (retried, busyRetry, retryWaitPolls, retrySkippedUnhealthy)
-        : (Seq[(String, Double, Double, Double, Double)], Double, Int,
+        : (Seq[(String, Double, Double, Double, Double, Int)], Double, Int,
           Boolean) =
       if (regressions.isEmpty) (Seq.empty, -1.0, 0, false)
       else {
@@ -455,7 +455,10 @@ object Bench {
           val out = picks.map { case (n, cur, best) =>
             val t = exec(n)
             val norm = if (t >= 0 && busyR > 0) t / busyR else -1.0
-            (n, cur, best, t, norm)
+            // execCount AFTER exec = this retry's execution index, so
+            // each retry stamps its own nearest-in-time probe window
+            // instead of the single post-retry closing probe
+            (n, cur, best, t, norm, execCount)
           }
           probes += ((execCount, measureStream(),
             math.min(schedProbe(), schedProbe())))
@@ -463,15 +466,16 @@ object Bench {
         }
       }
     val resolved = retried.collect {
-      case (n, _, best, _, norm)
+      case (n, _, best, _, norm, _)
         if retryResolved(norm, best, busyRetry, busyBestKnown) => n
     }.toSet
     val regRemaining = regressions.filterNot(r => resolved(r._1))
     val retriedJson = retried
-      .map { case (n, cur, best, t, norm) =>
-        val p = probes.last
+      .map { case (n, cur, best, t, norm, i) =>
+        val p = nearestProbe(probes.toSeq, i)
         s"""{"q":"$n","norm":${fmt(cur)},"min":${fmt(best)}""" +
           s""","retry_sec":${fmt(t)},"retry_norm":${fmt(norm)}""" +
+          s""","probe_i":${p._1}""" +
           s""","busy32_ratio":${fmt(
             if (busyBestKnown > 0) busyRetry / busyBestKnown else -1.0)}""" +
           s""","stream32_ratio":${fmt(p._2 / streamBest)}""" +
