@@ -201,21 +201,9 @@ object Bench {
     // in closures become plain ObjectRefs) — the atomic makes the
     // cross-thread accumulation actually well-defined at identical
     // cost outside the timed loop (one addAndGet per thread).
-    val sink = new java.util.concurrent.atomic.AtomicLong(0L)
-    def spin(seed: Long, iters: Long): Long = {
-      var x = seed | 1L; var i = 0L
-      while (i < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
-      x
-    }
-    def busyProbe(): Double = {
-      val t0 = System.nanoTime()
-      val ts = (1 to 32).map { k =>
-        val th = new Thread(() => { sink.addAndGet(spin(k.toLong, 200000000L)); () })
-        th.start(); th
-      }
-      ts.foreach(_.join())
-      (System.nanoTime() - t0) / 1e9
-    }
+    // (implementations extracted to graft.Probes so the scaling tools
+    // share them; the rationale comments above/below still govern)
+    def busyProbe(): Double = Probes.busy32()
     // Memory-bandwidth probe: busy32 is pure register ALU and CANNOT
     // see memory-subsystem degradation — observed in-round as the
     // checkpoint/shuffle-heavy query family running 1.2–2× its
@@ -231,30 +219,7 @@ object Bench {
     // method-local it would stay strongly reachable for the whole
     // benchmark (main never returns until the end), pinning half a
     // gigabyte of driver heap through every timed query (ADVICE r9).
-    def measureStream(): Double = {
-      val streamBuf = new Array[Long](64 * 1024 * 1024) // 512 MiB
-      java.util.Arrays.fill(streamBuf, 3L)
-      def streamProbe(): Double = {
-        val t0 = System.nanoTime()
-        val slice = streamBuf.length / 32
-        val ts = (0 until 32).map { k =>
-          val th = new Thread(() => {
-            var pass = 0; var acc = 0L
-            while (pass < 4) {
-              var i = k * slice; val end = i + slice
-              while (i < end) { acc += streamBuf(i); i += 1 }
-              pass += 1
-            }
-            sink.addAndGet(acc); ()
-          })
-          th.start(); th
-        }
-        ts.foreach(_.join())
-        (System.nanoTime() - t0) / 1e9
-      }
-      streamProbe() // JIT + page-touch warm
-      math.min(streamProbe(), streamProbe())
-    }
+    def measureStream(): Double = Probes.stream32()
     // Scheduler/barrier probe: busy32 (ALU) and stream32 (bandwidth)
     // both read healthy on a host where every MULTI-STAGE query sat at
     // 2-2.7x its min while single-stage q1 sat AT its min — the
@@ -265,12 +230,7 @@ object Bench {
     // jobs, min of two batches; only CALLED after the q1 warm-up so
     // codegen/session startup never pollutes it. Healthy local[32]:
     // ~0.2-0.4 s.
-    def schedProbe(): Double = {
-      val t0 = System.nanoTime()
-      var i = 0
-      while (i < 16) { spark.range(64).repartition(2).count(); i += 1 }
-      (System.nanoTime() - t0) / 1e9
-    }
+    def schedProbe(): Double = Probes.sched16(spark)
     def exec(name: String): Double = {
       val t0 = System.nanoTime()
       val ok =
@@ -303,7 +263,7 @@ object Bench {
         probes += ((execCount, measureStream(), schedProbe()))
       if (ok) dt else -1.0
     }
-    sink.addAndGet(spin(99L, 20000000L)) // JIT warm
+    Probes.warm() // JIT warm
     val busySec = math.min(busyProbe(), busyProbe())
     val streamSec = measureStream()
     System.gc() // the probe buffer is unreachable now — free it before q1

@@ -23,6 +23,11 @@ object GraphRoundScale {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = graft.Session.build("graft-graph-round")
+    // Probe bracket (same trio as Bench) so the SCALING.md row this
+    // run becomes carries its window's host state in-artifact.
+    graft.Probes.warm()
+    val busyStart = math.min(graft.Probes.busy32(), graft.Probes.busy32())
+    val streamStart = graft.Probes.stream32()
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     // PINNED: the between-attempt freeAll must drop only each timed
     // round's own products, never the shared setup
@@ -82,10 +87,17 @@ object GraphRoundScale {
 
     val peel = minOf2(() => peelRound())
     val lpa = minOf2(() => lpaRound())
+    val busyEnd = math.min(graft.Probes.busy32(), graft.Probes.busy32())
+    val streamEnd = graft.Probes.stream32()
+    val sched = math.min(graft.Probes.sched16(spark),
+      graft.Probes.sched16(spark))
     def fmt(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     println(s"""{"dir":"$dir","n_edges":$nEdges,""" +
-      s""""peel_round_sec":${fmt(peel)},"lpa_round_sec":${fmt(lpa)}}""")
+      s""""peel_round_sec":${fmt(peel)},"lpa_round_sec":${fmt(lpa)},""" +
+      s""""busy32":[${fmt(busyStart)},${fmt(busyEnd)}],""" +
+      s""""stream32":[${fmt(streamStart)},${fmt(streamEnd)}],""" +
+      s""""sched16":${fmt(sched)}}""")
     spark.stop()
   }
 }
