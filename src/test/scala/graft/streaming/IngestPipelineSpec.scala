@@ -13,9 +13,17 @@ import graft.SparkTestSession
   *   - append-mode finalization: a doc whose window the watermark has
   *     not passed has NO verdict yet (late-binding, not data loss);
   *   - chained stateful operators (dedup + agg) both evict state. */
-class IngestPipelineSpec extends AnyFunSuite {
+class IngestPipelineSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
   import SparkTestSession._
   import spark.implicits._
+
+  // the library contract for ingestVerdictStream callers: the stream's
+  // static eval side stays persisted until releaseShared — honor it so
+  // the shared test session stays cache-clean for later suites
+  // (CacheHygieneSpec pins that global invariant)
+  override def afterAll(): Unit =
+    graft.operators.Materialize.releaseShared(spark)
 
   test("verdicts: dedup suppression, contamination, quality gate, " +
       "window finalization, state eviction") {

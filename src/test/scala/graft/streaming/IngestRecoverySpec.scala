@@ -13,9 +13,15 @@ import graft.SparkTestSession
   * The restarted run must equal a continuous run of the same files
   * bit-for-bit (same maxFilesPerTrigger=1 batch sequence), and
   * re-running the drained checkpoint must add nothing. */
-class IngestRecoverySpec extends AnyFunSuite {
+class IngestRecoverySpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
   import SparkTestSession._
   import spark.implicits._
+
+  // release the eagerStatic eval side each ingestVerdictStream call
+  // persisted (library callers do this when their streams are done)
+  override def afterAll(): Unit =
+    graft.operators.Materialize.releaseShared(spark)
 
   private val evalDocs =
     Seq((900L, "data slow query benchmark eval")).toDF("doc_id", "text")

@@ -21,10 +21,16 @@ object IngestTornCommitSpec {
   @volatile var crashBatchAttempts = 0
 }
 
-class IngestTornCommitSpec extends AnyFunSuite {
+class IngestTornCommitSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
   import SparkTestSession._
   import spark.implicits._
   import IngestTornCommitSpec._
+
+  // release the eagerStatic eval side each ingestVerdictStream call
+  // persisted (library callers do this when their streams are done)
+  override def afterAll(): Unit =
+    graft.operators.Materialize.releaseShared(spark)
 
   private val evalDocs =
     Seq((900L, "data slow query benchmark eval")).toDF("doc_id", "text")
