@@ -270,7 +270,18 @@ object Documents {
       // sf0.1). Parallelism here must be sized to output work.
       val sig2 = graft.operators.Materialize.eager(
         bandedSigs(s, d).repartition(s.sparkContext.defaultParallelism))
+      // The OUTPUT layout needs the same discipline as the input: AQE
+      // sizes the join's result partitions by its (tiny) shuffle
+      // input, so past ~10× the pair table lands in a handful of
+      // multi-GiB partitions. The round-10 no-distinct rewrite
+      // silently removed the shuffle that used to re-spread it, and
+      // the owner's global sort inherited the giant partitions —
+      // dedup_lsh_pairs measured 41.8 s at 10× (24.8× its 1× time)
+      // vs 30.7 s with this spread restored; the 1×-to-10× A/B also
+      // rejected `hint("rebalance")` (43.9 s at 10× — AQE's
+      // rebalance did not split the expansion output here).
       lshCandidatePairsFromSig(sig2)
+        .repartition(4 * s.sparkContext.defaultParallelism)
     }
 
   /** (doc_id, b0, b1) banded signature projection — the shared root
@@ -332,7 +343,11 @@ object Documents {
       .select(col("doc_id"),
         xxhash64(lit("b0"), col("mh0"), col("mh1")).as("b0"),
         xxhash64(lit("b1"), col("mh2"), col("mh3")).as("b1"))
-    lshCandidatePairsFromSig(graft.operators.Materialize.eager(sig))
+    // same parallelism discipline as [[lshCandidatePairs]]: the band
+    // join's OUTPUT is sum-of-bucket² pairs, so an AQE-coalesced
+    // 2-partition signature table would serialize the expansion
+    lshCandidatePairsFromSig(graft.operators.Materialize.eager(
+      sig.repartition(docs.sparkSession.sparkContext.defaultParallelism)))
   }
 
   /** Pair join over a caller-materialized banded signature table (must

@@ -9,9 +9,17 @@ import graft.SparkTestSession
   * the build breaks. (GraftSession.create is exercised structurally:
   * the shared test session is built by the same graft.Session.build
   * the facade delegates to, so we don't spin a second SparkContext.) */
-class ApiExampleSpec extends AnyFunSuite {
+class ApiExampleSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
   import SparkTestSession._
   import spark.implicits._
+
+  // the streaming-facade test below persists an eagerStatic eval side
+  // that lives until releaseShared (the in-test releaseShared call of
+  // the FIRST test runs before it) — honor the library contract here
+  // too so the shared test session stays cache-clean for later suites
+  override def afterAll(): Unit =
+    GraftSession.releaseShared(spark)
 
   test("README example: candidate pairs, triangle count, k-anonymity, " +
       "releaseShared") {

@@ -29,7 +29,10 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("sampleFrames: image->1 frame, audio->0, video->ceil(frames/k)") {
     import spark.implicits._
+    // unpersisted in the finally below: a suite-leaked cache entry
+    // breaks CacheHygieneSpec's global invariant for later suites
     val media = Multimodal.mediaTable(spark, dir).cache()
+    try {
     val frames = Multimodal.sampleFrames(spark, media, everyK = 4)
       .groupByKey(_.media_id).count().collect().toMap
     val metas = Multimodal.decodeMeta(spark, media).collect()
@@ -42,6 +45,7 @@ class MultimodalSpec extends AnyFunSuite {
       assert(frames.getOrElse(m.media_id, 0L) == expected,
         s"media ${m.media_id} kind ${m.kind} frames ${m.n_frames}")
     }
+    } finally media.unpersist(blocking = false)
   }
 
   test("sceneCuts: one row per video, segments = cuts + 1, frame " +
