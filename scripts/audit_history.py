@@ -31,14 +31,24 @@ HIST = os.path.join(os.path.dirname(__file__), "..", "bench_history.json")
 # RetryResolveFactor) -- keep in sync with the Scala constants
 BUSY_BAR, STREAM_BAR, RESOLVE = 1.15, 1.25, 1.3
 
+USAGE = """usage: audit_history.py <bench_artifact.json> [--fix-unresolved | --fix q1,q2,...]
+A --fix path rewrites bench_history.json — argument mistakes must die
+on usage text, never on a traceback."""
+
 def main():
+    if len(sys.argv) < 2 or sys.argv[1].startswith("--"):
+        sys.exit(USAGE)
     art_path = sys.argv[1]
     fix = None
     if len(sys.argv) > 2:
         if sys.argv[2] == "--fix-unresolved":
             fix = "unresolved"
         elif sys.argv[2] == "--fix":
+            if len(sys.argv) < 4 or not sys.argv[3]:
+                sys.exit(USAGE)
             fix = set(sys.argv[3].split(","))
+        else:
+            sys.exit(USAGE)
     art = json.load(open(art_path))
     hist = json.load(open(HIST))
     busy_best = hist.get("__busy32_best", 0.0)

@@ -88,26 +88,47 @@ def main():
                 floor[q] = (n, s, c)
     hist = json.load(open(HIST))
     mins = {k: v for k, v in hist.items() if not k.startswith("__")}
+    # The raw-excess conversion runs at the TOP of the merge-eligible
+    # busy band, not at cal_best: any run whose busy32 is within
+    # BUSY_BAR x best is fully flag-eligible, and norm-excess converts
+    # to BUSY_BAR x more raw seconds there. (The first version used
+    # cal_best and under-detected borderline entries by that factor.)
+    #
+    # The READING stays the archived floor, deliberately. A
+    # median-of-healthy-cal-artifacts reading model was tried and
+    # REJECTED: it condemned 45 entries, contradicting ground truth --
+    # the best committed healthy full-surface run (4abf9b6, 281.2 s)
+    # flagged exactly 4 queries, all poisoned and since fixed; 45 live
+    # manufacturers would have put ~45 flags in that artifact.
+    # "Healthy-cal" only certifies the START/END busy32 windows, and
+    # most archived artifacts were mid-run degraded (the documented
+    # wave problem), so their medians overstate a typical
+    # healthy-window reading by 1.3-2.5x. The floor IS the empirical
+    # healthy-window reading: it comes from the run the round verdicts
+    # certify as clean end to end.
+    busy_hi = BUSY_BAR * cal_best
     manufacturers, low, unarchived = [], [], []
     for q, m in sorted(mins.items()):
         if q not in floor:
             unarchived.append(q)
             continue
         fl, s, c = floor[q]
-        # would a healthy run READING ITS OWN ARCHIVED FLOOR flag?
+        # would a healthy run READING ITS OWN ARCHIVED FLOOR, at the
+        # top of the merge-eligible busy band, flag?
         would_flag = (fl > FLAG_FACTOR * m and
-                      (fl - m) * cal_best > FLAG_FLOOR_SEC)
+                      (fl - m) * busy_hi > FLAG_FLOOR_SEC)
         if would_flag:
             manufacturers.append((q, m, fl, s, c))
             print(f"FLAG-MANUFACTURER {q}: min {m:.3f}, archived healthy "
                   f"floor {fl:.3f} ({fl/m:.2f}x, raw excess "
-                  f"{(fl-m)*cal_best:.2f}s, artifact {s}) -- every healthy "
-                  "run at the floor flags; re-base")
+                  f"{(fl-m)*busy_hi:.2f}s at busy {busy_hi:.3f}, artifact "
+                  f"{s}) -- every healthy run at the floor flags; re-base")
         elif m < 0.7 * fl:
             low.append((q, m / fl))
     print(f"{len(manufacturers)} flag-manufacturers; {len(low)} entries "
           f"below 0.7x their floor but HARMLESS (cannot flag at the "
-          f"floor: under 2x, or raw excess under {FLAG_FLOOR_SEC}s); "
+          f"floor: under 2x, or raw excess under {FLAG_FLOOR_SEC}s at "
+          f"busy {busy_hi:.3f}); "
           f"{len(unarchived)} newer than the archive (window-stamped "
           "at merge instead)")
     if fix and manufacturers:

@@ -39,14 +39,21 @@ object Bench {
     * makes every future minimum auditable — a recorded min whose
     * window busy32 was degraded is machine-findable, forever.
     * Carries prior stamps for untouched minimums; pure so
-    * BenchGateSpec can pin it. */
+    * BenchGateSpec can pin it.
+    *
+    * Comparison is at the history file's own %.3f precision: the
+    * stored minimum only changes when its RENDERED value changes, so
+    * the stamp must use the same quantum — a full-precision compare
+    * let a run landing 0.0004 under the stored min replace the
+    * recording-window provenance of a minimum that did not move. */
   private[graft] val WindowKeyPrefix = "__w:"
+  private[graft] def quant3(v: Double): Double = math.rint(v * 1000) / 1000
   private[graft] def windowStamps(raw: Map[String, Double],
       merged: Map[String, Double], busySec: Double): Map[String, Double] = {
     val prior = queryMins(raw)
     raw.filter(_._1.startsWith(WindowKeyPrefix)) ++
       merged.collect {
-        case (n, v) if v < prior.getOrElse(n, Double.MaxValue) - 1e-12 =>
+        case (n, v) if quant3(v) < quant3(prior.getOrElse(n, Double.MaxValue)) =>
           (WindowKeyPrefix + n) -> busySec
       }
   }
@@ -111,22 +118,26 @@ object Bench {
     * retries because the end-of-run window itself was sick — the
     * busy gate correctly refused to resolve, but the design then left
     * the artifact dirty on exactly the hosts that need cleaning).
-    * Draws probe brackets from `probe` (busy32, stream32, sched16),
-    * sleeping [[RetryPollGapSec]] between draws, until a bracket
-    * passes [[retryWindowHealthy]] or `maxWaitSec` of wall clock is
-    * spent. Returns (last bracket, healthy?, brackets drawn). Pure in
-    * the injected clock/sleep so BenchGateSpec can pin both paths;
-    * the caller stamps `retry_skipped_unhealthy` when health never
-    * arrives, making an unclean artifact SAY SO machine-readably. */
+    * Draws (busy32, stream32) pairs from `probe` — ONLY the two
+    * readings the health predicate uses; sched16 costs 32 Spark jobs
+    * per draw (multi-second on exactly the degraded hosts this loop
+    * exists for) and is drawn once by the caller AFTER the window
+    * passes, for the recorded bracket — sleeping [[RetryPollGapSec]]
+    * between draws, until a pair passes [[retryWindowHealthy]] or
+    * `maxWaitSec` of wall clock is spent. Returns (last pair,
+    * healthy?, pairs drawn). Pure in the injected clock/sleep so
+    * BenchGateSpec can pin both paths; the caller stamps
+    * `retry_skipped_unhealthy` when health never arrives, making an
+    * unclean artifact SAY SO machine-readably. */
   private[graft] val RetryWaitMaxSec = 600.0
   private[graft] val RetryPollGapSec = 20.0
   private[graft] def awaitHealthyWindow(
-      probe: () => (Double, Double, Double),
+      probe: () => (Double, Double),
       busyBest: Double, streamBest: Double,
       maxWaitSec: Double = RetryWaitMaxSec,
       sleep: Long => Unit = Thread.sleep,
       now: () => Double = () => System.nanoTime / 1e9)
-      : ((Double, Double, Double), Boolean, Int) = {
+      : ((Double, Double), Boolean, Int) = {
     val t0 = now()
     var r = probe()
     var polls = 1
@@ -403,12 +414,19 @@ object Bench {
           Boolean) =
       if (regressions.isEmpty) (Seq.empty, -1.0, 0, false)
       else {
-        def bracket(): (Double, Double, Double) =
-          (math.min(busyProbe(), busyProbe()), measureStream(),
-            math.min(schedProbe(), schedProbe()))
-        val ((busyR, streamR, schedR), healthy, polls) =
-          awaitHealthyWindow(bracket, busyBestKnown, streamBest)
-        probes += ((execCount, streamR, schedR))
+        // the poll draws ONLY the two readings the health predicate
+        // uses; sched16 (32 Spark jobs — multi-second on a sick host)
+        // is drawn once here, after the wait settles, for the record
+        def pollPair(): (Double, Double) =
+          (math.min(busyProbe(), busyProbe()), measureStream())
+        val ((busyR, streamR), healthy, polls) =
+          awaitHealthyWindow(pollPair, busyBestKnown, streamBest)
+        val schedR = math.min(schedProbe(), schedProbe())
+        // recorded at execCount + 1 — the first retry's index — NOT at
+        // execCount, where it would tie with the end-of-run probe and
+        // nearestProbe's first-minimum rule would stamp early retries
+        // with the PRE-WAIT (possibly sick) window's ratios
+        probes += ((execCount + 1, streamR, schedR))
         if (!healthy) (Seq.empty, busyR, polls, true)
         else {
           val picks = retryPick(regressions, retryBudget)

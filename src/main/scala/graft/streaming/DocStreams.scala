@@ -156,7 +156,26 @@ object DocStreams {
     * eval shingle table is a static hash-join side sized by the eval
     * split, not the stream. Nothing grows with total stream history. */
   def ingestVerdictStream(stampedDocs: DataFrame, evalDocs: DataFrame,
-      horizon: String = "10 minutes", minTokens: Long = 50L): DataFrame = {
+      horizon: String = "10 minutes", minTokens: Long = 50L): DataFrame =
+    ingestVerdictStreamReleasable(stampedDocs, evalDocs, horizon,
+      minTokens)._1
+
+  /** [[ingestVerdictStream]] plus a release handle for its static
+    * side. The eval shingle set is persisted for the life of the
+    * streaming query; without the handle the only release paths are
+    * `Materialize.releaseShared` (which also drops every OTHER
+    * session-shared frame) or application end — a session cycling
+    * many ingest streams over DIFFERENT eval corpora would accumulate
+    * one pinned shingle set per corpus with no way to drop just the
+    * finished stream's. (Identical `evalDocs` plans do NOT stack:
+    * Spark's CacheManager dedupes same-plan persists.) Call the
+    * handle after the stream STOPS — releasing under a live stream is
+    * safe but degrades later micro-batches to a recompute; calling it
+    * twice, or letting the releaseShared hook fire afterwards, is a
+    * no-op. */
+  def ingestVerdictStreamReleasable(stampedDocs: DataFrame,
+      evalDocs: DataFrame, horizon: String = "10 minutes",
+      minTokens: Long = 50L): (DataFrame, () => Unit) = {
     val deduped = dedupWithinWatermarkStream(
       stampedDocs.select(col("doc_id"), col("ts"), col("text")), horizon)
     // eagerStatic, NOT eager: this frame lives as long as the caller's
@@ -164,12 +183,12 @@ object DocStreams {
     // micro-batch after a concurrent Materialize.freeAll (harnesses
     // call it between queries) — the persist-backed variant keeps
     // lineage, so a mid-stream free only costs a recompute, and the
-    // blocks are released at releaseShared/application end.
-    val evalSh = graft.operators.Materialize.eagerStatic(
+    // blocks are released at the handle / releaseShared / app end.
+    val evalBase = graft.operators.Materialize.eagerStatic(
         evalDocs.select(
           explode(graft.queries.Documents.shingles3(col("text"))).as("sh"))
         .distinct())
-      .withColumn("hit", lit(1L))
+    val evalSh = evalBase.withColumn("hit", lit(1L))
     val toks = graft.queries.Documents.tokens(col("text"))
     val exploded = deduped
       .withColumn("n_tok", size(toks).cast("long"))
@@ -180,7 +199,7 @@ object DocStreams {
       .select(col("doc_id"), col("ts"), col("n_tok"), col("n_stop"),
         explode_outer(graft.queries.Documents.shingles3(col("text")))
           .as("sh"))
-    exploded.join(evalSh, Seq("sh"), "left")
+    val verdicts = exploded.join(evalSh, Seq("sh"), "left")
       .groupBy(window(col("ts"), "1 minute"), col("doc_id"),
         col("n_tok"), col("n_stop"))
       .agg(sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
@@ -188,6 +207,7 @@ object DocStreams {
         col("n_contaminated"),
         (col("n_tok") >= minTokens && col("n_stop") >= 2 &&
           col("n_contaminated") === 0).as("admitted"))
+    (verdicts, () => { evalBase.unpersist(blocking = false); () })
   }
 
   /** Per-source stats snapshot, `upd_seq` = how many state updates

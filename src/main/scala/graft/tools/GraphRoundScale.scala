@@ -1,5 +1,6 @@
 package graft.tools
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Per-round scaling rehearsal for the iterative graph family
@@ -86,30 +87,11 @@ object GraphRoundScale {
       (System.nanoTime - t0) / 1e9
     }
 
-    // kcore peel round (mirrors kcoreOn's loop body, K=3)
-    def peelRound(): Unit = {
-      val deg = pairs
-        .select(col("doc_a").as("id")).union(pairs.select(col("doc_b").as("id")))
-        .groupBy(col("id")).agg(count(lit(1)).as("dg"))
-      val keep = graft.operators.Materialize.eager(
-        deg.filter(col("dg") >= 3).select(col("id")))
-      keep.count()
-      val next = graft.operators.Materialize.eager(
-        pairs.join(keep.select(col("id").as("doc_a")), "doc_a")
-          .join(keep.select(col("id").as("doc_b")), "doc_b")
-          .select(col("doc_a"), col("doc_b")))
-      next.count()
-    }
-
-    // The peel round's COMPUTE alone (degree agg + both semi-filter
-    // joins, counted but not materialized): the full round above also
-    // pays the localCheckpoint of the ~O(E) filtered pair table — the
-    // part that crosses a single JVM's storage cliff at 30× (225 M
-    // rows >> the heap's block store, ~20 GB spilled to ONE local
-    // disk) while a cluster spreads the same blocks across executors.
-    // Timing both separates the shuffle/agg scaling claim from the
-    // container's materialization ceiling.
-    def peelJoinOnly(): Unit = {
+    // ONE peel-round body (mirrors kcoreOn's loop: degree agg →
+    // keep-filter → both semi-filter joins, K=3), shared by both timed
+    // variants so the full-vs-join-only A/B can never drift into
+    // measuring two different rounds.
+    def peelFiltered(): DataFrame = {
       val deg = pairs
         .select(col("doc_a").as("id")).union(pairs.select(col("doc_b").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("dg"))
@@ -118,8 +100,23 @@ object GraphRoundScale {
       keep.count()
       pairs.join(keep.select(col("id").as("doc_a")), "doc_a")
         .join(keep.select(col("id").as("doc_b")), "doc_b")
-        .select(col("doc_a"), col("doc_b")).count()
+        .select(col("doc_a"), col("doc_b"))
     }
+
+    // kcore peel round, full: compute + materialize the filtered pairs
+    def peelRound(): Unit = {
+      graft.operators.Materialize.eager(peelFiltered()).count(); ()
+    }
+
+    // The peel round's COMPUTE alone (counted but not materialized):
+    // the full round above also pays the localCheckpoint of the ~O(E)
+    // filtered pair table — the part that crosses a single JVM's
+    // storage cliff at 30× (225 M rows >> the heap's block store,
+    // ~20 GB spilled to ONE local disk) while a cluster spreads the
+    // same blocks across executors. Timing both separates the
+    // shuffle/agg scaling claim from the container's materialization
+    // ceiling.
+    def peelJoinOnly(): Unit = { peelFiltered().count(); () }
 
     // LPA round (mirrors lpaLabelsOn's loop body: join + two chained
     // hash-aggs argmax by (cnt desc, label asc))

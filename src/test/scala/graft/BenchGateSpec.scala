@@ -133,26 +133,28 @@ class BenchGateSpec extends AnyFunSuite {
     assert(!ok(1.0, 0.08), "both degraded (the r11 closing window)")
   }
 
-  test("awaitHealthyWindow: an immediately healthy bracket returns " +
+  test("awaitHealthyWindow: an immediately healthy pair returns " +
       "without sleeping") {
     var slept = 0L
     val (r, healthy, polls) = Bench.awaitHealthyWindow(
-      () => (0.45, 0.020, 1.7), busyBest = 0.445, streamBest = 0.020,
+      () => (0.45, 0.020), busyBest = 0.445, streamBest = 0.020,
       sleep = ms => slept += ms, now = () => 0.0)
-    assert(healthy && polls == 1 && slept == 0L && r == ((0.45, 0.020, 1.7)))
+    assert(healthy && polls == 1 && slept == 0L && r == ((0.45, 0.020)))
   }
 
   test("awaitHealthyWindow: a window that heals mid-wait is caught and " +
       "returned") {
-    // brackets: two sick readings, then a healthy one
-    val readings = Iterator((1.0, 0.08, 6.0), (0.60, 0.03, 2.5),
-      (0.45, 0.021, 1.7))
+    // poll pairs (busy32, stream32): two sick readings, then healthy —
+    // the poll deliberately carries NO sched16 (32 Spark jobs per
+    // draw, multi-second on exactly the sick hosts the loop waits
+    // out); the caller draws sched once after the window passes
+    val readings = Iterator((1.0, 0.08), (0.60, 0.03), (0.45, 0.021))
     var clock = 0.0
     val (r, healthy, polls) = Bench.awaitHealthyWindow(
       () => readings.next(), busyBest = 0.445, streamBest = 0.020,
       sleep = ms => clock += ms / 1000.0, now = () => clock)
-    assert(healthy && polls == 3, s"healthy on the third bracket: $polls")
-    assert(r == ((0.45, 0.021, 1.7)), "the HEALTHY bracket is returned")
+    assert(healthy && polls == 3, s"healthy on the third pair: $polls")
+    assert(r == ((0.45, 0.021)), "the HEALTHY pair is returned")
   }
 
   test("awaitHealthyWindow: a host that never heals exhausts the " +
@@ -160,7 +162,7 @@ class BenchGateSpec extends AnyFunSuite {
     var clock = 0.0
     var polls = 0
     val (_, healthy, drawn) = Bench.awaitHealthyWindow(
-      () => { polls += 1; (1.0, 0.08, 6.0) },
+      () => { polls += 1; (1.0, 0.08) },
       busyBest = 0.445, streamBest = 0.020, maxWaitSec = 100.0,
       sleep = ms => clock += ms / 1000.0, now = () => clock)
     assert(!healthy, "never-healing host must report unhealthy")
@@ -168,6 +170,25 @@ class BenchGateSpec extends AnyFunSuite {
     // and the loop must terminate on the CLOCK, not spin forever
     assert(drawn == polls && drawn == 6, s"bounded draws, got $drawn")
     assert(clock >= 100.0, "budget actually spent before giving up")
+  }
+
+  test("the post-wait retry bracket outranks a same-moment end-of-run " +
+      "probe for every retry's attribution") {
+    // main records the end-of-run probe at index E and the post-wait
+    // healthy bracket at E + 1 (the first retry's index): retries at
+    // E+1.. must attribute to the bracket they actually ran under,
+    // never to the pre-wait window that forced the wait. A bracket
+    // recorded AT E would tie for early retries and nearestProbe's
+    // first-minimum rule would hand them the sick window's ratios.
+    val E = 560
+    val endOfRun = (E, 0.080, 6.0)      // sick: the reason we waited
+    val bracket = (E + 1, 0.021, 1.8)   // healthy: where retries ran
+    val after = (E + 8, 0.022, 1.9)
+    val ps = Seq(endOfRun, bracket, after)
+    for (j <- 1 to 8) {
+      val p = Bench.nearestProbe(ps, E + j)
+      assert(p != endOfRun, s"retry $j attributed to the pre-wait probe")
+    }
   }
 
   test("every updated minimum carries its recording window's busy32; " +
@@ -188,6 +209,24 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.parseHistory(body) == stamps)
     // and queryMins never mistakes a stamp for a query minimum
     assert(Bench.queryMins(stamps).isEmpty)
+  }
+
+  test("a run inside the history file's %.3f rounding band never " +
+      "replaces a minimum's recording-window stamp") {
+    // the stored file renders %.3f, so a merged 1.0006 writes back as
+    // the SAME "1.001" — the minimum did not move, and the stamp (its
+    // recording window's provenance, kept forever) must not move
+    // either. A full-precision compare silently re-stamped exactly
+    // this case.
+    val raw = Map("q" -> 1.001, "__w:q" -> 0.445)
+    val stamps = Bench.windowStamps(raw,
+      merged = Map("q" -> 1.0006), busySec = 0.51)
+    assert(stamps("__w:q") == 0.445,
+      "stamp preserved when the rendered minimum is unchanged")
+    // a genuine improvement past the rendering quantum DOES re-stamp
+    val stamps2 = Bench.windowStamps(raw,
+      merged = Map("q" -> 0.999), busySec = 0.51)
+    assert(stamps2("__w:q") == 0.51)
   }
 
   test("history body round-trips through the flat parser") {

@@ -146,4 +146,52 @@ class IngestPipelineSpec extends AnyFunSuite
       "contamination must still be detected AFTER the free " +
         "(the static side recomputed, not silently emptied)")
   }
+
+  test("the releasable variant's handle frees ONE stream's static side " +
+      "without dropping the session's other shared frames") {
+    // the gap the handle closes: a session cycling ingest streams over
+    // DIFFERENT eval corpora could otherwise only release a finished
+    // stream's shingle set via releaseShared — which also evicts every
+    // other session-shared pinned frame
+    val evalDocs = Seq((901L, "release handle eval corpus words"))
+      .toDF("doc_id", "text")
+    def stamped(rows: Seq[(Long, String, Int)]) =
+      rows.toDF("doc_id", "text", "m")
+        .select(col("doc_id"), col("text"),
+          ((col("m") + 1000) * 60).cast("timestamp").as("ts"))
+    val stage = java.nio.file.Files.createTempDirectory("ingrel_stage")
+    val inDir = java.nio.file.Files.createTempDirectory("ingrel")
+    stamped(Seq((1L, "the a of and to clean enough doc", 0)))
+      .coalesce(1).write.mode("overwrite").parquet(s"$stage/chunk0")
+    val part = new java.io.File(s"$stage/chunk0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$inDir/d0.parquet"))
+    val schema = stamped(Seq((0L, "x", 0))).schema
+    // an unrelated cached frame the release must NOT touch
+    val bystander = Seq((1, "keep")).toDF("k", "v").persist()
+    bystander.count()
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      val (verdicts, release) = DocStreams.ingestVerdictStreamReleasable(
+        stream, evalDocs, horizon = "10 minutes", minTokens = 5L)
+      val q = verdicts.writeStream.format("memory")
+        .queryName("ingest_releasable")
+        .outputMode(OutputMode.Append()).start()
+      try q.processAllAvailable() finally q.stop()
+      release()
+      // only the bystander remains cached; a second release is a no-op
+      release()
+      val cached = spark.sharedState.cacheManager
+      def classic(df: org.apache.spark.sql.DataFrame) =
+        df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      assert(cached.lookupCachedData(classic(bystander)).nonEmpty,
+        "release must not evict unrelated cached frames")
+      assert(cached.lookupCachedData(classic(
+          evalDocs.select(explode(graft.queries.Documents
+            .shingles3(col("text"))).as("sh")).distinct())).isEmpty,
+        "the stream's eval shingle set must be gone after release()")
+    } finally bystander.unpersist(blocking = true)
+  }
 }
