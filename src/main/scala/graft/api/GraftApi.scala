@@ -160,6 +160,18 @@ object Streams {
     graft.streaming.DocStreams.ingestVerdictStream(
       stampedDocs, evalDocs, horizon, minTokens)
 
+  /** [[ingestVerdicts]] plus the static side's release handle: call
+    * it after the stream stops to free THIS stream's eval shingle set
+    * without dropping the session's other shared frames (the
+    * alternative, [[GraftSession.releaseShared]], evicts everything).
+    * Idempotent; safe under a live stream (later micro-batches
+    * recompute). */
+  def ingestVerdictsReleasable(stampedDocs: DataFrame, evalDocs: DataFrame,
+      horizon: String = "10 minutes", minTokens: Long = 50L)
+      : (DataFrame, () => Unit) =
+    graft.streaming.DocStreams.ingestVerdictStreamReleasable(
+      stampedDocs, evalDocs, horizon, minTokens)
+
   /** CDC-driven incremental per-source stats, seeded with a prior
     * snapshot's stats — state is two longs per source. */
   def statsMaintenance(spark: SparkSession, changes: DataFrame,

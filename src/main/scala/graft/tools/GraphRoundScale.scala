@@ -118,6 +118,20 @@ object GraphRoundScale {
     // ceiling.
     def peelJoinOnly(): Unit = { peelFiltered().count(); () }
 
+    // The full round with PARQUET-staged materialization: what a
+    // cluster round actually does between iterations at 100 TB — the
+    // peeled pair table is WRITTEN as the next round's input table
+    // (exactly how this tool stages its own per-scale inputs), not
+    // held as deserialized executor block-store rows. The
+    // localCheckpoint variant above is the in-memory engine loop's
+    // shape (GraphRank's 8-round queries); this one is the
+    // checkpoint-to-storage shape an iterative 100 TB job uses, and
+    // it keeps the materialization on the columnar/compressed path
+    // instead of the single-JVM block-store cliff.
+    def peelRoundParquet(): Unit =
+      peelFiltered().write.mode("overwrite")
+        .parquet(s"$stage/peel_out.parquet")
+
     // LPA round (mirrors lpaLabelsOn's loop body: join + two chained
     // hash-aggs argmax by (cnt desc, label asc))
     def lpaRound(): Unit = {
@@ -151,9 +165,11 @@ object GraphRoundScale {
 
     val peels = minOfN(() => peelRound())
     val peelJoins = minOfN(() => peelJoinOnly())
+    val peelParquets = minOfN(() => peelRoundParquet())
     val lpas = minOfN(() => lpaRound())
     val peel = peels.min
     val peelJoin = peelJoins.min
+    val peelParquet = peelParquets.min
     val lpa = lpas.min
     val busyEnd = math.min(graft.Probes.busy32(), graft.Probes.busy32())
     val streamEnd = graft.Probes.stream32()
@@ -164,6 +180,8 @@ object GraphRoundScale {
     println(s"""{"dir":"$dir","n_edges":$nEdges,"edge_partitions":$nPart,""" +
       s""""peel_round_sec":${fmt(peel)},"lpa_round_sec":${fmt(lpa)},""" +
       s""""peel_join_only_sec":${fmt(peelJoin)},""" +
+      s""""peel_parquet_sec":${fmt(peelParquet)},""" +
+      s""""peel_parquet_attempts":${peelParquets.map(fmt).mkString("[", ",", "]")},""" +
       s""""peel_join_attempts":${peelJoins.map(fmt).mkString("[", ",", "]")},""" +
       s""""peel_attempts":${peels.map(fmt).mkString("[", ",", "]")},""" +
       s""""lpa_attempts":${lpas.map(fmt).mkString("[", ",", "]")},""" +
