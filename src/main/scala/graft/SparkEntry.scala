@@ -44,6 +44,7 @@ object SparkEntry {
     * ORACLE_SCRIPTED=1. Every key here MUST also be in [[oracleSql]]
     * — scripted is a scale mirror, never the only check. */
   def oracleScripted: Map[String, ScriptedOracle] = Map(
+    "dedup_clusters" -> Documents.dedupClustersScripted,
     "dedup_cluster_density" -> Documents.clusterDensityScripted,
     "doc_leakage_safe_split" -> Documents.leakageSafeSplitScripted,
     "graph_kcore" -> GraphRank.kcoreScripted)

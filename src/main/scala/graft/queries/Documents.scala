@@ -697,6 +697,22 @@ object Documents {
   // truncation (the runner enforces it).
   private val CcScriptedMaxRounds = 64
 
+  /** dedup_clusters itself at bench scale: the recipe's label
+    * fixpoint IS the query's answer — (id, lbl) = (doc_id,
+    * cluster_rep). Same setup/round/stop as the two derived oracles
+    * below, so the three forms cannot drift. (Surfaced by the first
+    * FULL-surface sf0.1 oracle pass: the plain recursive closure was
+    * killed at 25+ min where the heavy-tail audit's three scripted
+    * queries finish in seconds.) */
+  val dedupClustersScripted: graft.ScriptedOracle = graft.ScriptedOracle(
+    setup = ccScriptedSetup,
+    round = ccScriptedRound,
+    stop = ccScriptedStop,
+    maxRounds = CcScriptedMaxRounds,
+    requireFixpoint = true,
+    finalSql =
+      "SELECT id AS doc_id, lbl AS cluster_rep FROM lbl{r} ORDER BY doc_id")
+
   val clusterDensityScripted: graft.ScriptedOracle = graft.ScriptedOracle(
     setup = ccScriptedSetup,
     round = ccScriptedRound,

@@ -218,4 +218,56 @@ object IO {
       .drop("__src", "__rn", "__nk", tombstoneCol)
       .write.mode(SaveMode.Overwrite).parquet(outDir)
   }
+
+  /** Small-file compaction — the standing maintenance pass of any
+    * incrementally-written 100 TB corpus: streaming sinks and
+    * per-batch appends leave thousands of KB-sized files, and every
+    * downstream scan then pays one task schedule + one footer read +
+    * one open PER FILE (at 100k files the scheduler overhead dwarfs
+    * the I/O). Rewrites the table into ~`targetRecordsPerFile`-row
+    * files, preserving a hive-style partition layout when
+    * `partitionCols` is given.
+    *
+    * Same new-directory contract as [[upsertSnapshot]]: the compacted
+    * table lands in a NEW dir and the caller swaps readers over —
+    * compact-in-place would destroy the table under concurrent
+    * readers, so a non-empty `outDir` is refused loudly.
+    *
+    * Scale shape: ONE shuffle. Partitioned tables hash-shuffle on the
+    * partition columns, so each partition's rows land in exactly one
+    * task → one output file per partition dir, split only by
+    * `maxRecordsPerFile` (= target) for oversized partitions. A
+    * heavily skewed giant partition serializes on its one writer task
+    * by design — per-partition-dir file count is the thing being
+    * minimized; tables needing parallel rewrite of one huge partition
+    * want [[writeClustered]] on a data column instead.
+    * Unpartitioned tables round-robin into ceil(rows / target) tasks
+    * (row count comes from parquet footers — metadata, not a scan). */
+  def compact(s: SparkSession, inDir: String, outDir: String,
+      targetRecordsPerFile: Long,
+      partitionCols: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions.col
+    require(targetRecordsPerFile > 0, "targetRecordsPerFile must be > 0")
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(outPath) && fs.listStatus(outPath).nonEmpty)
+      throw new IllegalArgumentException(
+        s"compact: outDir '$outDir' is non-empty — compacted tables are " +
+          "written to a NEW directory; refusing to clobber existing data")
+    val df = s.read.option("basePath", inDir).parquet(inDir)
+    if (partitionCols.isEmpty) {
+      val n = math.max(1,
+        math.ceil(df.count().toDouble / targetRecordsPerFile).toInt)
+      df.repartition(n)
+        .write.mode(SaveMode.Overwrite)
+        .option("maxRecordsPerFile", targetRecordsPerFile)
+        .parquet(outDir)
+    } else {
+      df.repartition(partitionCols.map(col): _*)
+        .write.mode(SaveMode.Overwrite)
+        .option("maxRecordsPerFile", targetRecordsPerFile)
+        .partitionBy(partitionCols: _*)
+        .parquet(outDir)
+    }
+  }
 }

@@ -219,6 +219,67 @@ class IOSpec extends AnyFunSuite {
     assert(spark.read.parquet(tgt).count() == 1L)
   }
 
+  private def parquetFiles(dir: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    walk(new java.io.File(dir))
+  }
+
+  test("compact: an unpartitioned fragment swarm becomes " +
+      "ceil(rows/target) files with identical data") {
+    import spark.implicits._
+    val in = tmp("cin"); val out0 = tmp("cout0")
+    val df = (1L to 1500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    df.repartition(200).write.mode("overwrite").parquet(in)
+    assert(parquetFiles(in).size > 100, "fixture must be fragmented")
+    val out = s"$out0/t"
+    IO.compact(spark, in, out, targetRecordsPerFile = 1000L)
+    // 1500 rows / 1000 target → 2 tasks; maxRecordsPerFile caps each
+    val files = parquetFiles(out)
+    assert(files.size >= 2 && files.size <= 3, s"got ${files.size} files")
+    assert(sortedRows(spark.read.parquet(out)) == sortedRows(df))
+  }
+
+  test("compact: a partitioned table keeps its hive layout — one file " +
+      "per partition dir, oversized partitions split by the target") {
+    import spark.implicits._
+    val in = tmp("cpin"); val out0 = tmp("cpout")
+    // source 'a': 2500 rows (splits at target 1000); 'b': 40 rows
+    val df = ((1L to 2500L).map(i => (i, "a")) ++
+      (1L to 40L).map(i => (i + 10000L, "b")))
+      .toDF("doc_id", "source")
+    df.repartition(120).write.mode("overwrite")
+      .partitionBy("source").parquet(in)
+    assert(parquetFiles(in).size > 60, "fixture must be fragmented")
+    val out = s"$out0/t"
+    IO.compact(spark, in, out, targetRecordsPerFile = 1000L,
+      partitionCols = Seq("source"))
+    val aFiles = parquetFiles(s"$out/source=a")
+    val bFiles = parquetFiles(s"$out/source=b")
+    assert(bFiles.size == 1, s"small partition → one file, got ${bFiles.size}")
+    assert(aFiles.size == 3, s"2500 rows at target 1000 → 3, got ${aFiles.size}")
+    // partition column survives the round-trip with its values intact
+    assert(sortedRows(spark.read.parquet(out)
+      .select(col("doc_id"), col("source"))) ==
+      sortedRows(df.select(col("doc_id"), col("source"))))
+  }
+
+  test("compact: a non-empty outDir is refused, never clobbered") {
+    import spark.implicits._
+    val in = tmp("crin"); val out = tmp("crout")
+    Seq((1L, "x")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(in)
+    Seq((9L, "keep")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(out)
+    val e = intercept[IllegalArgumentException] {
+      IO.compact(spark, in, out, targetRecordsPerFile = 10L)
+    }
+    assert(e.getMessage.contains("non-empty"))
+    assert(spark.read.parquet(out).as[(Long, String)].collect()
+      .toSeq == Seq((9L, "keep")))
+  }
+
   test("upsert snapshot: duplicate keys within one input fail loudly") {
     import spark.implicits._
     val tgt = tmp("upd")
