@@ -1405,16 +1405,22 @@ object Documents {
           expr("n_precise * 1000 DIV GREATEST(n_sampled_pairs, 1)")
             .as("precision_pm"))
     }
-    val r1 = config(array(
-      concat(lit("a_"), col("mh0")), concat(lit("b_"), col("mh1")),
-      concat(lit("c_"), col("mh2")), concat(lit("d_"), col("mh3"))), 4, 1)
-    val r2 = config(array(
-      concat(lit("a_"), col("mh0"), col("mh1")),
-      concat(lit("b_"), col("mh2"), col("mh3"))), 2, 2)
-    val r4 = config(array(
-      concat(lit("a_"), col("mh0"), col("mh1"), col("mh2"), col("mh3"))),
-      1, 4)
-    r1.unionByName(r2).unionByName(r4).orderBy(col("rows_per_band"))
+    // The three band configs are independent chains of ~5 blocking
+    // materializations each over the SAME pre-fetched sig/tok/card
+    // roots; Par.map overlaps the chains from driver threads (guide
+    // §2.6) — frames and values identical, only the jobs overlap
+    // (A/B in OPTIMIZATION_r12.md).
+    val rows = graft.operators.Par.map(Seq(
+      (array(
+        concat(lit("a_"), col("mh0")), concat(lit("b_"), col("mh1")),
+        concat(lit("c_"), col("mh2")), concat(lit("d_"), col("mh3"))), 4, 1),
+      (array(
+        concat(lit("a_"), col("mh0"), col("mh1")),
+        concat(lit("b_"), col("mh2"), col("mh3"))), 2, 2),
+      (array(
+        concat(lit("a_"), col("mh0"), col("mh1"), col("mh2"), col("mh3"))),
+        1, 4))) { case (bands, b, r) => config(bands, b, r) }
+    rows.reduce(_ unionByName _).orderBy(col("rows_per_band"))
   }
 
   val bandSweepSql: String = {

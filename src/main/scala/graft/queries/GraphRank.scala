@@ -709,8 +709,18 @@ object GraphRank {
         .groupBy(col("id")).agg(count(lit(1)).as("dg"))
     var edges = graft.operators.Materialize.eager(
       pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
-    val nInit = degrees(edges).count()
-    val init = degrees(edges).agg(count(lit(1)).as("n_nodes_initial"))
+    // The round's degree table is MATERIALIZED once per edge set and
+    // every consumer reads the stored O(V) blocks: nInit, the
+    // n_nodes_initial audit column, the round's keep filter, and the
+    // final n_core_nodes/n_below aggregate. The previous form
+    // recomputed the 2|E| degree agg per consumer — nInit + init +
+    // one per round + fin ≈ rounds+3 full O(E) passes; this form pays
+    // exactly one per DISTINCT edge set (r12 optimization round,
+    // guide §2.4 — the values are identical, only the pass count
+    // changes; A/B in OPTIMIZATION_r12.md).
+    var deg = graft.operators.Materialize.eager(degrees(edges))
+    val nInit = deg.count()
+    val init = deg.agg(count(lit(1)).as("n_nodes_initial"))
       .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges_initial"))))
     // early exit on fixpoint: once a round drops no node, every later
     // round is the identity (e_{r+1} = e_r exactly), so skipping them
@@ -729,7 +739,7 @@ object GraphRank {
     var r = 0
     while (r < rounds && {
       val keep = graft.operators.Materialize.eager(
-        degrees(edges).filter(col("dg") >= k).select(col("id")))
+        deg.filter(col("dg") >= k).select(col("id")))
       val nKeep = keep.count()
       val changed = nKeep != prevNodes
       if (changed) {
@@ -739,10 +749,11 @@ object GraphRank {
             .join(keep.select(col("id").as("u")), "u")
             .join(keep.select(col("id").as("v")), "v")
             .select(col("u"), col("v")))
+        deg = graft.operators.Materialize.eager(degrees(edges))
       }
       changed
     }) r += 1
-    val fin = degrees(edges)
+    val fin = deg
       .agg(count(lit(1)).as("n_core_nodes"),
         coalesce(sum(when(col("dg") < k, 1L).otherwise(0L)), lit(0L))
           .as("n_below"))

@@ -177,19 +177,30 @@ object SimHashDedup {
     // OWNER (dedupLshPairs) here would rebuild the session-pinned
     // table instead of reading it
     val lsh = Documents.lshCandidatePairs(s, d)
-      .select(col("doc_a"), col("doc_b"), lit(1).as("in_lsh"))
-    val sim = dedupSimhash(s, d)
-      .select(col("doc_a"), col("doc_b"), lit(1).as("in_sim"))
-    lsh.join(sim, Seq("doc_a", "doc_b"), "full_outer")
-      .agg(
-        coalesce(sum(col("in_lsh")), lit(0)).cast("long").as("n_lsh"),
-        coalesce(sum(col("in_sim")), lit(0)).cast("long").as("n_sim"),
-        coalesce(sum(col("in_lsh") * col("in_sim")), lit(0)).cast("long")
-          .as("n_both"),
-        coalesce(sum(when(col("in_sim").isNull, 1)), lit(0)).cast("long")
-          .as("n_lsh_only"),
-        coalesce(sum(when(col("in_lsh").isNull, 1)), lit(0)).cast("long")
-          .as("n_sim_only"))
+      .select(col("doc_a"), col("doc_b"))
+    // materialized: TWO consumers below (the n_sim count and the semi
+    // probe side) would otherwise each re-run the banded simhash
+    // self-join subtree
+    val sim = graft.operators.Materialize.eager(
+      dedupSimhash(s, d).select(col("doc_a"), col("doc_b")))
+    // Both pair sets carry each pair EXACTLY once (the band join emits
+    // pairs disjointly; dedupSimhash ends in distinct()), so the
+    // full-outer rollup collapses to counting identities:
+    // n_lsh_only = n_lsh − n_both and n_sim_only = n_sim − n_both.
+    // The previous full-outer spelling forced a sort-merge join of the
+    // Σ bucket²-sized LSH pair table against a ~dozen-row side (full
+    // outer cannot broadcast — guide §3.1); this form scans the pinned
+    // pair table twice (count + broadcast LEFT SEMI probe) and never
+    // shuffles or sorts it. A/B + plan diff in OPTIMIZATION_r12.md;
+    // value-identical, oracle hash unchanged.
+    val nLsh = lsh.agg(count(lit(1)).cast("long").as("n_lsh"))
+    val nSim = sim.agg(count(lit(1)).cast("long").as("n_sim"))
+    val nBoth = lsh.join(sim, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).cast("long").as("n_both"))
+    nLsh.crossJoin(broadcast(nSim)).crossJoin(broadcast(nBoth))
+      .select(col("n_lsh"), col("n_sim"), col("n_both"),
+        (col("n_lsh") - col("n_both")).as("n_lsh_only"),
+        (col("n_sim") - col("n_both")).as("n_sim_only"))
   }
 
   val methodAgreementSql: String =

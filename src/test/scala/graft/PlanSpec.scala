@@ -220,6 +220,10 @@ class PlanSpec extends AnyFunSuite {
                             // broadcasts
     "dedup_threshold_sweep", // four 1-row threshold-count broadcasts
                             // over ONE capped-confirm jaccard table
+    "dedup_method_agreement", // two 1-row count broadcasts (n_sim,
+                            // n_both) — the r12 counting-identity
+                            // rewrite that removed the full-outer
+                            // sort-merge of the pair table
     "dedup_band_sweep",     // per-config 1-row stat/modulus/precision
                             // broadcasts; pair work doubly capped
     "doc_contamination_sweep", // per-width 1-row count broadcasts
