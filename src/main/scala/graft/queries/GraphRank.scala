@@ -222,9 +222,10 @@ object GraphRank {
     val edges = graft.operators.Materialize.eager(
       Documents.lshCandidatePairs(s, d)
         .select(col("doc_a").as("u"), col("doc_b").as("v")))
-    // deg serves BOTH the shared build (orientation arms) and the
-    // node-stats aggregate below — one 2|E| pass, not two
-    val deg = graft.operators.Materialize.eager(degreesOf(edges))
+    // deg serves the shared ranked-adjacency build (orientation arms)
+    // AND the node-stats aggregate below — the session-shared pinned
+    // degree table (owner: graph_degree_histogram)
+    val deg = sharedDegrees(s, d)
     // OWNER of the shared ranked adjacency (refresh = true): the
     // orientation + md5 + rank-window cost stays attributed here
     triangleCountParts(edges, deg,
@@ -237,6 +238,23 @@ object GraphRank {
   private def degreesOf(edges: DataFrame): DataFrame =
     edges.select(col("u").as("id")).union(edges.select(col("v").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("dg"))
+
+  /** Session-shared pinned degree table (id, dg) of the LSH candidate
+    * graph — FIVE registered queries derive this same per-node count
+    * from the same pinned pair table (degree_histogram = owner with
+    * refresh=true, so the 2|E| agg's cost stays attributed to exactly
+    * one query; triangle_count, neighbor_jaccard,
+    * degree_assortativity and kcore's round-0 read the stored O(V)
+    * blocks). Deterministic, so reuse is value-identical — the
+    * lsh_pairs/ranked-adjacency sharing discipline applied to the
+    * degree agg (r12 optimization round, guide §2.4; A/B in
+    * OPTIMIZATION_r12.md). */
+  private def sharedDegrees(s: SparkSession, d: String,
+      refresh: Boolean = false): DataFrame =
+    graft.operators.Materialize.sharedPinned(s, s"graph_deg|$d", refresh) {
+      degreesOf(Documents.lshCandidatePairs(s, d)
+        .select(col("doc_a").as("u"), col("doc_b").as("v")))
+    }
 
   /** md5-ranked capped oriented adjacency (src, dst, rk ≤ [[CapK]]) of
     * an undirected edge list — the Suri–Vassilvitskii build both
@@ -426,11 +444,11 @@ object GraphRank {
     val edges = graft.operators.Materialize.eager(
       Documents.lshCandidatePairs(s, d)
         .select(col("doc_a").as("u"), col("doc_b").as("v")))
-    // the deg build lives INSIDE the by-name block: on a shared-pin
-    // hit this query pays neither the degree agg nor the rank window
+    // the deg fetch lives INSIDE the by-name block: on a shared-pin
+    // hit this query pays neither the degree agg nor the rank window;
+    // on a cold build the degrees come from the shared pinned table
     localClusteringParts(edges, rankedAdjacency(s, d) {
-      rankedAdjacencyOn(edges,
-        graft.operators.Materialize.eager(degreesOf(edges)))
+      rankedAdjacencyOn(edges, sharedDegrees(s, d))
     })
   }
 
@@ -574,9 +592,9 @@ object GraphRank {
     val edges = graft.operators.Materialize.eager(
       Documents.lshCandidatePairs(s, d)
         .select(col("doc_a").as("u"), col("doc_b").as("v")))
-    val deg = graft.operators.Materialize.eager(
-      edges.select(col("u").as("id")).union(edges.select(col("v").as("id")))
-        .groupBy(col("id")).agg(count(lit(1)).as("dg")))
+    // session-shared pinned degree table (owner: degree_histogram) —
+    // same values as the inline 2|E| agg this replaced
+    val deg = sharedDegrees(s, d)
     // any constant center preserves Pearson exactly (shift-invariant);
     // ⌊mean node degree⌋ keeps the deviations maxdeg-bounded
     val center = deg.agg(count(lit(1)).as("n_nodes"),
@@ -688,7 +706,11 @@ object GraphRank {
     * consumers). No collect anywhere: the converged flag is computed
     * in-plan from the final degree table. */
   def kcore(s: SparkSession, d: String): DataFrame =
-    kcoreOn(Documents.lshCandidatePairs(s, d))
+    // round-0 degrees come from the session-shared pinned degree
+    // table (owner: degree_histogram) — identical values, one less
+    // 2|E| agg per run
+    kcoreOn(Documents.lshCandidatePairs(s, d),
+      deg0 = Some(sharedDegrees(s, d)))
 
   private[queries] val CoreK = 3
   // 32-round budget: with the fixpoint early-exit the Spark side only
@@ -702,8 +724,8 @@ object GraphRank {
 
   /** Core over caller-supplied undirected edges — separated so specs
     * can plant known cores and slow-peeling tails. */
-  def kcoreOn(pairs: DataFrame, k: Int = CoreK, rounds: Int = CoreRounds)
-      : DataFrame = {
+  def kcoreOn(pairs: DataFrame, k: Int = CoreK, rounds: Int = CoreRounds,
+      deg0: Option[DataFrame] = None): DataFrame = {
     def degrees(e: DataFrame): DataFrame =
       e.select(col("u").as("id")).union(e.select(col("v").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("dg"))
@@ -718,7 +740,8 @@ object GraphRank {
     // exactly one per DISTINCT edge set (r12 optimization round,
     // guide §2.4 — the values are identical, only the pass count
     // changes; A/B in OPTIMIZATION_r12.md).
-    var deg = graft.operators.Materialize.eager(degrees(edges))
+    var deg = deg0.getOrElse(
+      graft.operators.Materialize.eager(degrees(edges)))
     val nInit = deg.count()
     val init = deg.agg(count(lit(1)).as("n_nodes_initial"))
       .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges_initial"))))
@@ -1221,17 +1244,25 @@ object GraphRank {
     * Emitted degrees ARE the capped degrees (the sampled-estimator
     * stance: exact below the cap, declared sample above it). */
   def neighborJaccard(s: SparkSession, d: String): DataFrame =
-    neighborJaccardOn(Documents.lshCandidatePairs(s, d))
+    // per-node degree from the session-shared pinned degree table
+    // (owner: degree_histogram): a node's directed-occurrence count IS
+    // its undirected degree, so the values are identical and the 2|E|
+    // agg is not re-paid here
+    neighborJaccardOn(Documents.lshCandidatePairs(s, d),
+      deg0 = Some(sharedDegrees(s, d)
+        .select(col("id").as("node"), col("dg"))))
 
   /** Core audit over caller-supplied undirected edges (doc_a <
     * doc_b, distinct) — separated so specs can plant known motifs. */
-  def neighborJaccardOn(pairs: DataFrame): DataFrame = {
+  def neighborJaccardOn(pairs: DataFrame,
+      deg0: Option[DataFrame] = None): DataFrame = {
     val edges = graft.operators.Materialize.eager(
       pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
     val directed = edges
       .select(col("u").as("node"), col("v").as("nbr"))
       .union(edges.select(col("v").as("node"), col("u").as("nbr")))
-    val deg = directed.groupBy(col("node")).agg(count(lit(1)).as("dg"))
+    val deg = deg0.getOrElse(
+      directed.groupBy(col("node")).agg(count(lit(1)).as("dg")))
     // one digest shared by the pre-thin filter and BOTH cap windows
     val hashed = directed.join(deg, "node")
       .withColumn("m", md5(concat(col("node").cast("string"), lit("|"),
@@ -1376,10 +1407,10 @@ object GraphRank {
     * spine for the zero-degree mass, then a ≤64-row bucket agg.
     * Nothing quadratic; the histogram is O(E) + O(V). */
   def degreeHistogram(s: SparkSession, d: String): DataFrame = {
-    val pairs = Documents.lshCandidatePairs(s, d)
-    val deg = pairs.select(col("doc_a").as("id"))
-      .unionAll(pairs.select(col("doc_b").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // OWNER of the shared degree table (refresh = true): the 2|E| agg
+    // cost stays attributed to this query every pass
+    val deg = sharedDegrees(s, d, refresh = true)
+      .select(col("id"), col("dg").as("deg"))
     graft.Tables.documents(s, d).select(col("doc_id").as("id"))
       .join(deg, Seq("id"), "left")
       .na.fill(0L, Seq("deg"))
