@@ -26,22 +26,37 @@ import org.apache.spark.sql.functions._
   */
 object GraphRank {
 
+  /** Session-shared pinned doc↔band-hub incidence table (doc_id, hub),
+    * distinct: BOTH rank queries over the bipartite duplication graph
+    * (pagerank_dups = owner, hits_scores) derive their edge lists from
+    * this same table — each previously paid the explode + hub
+    * aggregate + join + distinct standalone. Band keys stay md5-concat
+    * strings (the oracle groups on the same values); deterministic, so
+    * reuse is value-identical (r12 optimization round; A/B in
+    * OPTIMIZATION_r12.md). */
+  private def docHubShared(s: SparkSession, d: String,
+      refresh: Boolean = false): DataFrame =
+    graft.operators.Materialize.sharedPinned(s, s"doc_hub|$d", refresh) {
+      // materialized once: docBand feeds BOTH the hub aggregate and
+      // the join back, and each side would otherwise recompute the
+      // full MinHash signature pipeline (shingle + 4 hash folds/doc)
+      val docBand = graft.operators.Materialize.eager(
+        Documents.minhashSigShared(s, d) // session-shared signature scan
+          .select(col("doc_id"),
+            explode(array(
+              concat(lit("b0_"), col("mh0"), lit("_"), col("mh1")),
+              concat(lit("b1_"), col("mh2"), lit("_"), col("mh3"))))
+              .as("band")))
+      val hubs = docBand.groupBy(col("band"))
+        .agg(min(col("doc_id")).as("hub"))
+      docBand.join(hubs, "band")
+        .select(col("doc_id"), col("hub")).distinct()
+    }
+
   def pagerankDupGraph(s: SparkSession, d: String): DataFrame = {
-    // band keys as md5-concat strings — same values the oracle groups
-    // on (string keys share collision behavior across engines; see
-    // dedupIncremental's note for why that matters at corpus scale)
-    // materialized once: docBand feeds BOTH the hub aggregate and the
-    // join back, and each side would otherwise recompute the full
-    // MinHash signature pipeline (shingle + 4 hash folds per doc)
-    val docBand = graft.operators.Materialize.eager(
-      Documents.minhashSigShared(s, d) // session-shared signature scan
-        .select(col("doc_id"),
-          explode(array(
-            concat(lit("b0_"), col("mh0"), lit("_"), col("mh1")),
-            concat(lit("b1_"), col("mh2"), lit("_"), col("mh3")))).as("band")))
-    val hubs = docBand.groupBy(col("band")).agg(min(col("doc_id")).as("hub"))
-    val docHub = docBand.join(hubs, "band")
-      .select(col("doc_id"), col("hub")).distinct()
+    // OWNER of the shared doc↔hub table (refresh = true): the build
+    // cost stays attributed to this query every pass
+    val docHub = docHubShared(s, d, refresh = true)
     val edges = docHub
       .select((col("doc_id") * 2).as("src"), (col("hub") * 2 + 1).as("dst"))
       .union(docHub
@@ -110,15 +125,9 @@ object GraphRank {
     * O(E) joins per round on O(docs×bands)=O(n) edges, 1-row
     * broadcast normalizers, zero driver actions. */
   def hitsScores(s: SparkSession, d: String): DataFrame = {
-    val docBand = graft.operators.Materialize.eager(
-      Documents.minhashSigShared(s, d)
-        .select(col("doc_id"),
-          explode(array(
-            concat(lit("b0_"), col("mh0"), lit("_"), col("mh1")),
-            concat(lit("b1_"), col("mh2"), lit("_"), col("mh3")))).as("band")))
-    val hubs = docBand.groupBy(col("band")).agg(min(col("doc_id")).as("hub"))
-    val docHub = docBand.join(hubs, "band")
-      .select(col("doc_id"), col("hub")).distinct()
+    // doc↔hub incidence from the session-shared pinned table (owner:
+    // pagerank_dups) — identical values, the build paid once per pass
+    val docHub = docHubShared(s, d)
     graft.operators.Hits.run(
         docHub.select(col("doc_id").as("src"), col("hub").as("dst")),
         nIter = HitsIters)
