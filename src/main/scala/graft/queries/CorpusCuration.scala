@@ -43,21 +43,14 @@ object CorpusCuration {
     * The window sees only DUPLICATED gram positions of one doc —
     * bounded by doc length, not corpus size. */
   def duplicateSpans(s: SparkSession, d: String): DataFrame = {
-    val base = documents(s, d)
-      .select(col("doc_id"), col("text"))
-      .withColumn("n", size(toks(col("text"))))
-    // materialized once: grams feeds the dup-gram aggregate AND the
-    // hits join — un-materialized, the tokenize + shingle posexplode
-    // runs twice
-    val grams = graft.operators.Materialize.eager(base
-      .select(col("doc_id"), col("n"),
-        posexplode(Documents.shingles3(col("text"))).as(Seq("p", "g")))
-      .withColumn("pos", (col("p") + 1).cast("int")))
+    // OWNER of the session-shared positional-gram table (refresh =
+    // true: the tokenize + posexplode cost stays attributed here;
+    // span_rewrite and winnowing read the pin)
+    val grams = Documents.shingles3Pos(s, d, refresh = true)
     // "appears in >1 distinct doc" ⟺ min(doc) ≠ max(doc): one cheap
-    // min/max agg instead of the two-phase distinct-count rewrite
-    val dup = grams.groupBy(col("g"))
-      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
-      .filter(col("d0") =!= col("d1")).select(col("g"))
+    // min/max agg instead of the two-phase distinct-count rewrite —
+    // lazy, single consumer (see Documents.dupGrams3)
+    val dup = Documents.dupGrams3(s, d)
     val hits = grams.join(dup, "g")
       .select(col("doc_id"), col("n"), col("pos"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -589,10 +582,13 @@ object CorpusCuration {
     * are pruned by the same aggregate. All md5-lexicographic, no
     * floats. */
   def winnowingPairs(s: SparkSession, d: String): DataFrame = {
-    val grams = documents(s, d)
-      .select(col("doc_id"),
-        posexplode(Documents.shingles3(col("text"))).as(Seq("p", "g")))
-      .select(col("doc_id"), col("p"), md5(col("g")).as("h"))
+    // positional grams from the session-shared pinned table (owner:
+    // text_duplicate_spans): the 1-based pos is an order-isomorphic
+    // relabeling of the 0-based posexplode index this read replaced,
+    // and the window below consumes only the ORDER, so fingerprints
+    // (and the output pairs) are identical
+    val grams = Documents.shingles3Pos(s, d)
+      .select(col("doc_id"), col("pos").as("p"), md5(col("g")).as("h"))
     val wWin = Window.partitionBy(col("doc_id")).orderBy(col("p"))
       .rowsBetween(Window.currentRow, 3)
     val fpsAll = grams

@@ -310,6 +310,43 @@ object Documents {
     * (doc_id, sh) projection is distinct too — one table serves the
     * same-source pair metrics (ngram Jaccard/containment) AND the
     * LSH precision audit. */
+  /** Session-shared POSITIONAL 3-gram table (doc_id, n, pos, g) —
+    * n = the doc's token count, pos 1-based. Three registered queries
+    * posexplode this same shingle stream standalone
+    * (text_duplicate_spans = owner, text_dedup_span_rewrite,
+    * text_winnowing_pairs); one tokenize + posexplode per session
+    * (r12 optimization round; A/B in OPTIMIZATION_r12.md). Distinct
+    * from [[shingledHashed]], which is position-free + distinct. */
+  private[queries] def shingles3Pos(s: SparkSession, d: String,
+      refresh: Boolean = false): DataFrame =
+    graft.operators.Materialize.sharedPinned(s, s"shingles3pos|$d",
+        refresh) {
+      // two-step construction is load-bearing: computing n in the
+      // SAME select as the posexplode measured 3-4× slower (the token
+      // count lands above the Generate and re-evaluates per exploded
+      // row — SpanProbe A/B, OPTIMIZATION_r12.md wave 6); the
+      // withColumn form pins n below the Generate, once per doc
+      val base = documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .withColumn("n", size(tokens(col("text"))))
+      base.select(col("doc_id"), col("n"),
+          posexplode(shingles3(col("text"))).as(Seq("p", "g")))
+        .withColumn("pos", (col("p") + 1).cast("int"))
+        .select(col("doc_id"), col("n"), col("pos"), col("g"))
+    }
+
+  /** Duplicated-gram key set over [[shingles3Pos]]: grams appearing
+    * in MORE THAN ONE distinct doc ("min ≠ max", the cheap form) —
+    * LAZY on purpose: each consumer uses it exactly once, so the agg
+    * fuses into that consumer's job; a pinned variant was A/B'd and
+    * REJECTED (the extra materialization cost the owner more than the
+    * one cheap agg it saved the other consumer —
+    * OPTIMIZATION_r12.md wave 6). */
+  private[queries] def dupGrams3(s: SparkSession, d: String): DataFrame =
+    shingles3Pos(s, d).groupBy(col("g"))
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      .filter(col("d0") =!= col("d1")).select(col("g"))
+
   private[queries] def shingledHashed(s: SparkSession, d: String,
       refresh: Boolean = false): DataFrame =
     graft.operators.Materialize.sharedPinned(s, s"shingles3|$d", refresh) {

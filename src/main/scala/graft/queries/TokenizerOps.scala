@@ -159,16 +159,11 @@ object TokenizerOps {
     * doc-local sort inside one hash-agg group. */
   def spanRewrite(s: SparkSession, d: String): DataFrame = {
     val base = documents(s, d).select(col("doc_id"), col("text"))
-    // materialized once: grams feeds the dup-gram aggregate AND the
-    // covered-position join (same double-compute trap as
-    // CorpusCuration.duplicateSpans)
-    val grams = graft.operators.Materialize.eager(
-      base.select(col("doc_id"),
-          posexplode(Documents.shingles3(col("text"))).as(Seq("p", "g")))
-        .withColumn("pos", (col("p") + 1).cast("int")))
-    val dup = grams.groupBy(col("g"))
-      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
-      .filter(col("d0") =!= col("d1")).select(col("g"))
+    // positional grams + dup-gram keys from the session-shared pinned
+    // tables (owner: text_duplicate_spans) — identical values, the
+    // tokenize + posexplode + min/max agg paid once per session
+    val grams = Documents.shingles3Pos(s, d)
+    val dup = Documents.dupGrams3(s, d)
     val covered = grams.join(dup, "g")
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + 2)).as("cp"))
